@@ -1,13 +1,628 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.operators._
+
+/** Driver contract: `queries` = one entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline additions); `oracleSql` = the equivalent
+  * DuckDB SQL over the same parquet tables (driver hash-compares on sf0.01).
+  *
+  * Conventions for oracle parity (SURVEY §1.2 + BASELINE.md):
+  *  - double aggregates rounded to a fixed scale on BOTH sides (summation
+  *    order differs between engines in the last ulp);
+  *  - timestamps exported as epoch seconds/millis or DATE, never raw
+  *    timestamp columns (tz-annotation differences);
+  *  - column names aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Daily order totals — the ordered "time series" backing series ops. */
+  private def daily(s: SparkSession, dir: String): KSeries =
+    KSeries(
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(sum(col("o_totalprice")).as("v")),
+      ordered = true)
+
+  private val dailySql =
+    "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS v FROM orders GROUP BY 1)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_group_agg")(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.5 aggregation: groupBy + missing-skipping aggregates ----
+    "q01_group_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- §2.2 filter + projection (Where/Select; pushdown-friendly) ----
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") > 30 && col("l_discount") < 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // ---- §2.3 sort + limit (takeLast/maxRowBy family) ----
+    "q03_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+    }),
+
+    // ---- §2.4 inner equi-join (frame.Join Inner) ----
+    "q04_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+
+    // ---- §2.4 multi-join with broadcast dims ----
+    "q05_join_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    }),
+
+    // ---- §2.2 scan-level predicate pushdown (TPC-H Q6 shape) ----
+    "q06_scan_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") < 24 && col("l_discount") >= 0.02 && col("l_discount") <= 0.08)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.4 left join keeping unmatched (JoinKind.Left) ----
+    "q07_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total"))
+    }),
+
+    // ---- §2.4 series Zip (outer align) + §2.9 series⊙series arithmetic ----
+    // two daily series; sum where both present, missing otherwise (reference
+    // outer-align arithmetic, src/Series.fs:589-595)
+    "q08_zip_arith" -> ((s, dir) => {
+      val a = daily(s, dir)
+      val b = KSeries(
+        t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .groupBy(to_date(col("o_orderdate")).as("k"))
+          .agg(sum(col("o_totalprice")).as("v")),
+        ordered = true)
+      a.zipWith(b, JoinKind.Outer)((x, y) => x + y)
+        .df.select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.4 Append (disjoint concatenation) ----
+    "q09_append" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fa = KFrame(li.where(col("l_returnflag") === "R"), Seq("l_orderkey"))
+      val fb = KFrame(li.where(col("l_returnflag") === "A"), Seq("l_orderkey"))
+      fa.append(fb).df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
+
+    // ---- §2.5 grouped stats incl. sample sdv + exact median ----
+    "q10_group_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sdv"),
+          round(var_samp(col("l_quantity")), 6).as("variance"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+          round(avg(col("l_quantity")), 6).as("mean_qty"))
+    }),
+
+    // ---- §2.1 FromValues / pivot ----
+    "q11_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4))
+        .select(col("l_returnflag"), col("F"), col("O"))
+    }),
+
+    // ---- §2.6 sliding count-window (Series.windowInto) ----
+    "q12_window_sliding" -> ((s, dir) => {
+      Windowing.windowInto(daily(s, dir), 7, Boundary.AtBeginning)(avg)
+        .select(col("k"), round(col("v"), 4).as("mavg"))
+    }),
+
+    // ---- §2.6 Series.diff ----
+    "q13_diff" -> ((s, dir) => {
+      daily(s, dir).diff(1)
+        .df.select(col("k"), round(col("v"), 4).as("d"))
+    }),
+
+    // ---- §2.6 Series.shift ----
+    "q14_shift" -> ((s, dir) => {
+      daily(s, dir).shift(1)
+        .df.select(col("k"), round(col("v"), 4).as("prev_v"))
+    }),
+
+    // ---- §2.6 Series.pairwise ----
+    "q15_pairwise" -> ((s, dir) => {
+      daily(s, dir).pairwise()
+        .select(col("k"), round(col("prev"), 4).as("prev"), round(col("cur"), 4).as("cur"))
+    }),
+
+    // ---- §2.6 fixed chunks with Boundary.Skip (Series.chunkInto) ----
+    "q16_chunk" -> ((s, dir) => {
+      Windowing.chunkInto(daily(s, dir), 7, Boundary.Skip)(
+        (sum(_), "chunk_sum"), (count(_), "n"))
+        .select(col("k"), round(col("chunk_sum"), 4).as("chunk_sum"), col("n"))
+    }),
+
+    // ---- §2.6 key-distance window (Series.windowDistInto): RANGE frame ----
+    "q17_window_dist" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val epochDay = KSeries(
+        d.df.select(datediff(col("k"), lit("1970-01-01")).cast("long").as("k"), col("v")),
+        ordered = true)
+      Windowing.windowDistInto(epochDay, 7)(sum)
+        .select(col("k"), round(col("v"), 4).as("wsum"))
+    }),
+
+    // ---- §2.7 fillMissing Forward over a realigned grid ----
+    "q18_fill_forward" -> ((s, dir) => {
+      val d = daily(s, dir)
+      // sparse: drop ~2/3 of days, realign to the full calendar, fill forward
+      val sparse = d.filterAll((k, v) => dayofmonth(k) % 3 === 0)
+      val grid = d.df.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      sparse.realign(grid, "day").copy(ordered = true).fillForward()
+        .df.select(col("k"), round(col("v"), 4).as("filled"))
+    }),
+
+    // ---- §2.7 fillMissingWith constant + dropMissing count ----
+    "q19_fill_const" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val sparse = d.filterAll((k, v) => dayofmonth(k) % 3 === 0)
+      val grid = d.df.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val re = sparse.realign(grid, "day")
+      re.fillWith(0.0).df
+        .agg(round(sum(col("v")), 4).as("sum_filled"),
+          count(col("v")).as("n_total"))
+        .crossJoin(re.dropMissing.df.agg(count(lit(1)).as("n_present")))
+    }),
+
+    // ---- §2.4 as-of join, Lookup.NearestSmaller ----
+    "q20_asof_smaller" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val grid = d.df
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(
+          date_add(col("lo"), 3), col("hi"), expr("interval 11 days"))).as("g"))
+      AsOf.join(grid, "g", d.df, "k", Seq("v"), Lookup.NearestSmaller)
+        .select(col("g"), round(col("v"), 4).as("v_asof"))
+    }),
+
+    // ---- §2.4 as-of join, Lookup.NearestGreater ----
+    "q21_asof_greater" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val grid = d.df
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(
+          date_add(col("lo"), 3), col("hi"), expr("interval 11 days"))).as("g"))
+      AsOf.join(grid, "g", d.df, "k", Seq("v"), Lookup.NearestGreater)
+        .select(col("g"), round(col("v"), 4).as("v_asof"))
+    }),
+
+    // ---- §2.7 resampleEquiv (chunk by key projection = month) ----
+    "q22_resample_month" -> ((s, dir) => {
+      Resample.resampleEquiv(daily(s, dir), k => trunc(k, "month"))(
+        (sum(_), "total"), (count(_), "n_days"))
+        .select(col("k"), round(col("total"), 4).as("total"), col("n_days"))
+    }),
+
+    // ---- §2.7 sampleTime (uniform time grid aggregation, hourly) ----
+    "q23_sample_time" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val series = KSeries(e.select(col("ts").as("k"), col("value").as("v")), ordered = true)
+      Resample.sampleTime(series, 3600)(
+        (count(_), "n"), (sum(_), "total"))
+        .select(col("k"), col("n"), round(col("total"), 4).as("total"))
+    }),
+
+    // ---- §2.6 windowWhile sessions: gap-based sessionization ----
+    "q24_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000, 1)
+            .otherwise(0))
+      gapped.withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(unix_millis(min(col("ts"))).as("sess_start"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .drop("sess_id")
+    }),
+
+    // ---- §2.5 frame-level per-column stats melted to a series ----
+    "q25_frame_stats" -> ((s, dir) => {
+      KFrame(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .colStats(c => avg(col(c)))
+        .select(col("column"), round(col("value"), 6).as("value"))
+    }),
+
+    // ---- §2.3 maxRowBy per group (arg-max) ----
+    "q26_topk_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val j = o.join(c, o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      j.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+    }),
+
+    // ---- additive: rollup (absent in reference; free in Spark, §2.5) ----
+    "q27_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // ---- additive: distinct (dropDuplicates) ----
+    "q28_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+
+    // ---- §2.3 ordered key-range slicing (Between) ----
+    "q29_slice_between" -> ((s, dir) => {
+      daily(s, dir)
+        .between(lit("1996-03-01").cast("date"), lit("1996-06-30").cast("date"))
+        .df.select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.4 series Union with PreferLeft overlap policy ----
+    "q30_union_prefer" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val h1 = d.filterAll((k, _) => month(k) <= 6).mapValues(_ * 2.0)
+      val h2 = d.filterAll((k, _) => month(k) >= 4)
+      h1.union(h2, UnionBehavior.PreferLeft)
+        .df.select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.2 GetItems / Realign with exact lookup ----
+    "q31_realign" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val grid = d.df
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 7 days"))).as("g"))
+      d.realign(grid, "g")
+        .df.select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.9 frame⊙scalar arithmetic: numeric cols only ----
+    "q32_frame_arith" -> ((s, dir) => {
+      val f = KFrame(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      (f * 2.0).df
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty2"),
+          round(sum(col("l_discount")), 4).as("sum_disc2"))
+    }),
+
+    // ---- §2.8 GroupRowsBy: 2-level key hierarchical aggregation ----
+    "q33_multilevel" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), trunc(col("o_orderdate"), "month").cast("date").as("month"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+
+    // ---- §2.7 resample with explicit boundaries, empty buckets kept ----
+    "q34_resample_bounds" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val bounds = d.df.sparkSession.range(0, 40)
+        .select(add_months(lit("1994-06-01").cast("date"), col("id").cast("int") * 3).as("b"))
+      Resample.resample(d, bounds, "b")((sum(_), "total"), (count(_), "n"))
+        .select(col("k"), round(col("total"), 4).as("total"), col("n"))
+    }),
+
+    // ---- §2.7 resampleUniform: full grid + forward gap fill ----
+    "q35_resample_uniform" -> ((s, dir) => {
+      val monthly = daily(s, dir)
+      val sparse = monthly.filterAll((k, _) => month(k) =!= 2 && month(k) =!= 7)
+      Resample.resampleUniform(
+        sparse,
+        k => trunc(k, "month").cast("date"),
+        (lo, hi) => sequence(lo, hi, expr("interval 1 month")))(sum)
+        .select(col("k"), round(col("v"), 4).as("v"))
+    })
+  )
+
+  // ----------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity),4) AS sum_qty,
+        |round(sum(l_extendedprice),4) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        |round(avg(l_quantity),6) AS avg_qty,
+        |round(avg(l_extendedprice),6) AS avg_price,
+        |round(avg(l_discount),6) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(l_extendedprice*(1-l_discount),4) AS revenue
+        |FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05""".stripMargin,
+
+    "q03_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice,4) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q04_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q05_join_multi" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_scan_agg" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount >= 0.02 AND l_discount <= 0.08""".stripMargin,
+
+    "q07_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |round(coalesce(sum(o_totalprice),0),4) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q08_zip_arith" ->
+      """WITH a AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS v
+        |           FROM orders GROUP BY 1),
+        |     b AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS v
+        |           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |round(CASE WHEN a.v IS NOT NULL AND b.v IS NOT NULL THEN a.v + b.v END, 4) AS v
+        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin,
+
+    "q09_append" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),4) AS sum_qty
+        |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R'
+        |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_group_stats" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity),6) AS sdv,
+        |round(var_samp(l_quantity),6) AS variance,
+        |round(min(l_quantity),4) AS min_qty,
+        |round(max(l_quantity),4) AS max_qty,
+        |round(quantile_cont(l_quantity, 0.5),6) AS median_qty,
+        |round(avg(l_quantity),6) AS mean_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q11_pivot" ->
+      """SELECT l_returnflag,
+        |round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),4) AS F,
+        |round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),4) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q12_window_sliding" ->
+      s"""$dailySql
+         |SELECT k, round(avg(v) OVER (ORDER BY k ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS mavg
+         |FROM daily""".stripMargin,
+
+    "q13_diff" ->
+      s"""$dailySql
+         |SELECT k, round(v - lag(v,1) OVER (ORDER BY k),4) AS d FROM daily""".stripMargin,
+
+    "q14_shift" ->
+      s"""$dailySql
+         |SELECT k, round(lag(v,1) OVER (ORDER BY k),4) AS prev_v FROM daily""".stripMargin,
+
+    "q15_pairwise" ->
+      s"""$dailySql, p AS (
+         |SELECT k, lag(v,1) OVER (ORDER BY k) AS prev, v AS cur FROM daily)
+         |SELECT k, round(prev,4) AS prev, round(cur,4) AS cur FROM p WHERE prev IS NOT NULL""".stripMargin,
+
+    "q16_chunk" ->
+      s"""$dailySql, o AS (
+         |SELECT k, v, row_number() OVER (ORDER BY k) - 1 AS ord FROM daily)
+         |SELECT min(k) AS k, round(sum(v),4) AS chunk_sum, count(*) AS n
+         |FROM o GROUP BY CAST(floor(ord / 7.0) AS BIGINT) HAVING count(*) = 7""".stripMargin,
+
+    "q17_window_dist" ->
+      s"""$dailySql, e AS (
+         |SELECT CAST(epoch(CAST(k AS TIMESTAMP))/86400 AS BIGINT) AS k, v FROM daily)
+         |SELECT k, round(sum(v) OVER (ORDER BY k RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS wsum
+         |FROM e""".stripMargin,
+
+    "q18_fill_forward" ->
+      s"""$dailySql, sparse AS (
+         |SELECT * FROM daily WHERE day(k) % 3 = 0),
+         |grid AS (SELECT unnest(generate_series(
+         |  (SELECT min(k) FROM daily), (SELECT max(k) FROM daily), INTERVAL 1 DAY))::DATE AS k),
+         |re AS (SELECT g.k, s.v FROM grid g LEFT JOIN sparse s ON g.k = s.k)
+         |SELECT k, round(last_value(v IGNORE NULLS) OVER (
+         |  ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS filled
+         |FROM re""".stripMargin,
+
+    "q19_fill_const" ->
+      s"""$dailySql, sparse AS (
+         |SELECT * FROM daily WHERE day(k) % 3 = 0),
+         |grid AS (SELECT unnest(generate_series(
+         |  (SELECT min(k) FROM daily), (SELECT max(k) FROM daily), INTERVAL 1 DAY))::DATE AS k),
+         |re AS (SELECT g.k, s.v FROM grid g LEFT JOIN sparse s ON g.k = s.k)
+         |SELECT round(sum(coalesce(v,0)),4) AS sum_filled, count(*) AS n_total,
+         |(SELECT count(v) FROM re) AS n_present FROM re""".stripMargin,
+
+    "q20_asof_smaller" ->
+      s"""$dailySql, grid AS (
+         |SELECT unnest(generate_series(
+         |  (SELECT min(k)+3 FROM daily), (SELECT max(k) FROM daily), INTERVAL 11 DAY))::DATE AS g)
+         |SELECT g, round((SELECT v FROM daily d WHERE d.k <= g.g AND d.v IS NOT NULL
+         |                 ORDER BY d.k DESC LIMIT 1),4) AS v_asof
+         |FROM grid g""".stripMargin,
+
+    "q21_asof_greater" ->
+      s"""$dailySql, grid AS (
+         |SELECT unnest(generate_series(
+         |  (SELECT min(k)+3 FROM daily), (SELECT max(k) FROM daily), INTERVAL 11 DAY))::DATE AS g)
+         |SELECT g, round((SELECT v FROM daily d WHERE d.k >= g.g AND d.v IS NOT NULL
+         |                 ORDER BY d.k ASC LIMIT 1),4) AS v_asof
+         |FROM grid g""".stripMargin,
+
+    "q22_resample_month" ->
+      s"""$dailySql
+         |SELECT date_trunc('month', k)::DATE AS k, round(sum(v),4) AS total, count(v) AS n_days
+         |FROM daily GROUP BY 1""".stripMargin,
+
+    "q23_sample_time" ->
+      """SELECT CAST(floor(epoch(date_trunc('second', ts))/3600)*3600 AS BIGINT) AS k,
+        |count(*) AS n, round(sum(value),4) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH g AS (
+        |SELECT user_id, ts, event_id, value,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000 THEN 1 ELSE 0 END AS new_sess
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |SELECT user_id, ts, value,
+        |sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |FROM g)
+        |SELECT user_id, epoch_ms(min(ts)) AS sess_start, count(*) AS n_events,
+        |round(sum(value),4) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q25_frame_stats" ->
+      """SELECT 'l_partkey' AS "column", round(avg(l_partkey),6) AS value FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', round(avg(l_suppkey),6) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', round(avg(l_quantity),6) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', round(avg(l_extendedprice),6) FROM lineitem
+        |UNION ALL SELECT 'l_discount', round(avg(l_discount),6) FROM lineitem
+        |UNION ALL SELECT 'l_tax', round(avg(l_tax),6) FROM lineitem""".stripMargin,
+
+    "q26_topk_group" ->
+      """WITH j AS (
+        |SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY c_mktsegment
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rn, o_orderkey, round(o_totalprice,4) AS o_totalprice
+        |FROM j WHERE rn <= 3""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q28_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q29_slice_between" ->
+      s"""$dailySql
+         |SELECT k, round(v,4) AS v FROM daily
+         |WHERE k >= DATE '1996-03-01' AND k <= DATE '1996-06-30'""".stripMargin,
+
+    "q30_union_prefer" ->
+      s"""$dailySql,
+         |h1 AS (SELECT k, v*2.0 AS v FROM daily WHERE month(k) <= 6),
+         |h2 AS (SELECT k, v FROM daily WHERE month(k) >= 4)
+         |SELECT coalesce(h1.k, h2.k) AS k, round(coalesce(h1.v, h2.v),4) AS v
+         |FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k""".stripMargin,
+
+    "q31_realign" ->
+      s"""$dailySql, grid AS (
+         |SELECT unnest(generate_series(
+         |  (SELECT min(k) FROM daily), (SELECT max(k) FROM daily), INTERVAL 7 DAY))::DATE AS g)
+         |SELECT g.g AS k, round(d.v,4) AS v FROM grid g LEFT JOIN daily d ON g.g = d.k""".stripMargin,
+
+    "q32_frame_arith" ->
+      """WITH f AS (SELECT l_returnflag, l_quantity*2.0 AS q2, l_discount*2.0 AS d2 FROM lineitem)
+        |SELECT l_returnflag, round(sum(q2),4) AS sum_qty2, round(sum(d2),4) AS sum_disc2
+        |FROM f GROUP BY l_returnflag""".stripMargin,
+
+    "q33_multilevel" ->
+      """SELECT o_orderstatus, date_trunc('month', o_orderdate)::DATE AS month,
+        |count(*) AS n, round(sum(o_totalprice),4) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q34_resample_bounds" ->
+      s"""$dailySql, bounds AS (
+         |SELECT (DATE '1994-06-01' + INTERVAL (i*3) MONTH)::DATE AS b
+         |FROM range(0,40) t(i)),
+         |tagged AS (
+         |SELECT d.k, d.v,
+         |coalesce((SELECT max(b) FROM bounds WHERE b <= d.k), (SELECT min(b) FROM bounds)) AS bucket
+         |FROM daily d),
+         |agg AS (SELECT bucket, sum(v) AS total, count(v) AS n FROM tagged GROUP BY bucket)
+         |SELECT b.b AS k, round(a.total,4) AS total, a.n AS n
+         |FROM bounds b LEFT JOIN agg a ON b.b = a.bucket""".stripMargin,
+
+    "q35_resample_uniform" ->
+      s"""$dailySql, sparse AS (
+         |SELECT * FROM daily WHERE month(k) <> 2 AND month(k) <> 7),
+         |bucketed AS (
+         |SELECT date_trunc('month', k)::DATE AS b, sum(v) AS v FROM sparse GROUP BY 1),
+         |grid AS (SELECT unnest(generate_series(
+         |  (SELECT min(b) FROM bucketed), (SELECT max(b) FROM bucketed), INTERVAL 1 MONTH))::DATE AS b),
+         |j AS (SELECT g.b, bk.v FROM grid g LEFT JOIN bucketed bk ON g.b = bk.b)
+         |SELECT b AS k, round(last_value(v IGNORE NULLS) OVER (
+         |  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS v
+         |FROM j""".stripMargin
+  )
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) with the
+  * reference's missing-value canonicalization applied on ingest.
+  *
+  * The reference treats NaN as missing everywhere (isNA covers null, empty
+  * Nullable, Double.NaN, Single.NaN — reference src/Common/Common.fs:264-293,
+  * canonicalized at vector construction, src/Vectors/ArrayVector.fs:57-67).
+  * Spark SQL distinguishes NaN from null, so we canonicalize NaN→null on every
+  * float/double column at ingestion (SURVEY §1.2). This is a pure projection:
+  * Catalyst still pushes filters/pruning through it.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table, NaN-canonicalized. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    canonical(nanosFixed(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Read one table raw (no canonicalization). */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    nanosFixed(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Spark's TimestampType is µs; the events table is written as parquet
+    * INT64 TIMESTAMP(NANOS), which Spark 4 only reads under
+    * spark.sql.legacy.parquet.nanosAsLong=true (as a nanos LongType).
+    * Re-materialize those columns as proper timestamps (the synthetic data is
+    * µs-precision, so truncation is lossless). Column metadata isn't carried
+    * for this, so we key off the one known nanos column name. */
+  private val nanosCols = Set("ts")
+  private def nanosFixed(df: DataFrame): DataFrame = {
+    val fix = df.schema.fields.filter(f =>
+      nanosCols(f.name) && f.dataType == LongType)
+    // integral `div`, NOT `/`: SQL divide on longs returns double, which
+    // loses precision above 2^53 (epoch-nanos ≈ 1.7e18)
+    fix.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
+  }
+
+  /** NaN→null on all floating-point columns (reference isNA semantics). */
+  def canonical(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(f =>
+      f.dataType == DoubleType || f.dataType == FloatType)
+    if (!needs) df
+    else {
+      val cols = df.schema.fields.map { f =>
+        f.dataType match {
+          case DoubleType | FloatType =>
+            when(isnan(col(f.name)), lit(null)).otherwise(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
+}

@@ -1,0 +1,192 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.AsOf
+
+/** A keyed frame: the reference's `Frame<'R,'C>` (reference src/Frame.fs:24-26)
+  * as a lazy DataFrame plus metadata — designated row-key column(s) and an
+  * orderedness claim (SURVEY §1.5). Hierarchical row keys are simply multiple
+  * key columns (reference tuple keys, src/Indices/MultiKey.fs). Columns stay
+  * native Spark columns: the reference's per-column dynamic typing maps to
+  * DataFrame, not Dataset[T].
+  *
+  * The reference's column-oriented IVector storage, VectorConstruction IR and
+  * eager interpreter (SURVEY §3-4) are all replaced by Catalyst/Tungsten —
+  * every method here only extends the logical plan.
+  */
+final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = false) {
+
+  private def keyed(d: DataFrame, ord: Boolean = ordered): KFrame = KFrame(d, keyCols, ord)
+
+  def key: Column = col(keyCols.head)
+
+  /** Columns that are not row-key columns (the "data" columns). */
+  def dataCols: Seq[String] = df.columns.toSeq.filterNot(keyCols.contains)
+
+  /** Numeric (float-convertible) data columns — the set frame arithmetic
+    * touches (reference src/Frame.fs:442-459; non-numeric pass through,
+    * SURVEY §7.4.6). */
+  def numericCols: Seq[String] = df.schema.fields.collect {
+    case f if !keyCols.contains(f.name) && f.dataType.isInstanceOf[NumericType] => f.name
+  }.toSeq
+
+  // ---- indexing (reference src/Frame.fs:850-855, src/FrameModule.fs:194-290) ----
+
+  /** Frame.indexRows — promote column(s) to the row key. Metadata-only: no
+    * shuffle, no job (unlike the reference which eagerly relocates every
+    * column, reference src/Indices/LinearIndex.fs:340-350). */
+  def indexRows(cols: String*): KFrame = KFrame(df, cols.toSeq, ordered = false)
+
+  /** Declare the key ordered (sort realized lazily by ordered ops). */
+  def sortRows: KFrame = KFrame(df.orderBy(keyCols.map(col): _*), keyCols, ordered = true)
+
+  /** indexRowsOrdinally — replace key with 0..n-1 in current key order. */
+  def indexRowsOrdinally: KFrame = {
+    val w = Window.orderBy(keyCols.map(col): _*)
+    KFrame(df.withColumn("__ord", row_number().over(w) - 1).drop(keyCols: _*),
+      Seq("__ord"), ordered = true)
+  }
+
+  // ---- column ops (reference src/Frame.fs:315-414) ----
+
+  /** frame.AddSeries — add a column by left-joining a series on the row key
+    * (reference left-joins on row key, src/Frame.fs:315-380). */
+  def addSeries(name: String, s: KSeries): KFrame = {
+    val r = s.df.select(s.k.as(keyCols.head), s.v.as(name))
+    keyed(df.join(r, Seq(keyCols.head), "left_outer"))
+  }
+
+  /** frame.AddSeries fast path — same index (any Column over this frame):
+    * the reference's same-index fast path (src/Frame.fs:426-433) ≙ withColumn,
+    * which never joins. */
+  def addColumn(name: String, c: Column): KFrame = keyed(df.withColumn(name, c))
+
+  def dropSeries(names: String*): KFrame = keyed(df.drop(names: _*))
+
+  def getSeries(name: String): KSeries =
+    KSeries(df.select(key.as("k"), col(name).as("v")), ordered = ordered)
+
+  /** GetSeries<'R> — extraction with runtime conversion (reference
+    * src/Frame.fs:383-406): cast realized as a Column cast. */
+  def getSeriesAs(name: String, t: DataType): KSeries =
+    KSeries(df.select(key.as("k"), col(name).cast(t).as("v")), ordered = ordered)
+
+  // ---- row ops ----
+
+  def filterRows(p: Column): KFrame = keyed(df.where(p))
+
+  /** RowsDense — drop rows with any missing (reference src/Frame.fs:223-254). */
+  def rowsDense: KFrame = keyed(df.na.drop("any"))
+
+  /** dropSparseRows (reference src/FrameModule.fs:519-532). */
+  def dropSparseRows: KFrame = rowsDense
+
+  /** ColumnsDense — keep only columns with no missing values. Needs one
+    * aggregation pass over column null-counts (distributed; single small row
+    * to the driver — bounded by column count, not data). */
+  def columnsDense: KFrame = {
+    val counts = df.select(
+      (count(lit(1)).as("__n") +:
+        dataCols.map(c => count(col(c)).as(c))): _*).head()
+    val n = counts.getLong(0)
+    val dense = dataCols.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i + 1) == n => c
+    }
+    keyed(df.select((keyCols ++ dense).map(col): _*))
+  }
+
+  // ---- arithmetic (reference src/Frame.fs:442-586) ----
+
+  /** Apply f to every numeric column; non-numeric columns pass through
+    * untouched (reference semantics, test tests/.../Frame.fs:56-59). */
+  def mapNumeric(f: Column => Column): KFrame = {
+    val nums = numericCols.toSet
+    keyed(df.select(df.columns.toIndexedSeq.map { c =>
+      if (nums(c)) f(col(c)).as(c) else col(c)
+    }: _*))
+  }
+
+  def +(s: Double): KFrame = mapNumeric(_ + s)
+  def -(s: Double): KFrame = mapNumeric(_ - s)
+  def *(s: Double): KFrame = mapNumeric(_ * s)
+  def /(s: Double): KFrame = mapNumeric(_ / s)
+
+  // ---- joins (reference src/Frame.fs:146-167) ----
+
+  /** frame.Join — row-key join; column sets must be disjoint like the
+    * reference (append of column indices fails on overlap). Equi join →
+    * Catalyst picks broadcast/sort-merge/shuffled-hash. */
+  def join(other: KFrame, kind: JoinKind = JoinKind.Outer): KFrame = {
+    val overlap = dataCols.toSet.intersect(other.dataCols.toSet)
+    require(overlap.isEmpty, s"Join: overlapping columns $overlap (reference requires disjoint)")
+    val r = other.df.withColumnRenamed(other.keyCols.head, keyCols.head)
+    keyed(df.join(r, Seq(keyCols.head), kind.spark), ord = false)
+  }
+
+  /** frame.Join with as-of lookup (reference src/Frame.fs:146-167 +
+    * JoinHelpers.fs:63-75): left join where each left key takes the other
+    * frame's values as-of its key. */
+  def joinAsOf(other: KFrame, direction: Lookup): KFrame = {
+    require(ordered && other.ordered, "as-of join requires ordered frames")
+    keyed(AsOf.join(df, keyCols.head, other.df, other.keyCols.head,
+      other.dataCols, direction), ord = ordered)
+  }
+
+  /** frame.Zip — cell-level zip (reference src/Frame.fs:103-142): outer join
+    * rows; shared columns combined with op where both present, otherwise the
+    * present side; unshared columns pass through. */
+  def zip(other: KFrame)(op: (Column, Column) => Column): KFrame = {
+    val shared = dataCols.toSet.intersect(other.dataCols.toSet).toSeq.sorted
+    val lOnly = dataCols.filterNot(shared.contains)
+    val rOnly = other.dataCols.filterNot(shared.contains)
+    val l = df.select((key.as("__k") +: dataCols.map(c => col(c).as(s"__l_$c"))): _*)
+    val r = other.df.select((other.key.as("__k") +: other.dataCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val j = l.join(r, Seq("__k"), "full_outer")
+    val out = j.select(
+      (col("__k").as(keyCols.head) +:
+        (shared.map { c =>
+          when(col(s"__l_$c").isNotNull && col(s"__r_$c").isNotNull,
+            op(col(s"__l_$c"), col(s"__r_$c")))
+            .otherwise(coalesce(col(s"__l_$c"), col(s"__r_$c"))).as(c)
+        } ++
+          lOnly.map(c => col(s"__l_$c").as(c)) ++
+          rOnly.map(c => col(s"__r_$c").as(c)))): _*)
+    KFrame(out, Seq(keyCols.head), ordered = false)
+  }
+
+  /** frame.Append — concatenate; column sets unioned, missing padded
+    * (reference src/Frame.fs:171-207). */
+  def append(other: KFrame): KFrame =
+    keyed(df.unionByName(other.df, allowMissingColumns = true), ord = false)
+
+  // ---- grouping (reference src/Frame.fs:826-839) ----
+
+  /** GroupRowsBy — group rows by a column: becomes a 2-level row key
+    * (group, origKey). Pure metadata + column reorder; no shuffle until an
+    * aggregation consumes it (SURVEY §2.5). */
+  def groupRowsBy(groupCol: String): KFrame =
+    KFrame(df, groupCol +: keyCols, ordered = false)
+
+  /** Frame.meanBy etc — grouped per-numeric-column aggregates
+    * ("hierarchical aggregation", reference src/FrameModule.fs:413-435). */
+  def aggBy(groupCols: Seq[Column], f: String => Column): DataFrame = {
+    val aggs = numericCols.map(c => f(c).as(c))
+    df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Frame.mean/sum/... — per-numeric-column aggregate melted to a series
+    * keyed by column name (reference src/FrameModule.fs:385-407). One job,
+    * one row collected — then re-shaped driver-side (bounded by #columns). */
+  def colStats(f: String => Column): DataFrame = {
+    val nums = numericCols
+    val aggExprs = nums.map(c => f(c).cast(DoubleType).as(c))
+    val wide = df.select(aggExprs: _*)
+    // melt #columns values: stack(n, 'c1', c1, ...) — stays in the plan
+    val stackArgs = nums.map(c => s"'$c', `$c`").mkString(", ")
+    wide.selectExpr(s"stack(${nums.size}, $stackArgs) as (column, value)")
+  }
+}

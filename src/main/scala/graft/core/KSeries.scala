@@ -1,0 +1,269 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join kinds of the reference (reference src/JoinHelpers.fs:15-29). */
+sealed trait JoinKind { def spark: String }
+object JoinKind {
+  case object Inner extends JoinKind { val spark = "inner" }
+  case object Outer extends JoinKind { val spark = "full_outer" }
+  case object Left  extends JoinKind { val spark = "left_outer" }
+  case object Right extends JoinKind { val spark = "right_outer" }
+}
+
+/** Lookup semantics for point lookups / as-of joins
+  * (reference src/Indices/LinearIndex.fs:92-148). */
+sealed trait Lookup
+object Lookup {
+  case object Exact extends Lookup
+  /** nearest key ≤ requested (as-of / backward) */
+  case object NearestSmaller extends Lookup
+  /** nearest key ≥ requested (forward) */
+  case object NearestGreater extends Lookup
+}
+
+/** Union behavior (reference src/Series.fs:346-359). */
+sealed trait UnionBehavior
+object UnionBehavior {
+  case object PreferLeft  extends UnionBehavior
+  case object PreferRight extends UnionBehavior
+  /** overlapping keys raise an error (reference VectorHelpers.fs:176-180) */
+  case object Exclusive   extends UnionBehavior
+}
+
+/** A keyed series: the reference's `Series<'K,'V>` (reference
+  * src/Series.fs:43-47) re-expressed as a lazy two-column DataFrame plus
+  * metadata. `ordered` mirrors the reference's lazily-detected index
+  * orderedness (reference src/Indices/LinearIndex.fs:26-43): it is a claim
+  * that key order is meaningful, realized physically only when an
+  * ordered-only operator runs (sort happens inside that operator's plan, not
+  * eagerly). Missing values are SQL nulls in the value column (SURVEY §1.2).
+  *
+  * Everything here builds a logical plan; nothing executes until an action —
+  * the key architectural upgrade over the reference's eager engine
+  * (SURVEY §3).
+  */
+final case class KSeries(
+    df: DataFrame,
+    keyCol: String = "k",
+    valueCol: String = "v",
+    ordered: Boolean = false) {
+
+  def k: Column = df(keyCol)
+  def v: Column = df(valueCol)
+
+  private def result(d: DataFrame, ord: Boolean = ordered): KSeries =
+    KSeries(d, keyCol, valueCol, ord)
+
+  /** Ordered-only ops mirror the reference's hard error on unordered indices
+    * (reference src/Indices/LinearIndex.fs:210-211,263-264). */
+  private def requireOrdered(op: String): Unit =
+    require(ordered, s"$op requires an ordered series (reference LinearIndex.fs:210-211)")
+
+  // ---- projection / filtering (reference src/Series.fs:229-286) ----
+
+  /** Series.mapValues — missing-propagating map over values. */
+  def mapValues(f: Column => Column): KSeries =
+    result(df.select(k.as(keyCol), when(v.isNotNull, f(v)).as(valueCol)))
+
+  /** Series.mapAll — map seeing & producing missingness (no null guard). */
+  def mapAll(f: Column => Column): KSeries =
+    result(df.select(k.as(keyCol), f(v).as(valueCol)))
+
+  /** Series.mapKeys — re-key; orderedness invalidated like the reference. */
+  def mapKeys(f: Column => Column): KSeries =
+    result(df.select(f(k).as(keyCol), v.as(valueCol)), ord = false)
+
+  /** Series.filter — predicate over (key, value), missing rows dropped
+    * (reference filters observations, src/Series.fs:230-245). */
+  def filter(p: (Column, Column) => Column): KSeries =
+    result(df.where(v.isNotNull && p(k, v)))
+
+  /** Series.filterAll — predicate sees missingness. */
+  def filterAll(p: (Column, Column) => Column): KSeries =
+    result(df.where(p(k, v)))
+
+  /** dropMissing (reference src/SeriesModule.fs:594-595). */
+  def dropMissing: KSeries = result(df.where(v.isNotNull))
+
+  // ---- slicing (reference src/Series.fs:111-120, ordered-only) ----
+
+  /** Between — inclusive key-range slice. Catalyst turns this into a scan
+    * range predicate (partition pruning / parquet row-group skip at scale). */
+  def between(lo: Column, hi: Column): KSeries = {
+    requireOrdered("between")
+    result(df.where(k >= lo && k <= hi))
+  }
+  def after(lo: Column): KSeries = { requireOrdered("after"); result(df.where(k > lo)) }
+  def before(hi: Column): KSeries = { requireOrdered("before"); result(df.where(k < hi)) }
+  def startAt(lo: Column): KSeries = { requireOrdered("startAt"); result(df.where(k >= lo)) }
+  def endAt(hi: Column): KSeries = { requireOrdered("endAt"); result(df.where(k <= hi)) }
+
+  // ---- alignment: zip / union / append (reference src/Series.fs:293-359) ----
+
+  /** Series.Zip — align two series by key; values nullable on both sides
+    * (reference src/Series.fs:303-335). Returns (key, v1, v2) DataFrame.
+    * Equi-join: Catalyst picks broadcast vs sort-merge; at 100 TB both sides
+    * shuffle on the key once, which is optimal for a general align. */
+  def zip(other: KSeries, kind: JoinKind = JoinKind.Outer): DataFrame = {
+    val l = df.select(k.as("k"), v.as("v1"))
+    val r = other.df.select(other.k.as("k"), other.v.as("v2"))
+    l.join(r, Seq("k"), kind.spark)
+  }
+
+  /** Series.ZipInner — inner align, both present (reference src/Series.fs:338-343). */
+  def zipInner(other: KSeries): DataFrame =
+    zip(other, JoinKind.Inner).where(col("v1").isNotNull && col("v2").isNotNull)
+
+  /** Series.zipAlignInto — align then combine present pairs with op
+    * (reference src/SeriesModule.fs:1024-1034). */
+  def zipWith(other: KSeries, kind: JoinKind)(op: (Column, Column) => Column): KSeries = {
+    val z = zip(other, kind)
+    result(z.select(col("k").as(keyCol),
+      when(col("v1").isNotNull && col("v2").isNotNull, op(col("v1"), col("v2")))
+        .as(valueCol)), ord = false)
+  }
+
+  /** Series.Union — key-union merge with overlap policy
+    * (reference src/Series.fs:346-359). Exclusive raises on overlap like the
+    * reference's LeftOrRight transform — realized as a raise_error expression
+    * so the check is distributed, not a driver-side collect. */
+  def union(other: KSeries, behavior: UnionBehavior = UnionBehavior.PreferLeft): KSeries = {
+    val z = zip(other, JoinKind.Outer)
+    val merged = behavior match {
+      case UnionBehavior.PreferLeft  => coalesce(col("v1"), col("v2"))
+      case UnionBehavior.PreferRight => coalesce(col("v2"), col("v1"))
+      case UnionBehavior.Exclusive =>
+        when(col("v1").isNotNull && col("v2").isNotNull,
+          raise_error(lit("Union: overlapping keys with Exclusive behavior")))
+          .otherwise(coalesce(col("v1"), col("v2")))
+    }
+    result(z.select(col("k").as(keyCol), merged.as(valueCol)), ord = false)
+  }
+
+  /** Series.Append — concatenate; duplicate keys are an error in the
+    * reference (src/Series.fs:293-300). checkDuplicates=true mirrors that via
+    * a distributed assertion; default off at scale (it costs a shuffle),
+    * per SURVEY §7.4(10). */
+  def append(other: KSeries, checkDuplicates: Boolean = false): KSeries = {
+    val u = df.select(k.as(keyCol), v.as(valueCol))
+      .unionByName(other.df.select(other.k.as(keyCol), other.v.as(valueCol)))
+    val checked =
+      if (!checkDuplicates) u
+      else {
+        val w = Window.partitionBy(col(keyCol))
+        u.select(col(keyCol), col(valueCol), count(lit(1)).over(w).as("__n"))
+          .select(col(keyCol),
+            when(col("__n") > 1, raise_error(lit("Append: duplicate keys")))
+              .otherwise(col(valueCol)).as(valueCol))
+      }
+    result(checked, ord = false)
+  }
+
+  /** Series.Realign — reindex to an exact new key set; missing where absent
+    * (reference src/Series.fs:552-559). */
+  def realign(keys: DataFrame, keysCol: String): KSeries = {
+    val kk = keys.select(col(keysCol).as(keyCol))
+    result(kk.join(df.select(k.as(keyCol), v.as(valueCol)), Seq(keyCol), "left_outer"),
+      ord = false)
+  }
+
+  // ---- stats (reference src/SeriesModule.fs:27-98) ----
+  // All null-skipping like the reference's missing-skipping aggregates;
+  // sdv is SAMPLE std-dev (reference uses MathNet sample sdv, SURVEY §7.4(7)).
+
+  def stats(aggs: (Column, String)*): DataFrame =
+    df.agg(aggs.head._1.as(aggs.head._2),
+      aggs.tail.map { case (c, n) => c.as(n) }: _*)
+
+  def sum: DataFrame = stats((org.apache.spark.sql.functions.sum(v), "sum"))
+  def mean: DataFrame = stats((avg(v), "mean"))
+  def sdv: DataFrame = stats((stddev_samp(v), "sdv"))
+  /** exact median for oracle parity (SURVEY §7.4: percentile, not approx). */
+  def exactMedian: DataFrame = stats((percentile(v, lit(0.5)), "median"))
+  def countValues: DataFrame = stats((count(v), "countValues"))
+  def countKeys: DataFrame = stats((count(lit(1)), "countKeys"))
+
+  /** Series.*By — group by a key projection, aggregate values
+    * (reference src/SeriesModule.fs:68-98). One shuffle on the projected key
+    * with map-side partial aggregation — optimal. */
+  def aggBy(proj: Column => Column)(aggs: (Column, String)*): DataFrame =
+    df.groupBy(proj(k).as("g"))
+      .agg(aggs.head._1.as(aggs.head._2),
+        aggs.tail.map { case (c, n) => c.as(n) }: _*)
+
+  // ---- ordered analytics: shift/diff/pairwise (reference §2.6) ----
+  // These accept an optional partition spec: the reference is single-machine
+  // and globally ordered; at 100 TB a global order collapses a window to one
+  // task, so callers partition by a natural key when one exists (see
+  // graft.operators.OrderedScan for the partition-stitched global variant).
+
+  private def orderedWindow(partitionBy: Seq[Column]) = {
+    val w = if (partitionBy.isEmpty) Window.orderBy(k) else Window.partitionBy(partitionBy: _*).orderBy(k)
+    w
+  }
+
+  /** Series.shift — move values by `offset` positions, keys stay
+    * (reference src/SeriesModule.fs:207-219). */
+  def shift(offset: Int, partitionBy: Seq[Column] = Nil): KSeries = {
+    requireOrdered("shift")
+    val w = orderedWindow(partitionBy)
+    val shifted = if (offset >= 0) lag(v, offset).over(w) else lead(v, -offset).over(w)
+    result(df.select(k.as(keyCol), shifted.as(valueCol)))
+  }
+
+  /** Series.diff — x[i] - x[i-offset] (reference src/SeriesModule.fs:169-175). */
+  def diff(offset: Int, partitionBy: Seq[Column] = Nil): KSeries = {
+    requireOrdered("diff")
+    val w = orderedWindow(partitionBy)
+    result(df.select(k.as(keyCol), (v - lag(v, offset).over(w)).as(valueCol)))
+  }
+
+  /** Series.pairwise — consecutive (prev, cur); key = the later key
+    * (Backward direction, reference src/Series.fs:461-500). */
+  def pairwise(partitionBy: Seq[Column] = Nil): DataFrame = {
+    requireOrdered("pairwise")
+    val w = orderedWindow(partitionBy)
+    df.select(k.as(keyCol), lag(v, 1).over(w).as("prev"), v.as("cur"))
+      .where(col("prev").isNotNull)
+  }
+
+  // ---- fill (reference src/SeriesModule.fs:612-655) ----
+
+  /** fillMissing Direction.Forward — carry last non-missing value forward
+    * (reference kernel src/Vectors/ArrayVector.fs:75-101).
+    * Window form; for the partition-stitched scale path see
+    * graft.operators.OrderedScan.forwardFill. */
+  def fillForward(partitionBy: Seq[Column] = Nil): KSeries = {
+    requireOrdered("fillMissing")
+    val w = orderedWindow(partitionBy).rowsBetween(Window.unboundedPreceding, 0)
+    result(df.select(k.as(keyCol), last(v, ignoreNulls = true).over(w).as(valueCol)))
+  }
+
+  /** fillMissing Direction.Backward. */
+  def fillBackward(partitionBy: Seq[Column] = Nil): KSeries = {
+    requireOrdered("fillMissing")
+    val base = if (partitionBy.isEmpty) Window.orderBy(k.desc) else Window.partitionBy(partitionBy: _*).orderBy(k.desc)
+    val w = base.rowsBetween(Window.unboundedPreceding, 0)
+    result(df.select(k.as(keyCol), last(v, ignoreNulls = true).over(w).as(valueCol)))
+  }
+
+  /** fillMissingWith constant. */
+  def fillWith(value: Any): KSeries =
+    result(df.select(k.as(keyCol), coalesce(v, lit(value)).as(valueCol)))
+
+  // ---- lookup (reference src/Series.fs:156-209) ----
+
+  /** Point lookup with Lookup semantics, skipping missing values exactly like
+    * the reference (lookup skips missing: src/Indices/LinearIndex.fs:105-123). */
+  def lookup(key: Column, sem: Lookup): DataFrame = sem match {
+    case Lookup.Exact =>
+      df.where(k === key && v.isNotNull)
+    case Lookup.NearestSmaller =>
+      df.where(k <= key && v.isNotNull).orderBy(k.desc).limit(1)
+    case Lookup.NearestGreater =>
+      df.where(k >= key && v.isNotNull).orderBy(k.asc).limit(1)
+  }
+}

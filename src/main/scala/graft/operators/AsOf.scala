@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Lookup
+
+/** As-of join: align every left key to the nearest right key ≤ (or ≥) it.
+  *
+  * This is the reference's `Join`/`Zip`/`GetItems` with
+  * `Lookup.NearestSmaller/NearestGreater` (reference src/JoinHelpers.fs:56-77,
+  * binary-search lookup src/Indices/LinearIndex.fs:105-123). Spark SQL has no
+  * native as-of join, so this is a library operator (SURVEY §2.4 option (a)):
+  *
+  *   union(left-probes, right-data) sorted by (key, side)
+  *   → carry right values with last(..., ignoreNulls) over a running frame
+  *   → keep probe rows.
+  *
+  * Semantic trap replicated exactly (SURVEY §7.4.1): the reference
+  * forward-fills the right *vector* before reindexing, so a probe at key k
+  * whose nearest right key holds a missing value receives the value from an
+  * even smaller key. `last(v, ignoreNulls=true)` gives precisely
+  * fill-then-as-of, per right column independently — matching the reference's
+  * per-vector `fillMissing` (reference src/JoinHelpers.fs:49-53).
+  *
+  * Scale: one shuffle to sort the union. With `partitionBy` keys (per-symbol
+  * time series — the common case at 100 TB) the window partitions and
+  * parallelizes perfectly. Without them Spark's window collapses to a single
+  * task; for that shape prefer a range-partitioned sort + boundary-carry
+  * stitch (see OrderedScan) — same algorithm, distributed.
+  */
+object AsOf {
+
+  /** Join `right`'s value columns onto `left`, as-of on a common key.
+    *
+    * @param left        probe side (all its columns are kept)
+    * @param leftKey     probe key column name
+    * @param right       data side
+    * @param rightKey    data key column name
+    * @param valueCols   right columns to carry (each filled independently)
+    * @param direction   NearestSmaller (≤, backward) or NearestGreater (≥)
+    * @param partitionBy equi-key columns present on BOTH sides under which the
+    *                    as-of runs independently (empty = global as-of)
+    * @param strict      true → strictly < / > (exclude the exact key)
+    */
+  def join(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      valueCols: Seq[String],
+      direction: Lookup = Lookup.NearestSmaller,
+      partitionBy: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    require(direction != Lookup.Exact, "as-of join needs NearestSmaller/NearestGreater")
+
+    val leftCols = left.columns.toSeq
+    val ascending = direction == Lookup.NearestSmaller
+
+    // Probe rows: side=1, right value columns null. Data rows: side=0.
+    // At equal keys the data row must sort BEFORE the probe so inclusive
+    // (non-strict) lookup sees the value at the exact key; for strict
+    // lookups the probe sorts first instead.
+    val probeSide = if (strict) 0 else 1
+    val dataSide = 1 - probeSide
+
+    val probe = left.select(
+      (col(leftKey).as("__key") +: partitionBy.map(col) ++:
+        lit(probeSide).as("__side") +:
+        leftCols.map(c => col(c).as(s"__l_$c")) ++:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+
+    val data = right.select(
+      (col(rightKey).as("__key") +: partitionBy.map(col) ++:
+        lit(dataSide).as("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++:
+        valueCols.map(c => col(c).as(s"__r_$c"))): _*)
+
+    val unioned = probe.unionByName(data)
+
+    val ord =
+      if (ascending) Seq(col("__key").asc, col("__side").asc)
+      else Seq(col("__key").desc, col("__side").asc)
+    val w0 =
+      if (partitionBy.isEmpty) Window.orderBy(ord: _*)
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(ord: _*)
+    val w = w0.rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .where(col("__side") === probeSide)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        valueCols.map(c => col(s"__c_$c").as(c)): _*)
+  }
+}
