@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.functions.{Text, Vectors => V}
 import graft.operators._
+import graft.streaming.Streams
 
 /** Driver contract: `queries` = one entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline additions); `oracleSql` = the equivalent
@@ -40,7 +42,10 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.5 aggregation: groupBy + missing-skipping aggregates ----
     "q01_group_agg" -> ((s, dir) => {
@@ -379,9 +384,153 @@ object SparkEntry {
     })
   )
 
+  /** LLM-training-data pipeline operators (SURVEY §7.2 M6 + builder brief):
+    * dedup, similarity search, text analysis, multimodal, streaming. */
+  def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup: exact (hash-groupBy on normalized fingerprint) ----
+    "q36_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- text analysis: token counts + quality scoring per doc ----
+    "q37_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tok"),
+        size(array_distinct(Text.tokens(col("text")))).as("n_distinct"),
+        Text.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ---- text analysis: document fingerprinting ----
+    "q38_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- text analysis: language-ID heuristic (stopword argmax) ----
+    "q39_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+    }),
+
+    // ---- text analysis: corpus-level token statistics ----
+    "q40_token_corpus" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).as("total_tokens"),
+        round(avg(Text.tokenCount(col("text"))), 6).as("avg_tokens"),
+        countDistinct(Text.fingerprint(col("text"))).as("n_unique"))
+    }),
+
+    // ---- dedup: brute-force token-set Jaccard (the LSH baseline) ----
+    "q41_jaccard_pairs" -> ((s, dir) => {
+      Dedup.tokenJaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 0.9)
+    }),
+
+    // ---- dedup: MinHash-LSH near-dup candidates (no SQL oracle: banding
+    //      is xxhash64-based; deterministic rows-only check) ----
+    "q42_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.4)
+    }),
+
+    // ---- dedup: SimHash near-dup pairs (rows-only) ----
+    "q43_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    }),
+
+    // ---- similarity: exact brute-force cosine top-k ----
+    "q44_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding", 3)
+    }),
+
+    // ---- similarity: IVF-bucketed ANN (approximate; rows-only) ----
+    "q45_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, centroidIds = Seq(100L, 200L, 300L, 400L), nprobe = 2)
+    }),
+
+    // ---- embeddings: per-vector norms (HOF arithmetic on array cols) ----
+    "q46_embed_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(V.l2Norm(col("embedding")), 6).as("l2"),
+        round(V.dot(col("embedding"), col("embedding")), 6).as("self_dot"))
+    }),
+
+    // ---- multimodal: binary payload + typed mapPartitions decode stub ----
+    "q47_multimodal" -> ((s, dir) => {
+      Multimodal.extract(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- session windows via the native session_window function ----
+    "q48_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"), unix_millis(col("session_window.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // ---- Structured Streaming: tumbling window over readStream(events) ----
+    "q49_stream_tumbling" -> ((s, dir) => {
+      Streams.tumblingByType(s, dir, "1 hour")
+    }),
+
+    // ---- §2.1 CSV source/sink round-trip (ReadCsv/SaveCsv) ----
+    "q50_csv_roundtrip" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_csv_${java.util.UUID.randomUUID().toString.take(8)}"
+      t(s, dir, "customer").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+    }),
+
+    // ---- §2.8 indexRowsOrdinally (positional index) ----
+    "q51_ordinal" -> ((s, dir) => {
+      val d = daily(s, dir)
+      KFrame(d.df, Seq("k"), ordered = true).indexRowsOrdinally
+        .df.where(col("__ord") < 50)
+        .select(col("__ord").as("ord"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.4 frame.Zip cell-level combine ----
+    "q52_frame_zip" -> ((s, dir) => {
+      val all = daily(s, dir).df.withColumnRenamed("v", "total")
+      val f = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(sum(col("o_totalprice")).as("total"))
+      KFrame(all, Seq("k")).zip(KFrame(f, Seq("k")))(_ - _)
+        .df.select(col("k"), round(col("total"), 4).as("total"))
+    }),
+
+    // ---- §2.2 point lookup with as-of semantics ----
+    "q53_lookup" -> ((s, dir) => {
+      daily(s, dir).lookup(lit("1997-06-15").cast("date"), Lookup.NearestSmaller)
+        .select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.6 chunkWhile (condition-based chunks via mapPartitions) ----
+    "q54_chunk_while" -> ((s, dir) => {
+      val d = daily(s, dir).df
+        .select(datediff(col("k"), lit("1970-01-01")).cast("long").as("k"), col("v"))
+      // chunk while currentKey - firstKey < 10 (days)
+      ChunkWhile.assign(d, "k", (first, cur) => cur - first < 10)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("total"))
+    })
+  )
+
   // ----------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ pipelineOracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),4) AS sum_qty,
@@ -624,5 +773,168 @@ object SparkEntry {
          |SELECT b AS k, round(last_value(v IGNORE NULLS) OVER (
          |  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS v
          |FROM j""".stripMargin
+  )
+
+  private val tokSql =
+    """toks AS (SELECT doc_id, trim(text) AS t,
+      |CASE WHEN length(trim(text))=0 THEN 0
+      |     ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS n_tok,
+      |string_split(trim(text), ' ') AS ws
+      |FROM documents)""".stripMargin
+
+  def pipelineOracleSql: Map[String, String] = Map(
+    "q36_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q37_text_stats" ->
+      s"""WITH $tokSql
+         |SELECT doc_id, n_tok,
+         |len(list_distinct(ws)) AS n_distinct,
+         |round(least(n_tok/50.0, 1.0)*0.4 +
+         |  (CASE WHEN length(t)::DOUBLE/n_tok >= 3 AND length(t)::DOUBLE/n_tok <= 10
+         |        THEN 1.0 ELSE 0.5 END)*0.3 +
+         |  (len(list_distinct(ws))::DOUBLE/n_tok)*0.3, 6) AS quality
+         |FROM toks""".stripMargin,
+
+    "q38_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q39_lang_id" ->
+      s"""WITH $tokSql, scores AS (
+         |SELECT doc_id,
+         |len(list_filter(ws, x -> x='the'))+len(list_filter(ws, x -> x='a'))
+         |  +len(list_filter(ws, x -> x='of'))+len(list_filter(ws, x -> x='and'))
+         |  +len(list_filter(ws, x -> x='is')) AS s_en,
+         |len(list_filter(ws, x -> x='der'))+len(list_filter(ws, x -> x='die'))
+         |  +len(list_filter(ws, x -> x='und'))+len(list_filter(ws, x -> x='ist'))
+         |  +len(list_filter(ws, x -> x='das')) AS s_de,
+         |len(list_filter(ws, x -> x='el'))+len(list_filter(ws, x -> x='la'))
+         |  +len(list_filter(ws, x -> x='de'))+len(list_filter(ws, x -> x='y'))
+         |  +len(list_filter(ws, x -> x='es')) AS s_es,
+         |len(list_filter(ws, x -> x='le'))+len(list_filter(ws, x -> x='la'))
+         |  +len(list_filter(ws, x -> x='et'))+len(list_filter(ws, x -> x='est'))
+         |  +len(list_filter(ws, x -> x='les')) AS s_fr,
+         |len(list_filter(ws, x -> x='的'))+len(list_filter(ws, x -> x='是'))
+         |  +len(list_filter(ws, x -> x='了'))+len(list_filter(ws, x -> x='在'))
+         |  +len(list_filter(ws, x -> x='和')) AS s_zh
+         |FROM toks)
+         |SELECT doc_id, CASE
+         |  WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+         |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+         |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+         |  WHEN s_de > s_en THEN 'de'
+         |  ELSE 'en' END AS lang_guess
+         |FROM scores""".stripMargin,
+
+    "q40_token_corpus" ->
+      s"""WITH $tokSql
+         |SELECT count(*) AS n_docs, sum(n_tok) AS total_tokens,
+         |round(avg(n_tok), 6) AS avg_tokens,
+         |count(DISTINCT md5(regexp_replace(lower(t), '[^a-z0-9]', '', 'g'))) AS n_unique
+         |FROM toks""".stripMargin,
+
+    "q41_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text),' ')) AS tok
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        |FROM t a, t b
+        |WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.9""".stripMargin,
+
+    "q44_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |flat AS (SELECT query_id, neighbor_id, unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+        |         FROM q, c WHERE neighbor_id <> query_id),
+        |sims AS (SELECT query_id, neighbor_id,
+        |         sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS cosine
+        |         FROM flat GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM sims)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q46_embed_norm" ->
+      """WITH flat AS (SELECT vec_id, label, len(embedding) AS dim,
+        |              unnest(embedding)::DOUBLE AS x FROM embeddings)
+        |SELECT vec_id, any_value(label) AS label, any_value(dim) AS dim,
+        |round(sqrt(sum(x*x)), 6) AS l2, round(sum(x*x), 6) AS self_dot
+        |FROM flat GROUP BY vec_id""".stripMargin,
+
+    "q47_multimodal" ->
+      """WITH b AS (SELECT doc_id, strlen(text) AS n,
+        |  list_aggregate(list_transform(range(1, strlen(text)+1), i -> ord(text[i])), 'sum') AS checksum
+        |  FROM documents)
+        |SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |(n % 64 + 1)::INT AS width, (n % 48 + 1)::INT AS height,
+        |n::BIGINT AS n_bytes, checksum::BIGINT AS checksum
+        |FROM b""".stripMargin,
+
+    "q48_session_window" ->
+      """WITH g AS (
+        |SELECT user_id, ts, value,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |SELECT user_id, ts, value,
+        |sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |FROM g)
+        |SELECT user_id, epoch_ms(min(ts)) AS sess_start, count(*) AS n_events,
+        |round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q49_stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k, event_type,
+        |count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q50_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q51_ordinal" ->
+      s"""$dailySql, o AS (
+         |SELECT row_number() OVER (ORDER BY k) - 1 AS ord, v FROM daily)
+         |SELECT ord, round(v, 4) AS v FROM o WHERE ord < 50""".stripMargin,
+
+    "q52_frame_zip" ->
+      s"""WITH a AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS total
+         |           FROM orders GROUP BY 1),
+         |     f AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS total
+         |           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         |SELECT coalesce(a.k, f.k) AS k,
+         |round(CASE WHEN a.total IS NOT NULL AND f.total IS NOT NULL THEN a.total - f.total
+         |           ELSE coalesce(a.total, f.total) END, 4) AS total
+         |FROM a FULL OUTER JOIN f ON a.k = f.k""".stripMargin,
+
+    "q53_lookup" ->
+      s"""$dailySql
+         |SELECT k, round(v, 4) AS v FROM daily
+         |WHERE k <= DATE '1997-06-15' AND v IS NOT NULL ORDER BY k DESC LIMIT 1""".stripMargin,
+
+    "q54_chunk_while" ->
+      s"""$dailySql, o AS (
+         |SELECT row_number() OVER (ORDER BY k) AS rn,
+         |CAST(epoch(CAST(k AS TIMESTAMP))/86400 AS BIGINT) AS k, v FROM daily),
+         |rec AS (
+         |WITH RECURSIVE r AS (
+         |  SELECT rn, k, v, k AS chunk_id FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, o.k, o.v,
+         |    CASE WHEN o.k - r.chunk_id < 10 THEN r.chunk_id ELSE o.k END
+         |  FROM r JOIN o ON o.rn = r.rn + 1)
+         |SELECT * FROM r)
+         |SELECT chunk_id, count(*) AS n, round(sum(v), 4) AS total
+         |FROM rec GROUP BY chunk_id""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines.
+  * All pure Column expressions (whole-stage codegen; no UDFs), so they
+  * vectorize over 100 TB of documents and push through Catalyst.
+  *
+  * Beyond the reference surface (it has no string functions, SURVEY §2.9) —
+  * these are the additive LLM-pipeline operators.
+  */
+object Text {
+
+  /** Whitespace token count. Uses the replace-counting identity so the exact
+    * same formula is expressible in any SQL dialect (oracle parity). */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, 0)
+      .otherwise(length(t) - length(regexp_replace(t, " ", "")) + 1)
+  }
+
+  /** Tokens as an array (single-space separated corpora). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Word n-gram shingles, e.g. n=3 → "a b c" strings. Pure HOF expression:
+    * transform over an index sequence + slice + concat_ws. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Punctuation count of a single character (portable replace identity). */
+  def charCount(text: Column, ch: String): Column =
+    length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(ch), ""))
+
+  /** Quality score ∈ [0,1]: penalizes very short docs, rewards moderate
+    * average token length and low repetition (distinct-token ratio).
+    * Deterministic arithmetic only — exact on any engine. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(trim(text)).cast("double")
+    val avgTokLen = when(nTok > 0, nChar / nTok).otherwise(0.0)
+    val distinctRatio =
+      when(nTok > 0, size(array_distinct(tokens(text))).cast("double") / nTok)
+        .otherwise(0.0)
+    val lengthOk = least(nTok / lit(50.0), lit(1.0))
+    val tokLenOk = when(avgTokLen >= 3 && avgTokLen <= 10, 1.0).otherwise(0.5)
+    round(lengthOk * 0.4 + tokLenOk * 0.3 + distinctRatio * 0.3, 6)
+  }
+
+  /** Language-ID by stopword-hit scoring over a tiny per-language lexicon —
+    * the classic n-gram/stopword heuristic. Returns the argmax language code
+    * (ties broken by lexicon order). */
+  val stopwordLexicon: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langId(text: Column): Column = {
+    val ws = tokens(text)
+    val scores = stopwordLexicon.map { case (lang, words) =>
+      val score = words.map(w => size(filter(ws, t => t === w))).reduce(_ + _)
+      (lang, score)
+    }
+    // argmax with first-wins tie-break, as a fold over (bestLang, bestScore)
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, score)) =>
+        (when(score > bs, lit(lang)).otherwise(bl), greatest(score, bs))
+    }._1
+  }
+
+  /** Document fingerprint: hash of the punctuation/whitespace-normalized,
+    * lowercased text — the standard exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors}
+
+/** Document deduplication at corpus scale — exact, MinHash-LSH, SimHash and
+  * n-gram-Jaccard variants. All plans are shuffle-frugal:
+  *
+  *  - exact: one hash-groupBy on a 128-bit fingerprint (map-side partial agg)
+  *  - MinHash-LSH: signature + banding are pure projections; the only
+  *    shuffle is the self-join on (band, bandHash) buckets, whose size is
+  *    controlled by the banding parameters — candidate pairs are then
+  *    verified with exact Jaccard. This is the standard near-dup pipeline
+  *    for LLM training corpora (shingle → minhash → band → bucket-join).
+  *  - SimHash: projection to a 64-bit fingerprint; near-dup candidates via
+  *    exact-match on rotated fingerprint blocks (1 shuffle), verified by
+  *    Hamming distance.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text fingerprint; keep the smallest id
+    * as the canonical representative. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Candidate near-duplicate pairs via MinHash-LSH banding, verified with
+    * exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold. */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      array_distinct(Text.shingles(col(textCol), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("bands", Vectors.lshBands(
+        Vectors.minhashSignature(col("sh"), numHashes), bands, rows))
+    val buckets = withSig.select(col("id"), col("sh"), explode(col("bands")).as("b"))
+    val l = buckets.select(col("b"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = buckets.select(col("b"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("b")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: fingerprint every doc, block on 16-bit chunks of
+    * the fingerprint (a doc pair within Hamming distance 3 of a 64-bit hash
+    * must agree exactly on at least one of 4 chunks — pigeonhole), verify by
+    * Hamming distance. */
+  def simhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      Vectors.simhash(Text.tokens(col(textCol))).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("chunk"),
+          call_function("shiftright", col("fp"), i * 16).bitwiseAND(0xFFFFL).as("key")))).as("c"))
+    val l = chunked.select(col("c"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = chunked.select(col("c"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("c")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", Vectors.hamming64(col("fp_a"), col("fp_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact token-set Jaccard over all pairs of a (small or pre-filtered)
+    * document set — the brute-force n-gram-Jaccard baseline the LSH variants
+    * approximate. O(n²); use LSH at scale. */
+  def tokenJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val t = docs.select(col(idCol).as("id"),
+      array_distinct(Text.tokens(col(textCol))).as("tok"))
+    val l = t.select(col("id").as("id_a"), col("tok").as("tok_a"))
+    val r = t.select(col("id").as("id_b"), col("tok").as("tok_b"))
+    l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

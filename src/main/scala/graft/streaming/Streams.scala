@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Structured Streaming surface (additive — the reference's DelayedSeries is
+  * pull-based lazy loading, not streaming; SURVEY §2.7 last row).
+  *
+  * The same tumbling/session aggregations exposed as batch operators run
+  * unchanged as streams: `readStream` → watermark → windowed agg. For local
+  * verification the stream is driven synchronously to completion over the
+  * parquet input (`processAllAvailable`) into a memory sink — the query
+  * plan is identical to what a Kafka-fed cluster deployment would run.
+  */
+object Streams {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Run a streaming aggregation over the events table to completion and
+    * return the result as a batch DataFrame. */
+  private def runToCompletion(spark: SparkSession, dir: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source requires a directory; expose the single
+    // events.parquet file through a temp dir (symlink)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = spark.readStream.schema(batchSchema).parquet(srcDir.toString)
+    // events.ts is INT64 nanos (read as long under nanosAsLong) → micros
+    val events =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg(events).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * the streaming twin of Resample.sampleTime. */
+  def tumblingByType(spark: SparkSession, dir: String, windowLen: String): DataFrame =
+    runToCompletion(spark, dir) { events =>
+      events
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), windowLen), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .select(
+          unix_timestamp(col("window.start")).as("k"),
+          col("event_type"), col("n"), round(col("total"), 4).as("total"))
+    }
+}
