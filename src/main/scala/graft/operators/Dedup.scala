@@ -42,14 +42,23 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(Text.shingles(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("bands", Vectors.lshBands(
-        Vectors.minhashSignature(col("sh"), numHashes), bands, rows))
-    val buckets = withSig.select(col("id"), col("sh"), explode(col("bands")).as("b"))
-    val l = buckets.select(col("b"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = buckets.select(col("b"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("b")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      // sig as its own column: lshBands references it 8×, and CollapseProject
+      // keeps non-cheap (UDF) expressions materialized rather than inlining
+      .withColumn("sig", Vectors.minhashSignatureFast(numHashes)(col("sh")))
+      .withColumn("bands", Vectors.lshBands(col("sig"), bands, rows))
+    // Candidate generation on bare (bucket, id) pairs — the shingle arrays
+    // must NOT ride through the self-join + distinct (at sf0.1 that shuffled
+    // ~bands× the corpus text and dominated the whole bench run). Ids-only
+    // pairs shuffle ~16 bytes/row; shingles are joined back once afterwards.
+    val buckets = withSig.select(explode(col("bands")).as("b"), col("id"))
+    val cand = buckets.join(buckets.withColumnRenamed("id", "id2"), Seq("b"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    val sh = withSig.select(col("id"), col("sh"))
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Lookup
+import graft.operators.AsOf
+
+/** As-of join semantics, incl. the fill-then-as-of missing-value trap
+  * (SURVEY §7.4.1; reference src/JoinHelpers.fs:49-53,
+  * test tests/FSharp.DataFrame.Tests/Series.fs:287-345). */
+class AsOfSpec extends SparkSpecBase {
+
+  private val data = // right side: value at 3 is MISSING
+    Seq((1L, Some(10.0)), (3L, None), (5L, Some(50.0)))
+  private def rightDf = seriesDf(data.map { case (k, v) =>
+    (k, v.map(Double.box).orNull) }: _*)
+
+  private def probes(ks: Long*) = {
+    val df = seriesDf(ks.map(k => (k, null: java.lang.Double)): _*)
+    df.select(col("k").as("g"))
+  }
+
+  test("NearestSmaller: inclusive, fill-then-as-of through missing") {
+    val r = AsOf.join(probes(2L, 3L, 4L, 5L, 6L), "g", rightDf, "k", Seq("v"),
+      Lookup.NearestSmaller)
+    // probe 3: nearest key 3 holds MISSING → carries value from key 1
+    //   (the reference forward-fills the right vector BEFORE reindexing)
+    assert(collectKV(r, "g", "v") === Seq(
+      (2L, Some(10.0)), (3L, Some(10.0)), (4L, Some(10.0)),
+      (5L, Some(50.0)), (6L, Some(50.0))))
+  }
+
+  test("NearestSmaller: probe before all data keys → missing") {
+    val r = AsOf.join(probes(0L), "g", rightDf, "k", Seq("v"), Lookup.NearestSmaller)
+    assert(collectKV(r, "g", "v") === Seq((0L, None)))
+  }
+
+  test("NearestGreater: inclusive, backward fill through missing") {
+    val r = AsOf.join(probes(0L, 2L, 3L, 5L, 6L), "g", rightDf, "k", Seq("v"),
+      Lookup.NearestGreater)
+    // probe 3: key 3 missing → backward-fill gives value at 5
+    assert(collectKV(r, "g", "v") === Seq(
+      (0L, Some(10.0)), (2L, Some(50.0)), (3L, Some(50.0)),
+      (5L, Some(50.0)), (6L, None)))
+  }
+
+  test("strict NearestSmaller excludes the exact key") {
+    val r = AsOf.join(probes(5L), "g", rightDf, "k", Seq("v"),
+      Lookup.NearestSmaller, strict = true)
+    // strictly < 5 → keys {1,3}, 3 missing → 10.0
+    assert(collectKV(r, "g", "v") === Seq((5L, Some(10.0))))
+  }
+
+  test("partitioned as-of runs independently per group") {
+    import spark.implicits._
+    val right = Seq(("a", 1L, 10.0), ("a", 4L, 40.0), ("b", 2L, 200.0))
+      .toDF("sym", "k", "v")
+    val left = Seq(("a", 3L), ("b", 3L), ("b", 1L)).toDF("sym", "g")
+    val r = AsOf.join(left, "g", right, "k", Seq("v"),
+      Lookup.NearestSmaller, partitionBy = Seq("sym"))
+    val got = r.select("sym", "g", "v").collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+    assert(got === Set(("a", 3L, Some(10.0)), ("b", 3L, Some(200.0)), ("b", 1L, None)))
+  }
+
+  test("left columns are all preserved") {
+    import spark.implicits._
+    val left = Seq((2L, "x"), (5L, "y")).toDF("g", "tag")
+    val r = AsOf.join(left, "g", rightDf, "k", Seq("v"), Lookup.NearestSmaller)
+    assert(r.columns.toSeq === Seq("g", "tag", "v"))
+    assert(r.count() === 2)
+  }
+}

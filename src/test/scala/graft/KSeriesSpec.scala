@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.SparkException
+
+import graft.core._
+
+/** Semantic laws of the reference's Series ported as unit tests
+  * (reference tests/FSharp.DataFrame.Tests/Series.fs). */
+class KSeriesSpec extends SparkSpecBase {
+
+  private def s(rows: (Long, java.lang.Double)*): KSeries =
+    KSeries(seriesDf(rows: _*), ordered = true)
+
+  test("mapValues propagates missing (reference Series.fs:259-270)") {
+    val r = s((1L, 1.0), (2L, null), (3L, 3.0)).mapValues(_ * 10)
+    assert(collectKV(r.df) === Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0))))
+  }
+
+  test("filter sees only present values; filterAll sees missing") {
+    val in = s((1L, 1.0), (2L, null), (3L, 3.0))
+    assert(collectKV(in.filter((_, v) => v > 0).df) ===
+      Seq((1L, Some(1.0)), (3L, Some(3.0))))
+    assert(collectKV(in.filterAll((k, _) => k > 1).df) ===
+      Seq((2L, None), (3L, Some(3.0))))
+  }
+
+  test("union PreferLeft / PreferRight (reference Series.fs:346-359)") {
+    val a = s((1L, 1.0), (2L, 2.0))
+    val b = s((2L, 20.0), (3L, 30.0))
+    assert(collectKV(a.union(b, UnionBehavior.PreferLeft).df) ===
+      Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(30.0))))
+    assert(collectKV(a.union(b, UnionBehavior.PreferRight).df) ===
+      Seq((1L, Some(1.0)), (2L, Some(20.0)), (3L, Some(30.0))))
+  }
+
+  test("union Exclusive raises on overlapping keys (reference VectorHelpers.fs:176-180)") {
+    val a = s((1L, 1.0), (2L, 2.0))
+    val b = s((2L, 20.0))
+    val ex = intercept[Exception](a.union(b, UnionBehavior.Exclusive).df.collect())
+    assert(ex.getMessage.contains("overlapping") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("overlapping"))
+    // disjoint keys succeed
+    val ok = a.union(s((3L, 30.0)), UnionBehavior.Exclusive)
+    assert(collectKV(ok.df) === Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(30.0))))
+  }
+
+  test("append with duplicate check raises on colliding keys (reference Series.fs:293-300)") {
+    val a = s((1L, 1.0), (2L, 2.0))
+    intercept[Exception](a.append(s((2L, 9.0)), checkDuplicates = true).df.collect())
+    assert(collectKV(a.append(s((3L, 3.0)), checkDuplicates = true).df) ===
+      Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0))))
+  }
+
+  test("zipWith combines only where both present (reference SeriesModule.fs:1024-1034)") {
+    val a = s((1L, 1.0), (2L, 2.0), (4L, 4.0))
+    val b = s((2L, 20.0), (3L, 30.0), (4L, null))
+    val r = a.zipWith(b, JoinKind.Outer)(_ + _)
+    assert(collectKV(r.df) ===
+      Seq((1L, None), (2L, Some(22.0)), (3L, None), (4L, None)))
+  }
+
+  test("fillForward / fillBackward (reference ArrayVector.fs:75-101)") {
+    val in = s((1L, 1.0), (2L, null), (3L, null), (4L, 4.0), (5L, null))
+    assert(collectKV(in.fillForward().df) ===
+      Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, Some(1.0)), (4L, Some(4.0)), (5L, Some(4.0))))
+    assert(collectKV(in.fillBackward().df) ===
+      Seq((1L, Some(1.0)), (2L, Some(4.0)), (3L, Some(4.0)), (4L, Some(4.0)), (5L, None)))
+  }
+
+  test("lookup skips missing values (reference LinearIndex.fs:105-123)") {
+    val in = s((1L, 1.0), (3L, null), (5L, 5.0))
+    // NearestSmaller at 4: key 3 is nearest but missing → falls back to 1
+    assert(collectKV(in.lookup(lit(4L), Lookup.NearestSmaller)) === Seq((1L, Some(1.0))))
+    // NearestGreater at 2: key 3 missing → 5
+    assert(collectKV(in.lookup(lit(2L), Lookup.NearestGreater)) === Seq((5L, Some(5.0))))
+    // Exact at a missing key → empty
+    assert(in.lookup(lit(3L), Lookup.Exact).count() === 0)
+  }
+
+  test("ordered-only ops reject unordered series (reference LinearIndex.fs:210-211)") {
+    val un = KSeries(seriesDf((1L, 1.0)), ordered = false)
+    intercept[IllegalArgumentException](un.between(lit(0L), lit(2L)))
+    intercept[IllegalArgumentException](un.shift(1))
+    intercept[IllegalArgumentException](un.diff(1))
+    intercept[IllegalArgumentException](un.fillForward())
+  }
+
+  test("NaN canonicalized to missing on ingest (reference Common.fs:264-293)") {
+    val withNan = seriesDf((1L, 1.0), (2L, Double.NaN), (3L, 3.0))
+    val canon = Tables.canonical(withNan)
+    assert(collectKV(canon) === Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))))
+    // and aggregates then skip it (null-skipping)
+    val m = canon.agg(avg(col("v"))).head.getDouble(0)
+    assert(m === 2.0)
+  }
+
+  test("shift and diff are positional over key order (reference SeriesModule.fs:169-219)") {
+    val in = s((1L, 10.0), (2L, 20.0), (3L, 40.0))
+    assert(collectKV(in.shift(1).df) === Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0))))
+    assert(collectKV(in.diff(1).df) === Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0))))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors => V}
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-pipeline operators: text analysis, dedup families, similarity. */
+class PipelineSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("tokenCount / tokens edge cases") {
+    val df = Seq("a b c", "  x  ", "", "solo").toDF("t")
+      .select(Text.tokenCount(col("t")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 1, 0, 1))
+  }
+
+  test("shingles produce n-grams; short docs yield empty") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(Text.shingles(col("t"), 3).as("s")).collect()
+    assert(r(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) === Seq.empty)
+  }
+
+  test("fingerprint normalizes case and punctuation") {
+    val r = Seq(("Hello, World!", "hello world"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(
+        (Text.fingerprint(col("a")) === Text.fingerprint(col("b"))).as("same"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(r === Seq(true, false))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val r = Seq(
+      "the cat is one of the best and the rest",
+      "der hund ist gut und das ist der wagen",
+      "el perro es de la casa y es bueno").toDF("t")
+      .select(Text.langId(col("t")).as("l")).collect().map(_.getString(0)).toSeq
+    assert(r === Seq("en", "de", "es"))
+  }
+
+  test("exact dedup groups identical normalized docs") {
+    val docs = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds a known near-duplicate pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0; disjoint docs filtered") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val r = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("vector math: dot / l2 / cosine") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      V.dot(col("a"), col("b")).as("dot"),
+      V.l2Norm(col("a")).as("l2"),
+      round(V.cosine(col("a"), col("a")), 9).as("self")).head
+    assert(r.getDouble(0) === 24.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  test("brute-force knn ranks by cosine") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceKnn(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(2)).toSeq === Seq(2L, 3L))
+  }
+
+  test("jaccard pairs: exact threshold filter") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b x y")).toDF("doc_id", "text")
+    val r = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r === Set((1L, 2L)))
+  }
+}
