@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.functions.{Text, Vectors => V}
+import graft.functions.{CustomAggs, Text, Vectors => V}
 import graft.operators._
 import graft.streaming.Streams
 
@@ -43,7 +43,7 @@ object SparkEntry {
   // ----------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ pipelineQueries
+    coreQueries ++ pipelineQueries ++ extendedQueries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -526,9 +526,168 @@ object SparkEntry {
     })
   )
 
+  /** Second widening pass over SURVEY §2: take/argmin, zipInner, unary math,
+    * frame⊙series arithmetic, windowWhile, transpose, key-level lookup,
+    * backward resample, lookupTime, embedding near-dup, cube, custom
+    * Aggregators, TSV source, unstack/stack. */
+  def extendedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.3 takeLast n (last N by key order) ----
+    "q55_take_last" -> ((s, dir) => {
+      daily(s, dir).df.orderBy(col("k").desc).limit(15)
+        .select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.3 minBy (arg-min row; reference has a copy-paste bug calling
+    //      maxBy — implemented CORRECTLY here, divergence per SURVEY §7.4.8) ----
+    "q56_minby" -> ((s, dir) => {
+      daily(s, dir).df.orderBy(col("v").asc, col("k").asc).limit(1)
+        .select(col("k"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- §2.4 ZipInner (both present) ----
+    "q57_zip_inner" -> ((s, dir) => {
+      val a = daily(s, dir)
+      val b = KSeries(
+        t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .groupBy(to_date(col("o_orderdate")).as("k"))
+          .agg(sum(col("o_totalprice")).as("v")),
+        ordered = true)
+      a.zipInner(b)
+        .select(col("k"), round(col("v1"), 4).as("v1"), round(col("v2"), 4).as("v2"))
+    }),
+
+    // ---- §2.9 unary math functions over series values ----
+    "q58_math_funcs" -> ((s, dir) => {
+      daily(s, dir).df.select(
+        col("k"),
+        round(log(col("v")), 6).as("ln_v"),
+        round(sqrt(col("v")), 6).as("sqrt_v"),
+        round(abs(col("v") - 200000), 4).as("abs_d"),
+        signum(col("v") - 200000).cast("double").as("sign_d"))
+    }),
+
+    // ---- §2.9 frame⊙series arithmetic (row-key-aligned scalar op) ----
+    "q59_frame_series_arith" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("k"), col("o_totalprice"))
+      val d = daily(s, dir)
+      o.join(d.df, Seq("k"))
+        .select(col("o_orderkey"), round(col("o_totalprice") / col("v"), 6).as("share"))
+    }),
+
+    // ---- §2.6 windowWhile (overlapping predicate windows via mapPartitions) ----
+    "q60_window_while" -> ((s, dir) => {
+      val d = daily(s, dir).df
+        .select(datediff(col("k"), lit("1970-01-01")).cast("long").as("k"), col("v"))
+      ChunkWhile.windowAssign(d, "k", (first, cur) => cur - first < 7)
+        .groupBy(col("window_key"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("total"))
+    }),
+
+    // ---- §2.8 transpose (melt + pivot) ----
+    "q61_transpose" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          count(lit(1)).cast("double").as("n"))
+      KFrame(agg, Seq("l_returnflag")).transpose(Seq("A", "N", "R")).df
+    }),
+
+    // ---- §2.8 hierarchical key level lookup (GetByLevel / Lookup1Of2) ----
+    "q62_level_lookup" -> ((s, dir) => {
+      // 2-level row key (status, month); fix level 1 = 'F', aggregate level 2
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          trunc(col("o_orderdate"), "month").cast("date").as("month"))
+        .agg(sum(col("o_totalprice")).as("total"))
+        .where(col("o_orderstatus") === "F")
+        .select(col("month"), round(col("total"), 4).as("total"))
+    }),
+
+    // ---- §2.7 resample with Backward direction (key = chunk max bound) ----
+    "q63_resample_backward" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val bounds = d.df.sparkSession.range(0, 40)
+        .select(add_months(lit("1994-06-01").cast("date"), col("id").cast("int") * 3).as("b"))
+      Resample.resample(d, bounds, "b", Lookup.NearestGreater)((sum(_), "total"), (count(_), "n"))
+        .select(col("k"), round(col("total"), 4).as("total"), col("n"))
+    }),
+
+    // ---- §2.7 lookupTime: as-of value at uniform grid instants ----
+    "q64_lookup_time" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val perMin = KSeries(
+        e.groupBy((floor(unix_timestamp(col("ts")) / 60) * 60).cast("long").as("k"))
+          .agg(sum(col("value")).as("v")),
+        ordered = true)
+      val grid = e.agg(
+        (floor(unix_timestamp(min(col("ts")))/60)*60).cast("long").as("lo"),
+        (floor(unix_timestamp(max(col("ts")))/60)*60).cast("long").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(97L * 60))).as("g"))
+      Resample.lookupTime(perMin, grid, "g")
+        .select(col("g"), round(col("v"), 4).as("v"))
+    }),
+
+    // ---- dedup: embedding-cosine near-dup, exact all-pairs baseline ----
+    "q65_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }),
+
+    // ---- dedup: embedding near-dup via random-hyperplane LSH (rows-only) ----
+    "q66_embed_neardup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }),
+
+    // ---- additive: cube (absent in reference; free in Spark) ----
+    "q67_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.10 custom typed Aggregators (Series.stat / reduce surface) ----
+    "q68_custom_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(CustomAggs.weightedMean(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("wmean_price"),
+          round(CustomAggs.geoMean(col("l_quantity")), 4).as("gmean_qty"))
+    }),
+
+    // ---- §2.1 CSV with custom separator + explicit schema override ----
+    "q69_csv_tsv" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_tsv_${java.util.UUID.randomUUID().toString.take(8)}"
+      t(s, dir, "customer").write.mode("overwrite")
+        .option("header", "true").option("sep", "\t").csv(tmp)
+      val schema = t(s, dir, "customer").schema // explicit schema, no inference
+      s.read.option("header", "true").option("sep", "\t").schema(schema).csv(tmp)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+    }),
+
+    // ---- §2.5 unstack (split by key level = pivot) + stack back ----
+    "q70_unstack_stack" -> ((s, dir) => {
+      val grouped = t(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "month").cast("date").as("month"),
+          col("o_orderstatus"))
+        .agg(sum(col("o_totalprice")).as("total"))
+      val unstacked = grouped
+        .groupBy(col("month")).pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(first(col("total")))
+      unstacked.selectExpr("month",
+        "stack(3, 'F', F, 'O', O, 'P', P) as (o_orderstatus, total)")
+        .where(col("total").isNotNull)
+        .select(col("month"), col("o_orderstatus"), round(col("total"), 4).as("total"))
+    })
+  )
+
   // ----------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ pipelineOracleSql
+  def oracleSql: Map[String, String] = coreOracleSql ++ pipelineOracleSql ++ extendedOracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
@@ -936,5 +1095,115 @@ object SparkEntry {
          |SELECT * FROM r)
          |SELECT chunk_id, count(*) AS n, round(sum(v), 4) AS total
          |FROM rec GROUP BY chunk_id""".stripMargin
+  )
+
+  private def extendedOracleSql: Map[String, String] = Map(
+    "q55_take_last" ->
+      s"""$dailySql
+         |SELECT k, round(v,4) AS v FROM daily ORDER BY k DESC LIMIT 15""".stripMargin,
+
+    "q56_minby" ->
+      s"""$dailySql
+         |SELECT k, round(v,4) AS v FROM daily ORDER BY v ASC, k ASC LIMIT 1""".stripMargin,
+
+    "q57_zip_inner" ->
+      s"""$dailySql,
+         |b AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS v
+         |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         |SELECT daily.k AS k, round(daily.v,4) AS v1, round(b.v,4) AS v2
+         |FROM daily JOIN b ON daily.k = b.k
+         |WHERE daily.v IS NOT NULL AND b.v IS NOT NULL""".stripMargin,
+
+    "q58_math_funcs" ->
+      s"""$dailySql
+         |SELECT k, round(ln(v),6) AS ln_v, round(sqrt(v),6) AS sqrt_v,
+         |round(abs(v - 200000),4) AS abs_d,
+         |sign(v - 200000)::DOUBLE AS sign_d
+         |FROM daily""".stripMargin,
+
+    "q59_frame_series_arith" ->
+      s"""$dailySql
+         |SELECT o_orderkey, round(o_totalprice / d.v, 6) AS share
+         |FROM orders o JOIN daily d ON CAST(o.o_orderdate AS DATE) = d.k""".stripMargin,
+
+    "q60_window_while" ->
+      s"""$dailySql, e AS (
+         |SELECT CAST(epoch(CAST(k AS TIMESTAMP))/86400 AS BIGINT) AS k, v FROM daily)
+         |SELECT e.k AS window_key,
+         |(SELECT count(*) FROM e e2 WHERE e2.k >= e.k AND e2.k < e.k + 7) AS n,
+         |(SELECT round(sum(v),4) FROM e e2 WHERE e2.k >= e.k AND e2.k < e.k + 7) AS total
+         |FROM e""".stripMargin,
+
+    "q61_transpose" ->
+      """WITH a AS (SELECT l_returnflag AS f, round(sum(l_quantity),4) AS sum_qty,
+        |round(avg(l_extendedprice),6) AS avg_price, count(*)::DOUBLE AS n
+        |FROM lineitem GROUP BY 1)
+        |SELECT 'sum_qty' AS "column",
+        |  max(CASE WHEN f='A' THEN sum_qty END) AS A,
+        |  max(CASE WHEN f='N' THEN sum_qty END) AS N,
+        |  max(CASE WHEN f='R' THEN sum_qty END) AS R FROM a
+        |UNION ALL SELECT 'avg_price',
+        |  max(CASE WHEN f='A' THEN avg_price END),
+        |  max(CASE WHEN f='N' THEN avg_price END),
+        |  max(CASE WHEN f='R' THEN avg_price END) FROM a
+        |UNION ALL SELECT 'n',
+        |  max(CASE WHEN f='A' THEN n END),
+        |  max(CASE WHEN f='N' THEN n END),
+        |  max(CASE WHEN f='R' THEN n END) FROM a""".stripMargin,
+
+    "q62_level_lookup" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |round(sum(o_totalprice),4) AS total
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+
+    "q63_resample_backward" ->
+      s"""$dailySql, bounds AS (
+         |SELECT (DATE '1994-06-01' + INTERVAL (i*3) MONTH)::DATE AS b
+         |FROM range(0,40) t(i)),
+         |tagged AS (
+         |SELECT d.k, d.v,
+         |coalesce((SELECT min(b) FROM bounds WHERE b >= d.k), (SELECT max(b) FROM bounds)) AS bucket
+         |FROM daily d),
+         |agg AS (SELECT bucket, sum(v) AS total, count(v) AS n FROM tagged GROUP BY bucket)
+         |SELECT b.b AS k, round(a.total,4) AS total, a.n AS n
+         |FROM bounds b LEFT JOIN agg a ON b.b = a.bucket""".stripMargin,
+
+    "q64_lookup_time" ->
+      """WITH m AS (
+        |SELECT CAST(floor(epoch(date_trunc('second', ts))/60)*60 AS BIGINT) AS k,
+        |sum(value) AS v FROM events GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(
+        |  (SELECT min(k) FROM m), (SELECT max(k) FROM m), 97*60)) AS g)
+        |SELECT g, round((SELECT v FROM m WHERE m.k <= g.g AND m.v IS NOT NULL
+        |                 ORDER BY m.k DESC LIMIT 1),4) AS v
+        |FROM grid g""".stripMargin,
+
+    "q65_embed_neardup" ->
+      """WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |           generate_subscripts(embedding,1) AS i FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS c
+        |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1,2)
+        |SELECT id_a, id_b, round(c,6) AS cosine FROM p WHERE c >= 0.4""".stripMargin,
+
+    "q67_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q68_custom_agg" ->
+      """SELECT l_returnflag,
+        |round(sum(l_extendedprice*l_quantity)/sum(l_quantity),4) AS wmean_price,
+        |round(exp(avg(ln(l_quantity))),4) AS gmean_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q69_csv_tsv" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q70_unstack_stack" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS month, o_orderstatus,
+        |round(sum(o_totalprice),4) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin
   )
 }

@@ -178,6 +178,23 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
     df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Frame.transpose — swap rows and columns (reference
+    * src/FrameModule.fs:302-303): melt numeric columns with stack(), then
+    * pivot on the (single) row key. `keyValues` pins the pivoted key domain so
+    * the plan needs no extra distinct-collect job; transposing a BIG axis is
+    * inherently expensive (SURVEY §2.8) — this is for small/aggregated
+    * frames, like the reference's in-memory use. */
+  def transpose(keyValues: Seq[String]): KFrame = {
+    require(keyCols.size == 1, "transpose needs a single row-key column")
+    val nums = numericCols
+    val stackArgs = nums.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val melted = df.selectExpr(s"cast(`${keyCols.head}` as string) as __key",
+      s"stack(${nums.size}, $stackArgs) as (column, value)")
+    KFrame(
+      melted.groupBy(col("column")).pivot("__key", keyValues).agg(first(col("value"))),
+      Seq("column"), ordered = false)
+  }
+
   /** Frame.mean/sum/... — per-numeric-column aggregate melted to a series
     * keyed by column name (reference src/FrameModule.fs:385-407). One job,
     * one row collected — then re-shaped driver-side (bounded by #columns). */

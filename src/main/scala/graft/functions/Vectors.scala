@@ -95,4 +95,28 @@ object Vectors {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Random-hyperplane LSH signature (Charikar SimHash for real vectors):
+    * bit p = sign of <v, r_p> for `planes` (≤64) pseudo-random hyperplanes.
+    * Plane components are deterministic ±1s derived by hashing (plane, dim) —
+    * no stored model, identical across executors. Cosine-similar vectors
+    * agree on most bits. Compiled kernel (UDF) like [[minhashSignatureFast]]. */
+  def rpSignature(planes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (vec: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var dotAcc = 0.0
+        var j = 0
+        while (j < vec.length) {
+          // deterministic ±1 component for (plane p, dim j)
+          val h = scala.util.hashing.MurmurHash3.productHash((p, j))
+          dotAcc += (if ((h & 1) == 1) vec(j) else -vec(j))
+          j += 1
+        }
+        if (dotAcc > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
 }

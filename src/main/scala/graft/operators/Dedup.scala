@@ -90,6 +90,57 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all pairs with
+    * cosine ≥ threshold. O(n²) — the oracle baseline for
+    * [[embeddingNearDupLsh]]; use that at scale. */
+  def embeddingNearDup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val l = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane signatures,
+    * candidates = pairs agreeing exactly on at least one `bitsPerBand`-bit
+    * signature band (1 shuffle on band keys), verified by exact cosine ≥
+    * threshold. Band sizing: P(band match) = (1 - θ/π)^bitsPerBand, recall =
+    * 1-(1-p)^bands — at a production threshold (≥0.9) long bands (16+) prune
+    * hard with near-1 recall; for low thresholds use short bands and expect
+    * recall < 1. Approximate — rows-only correctness check. */
+  def embeddingNearDupLsh(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 12,
+      bitsPerBand: Int = 5): DataFrame = {
+    val planes = bands * bitsPerBand
+    require(planes <= 64, s"bands*bitsPerBand = $planes must fit a 64-bit signature")
+    val mask = (1L << bitsPerBand) - 1
+    val sigd = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", Vectors.rpSignature(planes)(col("v")))
+    val blocks = sigd.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        i => struct(i.as("block"),
+          call_function("shiftright", col("sig"), i * bitsPerBand).bitwiseAND(mask).as("key")))).as("b"))
+    val cand = blocks.join(blocks.withColumnRenamed("id", "id2"), Seq("b"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
+    val v = sigd.select(col("id"), col("v"))
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact token-set Jaccard over all pairs of a (small or pre-filtered)
     * document set — the brute-force n-gram-Jaccard baseline the LSH variants
     * approximate. O(n²); use LSH at scale. */

@@ -40,18 +40,26 @@ object Resample {
   def resample(
       s: KSeries,
       boundaries: DataFrame,
-      boundaryCol: String)(
+      boundaryCol: String,
+      direction: Lookup = Lookup.NearestSmaller)(
       aggs: (Column => Column, String)*): DataFrame = {
+    require(direction != Lookup.Exact, "resample direction: NearestSmaller (Forward) or NearestGreater (Backward)")
     val b = boundaries.select(col(boundaryCol).as("__bucket")).distinct()
     val tagged = AsOf.join(
       left = s.df, leftKey = s.keyCol,
       right = b.withColumn("__bk", col("__bucket")), rightKey = "__bucket",
-      valueCols = Seq("__bk"), direction = Lookup.NearestSmaller)
-    // absorb pre-first-boundary data into the first chunk:
-    val firstB = min(col("__bucket")).over(Window.partitionBy())
+      valueCols = Seq("__bk"), direction = direction)
+    // boundary chunks absorb outside data (reference chunkedUsing,
+    // src/Common/Common.fs:555-595): Forward → data before the first
+    // boundary joins the first chunk; Backward → data after the last
+    // boundary joins the last chunk.
+    val edge = direction match {
+      case Lookup.NearestSmaller => b.agg(min(col("__bucket")).as("__edge"))
+      case _                     => b.agg(max(col("__bucket")).as("__edge"))
+    }
     val bucketed = tagged
-      .join(b.agg(min(col("__bucket")).as("__first")))
-      .withColumn("__bucket", coalesce(col("__bk"), col("__first")))
+      .join(edge)
+      .withColumn("__bucket", coalesce(col("__bk"), col("__edge")))
     val aggExprs = aggs.map { case (f, n) => f(col(s.valueCol)).as(n) }
     val grouped = bucketed.groupBy(col("__bucket"))
       .agg(aggExprs.head, aggExprs.tail: _*)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{KFrame, KSeries, Lookup}
+import graft.functions.CustomAggs
+import graft.operators.{ChunkWhile, Dedup, Resample}
+
+/** Second-pass operators: windowWhile, backward resample, transpose,
+  * custom Aggregators, embedding near-dup. */
+class ExtendedOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def s(rows: (Long, java.lang.Double)*): KSeries =
+    KSeries(seriesDf(rows: _*), ordered = true)
+
+  test("windowWhile: overlapping windows while pred(first, cur)") {
+    val df = seriesDf((1L, 1.0), (2L, 2.0), (5L, 5.0), (6L, 6.0))
+    val r = ChunkWhile.windowAssign(df, "k", (f, c) => c - f < 3)
+      .groupBy(col("window_key")).agg(sum(col("v")).as("total"))
+    val got = r.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    // windows: 1→{1,2}, 2→{2}, 5→{5,6}, 6→{6}  (3 breaks both gaps)
+    assert(got === Map(1L -> 3.0, 2L -> 2.0, 5L -> 11.0, 6L -> 6.0))
+  }
+
+  test("windowWhile restarts per partition group") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 2L, 20.0))
+      .toDF("g", "k", "v")
+    val r = ChunkWhile.windowAssign(df, "k", (f, c) => c - f < 5, partitionBy = Seq("g"))
+    val got = r.select("g", "k", "window_key").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    // group a: window 1 contains {1,2}, window 2 contains {2}; group b alone
+    assert(got === Set(("a", 1L, 1L), ("a", 2L, 1L), ("a", 2L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("resample Backward: key = min boundary >= k, after-last absorbed into last") {
+    val in = s((1L, 1.0), (12L, 12.0), (26L, 26.0), (30L, 30.0))
+    val bounds = Seq(10L, 20L, 25L).toDF("b")
+    val r = Resample.resample(in, bounds, "b", Lookup.NearestGreater)(
+      (sum(_), "total"), (count(_), "n"))
+    val got = r.select("k", "total", "n").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getDouble(1)),
+        if (x.isNullAt(2)) 0L else x.getLong(2))).toSet
+    // 1→10; 12→20; 26,30 after last boundary → absorbed into 25
+    assert(got === Set(
+      (10L, Some(1.0), 1L), (20L, Some(12.0), 1L), (25L, Some(56.0), 2L)))
+  }
+
+  test("custom Aggregators: weightedMean and geoMean, null-skipping") {
+    val df = Seq(
+      (Some(10.0), Some(1.0)), (Some(20.0), Some(3.0)), (None, Some(9.0)))
+      .toDF("x", "w")
+    val r = df.agg(
+      CustomAggs.weightedMean(col("x"), col("w")).as("wm"),
+      CustomAggs.geoMean(col("x")).as("gm")).head
+    assert(math.abs(r.getDouble(0) - 17.5) < 1e-12) // (10+60)/4
+    assert(math.abs(r.getDouble(1) - math.sqrt(200.0)) < 1e-9)
+  }
+
+  test("embedding near-dup exact vs LSH: LSH is a subset with decent recall") {
+    val vecs = (0 until 60).map { i =>
+      // three tight clusters of 20 around orthogonal-ish axes + noise
+      val base = Array.fill(16)(0.0f)
+      base(i % 3) = 1.0f
+      val jig = base.zipWithIndex.map { case (x, j) =>
+        x + 0.05f * (((i * 31 + j * 17) % 7) - 3)
+      }
+      (i.toLong, jig.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("transpose swaps axes on a small aggregated frame") {
+    val df = Seq(("A", 1.0, 10.0), ("B", 2.0, 20.0)).toDF("key", "x", "y")
+    val r = KFrame(df, Seq("key")).transpose(Seq("A", "B")).df
+      .orderBy("column").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("x", "y"))
+    assert(r.map(_.getDouble(1)).toSeq === Seq(1.0, 10.0))
+    assert(r.map(_.getDouble(2)).toSeq === Seq(2.0, 20.0))
+  }
+}
