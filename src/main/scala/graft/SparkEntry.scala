@@ -669,6 +669,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
     }),
 
+    // ---- scale path: distributed global forward fill (two-level scan;
+    //      same semantics as q18's single-window form) ----
+    "q71_scan_ffill" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val sparse = d.filterAll((k, v) => dayofmonth(k) % 3 === 0)
+      val grid = d.df.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val re = sparse.realign(grid, "day")
+      OrderedScan.forwardFill(re.df, "k", Seq("v"), buckets = 16)
+        .select(col("k"), round(col("v"), 4).as("filled"))
+    }),
+
+    // ---- scale path: distributed global running sum ----
+    "q72_scan_cumsum" -> ((s, dir) => {
+      OrderedScan.runningSum(daily(s, dir).df, "k", "v", "cum", buckets = 16)
+        .select(col("k"), round(col("cum"), 4).as("cum"))
+    }),
+
+    // ---- scale path: distributed global row numbering ----
+    "q73_scan_rownum" -> ((s, dir) => {
+      OrderedScan.rowNumber(daily(s, dir).df, "k", "ord", buckets = 16)
+        .select(col("k"), col("ord"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1204,6 +1228,25 @@ object SparkEntry {
     "q70_unstack_stack" ->
       """SELECT date_trunc('month', o_orderdate)::DATE AS month, o_orderstatus,
         |round(sum(o_totalprice),4) AS total
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q71_scan_ffill" ->
+      s"""$dailySql, sparse AS (
+         |SELECT * FROM daily WHERE day(k) % 3 = 0),
+         |grid AS (SELECT unnest(generate_series(
+         |  (SELECT min(k) FROM daily), (SELECT max(k) FROM daily), INTERVAL 1 DAY))::DATE AS k),
+         |re AS (SELECT g.k, s.v FROM grid g LEFT JOIN sparse s ON g.k = s.k)
+         |SELECT k, round(last_value(v IGNORE NULLS) OVER (
+         |  ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS filled
+         |FROM re""".stripMargin,
+
+    "q72_scan_cumsum" ->
+      s"""$dailySql
+         |SELECT k, round(sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS cum
+         |FROM daily""".stripMargin,
+
+    "q73_scan_rownum" ->
+      s"""$dailySql
+         |SELECT k, row_number() OVER (ORDER BY k) - 1 AS ord FROM daily""".stripMargin
   )
 }

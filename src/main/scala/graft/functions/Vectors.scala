@@ -64,12 +64,87 @@ object Vectors {
   /** LSH band keys from a minhash signature: `bands` hashes, each over a
     * contiguous slice of the signature (banding technique from Broder /
     * Leskovec-Rajaraman-Ullman "Mining of Massive Datasets" ch.3). Two docs
-    * share a band key iff their signature slices agree exactly. */
+    * share a band key iff their signature slices agree exactly.
+    * NOTE: interpreted-HOF form — prefer [[minhashBandKeysFast]] in hot
+    * paths (this costs ~2 ms/row interpreted vs ~µs compiled). */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         xxhash64(concat_ws(",", transform(
           slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))).as("sig")))
+
+  /** Compiled dot product over float arrays (accumulated in double). The HOF
+    * [[dot]] is exact-arithmetic-identical but interpreted; use this in
+    * all-pairs hot paths. */
+  def dotFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+
+  /** Compiled squared-L2 norm over a float array. */
+  def norm2SqFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float]) =>
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      acc
+    }
+
+  /** Compiled word n-gram shingling (single-space tokenization), identical
+    * output to `array_distinct(Text.shingles(text, n))`. */
+  def shinglesFast(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val ws = text.trim.split(" ", -1)
+      if (ws.length < n) Array.empty[String]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i <= ws.length - n) {
+          out += ws.slice(i, i + n).mkString(" ")
+          i += 1
+        }
+        out.toArray
+      }
+    }
+
+  /** Compiled shingles→band-keys kernel: minhash signature + banding in one
+    * pass per row. Band key = 64-bit hash of (band index, band's minhash
+    * slice); two docs collide on a key iff that band's slice agrees exactly —
+    * identical semantics to [[lshBands]]∘[[minhashSignatureFast]], one JVM
+    * call per row. */
+  def minhashBandKeysFast(numHashes: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rows = numHashes / bands
+    udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong * 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < numHashes) {
+          val hi = (2 * i + 1) * h + i * 0xC2B2AE3D27D4EB4FL
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+      }
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = b.toLong * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+        var r = 0
+        while (r < rows) {
+          acc = (acc ^ mins(b * rows + r)) * 0xFF51AFD7ED558CCDL
+          acc ^= (acc >>> 33)
+          r += 1
+        }
+        keys(b) = acc
+        b += 1
+      }
+      keys
+    }
+  }
 
   /** SimHash (Charikar 2002): 64-bit fingerprint where bit j is the sign of
     * the sum over tokens of ±1 according to bit j of the token's hash.

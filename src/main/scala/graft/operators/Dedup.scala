@@ -37,15 +37,12 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
     val withSig = docs.select(
       col(idCol).as("id"),
-      array_distinct(Text.shingles(col(textCol), shingleN)).as("sh"))
+      Vectors.shinglesFast(shingleN)(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
-      // sig as its own column: lshBands references it 8×, and CollapseProject
-      // keeps non-cheap (UDF) expressions materialized rather than inlining
-      .withColumn("sig", Vectors.minhashSignatureFast(numHashes)(col("sh")))
-      .withColumn("bands", Vectors.lshBands(col("sig"), bands, rows))
+      // one compiled kernel call per row: signature + banding together
+      .withColumn("bands", Vectors.minhashBandKeysFast(numHashes, bands)(col("sh")))
     // Candidate generation on bare (bucket, id) pairs — the shingle arrays
     // must NOT ride through the self-join + distinct (at sf0.1 that shuffled
     // ~bands× the corpus text and dominated the whole bench run). Ids-only
@@ -98,10 +95,14 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val l = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // norms once per vector; compiled dot per pair (the HOF cosine costs
+    // ~interpreted-µs × dim per pair — dominated an sf0.1 bench run)
+    val n = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(Vectors.norm2SqFast(col(vecCol))).as("nrm"))
+    val l = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.crossJoin(r).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+      .withColumn("cosine", Vectors.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -132,11 +133,12 @@ object Dedup {
     val cand = blocks.join(blocks.withColumnRenamed("id", "id2"), Seq("b"))
       .where(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
-    val v = sigd.select(col("id"), col("v"))
+    val v = sigd.select(col("id"), col("v"),
+      sqrt(Vectors.norm2SqFast(col("v"))).as("nrm"))
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cosine", Vectors.cosine(col("va"), col("vb")))
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", Vectors.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

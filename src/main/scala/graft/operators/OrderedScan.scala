@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordered scans — the 100 TB path for operations that a
+  * plain `Window.orderBy(key)` (no partitioning) would collapse into ONE
+  * task: forward fill, running totals, global row numbering.
+  *
+  * Pattern (the classic two-level scan / "stitch" decomposition):
+  *   1. bucket rows by key range — boundaries from `approxQuantile` (a tiny
+  *      driver-side action over a sampled sketch, like the reference's lazily
+  *      materialized sorted key array, reference src/Indices/LinearIndex.fs:45-48);
+  *   2. run the scan WITHIN each bucket in parallel
+  *      (`Window.partitionBy(bucket).orderBy(key)`);
+  *   3. reduce one summary row per bucket (count / last value / total),
+  *      prefix-scan that tiny table, and broadcast-join the carry-in back.
+  *
+  * Each op costs one shuffle on the bucket id + one broadcast — instead of
+  * serializing the whole dataset through a single window task.
+  */
+object OrderedScan {
+
+  /** Numeric proxy of an orderable key (approxQuantile needs numeric):
+    * monotone in the key, so range buckets over it are range buckets over
+    * the key. */
+  private def numericKey(df: DataFrame, keyCol: String): Column =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(keyCol), lit("1970-01-01")).cast("double")
+      case org.apache.spark.sql.types.TimestampType =>
+        col(keyCol).cast("double")
+      case _ => col(keyCol).cast("double")
+    }
+
+  /** Assign a range-bucket id column `__bucket` (0..buckets) using
+    * approx-quantile boundaries of the key. Rows with equal keys always land
+    * in the same bucket (boundaries are key values). */
+  def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    val keyed = df.withColumn("__knum", numericKey(df, keyCol))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = keyed.stat.approxQuantile("__knum", probes, 0.01).distinct.sorted
+    val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+      case ((cut, i), elseExpr) => when(col("__knum") <= cut, i).otherwise(elseExpr)
+    }
+    keyed.withColumn("__bucket", bucketExpr).drop("__knum")
+  }
+
+  /** Global forward fill of `valueCols` in key order, distributed.
+    * Same semantics as KSeries.fillForward with no partition keys. */
+  def forwardFill(
+      df: DataFrame,
+      keyCol: String,
+      valueCols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = valueCols.foldLeft(b) { (d, c) =>
+      d.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wIn))
+    }
+    // one row per bucket: the last filled value of each column = the running
+    // fill at the bucket's max key
+    val lastAggs = valueCols.map(c => max_by(col(s"__f_$c"), col(keyCol)).as(s"__last_$c"))
+    val summary = within.groupBy(col("__bucket")).agg(lastAggs.head, lastAggs.tail: _*)
+    // carry-in for bucket i = last non-null among buckets < i (tiny window)
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = valueCols.foldLeft(summary) { (d, c) =>
+      d.withColumn(s"__carry_$c", last(col(s"__last_$c"), ignoreNulls = true).over(wCarry))
+    }.select(col("__bucket") +: valueCols.map(c => col(s"__carry_$c")): _*)
+
+    val joined = within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+    val outCols = df.columns.toSeq.map {
+      case c if valueCols.contains(c) => coalesce(col(s"__f_$c"), col(s"__carry_$c")).as(c)
+      case c => col(c)
+    }
+    joined.select(outCols: _*)
+  }
+
+  /** Global running aggregate (cumulative sum) of `valueCol` in key order,
+    * distributed. Appends `cumCol`. */
+  def runningSum(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      cumCol: String,
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = b.withColumn("__cum", sum(col(valueCol)).over(wIn))
+    val summary = within.groupBy(col("__bucket")).agg(sum(col(valueCol)).as("__total"))
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__offset", coalesce(sum(col("__total")).over(wCarry), lit(0.0)))
+      .select(col("__bucket"), col("__offset"))
+    within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+      .select(df.columns.map(col) :+
+        (col("__cum") + col("__offset")).as(cumCol): _*)
+  }
+
+  /** Global 0-based row number in key order, distributed. Appends `ordCol`.
+    * The scale path behind indexRowsOrdinally / positional GetAt. */
+  def rowNumber(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    val within = b.withColumn("__rn", row_number().over(wIn).cast("long") - 1)
+    val summary = within.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__offset", coalesce(sum(col("__n")).over(wCarry), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+      .select(df.columns.map(col) :+
+        (col("__rn") + col("__offset")).as(ordCol): _*)
+  }
+}

@@ -27,11 +27,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(Vectors.norm2SqFast(col(vecCol))).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(Vectors.norm2SqFast(col(vecCol))).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", Vectors.dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -69,13 +71,15 @@ object Similarity {
           c => struct((-Vectors.cosine(vec, c("cvec"))).as("negsim"), c("cid").as("cid")))),
         s => s("cid")), 1, n)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(Vectors.norm2SqFast(col(vecCol))).as("cn"))
       .withColumn("bucket", bucketsOf(col("cv"), 1)(0))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(Vectors.norm2SqFast(col(vecCol))).as("qn"))
       .withColumn("bucket", explode(bucketsOf(col("qv"), nprobe)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", Vectors.dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
