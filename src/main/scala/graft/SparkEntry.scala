@@ -693,6 +693,43 @@ object SparkEntry {
         .select(col("k"), col("ord"))
     }),
 
+    // ---- multimodal: resize stub over binary payloads (mapPartitions) ----
+    "q74_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.packMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.resize(media, 8, 6).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("checksum"))
+    }),
+
+    // ---- multimodal: frame sampling (flatMap fan-out over "video") ----
+    "q75_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.packMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.frameSample(media, 32, 2).toDF()
+    }),
+
+    // ---- multimodal: embedding extraction feeding ANN (rows-only) ----
+    "q76_media_embed_knn" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.packMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      val emb = Multimodal.embed(media, 16)
+      Similarity.bruteForceKnn(emb, emb.where(col("doc_id") < 3), "doc_id", "embedding", 3)
+    }),
+
+    // ---- Structured Streaming: sliding windows over readStream(events) ----
+    "q77_stream_sliding" -> ((s, dir) => {
+      Streams.slidingCounts(s, dir, "2 hours", "1 hour")
+    }),
+
+    // ---- Structured Streaming: custom state via mapGroupsWithState ----
+    "q78_stream_stateful" -> ((s, dir) => {
+      Streams.statefulUserTotals(s, dir)
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1247,6 +1284,37 @@ object SparkEntry {
 
     "q73_scan_rownum" ->
       s"""$dailySql
-         |SELECT k, row_number() OVER (ORDER BY k) - 1 AS ord FROM daily""".stripMargin
+         |SELECT k, row_number() OVER (ORDER BY k) - 1 AS ord FROM daily""".stripMargin,
+
+    "q74_media_resize" ->
+      """WITH b AS (SELECT doc_id, strlen(text) AS n, text FROM documents)
+        |SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |8 AS width, 6 AS height,
+        |CASE WHEN n = 0 THEN 0 ELSE
+        |  list_aggregate(list_transform(range(0, 48),
+        |    i -> ord(text[((i*n)//48)+1])), 'sum') END::BIGINT AS checksum
+        |FROM b""".stripMargin,
+
+    "q75_frame_sample" ->
+      """WITH b AS (SELECT doc_id, strlen(text) AS n, text FROM documents),
+        |f AS (SELECT doc_id, n, text, unnest(range(0, (n+31)//32, 2)) AS frame_idx
+        |      FROM b WHERE n > 0)
+        |SELECT doc_id, frame_idx::INT AS frame_idx, ((n+31)//32)::INT AS n_frames,
+        |(least(frame_idx*32+32, n) - frame_idx*32)::INT AS frame_bytes,
+        |list_aggregate(list_transform(range(frame_idx*32, least(frame_idx*32+32, n)),
+        |  i -> ord(text[i+1])), 'sum')::BIGINT AS checksum
+        |FROM f""".stripMargin,
+
+    "q77_stream_sliding" ->
+      """WITH x AS (
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k, value FROM events
+        |UNION ALL
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600, value FROM events)
+        |SELECT k, count(*) AS n, round(sum(value),4) AS total FROM x GROUP BY 1""".stripMargin,
+
+    "q78_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

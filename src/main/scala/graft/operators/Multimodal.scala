@@ -64,4 +64,75 @@ object Multimodal {
     import docs.sparkSession.implicits._
     decodeFeatures(packMedia(docs, idCol, textCol).as[MediaRow]).toDF()
   }
+
+  /** A resized media row (payload re-encoded at the target dimensions). */
+  final case class ResizedRow(
+      doc_id: Long, media_type: String,
+      width: Int, height: Int, payload: Array[Byte], checksum: Long)
+
+  /** STUB RESIZE — nearest-neighbor byte resampling standing in for a real
+    * image resize (out[i] = in[i*n/(w*h)]): deterministic, checkable, and
+    * exactly the production batch shape (binary in → binary out inside one
+    * mapPartitions; swap the body for libvips/turbojpeg). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    val outLen = w * h
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) {
+          out(i) = if (n == 0) 0 else r.payload((i.toLong * n / outLen).toInt)
+          i += 1
+        }
+        var sum = 0L
+        i = 0
+        while (i < outLen) { sum += (out(i) & 0xff); i += 1 }
+        ResizedRow(r.doc_id, r.media_type, w, h, out, sum)
+      }
+    }
+  }
+
+  /** One sampled frame of a "video" payload. */
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Int, n_frames: Int, frame_bytes: Int, checksum: Long)
+
+  /** STUB FRAME-SAMPLE — treat the payload as fixed-size frames and keep
+    * every `everyN`-th (a flatMap: one input row → many frame rows, the real
+    * fan-out shape of video pipelines; a production version decodes
+    * keyframes via FFmpeg in the same loop). */
+  def frameSample(
+      media: Dataset[MediaRow], frameSize: Int, everyN: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = (r.payload.length + frameSize - 1) / frameSize
+      (0 until nFrames).by(everyN).map { f =>
+        val start = f * frameSize
+        val end = math.min(start + frameSize, r.payload.length)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
+        FrameRow(r.doc_id, f, nFrames, end - start, sum)
+      }
+    }
+  }
+
+  /** STUB FEATURE-EXTRACT — payload → dense embedding (deterministic
+    * hash-projection stand-in for a vision/audio encoder). Output feeds the
+    * Similarity/Dedup ANN operators unchanged — the multimodal→embedding
+    * bridge of a training-data pipeline. */
+  def embed(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < r.payload.length) {
+        val j = ((r.payload(i) & 0xff) * 31 + i) % dim
+        v(j) += ((r.payload(i) & 0xff) - 127.5f) / 127.5f
+        i += 1
+      }
+      (r.doc_id, v.toSeq)
+    }.toDF("doc_id", "embedding")
+  }
 }

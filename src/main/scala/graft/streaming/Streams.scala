@@ -22,7 +22,8 @@ object Streams {
 
   /** Run a streaming aggregation over the events table to completion and
     * return the result as a batch DataFrame. */
-  private def runToCompletion(spark: SparkSession, dir: String)(
+  private def runToCompletion(
+      spark: SparkSession, dir: String, outputMode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source requires a directory; expose the single
@@ -39,7 +40,7 @@ object Streams {
       else raw
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg(events).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .start()
@@ -60,4 +61,49 @@ object Streams {
           unix_timestamp(col("window.start")).as("k"),
           col("event_type"), col("n"), round(col("total"), 4).as("total"))
     }
+
+  /** Sliding (overlapping) windows — each event contributes to
+    * windowLen/slide windows; the streaming twin of Series.windowDist. */
+  def slidingCounts(
+      spark: SparkSession, dir: String, windowLen: String, slide: String): DataFrame =
+    runToCompletion(spark, dir) { events =>
+      events
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), windowLen, slide))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .select(
+          unix_timestamp(col("window.start")).as("k"),
+          col("n"), round(col("total"), 4).as("total"))
+    }
+
+  /** Arbitrary-state streaming: per-user running (count, sum) via
+    * mapGroupsWithState — the Structured Streaming home of the reference's
+    * per-group custom reducers (SURVEY §2.10) and the building block for
+    * windowWhile-style session logic on unbounded streams. State lives in the
+    * state store (checkpointed, partitioned by group key at scale). */
+  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = runToCompletion(spark, dir, outputMode = "update") { events =>
+      events
+        .select(col("user_id").cast("long").as("user_id"), col("value").cast("double").as("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (user, rows, state) =>
+            val (cnt0, sum0) = state.getOption.getOrElse((0L, 0.0))
+            var cnt = cnt0
+            var total = sum0
+            rows.foreach { case (_, v) => cnt += 1; total += v }
+            state.update((cnt, total))
+            (user, cnt, total)
+        }
+        .toDF("user_id", "n_events", "sum_value")
+    }
+    // with >1 micro-batch the memory sink holds one update per batch per
+    // user; the final state is the row with the largest count
+    updates.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        round(max_by(col("sum_value"), col("n_events")), 4).as("sum_value"))
+  }
 }
