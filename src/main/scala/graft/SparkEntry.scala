@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{CustomAggs, Text, Vectors => V}
 import graft.operators._
+import graft.sources.Bucketing
 import graft.streaming.Streams
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -730,6 +731,49 @@ object SparkEntry {
       Streams.statefulUserTotals(s, dir)
     }),
 
+    // ---- §2.6 Frame.window: sliding windows of whole rows (all columns) ----
+    "q79_frame_window" -> ((s, dir) => {
+      val f = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("k")).rowsBetween(-4, 0)
+      f.select(col("k"),
+        round(avg(col("total")).over(w), 4).as("mavg_total"),
+        round(avg(col("n")).over(w), 6).as("mavg_n"),
+        count(lit(1)).over(w).as("wsize"))
+        .where(col("wsize") === 5).drop("wsize")
+    }),
+
+    // ---- §2.2 ColumnsDense family: per-column missing counts ----
+    "q80_missing_stats" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val sparse = d.filterAll((k, _) => dayofmonth(k) % 3 === 0)
+      val grid = d.df.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val re = sparse.realign(grid, "day").df
+        .withColumn("v2", coalesce(col("v"), lit(0.0)))
+      KFrame(re, Seq("k")).colStats(c => count(lit(1)) - count(col(c)))
+        .select(col("column"), col("value").cast("long").as("n_missing"))
+    }),
+
+    // ---- dedup: character n-gram Jaccard (noisy-text variant) ----
+    "q81_char_ngram_jaccard" -> ((s, dir) => {
+      Dedup.charNgramJaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 60), "doc_id", "text", 3, 0.5)
+    }),
+
+    // ---- additive: bucketed co-located join (no exchange on either side) ----
+    "q82_bucketed_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey")
+      Bucketing.saveBucketed(o, "graft_orders_b", "custkey", 8)
+      Bucketing.saveBucketed(c, "graft_customer_b", "custkey", 8)
+      Bucketing.bucketedJoin(s, "graft_orders_b", "graft_customer_b", "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1315,6 +1359,42 @@ object SparkEntry {
 
     "q78_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),4) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q79_frame_window" ->
+      """WITH f AS (SELECT CAST(o_orderdate AS DATE) AS k, sum(o_totalprice) AS total,
+        |           count(*) AS n FROM orders GROUP BY 1),
+        |w AS (SELECT k,
+        |round(avg(total) OVER win, 4) AS mavg_total,
+        |round(avg(n) OVER win, 6) AS mavg_n,
+        |count(*) OVER win AS wsize
+        |FROM f WINDOW win AS (ORDER BY k ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT k, mavg_total, mavg_n FROM w WHERE wsize = 5""".stripMargin,
+
+    "q80_missing_stats" ->
+      s"""$dailySql, sparse AS (
+         |SELECT * FROM daily WHERE day(k) % 3 = 0),
+         |grid AS (SELECT unnest(generate_series(
+         |  (SELECT min(k) FROM daily), (SELECT max(k) FROM daily), INTERVAL 1 DAY))::DATE AS k),
+         |re AS (SELECT g.k, s.v, coalesce(s.v, 0) AS v2 FROM grid g LEFT JOIN sparse s ON g.k = s.k)
+         |SELECT 'v' AS "column", count(*) - count(v) AS n_missing FROM re
+         |UNION ALL SELECT 'v2', count(*) - count(v2) FROM re""".stripMargin,
+
+    "q81_char_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, strlen(text)-1), i -> substr(text, i, 3))) AS tok
+        |  FROM documents WHERE doc_id < 60 AND strlen(text) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        |FROM t a, t b
+        |WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""".stripMargin,
+
+    "q82_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

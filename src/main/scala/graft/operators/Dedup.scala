@@ -95,16 +95,44 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    // norms once per vector; compiled dot per pair (the HOF cosine costs
-    // ~interpreted-µs × dim per pair — dominated an sf0.1 bench run)
-    val n = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(Vectors.norm2SqFast(col(vecCol))).as("nrm"))
-    val l = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val r = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    l.crossJoin(r).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Vectors.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    // Broadcast-side loop, not a 2-sided cross join: materializing n²/2 pair
+    // ROWS each carrying two float arrays through a UDF costs ~10× the
+    // arithmetic. Instead the whole (id, vec, norm) set broadcasts once
+    // (primitive arrays), each partition loops its rows against the
+    // broadcast half with id > rowId in a tight loop, and only
+    // above-threshold pairs are ever materialized. The corpus side streams —
+    // this is the exact-baseline shape; LSH (below) is the n² escape hatch.
+    import vecs.sparkSession.implicits._
+    val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+    val all: Array[(Long, Array[Float], Double)] = base.collect()
+      .map { case (id, v) =>
+        val a = v.toArray
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+        (id, a, math.sqrt(s))
+      }.sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(all)
+    base.mapPartitions { rows =>
+      val cand = bc.value
+      rows.flatMap { case (id, v) =>
+        val a = v.toArray
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+        val na = math.sqrt(s)
+        cand.iterator.filter(_._1 > id).flatMap { case (idB, b, nb) =>
+          var dot = 0.0
+          var j = 0
+          val n = math.min(a.length, b.length)
+          while (j < n) { dot += a(j).toDouble * b(j).toDouble; j += 1 }
+          val cos = dot / (na * nb)
+          if (cos >= threshold) Some((id, idB, cos)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "c")
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
   }
 
   /** Embedding-cosine near-dup at scale: random-hyperplane signatures,
@@ -141,6 +169,36 @@ object Dedup {
       .withColumn("cosine", Vectors.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Character n-gram Jaccard over all pairs — the char-level variant of
+    * [[tokenJaccardPairs]] (robust to tokenization differences; standard for
+    * short/noisy text). O(n²); use MinHash-LSH over char shingles at scale. */
+  def charNgramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val grams = udf { (text: String) =>
+      if (text.length < n) Array.empty[String]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i <= text.length - n) { out += text.substring(i, i + n); i += 1 }
+        out.toArray
+      }
+    }
+    val t = docs.select(col(idCol).as("id"), grams(col(textCol)).as("tok"))
+      .where(size(col("tok")) > 0)
+    val l = t.select(col("id").as("id_a"), col("tok").as("tok_a"))
+    val r = t.select(col("id").as("id_b"), col("tok").as("tok_b"))
+    l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact token-set Jaccard over all pairs of a (small or pre-filtered)

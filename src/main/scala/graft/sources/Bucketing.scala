@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed tables: pre-shuffle co-location so repeated joins/aggregations
+  * on the same key run with NO exchange — the standard way to amortize the
+  * big-fact-join shuffle at 100 TB (write once bucketed by the join key;
+  * every later join on that key is exchange-free).
+  *
+  * The reference has no storage layer at all (in-memory arrays); this is
+  * part of the additive Spark-native surface, SURVEY §2.1.
+  */
+object Bucketing {
+
+  /** Save `df` as a bucketed managed table (overwriting), bucketed+sorted by
+    * `keyCol` into `buckets` files per partition. */
+  def saveBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog is per-session but the managed location isn't:
+    // drop both the entry and any orphaned directory from a prior session
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet") // managed: lives under spark.sql.warehouse.dir
+      .saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket key — planner sees matching
+    * output partitionings and elides both exchanges. */
+  def bucketedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      keyCol: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
+}
