@@ -161,14 +161,33 @@ object Dedup {
     val cand = blocks.join(blocks.withColumnRenamed("id", "id2"), Seq("b"))
       .where(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
-    val v = sigd.select(col("id"), col("v"),
-      sqrt(Vectors.norm2SqFast(col("v"))).as("nrm"))
-    cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", Vectors.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    // verify candidates against a broadcast vector map (same pattern as the
+    // exact baseline: ship ids through the shuffle, never the vectors)
+    import vecs.sparkSession.implicits._
+    val all: Map[Long, (Array[Float], Double)] =
+      sigd.select(col("id"), col("v")).as[(Long, Seq[Float])].collect()
+        .map { case (id, v) =>
+          val a = v.toArray
+          var s = 0.0
+          var i = 0
+          while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+          id -> (a, math.sqrt(s))
+        }.toMap
+    val bc = vecs.sparkSession.sparkContext.broadcast(all)
+    cand.as[(Long, Long)].mapPartitions { pairs =>
+      val m = bc.value
+      pairs.flatMap { case (ia, ib) =>
+        val (a, na) = m(ia)
+        val (b, nb) = m(ib)
+        var dot = 0.0
+        var j = 0
+        val n = math.min(a.length, b.length)
+        while (j < n) { dot += a(j).toDouble * b(j).toDouble; j += 1 }
+        val cos = dot / (na * nb)
+        if (cos >= threshold) Some((ia, ib, cos)) else None
+      }
+    }.toDF("id_a", "id_b", "c")
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
   }
 
   /** Character n-gram Jaccard over all pairs — the char-level variant of

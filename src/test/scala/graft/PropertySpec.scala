@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{KSeries, Lookup, UnionBehavior}
+import graft.operators.{AsOf, Boundary, OrderedScan, Windowing}
+
+/** ScalaCheck ports of the reference's FsCheck laws (reference
+  * tests/FSharp.DataFrame.Tests/Common.fs:48-79,108-191) plus model-based
+  * checks of the distributed operators against sequential references.
+  * (Plain seeded Gen sampling — the scalatest/scalacheck bridge artifact is
+  * not in the offline cache; each case costs Spark jobs so a fixed small
+  * case count is the right budget anyway.) */
+class PropertySpec extends SparkSpecBase {
+
+  private val cases = 8
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val seriesGen: Gen[List[(Long, Option[Double])]] = for {
+    n <- Gen.choose(1, 40)
+    keys <- Gen.pick(n, 0L until 100L)
+    vals <- Gen.listOfN(n, Gen.option(Gen.choose(-100.0, 100.0)))
+  } yield keys.toList.sorted.zip(vals)
+
+  private def mk(rows: List[(Long, Option[Double])]): KSeries =
+    KSeries(seriesDf(rows.map { case (k, v) => (k, v.map(Double.box).orNull) }: _*),
+      ordered = true)
+
+  /** Sequential forward-fill model: (key, last present value ≤ key). */
+  private def ffillModel(rows: List[(Long, Option[Double])]): List[(Long, Option[Double])] =
+    rows.scanLeft((Long.MinValue, Option.empty[Double])) {
+      case ((_, prev), (k, v)) => (k, v.orElse(prev))
+    }.tail
+
+  test("as-of join agrees with a sequential fill-then-lookup model") {
+    for (i <- 1 to cases) {
+      val rows = sample(seriesGen, i)
+      val probes = sample(Gen.listOf(Gen.choose(0L, 100L)), i + 1000).distinct.sorted
+      if (probes.nonEmpty) {
+        val probesDf = seriesDf(probes.map(p => (p, null: java.lang.Double)): _*)
+          .select(col("k").as("g"))
+        val got = collectKV(
+          AsOf.join(probesDf, "g", mk(rows).df, "k", Seq("v"), Lookup.NearestSmaller),
+          "g", "v")
+        val filled = ffillModel(rows)
+        val expect = probes.map { p =>
+          (p, filled.takeWhile(_._1 <= p).lastOption.flatMap(_._2))
+        }
+        assert(got === expect, s"case $i: rows=$rows probes=$probes")
+      }
+    }
+  }
+
+  test("chunks lose no values (reference Common.fs:108-191)") {
+    for (i <- 1 to cases) {
+      val rows = sample(seriesGen, 100 + i)
+      val n = sample(Gen.choose(1, 7), 200 + i)
+      // AtEnding keeps every row in exactly one chunk → counts must add up
+      val total = Windowing.chunkInto(mk(rows), n, Boundary.AtEnding)((count(_), "c"))
+        .agg(sum(col("c"))).head.getLong(0)
+      assert(total === rows.count(_._2.isDefined), s"case $i: rows=$rows n=$n")
+    }
+  }
+
+  test("union PreferLeft agrees with the Map model") {
+    for (i <- 1 to cases) {
+      val l = sample(seriesGen, 300 + i)
+      val r = sample(seriesGen, 400 + i)
+      val (lm, rm) = (l.toMap, r.toMap)
+      val got = collectKV(mk(l).union(mk(r), UnionBehavior.PreferLeft).df).toMap
+      val expect = (lm.keySet ++ rm.keySet).map { k =>
+        // coalesce(left, right): a present-but-missing left value defers
+        k -> lm.getOrElse(k, None).orElse(rm.getOrElse(k, None))
+      }.toMap
+      assert(got === expect, s"case $i")
+    }
+  }
+
+  test("distributed forward fill equals the sequential scan") {
+    for (i <- 1 to cases) {
+      val rows = sample(seriesGen, 500 + i)
+      val buckets = sample(Gen.choose(2, 6), 600 + i)
+      if (rows.size >= 2) {
+        val got = collectKV(
+          OrderedScan.forwardFill(mk(rows).df, "k", Seq("v"), buckets = buckets))
+        assert(got === ffillModel(rows), s"case $i: rows=$rows buckets=$buckets")
+      }
+    }
+  }
+
+  test("between slice equals the filter model (binary-search law analog)") {
+    for (i <- 1 to cases) {
+      val rows = sample(seriesGen, 700 + i)
+      val a = sample(Gen.choose(0L, 100L), 800 + i)
+      val b = sample(Gen.choose(0L, 100L), 900 + i)
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val got = collectKV(mk(rows).between(lit(lo), lit(hi)).df)
+      val expect = rows.filter { case (k, _) => k >= lo && k <= hi }
+      assert(got === expect, s"case $i")
+    }
+  }
+}
