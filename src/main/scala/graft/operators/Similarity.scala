@@ -28,12 +28,12 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sqrt(Vectors.norm2SqFast(col(vecCol))).as("cn"))
+      sqrt(call_function("norm2_f32", col(vecCol))).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(Vectors.norm2SqFast(col(vecCol))).as("qn"))
+      sqrt(call_function("norm2_f32", col(vecCol))).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", call_function("dot_f32", col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -72,14 +72,14 @@ object Similarity {
         s => s("cid")), 1, n)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sqrt(Vectors.norm2SqFast(col(vecCol))).as("cn"))
+      sqrt(call_function("norm2_f32", col(vecCol))).as("cn"))
       .withColumn("bucket", bucketsOf(col("cv"), 1)(0))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(Vectors.norm2SqFast(col(vecCol))).as("qn"))
+      sqrt(call_function("norm2_f32", col(vecCol))).as("qn"))
       .withColumn("bucket", explode(bucketsOf(col("qv"), nprobe)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", call_function("dot_f32", col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -13,8 +13,19 @@ import org.apache.spark.sql.types.BooleanType
   * rule" anticipated in SURVEY §4 (custom work item 4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanGuardPushdown)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f32"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotF32].getName, "dot_f32"),
+      (args: Seq[Expression]) => DotF32(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("norm2_f32"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Norm2F32].getName, "norm2_f32"),
+      (args: Seq[Expression]) => Norm2F32(args(0))))
+  }
 }
 
 /** Restores parquet predicate pushdown through the NaN→null canonicalization
