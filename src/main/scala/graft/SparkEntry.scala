@@ -774,6 +774,24 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ---- §2.6 ordered analytics PARTITIONED by a natural key: the 100 TB
+    //      shape (per-user series; window parallelizes across users) ----
+    "q83_per_user_diff" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 6).as("dv"),
+        round(last(col("value"), ignoreNulls = true).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)), 6).as("ffilled"))
+    }),
+
+    // ---- §2.9 series Pow + scalar⊙series (reference Series.fs:584-634) ----
+    "q84_pow_scalar" -> ((s, dir) => {
+      daily(s, dir).df.select(col("k"),
+        round(pow(col("v") / 1000.0, 2), 6).as("v_sq"),
+        round(lit(1e6) / col("v"), 6).as("inv"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1395,6 +1413,18 @@ object SparkEntry {
     "q82_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q83_per_user_diff" ->
+      """SELECT user_id, event_id,
+        |round(value - lag(value) OVER w, 6) AS dv,
+        |round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffilled
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q84_pow_scalar" ->
+      s"""$dailySql
+         |SELECT k, round(pow(v/1000.0, 2), 6) AS v_sq, round(1000000.0/v, 6) AS inv
+         |FROM daily""".stripMargin
   )
 }
