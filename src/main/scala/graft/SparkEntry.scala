@@ -792,6 +792,21 @@ object SparkEntry {
         round(lit(1e6) / col("v"), 6).as("inv"))
     }),
 
+    // ---- §2.4 as-of via BROADCAST (probe-parallel scale path; same
+    //      semantics as q20's union+window form, same oracle shape) ----
+    "q85_asof_broadcast" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val epochDaily = d.df.select(
+        datediff(col("k"), lit("1970-01-01")).cast("long").as("k"), col("v"))
+      val grid = d.df
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(
+          date_add(col("lo"), 3), col("hi"), expr("interval 11 days"))).as("g0"))
+        .select(datediff(col("g0"), lit("1970-01-01")).cast("long").as("g"))
+      AsOf.broadcastJoin(grid, "g", epochDaily, "k", "v", Lookup.NearestSmaller)
+        .select(col("g"), round(col("v"), 4).as("v_asof"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1425,6 +1440,17 @@ object SparkEntry {
     "q84_pow_scalar" ->
       s"""$dailySql
          |SELECT k, round(pow(v/1000.0, 2), 6) AS v_sq, round(1000000.0/v, 6) AS inv
-         |FROM daily""".stripMargin
+         |FROM daily""".stripMargin,
+
+    "q85_asof_broadcast" ->
+      s"""$dailySql, e AS (
+         |SELECT CAST(epoch(CAST(k AS TIMESTAMP))/86400 AS BIGINT) AS k, v FROM daily),
+         |grid AS (
+         |SELECT CAST(epoch(CAST(g AS TIMESTAMP))/86400 AS BIGINT) AS g FROM (
+         |  SELECT unnest(generate_series(
+         |    (SELECT min(k)+3 FROM daily), (SELECT max(k) FROM daily), INTERVAL 11 DAY))::DATE AS g))
+         |SELECT g, round((SELECT v FROM e WHERE e.k <= g.g AND e.v IS NOT NULL
+         |                 ORDER BY e.k DESC LIMIT 1),4) AS v_asof
+         |FROM grid g""".stripMargin
   )
 }

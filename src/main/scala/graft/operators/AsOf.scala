@@ -96,4 +96,85 @@ object AsOf {
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         valueCols.map(c => col(s"__c_$c").as(c)): _*)
   }
+
+  /** Broadcast as-of join: when the data side is broadcast-sized (a price
+    * series, a boundary grid, a dimension history), collect it sorted and
+    * forward/backward-filled ONCE, broadcast, and binary-search per probe
+    * row inside `mapPartitions`. Unlike [[join]] (which funnels probe+data
+    * through one sorted window when unpartitioned), this keeps the PROBE
+    * side's partitioning untouched — a billion probes stay a thousand
+    * parallel tasks. Same fill-then-as-of semantics, same output schema.
+    *
+    * Key is compared as Long (cast date/timestamp keys to epoch first).
+    */
+  def broadcastJoin(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      valueCol: String,
+      direction: Lookup = Lookup.NearestSmaller,
+      strict: Boolean = false): DataFrame = {
+    require(direction != Lookup.Exact, "as-of join needs NearestSmaller/NearestGreater")
+    val spark = left.sparkSession
+
+    // driver-side build: sort by key, then fill values along the lookup
+    // direction (the reference's fill-before-reindex, JoinHelpers.fs:49-53)
+    val rows = right.select(col(rightKey).cast("long"), col(valueCol).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    val keys = rows.map(_._1)
+    val filled = new Array[java.lang.Double](rows.length)
+    if (direction == Lookup.NearestSmaller) {
+      var prev: Option[Double] = None
+      var i = 0
+      while (i < rows.length) {
+        prev = rows(i)._2.orElse(prev)
+        filled(i) = prev.map(Double.box).orNull
+        i += 1
+      }
+    } else {
+      var next: Option[Double] = None
+      var i = rows.length - 1
+      while (i >= 0) {
+        next = rows(i)._2.orElse(next)
+        filled(i) = next.map(Double.box).orNull
+        i -= 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast((keys, filled))
+
+    val lookupUdf = udf { (k: java.lang.Long) =>
+      if (k == null) null
+      else {
+        val (ks, vs) = bc.value
+        // insertion point of k in ks
+        var lo = 0
+        var hi = ks.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ks(mid) <= k.longValue) lo = mid + 1 else hi = mid
+        }
+        // lo = count of keys <= k
+        if (direction == Lookup.NearestSmaller) {
+          val idx = if (strict) {
+            var j = lo - 1
+            while (j >= 0 && ks(j) == k.longValue) j -= 1
+            j
+          } else lo - 1
+          if (idx < 0) null else vs(idx)
+        } else {
+          val idx = if (strict) lo
+          else {
+            var j = lo - 1
+            while (j >= 0 && ks(j) == k.longValue) j -= 1
+            j + 1
+          }
+          if (idx >= ks.length) null else vs(idx)
+        }
+      }
+    }
+    left.withColumn(valueCol, lookupUdf(col(leftKey).cast("long")))
+  }
 }

@@ -55,6 +55,24 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("broadcast as-of join agrees with the window as-of join") {
+    for (i <- 1 to cases) {
+      val rows = sample(seriesGen, 1100 + i)
+      val probes = sample(Gen.listOf(Gen.choose(0L, 100L)), 1200 + i).distinct.sorted
+      if (probes.nonEmpty) {
+        val probesDf = seriesDf(probes.map(p => (p, null: java.lang.Double)): _*)
+          .select(col("k").as("g"))
+        for (dir <- Seq(Lookup.NearestSmaller, Lookup.NearestGreater)) {
+          val viaWindow = collectKV(
+            AsOf.join(probesDf, "g", mk(rows).df, "k", Seq("v"), dir), "g", "v")
+          val viaBroadcast = collectKV(
+            AsOf.broadcastJoin(probesDf, "g", mk(rows).df, "k", "v", dir), "g", "v")
+          assert(viaBroadcast === viaWindow, s"case $i dir=$dir rows=$rows probes=$probes")
+        }
+      }
+    }
+  }
+
   test("chunks lose no values (reference Common.fs:108-191)") {
     for (i <- 1 to cases) {
       val rows = sample(seriesGen, 100 + i)
