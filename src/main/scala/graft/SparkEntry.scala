@@ -807,6 +807,20 @@ object SparkEntry {
         .select(col("g"), round(col("v"), 4).as("v_asof"))
     }),
 
+    // ---- §2.4 as-of through the NATIVE Catalyst node (AsOfJoinExec) ----
+    "q86_asof_native" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val epochDaily = d.df.select(
+        datediff(col("k"), lit("1970-01-01")).cast("long").as("k"), col("v"))
+      val grid = d.df
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .select(explode(sequence(
+          date_add(col("lo"), 3), col("hi"), expr("interval 11 days"))).as("g0"))
+        .select(datediff(col("g0"), lit("1970-01-01")).cast("long").as("g"))
+      AsOf.joinNative(grid, "g", epochDaily, "k", "v", Lookup.NearestGreater)
+        .select(col("g"), round(col("v"), 4).as("v_asof"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1451,6 +1465,17 @@ object SparkEntry {
          |    (SELECT min(k)+3 FROM daily), (SELECT max(k) FROM daily), INTERVAL 11 DAY))::DATE AS g))
          |SELECT g, round((SELECT v FROM e WHERE e.k <= g.g AND e.v IS NOT NULL
          |                 ORDER BY e.k DESC LIMIT 1),4) AS v_asof
+         |FROM grid g""".stripMargin,
+
+    "q86_asof_native" ->
+      s"""$dailySql, e AS (
+         |SELECT CAST(epoch(CAST(k AS TIMESTAMP))/86400 AS BIGINT) AS k, v FROM daily),
+         |grid AS (
+         |SELECT CAST(epoch(CAST(g AS TIMESTAMP))/86400 AS BIGINT) AS g FROM (
+         |  SELECT unnest(generate_series(
+         |    (SELECT min(k)+3 FROM daily), (SELECT max(k) FROM daily), INTERVAL 11 DAY))::DATE AS g))
+         |SELECT g, round((SELECT v FROM e WHERE e.k >= g.g AND e.v IS NOT NULL
+         |                 ORDER BY e.k ASC LIMIT 1),4) AS v_asof
          |FROM grid g""".stripMargin
   )
 }

@@ -177,4 +177,37 @@ object AsOf {
     }
     left.withColumn(valueCol, lookupUdf(col(leftKey).cast("long")))
   }
+
+  /** As-of join through the NATIVE Catalyst node ([[graft.plans.AsOfJoinNode]]
+    * → AsOfJoinStrategy → AsOfJoinExec): same broadcast algorithm as
+    * [[broadcastJoin]] but planned as a first-class physical operator, so
+    * `explain()` shows `AsOfJoinExec` and the planner knows the probe
+    * partitioning is preserved. Keys must be LongType; value DoubleType. */
+  def joinNative(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      valueCol: String,
+      direction: Lookup = Lookup.NearestSmaller): DataFrame = {
+    require(direction != Lookup.Exact, "as-of join needs NearestSmaller/NearestGreater")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val lk = attr(lPlan, leftKey)
+    val rk = attr(rPlan, rightKey)
+    val rv = attr(rPlan, valueCol)
+    require(lk.dataType == org.apache.spark.sql.types.LongType &&
+      rk.dataType == org.apache.spark.sql.types.LongType,
+      s"joinNative needs LongType keys (got ${lk.dataType}/${rk.dataType}) — cast first")
+    require(rv.dataType == org.apache.spark.sql.types.DoubleType,
+      s"joinNative needs a DoubleType value (got ${rv.dataType}) — cast first")
+    val valueAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      valueCol, org.apache.spark.sql.types.DoubleType, nullable = true)()
+    org.apache.spark.sql.GraftShim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, rv, valueAttr,
+        smaller = direction == Lookup.NearestSmaller))
+  }
 }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.BooleanType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanGuardPushdown)
+    ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f32"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
