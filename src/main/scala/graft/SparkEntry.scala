@@ -821,6 +821,33 @@ object SparkEntry {
         .select(col("g"), round(col("v"), 4).as("v_asof"))
     }),
 
+    // ---- semi-structured: JSON metadata extraction (events.props) ----
+    "q87_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("pk"))
+        .groupBy(col("event_type"))
+        .agg(count(col("pk")).as("n"),
+          round(avg(col("pk")), 6).as("avg_k"),
+          max(col("pk")).as("max_k"))
+    }),
+
+    // ---- text: BPE-ish regex token counting (pipeline brief) ----
+    "q88_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        sum(Text.bpeTokenCount(col("text"))).as("total_pieces"),
+        round(avg(Text.bpeTokenCount(col("text"))), 6).as("avg_pieces"),
+        sum(Text.tokenCount(col("text"))).as("total_ws_tokens"))
+    }),
+
+    // ---- similarity: IVF with k-means-trained centroids (rows-only) ----
+    "q89_knn_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfKnnWithCentroids(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1476,6 +1503,20 @@ object SparkEntry {
          |    (SELECT min(k)+3 FROM daily), (SELECT max(k) FROM daily), INTERVAL 11 DAY))::DATE AS g))
          |SELECT g, round((SELECT v FROM e WHERE e.k >= g.g AND e.v IS NOT NULL
          |                 ORDER BY e.k ASC LIMIT 1),4) AS v_asof
-         |FROM grid g""".stripMargin
+         |FROM grid g""".stripMargin,
+
+    "q87_json_extract" ->
+      """SELECT event_type, count(pk) AS n, round(avg(pk),6) AS avg_k, max(pk) AS max_k
+        |FROM (SELECT event_type, (props->>'k')::BIGINT AS pk FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q88_bpe_tokens" ->
+      """WITH b AS (SELECT
+        |  len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS np,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS nw
+        |  FROM documents)
+        |SELECT sum(np) AS total_pieces, round(avg(np),6) AS avg_pieces,
+        |sum(nw) AS total_ws_tokens FROM b""".stripMargin
   )
 }

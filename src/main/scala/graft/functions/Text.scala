@@ -78,4 +78,16 @@ object Text {
     * lowercased text — the standard exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** GPT-2-style pre-tokenizer pattern (simplified to the portable regex
+    * subset): contractions, letter runs, digit runs, punctuation runs, each
+    * optionally preceded by a space. The "BPE-ish regex" token count of the
+    * training-data-pipeline brief — the piece count a byte-pair encoder
+    * would start from. */
+  val bpePattern: String = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 }

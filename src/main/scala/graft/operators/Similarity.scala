@@ -42,8 +42,62 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Deterministic mini k-means for IVF centroids: init = the `k` vectors
+    * with smallest ids, then `iters` Lloyd rounds (assign by cosine, mean
+    * per bucket). Each round is one argmax projection + one
+    * posexplode-groupBy (k×dim rows collected — bounded by model size, not
+    * data). Deterministic: no sampling, fixed init, fixed iteration count. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): Array[Array[Float]] = {
+    import corpus.sparkSession.implicits._
+    var cents: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(k)
+      .as[(Long, Seq[Float])].collect().map(_._2.toArray)
+    val assignUdf = (cs: Array[Array[Float]]) => udf { (v: Seq[Float]) =>
+      var best = 0
+      var bestSim = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        val n = math.min(v.length, cs(c).length)
+        while (j < n) {
+          dot += v(j).toDouble * cs(c)(j); na += v(j).toDouble * v(j); nb += cs(c)(j).toDouble * cs(c)(j)
+          j += 1
+        }
+        val sim = if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .withColumn("b", assignUdf(cents)(col("v")))
+      val sums = assigned
+        .select(col("b"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("b", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (b, rows) =>
+        rows.foreach { r =>
+          next(b)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        }
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** IVF-bucketed ANN: centroids = the embeddings of `centroidIds` (a cheap
-    * deterministic stand-in for k-means at this stage); every corpus vector
+    * deterministic stand-in; use [[kmeansCentroids]]+[[ivfKnnWithCentroids]]
+    * for trained buckets); every corpus vector
     * is assigned to its nearest centroid (argmax cosine — pure projection,
     * no shuffle); queries probe their `nprobe` nearest centroid buckets only.
     * Output: (query_id, rank, neighbor_id, cosine) — approximate. */
@@ -59,11 +113,24 @@ object Similarity {
       .where(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => r.getSeq[Float](1).toArray)
     require(cents.nonEmpty, "no centroid vectors found")
-    val centArr = array(cents.map { case (id, v) =>
-      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
-    }: _*)
+    ivfKnnWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** IVF search against explicit centroid vectors (bucket id = index) —
+    * pair with [[kmeansCentroids]] for trained buckets. */
+  def ivfKnnWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int = 2): DataFrame = {
+    val centArr = array(centroids.zipWithIndex.map { case (v, i) =>
+      struct(lit(i.toLong).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
+    }.toIndexedSeq: _*)
 
     def bucketsOf(vec: org.apache.spark.sql.Column, n: Int) =
       slice(transform(
