@@ -848,6 +848,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- additive ranking family (absent in reference; §2.6 last row) ----
+    "q90_rank_family" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val w = Window.orderBy(col("v").asc, col("k").asc)
+      d.df.select(col("k"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"))
+        .where(col("rnk") <= 20)
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1517,6 +1529,16 @@ object SparkEntry {
         |       ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS nw
         |  FROM documents)
         |SELECT sum(np) AS total_pieces, round(avg(np),6) AS avg_pieces,
-        |sum(nw) AS total_ws_tokens FROM b""".stripMargin
+        |sum(nw) AS total_ws_tokens FROM b""".stripMargin,
+
+    "q90_rank_family" ->
+      s"""$dailySql, r AS (
+         |SELECT k,
+         |rank() OVER w AS rnk,
+         |dense_rank() OVER w AS drnk,
+         |ntile(4) OVER w AS quartile,
+         |round(percent_rank() OVER w, 6) AS prank
+         |FROM daily WINDOW w AS (ORDER BY v ASC, k ASC))
+         |SELECT * FROM r WHERE rnk <= 20""".stripMargin
   )
 }

@@ -163,6 +163,23 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
   def append(other: KFrame): KFrame =
     keyed(df.unionByName(other.df, allowMissingColumns = true), ord = false)
 
+  /** Duplicate-row-key rejection, opt-in (the reference rejects duplicates at
+    * index construction, src/Indices/LinearIndex.fs:53-56; SURVEY §7.4.10
+    * makes the check opt-in here since it costs a shuffle at scale).
+    * Distributed assertion via raise_error — no driver collect. */
+  def assertUniqueKeys: KFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val checked = df
+      .withColumn("__kn", count(lit(1)).over(w))
+      .withColumn(keyCols.head,
+        when(col("__kn") > 1, raise_error(concat(
+          lit(s"duplicate row key (${keyCols.mkString(",")}): "),
+          col(keyCols.head).cast("string"))))
+          .otherwise(col(keyCols.head)))
+      .drop("__kn")
+    keyed(checked)
+  }
+
   // ---- grouping (reference src/Frame.fs:826-839) ----
 
   /** GroupRowsBy — group rows by a column: becomes a 2-level row key

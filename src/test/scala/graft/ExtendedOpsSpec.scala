@@ -78,6 +78,26 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("assertUniqueKeys raises on duplicate row keys, passes on unique (reference LinearIndex.fs:53-56)") {
+    val ok = KFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), Seq("id"))
+    assert(ok.assertUniqueKeys.df.count() === 2)
+    val dup = KFrame(Seq((1L, "a"), (1L, "b")).toDF("id", "x"), Seq("id"))
+    val ex = intercept[Exception](dup.assertUniqueKeys.df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("duplicate row key")))
+  }
+
+  test("approx_count_distinct (HLL) lands within 5% of exact at corpus scale") {
+    val df = (1 to 20000).map(i => (i.toLong, s"doc_${i % 7321}")).toDF("id", "fp")
+    val r = df.agg(
+      countDistinct(col("fp")).as("exact"),
+      approx_count_distinct(col("fp"), 0.01).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    // rsd=0.01 → assert within 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact < 0.03, s"exact=$exact approx=$approx")
+  }
+
   test("transpose swaps axes on a small aggregated frame") {
     val df = Seq(("A", 1.0, 10.0), ("B", 2.0, 20.0)).toDF("key", "x", "y")
     val r = KFrame(df, Seq("key")).transpose(Seq("A", "B")).df
