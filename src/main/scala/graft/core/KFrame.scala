@@ -158,6 +158,26 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
     KFrame(out, Seq(keyCols.head), ordered = false)
   }
 
+  /** Frame.zipAlign — combine shared columns after as-of-aligning the other
+    * frame's rows to THIS frame's row keys (reference Frame.zipAlign with
+    * JoinKind.Inner columns × JoinKind.Left rows × Lookup, the market-cap /
+    * enterprise-value pattern of tests/.../Frame.fs:317-470). Keeps this
+    * frame's keys; each shared column of `other` is independently
+    * fill-then-as-of carried (reference JoinHelpers.fs:49-53). */
+  def zipAlign(other: KFrame, lookup: Lookup)(op: (Column, Column) => Column): KFrame = {
+    val shared = dataCols.toSet.intersect(other.dataCols.toSet).toSeq.sorted
+    require(shared.nonEmpty, "zipAlign: no shared columns")
+    val l = df.select(
+      (key.as("__k") +: shared.map(c => col(c).as(s"__l_$c"))): _*)
+    val r = other.df.select((other.key.as("__rk") +: shared.map(col)): _*)
+    val carried = AsOf.join(l, "__k", r, "__rk", shared, lookup)
+    KFrame(
+      carried.select(
+        (col("__k").as(keyCols.head) +:
+          shared.map(c => op(col(s"__l_$c"), col(c)).as(c))): _*),
+      Seq(keyCols.head), ordered)
+  }
+
   /** frame.Append — concatenate; column sets unioned, missing padded
     * (reference src/Frame.fs:171-207). */
   def append(other: KFrame): KFrame =
