@@ -57,6 +57,18 @@ final case class KSeries(
   private def result(d: DataFrame, ord: Boolean = ordered): KSeries =
     KSeries(d, keyCol, valueCol, ord)
 
+  /** Computed values are re-canonicalized like the reference (Select
+    * re-normalizes NaN→missing at vector construction, reference
+    * src/Vectors/ArrayVector.fs:213-223): a 0/0 produced by a map or a zip
+    * is MISSING, not a NaN data value. Only floating-point results need it. */
+  private def canonical(d: DataFrame): DataFrame =
+    d.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        d.withColumn(valueCol,
+          when(isnan(col(valueCol)), lit(null)).otherwise(col(valueCol)))
+      case _ => d
+    }
+
   /** Ordered-only ops mirror the reference's hard error on unordered indices
     * (reference src/Indices/LinearIndex.fs:210-211,263-264). */
   private def requireOrdered(op: String): Unit =
@@ -66,11 +78,11 @@ final case class KSeries(
 
   /** Series.mapValues — missing-propagating map over values. */
   def mapValues(f: Column => Column): KSeries =
-    result(df.select(k.as(keyCol), when(v.isNotNull, f(v)).as(valueCol)))
+    result(canonical(df.select(k.as(keyCol), when(v.isNotNull, f(v)).as(valueCol))))
 
   /** Series.mapAll — map seeing & producing missingness (no null guard). */
   def mapAll(f: Column => Column): KSeries =
-    result(df.select(k.as(keyCol), f(v).as(valueCol)))
+    result(canonical(df.select(k.as(keyCol), f(v).as(valueCol))))
 
   /** Series.mapKeys — re-key; orderedness invalidated like the reference. */
   def mapKeys(f: Column => Column): KSeries =
@@ -121,9 +133,9 @@ final case class KSeries(
     * (reference src/SeriesModule.fs:1024-1034). */
   def zipWith(other: KSeries, kind: JoinKind)(op: (Column, Column) => Column): KSeries = {
     val z = zip(other, kind)
-    result(z.select(col("k").as(keyCol),
+    result(canonical(z.select(col("k").as(keyCol),
       when(col("v1").isNotNull && col("v2").isNotNull, op(col("v1"), col("v2")))
-        .as(valueCol)), ord = false)
+        .as(valueCol))), ord = false)
   }
 
   /** Series.Union — key-union merge with overlap policy

@@ -95,6 +95,18 @@ class KSeriesSpec extends SparkSpecBase {
     assert(m === 2.0)
   }
 
+  test("computed NaN re-canonicalizes to missing (reference ArrayVector.fs:213-223)") {
+    // sqrt of a negative inside a map or zip yields MISSING, not a NaN data
+    // value — the reference re-normalizes at every vector construction
+    val z = s((1L, -4.0), (2L, 4.0))
+    val mapped = z.mapValues(v => sqrt(v))
+    assert(collectKV(mapped.df) === Seq((1L, None), (2L, Some(2.0))))
+    val zipped = s((1L, 1.0), (2L, 9.0)).zipWith(z, JoinKind.Outer)((a, b) => sqrt(a * b))
+    assert(collectKV(zipped.df) === Seq((1L, None), (2L, Some(6.0))))
+    // and aggregates then skip it
+    assert(mapped.df.agg(avg(col("v"))).head.getDouble(0) === 2.0)
+  }
+
   test("shift and diff are positional over key order (reference SeriesModule.fs:169-219)") {
     val in = s((1L, 10.0), (2L, 20.0), (3L, 40.0))
     assert(collectKV(in.shift(1).df) === Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0))))
