@@ -860,6 +860,20 @@ object SparkEntry {
         .where(col("rnk") <= 20)
     }),
 
+    // ---- §2.4 Frame.zipAlign: daily totals ÷ monthly average, as-of ----
+    "q91_zip_align" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dailyFO = o.groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("F"),
+          sum(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("O"))
+      val monthlyFO = o.groupBy(trunc(col("o_orderdate"), "month").cast("date").as("k"))
+        .agg(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("F"),
+          avg(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("O"))
+      KFrame(dailyFO, Seq("k"), ordered = true)
+        .zipAlign(KFrame(monthlyFO, Seq("k"), ordered = true), Lookup.NearestSmaller)(_ / _)
+        .df.select(col("k"), round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1539,6 +1553,24 @@ object SparkEntry {
          |ntile(4) OVER w AS quartile,
          |round(percent_rank() OVER w, 6) AS prank
          |FROM daily WINDOW w AS (ORDER BY v ASC, k ASC))
-         |SELECT * FROM r WHERE rnk <= 20""".stripMargin
+         |SELECT * FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q91_zip_align" ->
+      """WITH df AS (
+        |SELECT CAST(o_orderdate AS DATE) AS k,
+        |sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS F,
+        |sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS O
+        |FROM orders GROUP BY 1),
+        |mf AS (
+        |SELECT date_trunc('month', o_orderdate)::DATE AS m,
+        |avg(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS F,
+        |avg(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS O
+        |FROM orders GROUP BY 1)
+        |SELECT k,
+        |round(df.F / (SELECT mf.F FROM mf WHERE mf.m <= df.k AND mf.F IS NOT NULL
+        |              ORDER BY mf.m DESC LIMIT 1), 6) AS F,
+        |round(df.O / (SELECT mf.O FROM mf WHERE mf.m <= df.k AND mf.O IS NOT NULL
+        |              ORDER BY mf.m DESC LIMIT 1), 6) AS O
+        |FROM df""".stripMargin
   )
 }
