@@ -1195,7 +1195,7 @@ object SparkEntry {
 
     "q40_token_corpus" ->
       s"""WITH $tokSql
-         |SELECT count(*) AS n_docs, sum(n_tok) AS total_tokens,
+         |SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          |round(avg(n_tok), 6) AS avg_tokens,
          |count(DISTINCT md5(regexp_replace(lower(t), '[^a-z0-9]', '', 'g'))) AS n_unique
          |FROM toks""".stripMargin,
@@ -1542,8 +1542,8 @@ object SparkEntry {
         |  CASE WHEN length(trim(text))=0 THEN 0
         |       ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS nw
         |  FROM documents)
-        |SELECT sum(np) AS total_pieces, round(avg(np),6) AS avg_pieces,
-        |sum(nw) AS total_ws_tokens FROM b""".stripMargin,
+        |SELECT CAST(sum(np) AS BIGINT) AS total_pieces, round(avg(np),6) AS avg_pieces,
+        |CAST(sum(nw) AS BIGINT) AS total_ws_tokens FROM b""".stripMargin,
 
     "q90_rank_family" ->
       s"""$dailySql, r AS (

@@ -48,7 +48,9 @@ object Vectors {
   def minhashSignatureFast(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (shingles: Seq[String]) =>
       val mins = Array.fill(k)(Long.MaxValue)
-      shingles.foreach { s =>
+      // null input → empty-set signature (all-MaxValue), consistent with the
+      // pure-Column Text functions' null propagation rather than an NPE
+      (if (shingles == null) Seq.empty[String] else shingles).foreach { s =>
         val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong * 0x9E3779B97F4A7C15L
         var i = 0
         while (i < k) {
@@ -78,27 +80,33 @@ object Vectors {
     * all-pairs hot paths. */
   def dotFast: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float], b: Seq[Float]) =>
-      var acc = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
+      if (a == null || b == null) 0.0
+      else {
+        var acc = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
     }
 
   /** Compiled squared-L2 norm over a float array. */
   def norm2SqFast: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float]) =>
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-      acc
+      if (a == null) 0.0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+        acc
+      }
     }
 
   /** Compiled word n-gram shingling (single-space tokenization), identical
     * output to `array_distinct(Text.shingles(text, n))`. */
   def shinglesFast(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val ws = text.trim.split(" ", -1)
+      val ws = if (text == null) Array.empty[String] else text.trim.split(" ", -1)
       if (ws.length < n) Array.empty[String]
       else {
         val out = new scala.collection.mutable.LinkedHashSet[String]
@@ -120,7 +128,7 @@ object Vectors {
     val rows = numHashes / bands
     udf { (shingles: Seq[String]) =>
       val mins = Array.fill(numHashes)(Long.MaxValue)
-      shingles.foreach { s =>
+      (if (shingles == null) Seq.empty[String] else shingles).foreach { s =>
         val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong * 0x9E3779B97F4A7C15L
         var i = 0
         while (i < numHashes) {
@@ -154,7 +162,7 @@ object Vectors {
   def simhash: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (tokens: Seq[String]) =>
       val counts = new Array[Int](64)
-      tokens.foreach { t =>
+      (if (tokens == null) Seq.empty[String] else tokens).foreach { t =>
         val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong * 0x9E3779B97F4A7C15L
         var j = 0
         while (j < 64) {
@@ -171,13 +179,49 @@ object Vectors {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Compiled nearest-centroid assignment: for a vector column, the ids of
+    * the `n` centroids with highest cosine similarity (ties → lower id), as
+    * `array<bigint>`. The centroid model is captured in the closure (k×dim
+    * floats — model-sized, broadcast with the task), centroid norms
+    * precomputed once per executor. Replaces the interpreted
+    * `array_sort(transform(...))` argmax (~µs per element-lambda, the
+    * round-1 IVF hot-spot) with one JVM call per row. */
+  def nearestCentroids(cents: Array[Array[Float]], n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val norms = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    udf { (vec: Seq[Float]) =>
+      if (vec == null) Array.empty[Long]
+      else {
+        val a = vec.toArray
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+        val nv = math.sqrt(s)
+        val sims = new Array[Double](cents.length)
+        var c = 0
+        while (c < cents.length) {
+          var dot = 0.0; var j = 0
+          val m = math.min(a.length, cents(c).length)
+          while (j < m) { dot += a(j).toDouble * cents(c)(j); j += 1 }
+          sims(c) = if (nv == 0 || norms(c) == 0) -2.0 else dot / (nv * norms(c))
+          c += 1
+        }
+        // top-n by (sim desc, id asc) — same order as sorting (-sim, cid)
+        Array.range(0, cents.length).sortBy(i => (-sims(i), i)).take(n).map(_.toLong)
+      }
+    }
+  }
+
   /** Random-hyperplane LSH signature (Charikar SimHash for real vectors):
     * bit p = sign of <v, r_p> for `planes` (≤64) pseudo-random hyperplanes.
     * Plane components are deterministic ±1s derived by hashing (plane, dim) —
     * no stored model, identical across executors. Cosine-similar vectors
     * agree on most bits. Compiled kernel (UDF) like [[minhashSignatureFast]]. */
   def rpSignature(planes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (vec: Seq[Float]) =>
+    udf { (vec0: Seq[Float]) =>
+      val vec = if (vec0 == null) Seq.empty[Float] else vec0
       var sig = 0L
       var p = 0
       while (p < planes) {

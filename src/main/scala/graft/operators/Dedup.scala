@@ -161,32 +161,19 @@ object Dedup {
     val cand = blocks.join(blocks.withColumnRenamed("id", "id2"), Seq("b"))
       .where(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
-    // verify candidates against a broadcast vector map (same pattern as the
-    // exact baseline: ship ids through the shuffle, never the vectors)
-    import vecs.sparkSession.implicits._
-    val all: Map[Long, (Array[Float], Double)] =
-      sigd.select(col("id"), col("v")).as[(Long, Seq[Float])].collect()
-        .map { case (id, v) =>
-          val a = v.toArray
-          var s = 0.0
-          var i = 0
-          while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-          id -> (a, math.sqrt(s))
-        }.toMap
-    val bc = vecs.sparkSession.sparkContext.broadcast(all)
-    cand.as[(Long, Long)].mapPartitions { pairs =>
-      val m = bc.value
-      pairs.flatMap { case (ia, ib) =>
-        val (a, na) = m(ia)
-        val (b, nb) = m(ib)
-        var dot = 0.0
-        var j = 0
-        val n = math.min(a.length, b.length)
-        while (j < n) { dot += a(j).toDouble * b(j).toDouble; j += 1 }
-        val cos = dot / (na * nb)
-        if (cos >= threshold) Some((ia, ib, cos)) else None
-      }
-    }.toDF("id_a", "id_b", "c")
+    // Verify candidates by joining ids back to the vectors DF — the same
+    // shape as [[minhashLsh]]'s shingle join-back: only (band, id) pairs ride
+    // the candidate shuffle, and the vector payload is attached once,
+    // post-candidate, via two equi-joins that AQE can broadcast when the
+    // candidate set is small. Nothing data-sized ever reaches the driver.
+    // Scoring uses the codegen dot_f32 / norm2_f32 kernels.
+    val vdf = sigd.select(col("id"), col("v"),
+      sqrt(call_function("norm2_f32", col("v"))).as("nrm"))
+    cand
+      .join(vdf.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(vdf.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("c", call_function("dot_f32", col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
   }
 

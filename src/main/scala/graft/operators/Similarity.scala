@@ -128,22 +128,15 @@ object Similarity {
       k: Int,
       centroids: Array[Array[Float]],
       nprobe: Int = 2): DataFrame = {
-    val centArr = array(centroids.zipWithIndex.map { case (v, i) =>
-      struct(lit(i.toLong).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
-    }.toIndexedSeq: _*)
-
-    def bucketsOf(vec: org.apache.spark.sql.Column, n: Int) =
-      slice(transform(
-        array_sort(transform(centArr,
-          c => struct((-Vectors.cosine(vec, c("cvec"))).as("negsim"), c("cid").as("cid")))),
-        s => s("cid")), 1, n)
-
+    // Compiled assignment kernel: one JVM call per row against the captured
+    // centroid model (round-1 lesson: nested HOF argmax is interpreted and
+    // was the IVF hot-spot).
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(call_function("norm2_f32", col(vecCol))).as("cn"))
-      .withColumn("bucket", bucketsOf(col("cv"), 1)(0))
+      .withColumn("bucket", Vectors.nearestCentroids(centroids, 1)(col("cv"))(0))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(call_function("norm2_f32", col(vecCol))).as("qn"))
-      .withColumn("bucket", explode(bucketsOf(col("qv"), nprobe)))
+      .withColumn("bucket", explode(Vectors.nearestCentroids(centroids, nprobe)(col("qv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", call_function("dot_f32", col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -18,10 +18,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Strictly array<float> (either nullability): these are session-wide SQL
+  // functions, and accepting any ArrayType would silently read mis-sized
+  // element slots (array<double>/array<bigint>) as garbage floats instead of
+  // failing analysis. Null ELEMENTS are read as 0.0 (documented; parquet
+  // array columns are containsNull=true by default, so rejecting them would
+  // reject every scanned embedding column).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType, containsNull = false)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(FloatType, containsNull = true)) ||
-        Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]))
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"dot_f32 expects two array<float> arguments, got ${left.dataType} and ${right.dataType}")
@@ -34,7 +41,11 @@ case class DotF32(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     acc
   }
 
@@ -47,7 +58,9 @@ case class DotF32(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -62,10 +75,13 @@ case class DotF32(left: Expression, right: Expression)
 case class Norm2F32(child: Expression)
     extends UnaryExpression {
 
+  // See DotF32: strictly array<float>, null elements read as 0.0.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"norm2_f32 expects an array<float> argument, got ${child.dataType}")
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"norm2_f32 expects an array<float> argument, got $other")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm2_f32"
 
@@ -74,7 +90,10 @@ case class Norm2F32(child: Expression)
     var acc = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getFloat(i).toDouble; acc += v * v; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i)) { val v = x.getFloat(i).toDouble; acc += v * v }
+      i += 1
+    }
     acc
   }
 
@@ -88,8 +107,10 @@ case class Norm2F32(child: Expression)
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $a.getFloat($i);
-         |  $acc += $v * $v;
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = (double) $a.getFloat($i);
+         |    $acc += $v * $v;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

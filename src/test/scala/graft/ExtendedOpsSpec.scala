@@ -78,6 +78,22 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("embeddingNearDupLsh builds its plan without any driver-side job (no data collect)") {
+    // Round-1 verdict: the scale path must not materialize the corpus on the
+    // driver. Plan CONSTRUCTION must therefore launch zero Spark jobs — the
+    // candidate verify is expressed as id-joins back to the vectors DF.
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => ((i % 5) * 8 + d).toFloat / 40f))
+    }.toDF("vec_id", "embedding")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9)
+    df.queryExecution.executedPlan // force planning too
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      s"plan construction ran ${after - before} Spark job(s) — driver-side materialization")
+    assert(df.collect().nonEmpty)
+  }
+
   test("assertUniqueKeys raises on duplicate row keys, passes on unique (reference LinearIndex.fs:53-56)") {
     val ok = KFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), Seq("id"))
     assert(ok.assertUniqueKeys.df.count() === 2)

@@ -27,6 +27,26 @@ class VectorExprSpec extends SparkSpecBase {
     }
   }
 
+  test("non-float array arguments fail analysis instead of reading garbage") {
+    val dbl = Seq((1L, Seq(1.0, 2.0))).toDF("id", "a")
+    val ex = intercept[Exception](
+      dbl.select(call_function("dot_f32", col("a"), col("a"))).collect())
+    assert(ex.getMessage.contains("dot_f32"))
+    val ex2 = intercept[Exception](
+      dbl.select(call_function("norm2_f32", col("a"))).collect())
+    assert(ex2.getMessage.contains("norm2_f32"))
+  }
+
+  test("null ELEMENTS are read as 0.0, not NPE") {
+    val withNullElem = Seq((1L, Seq(Some(3.0f), None, Some(4.0f))))
+      .toDF("id", "a")
+    val r = withNullElem.select(
+      call_function("norm2_f32", col("a")).as("n"),
+      call_function("dot_f32", col("a"), col("a")).as("d")).head
+    assert(r.getDouble(0) === 25.0)
+    assert(r.getDouble(1) === 25.0)
+  }
+
   test("null inputs yield null") {
     val withNull = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "a")
     val r = withNull.select(call_function("norm2_f32", col("a"))).head

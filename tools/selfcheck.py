@@ -67,6 +67,13 @@ for name in sorted(os.listdir(out_dir)):
     bad = None
     for c in got.columns:
         g, w = got[c], want[c]
+        # Driver hashes exact values: Spark int64 vs DuckDB HUGEINT-as-float64
+        # (e.g. sum over an integer expr) stringifies 27165 vs 27165.0 and
+        # fails the hash even when numerically equal. Mirror that strictness.
+        if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w):
+            bad = (f"col {c}: dtype class mismatch {g.dtype} vs {w.dtype} "
+                   f"(int-vs-float hashes differently on the driver; add CASTs)")
+            break
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             gv, wv = g.astype(float).values, w.astype(float).values
             both_nan = np.isnan(gv) & np.isnan(wv)
