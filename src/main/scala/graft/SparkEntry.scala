@@ -437,6 +437,10 @@ object SparkEntry {
     }),
 
     // ---- dedup: SimHash near-dup pairs (rows-only) ----
+    // NOTE row-count change vs round 1 (650 → 1463 at sf0.01): the old
+    // 16-bit-chunk blocking only guaranteed recall for Hamming ≤ 3 and
+    // silently found 44% of true pairs at maxHamming=8; the pigeonhole
+    // block-combo scheme is exact (1463 == brute-force all-pairs count).
     "q43_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
     }),

@@ -179,6 +179,44 @@ object Vectors {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Pigeonhole blocking keys for SimHash candidate generation (the
+    * multi-block scheme of Manku-Jain-Sarma, "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07): split the 64-bit fingerprint into `nBlocks`
+    * blocks; a pair within Hamming distance `nBlocks - comboSize` has at
+    * least `comboSize` clean (bit-identical) blocks, so it agrees exactly on
+    * at least one `comboSize`-subset — emit every subset's packed value as a
+    * key. Versus single-chunk blocking this widens the key from 64/nBlocks
+    * bits to comboSize× that, so bucket cardinality keeps scaling with the
+    * corpus instead of saturating (2^16 buckets was the round-1 scale flaw:
+    * at billions of docs every bucket holds ~n/65k rows and the candidate
+    * self-join explodes quadratically). Compiled kernel; key packing is
+    * injective per combo, so no false bucket collisions beyond genuine
+    * block agreement. */
+  def simhashBlockKeys(nBlocks: Int, comboSize: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(comboSize <= nBlocks && nBlocks <= 64, s"bad blocking ($nBlocks, $comboSize)")
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val combos = (0 until nBlocks).combinations(comboSize).map(_.toArray).toArray
+    require(combos.forall(c => 6 + c.map(widths).sum <= 63), "combo key overflows a long")
+    udf { (fp: Long) =>
+      val keys = new Array[Long](combos.length)
+      var c = 0
+      while (c < combos.length) {
+        var key = c.toLong // combo id in the high bits — distinct key spaces
+        val combo = combos(c)
+        var t = 0
+        while (t < combo.length) {
+          val b = combo(t)
+          key = (key << widths(b)) | ((fp >>> starts(b)) & ((1L << widths(b)) - 1))
+          t += 1
+        }
+        keys(c) = key
+        c += 1
+      }
+      keys
+    }
+  }
+
   /** Compiled nearest-centroid assignment: for a vector column, the ids of
     * the `n` centroids with highest cosine similarity (ties → lower id), as
     * `array<bigint>`. The centroid model is captured in the closure (k×dim

@@ -63,10 +63,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: fingerprint every doc, block on 16-bit chunks of
-    * the fingerprint (a doc pair within Hamming distance 3 of a 64-bit hash
-    * must agree exactly on at least one of 4 chunks — pigeonhole), verify by
-    * Hamming distance. */
+  /** SimHash near-dup pairs: fingerprint every doc, generate candidates by
+    * exact-match on pigeonhole block-combination keys (Manku-Jain-Sarma
+    * WWW'07: `maxHamming + 3` blocks, every 3-block subset as a key — a pair
+    * within `maxHamming` has ≥3 clean blocks, hence shares at least one
+    * subset key; see [[Vectors.simhashBlockKeys]]), verify by Hamming
+    * distance. Recall is exact (guaranteed 1.0 for Hamming ≤ maxHamming),
+    * and the ~33-bit keys keep bucket sizes ~O(1) at corpus scale where the
+    * round-1 16-bit chunks saturated at 65k buckets. */
   def simhash(
       docs: DataFrame,
       idCol: String,
@@ -74,13 +78,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val fp = docs.select(col(idCol).as("id"),
       Vectors.simhash(Text.tokens(col(textCol))).as("fp"))
-    val chunked = fp.select(col("id"), col("fp"),
-      explode(transform(sequence(lit(0), lit(3)),
-        i => struct(i.as("chunk"),
-          call_function("shiftright", col("fp"), i * 16).bitwiseAND(0xFFFFL).as("key")))).as("c"))
-    val l = chunked.select(col("c"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = chunked.select(col("c"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("c")).where(col("id_a") < col("id_b"))
+    val keyed = fp.select(col("id"), col("fp"),
+      explode(Vectors.simhashBlockKeys(maxHamming + 3, 3)(col("fp"))).as("k"))
+    val l = keyed.select(col("k"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = keyed.select(col("k"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("k")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "fp_a", "fp_b").distinct()
       .withColumn("hamming", Vectors.hamming64(col("fp_a"), col("fp_b")))
       .where(col("hamming") <= maxHamming)

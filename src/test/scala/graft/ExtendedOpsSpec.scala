@@ -78,6 +78,39 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("simhash block-combo keys: exact recall vs brute-force Hamming, fewer candidates than 16-bit chunks") {
+    import graft.functions.{Text, Vectors}
+    // near-dup clusters: base docs + variants differing in a few tokens
+    val docs = (0L until 120L).map { i =>
+      val base = (0 until 30).map(w => s"w${(i % 10) * 100 + w}").mkString(" ")
+      val tweak = if (i >= 100) s" extra${i}" else ""
+      (i, base + tweak)
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: brute-force all-pairs Hamming over the same fingerprints
+    val fp = docs.select(col("doc_id").as("id"),
+      Vectors.simhash(Text.tokens(col("text"))).as("fp"))
+    val l = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    val brute = l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .where(Vectors.hamming64(col("fp_a"), col("fp_b")) <= 3)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute, "pigeonhole blocking must have recall 1.0 for Hamming<=3")
+    // scale rationale: candidate volume under 33-bit combo keys vs 16-bit
+    // chunks — the combo scheme must not produce MORE candidates
+    def candidates(keyed: org.apache.spark.sql.DataFrame): Long =
+      keyed.select(col("k"), col("id").as("id_a"))
+        .join(keyed.select(col("k"), col("id").as("id_b")), Seq("k"))
+        .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().count()
+    val combo = fp.select(col("id"),
+      explode(Vectors.simhashBlockKeys(6, 3)(col("fp"))).as("k"))
+    val chunk16 = fp.select(col("id"),
+      explode(Vectors.simhashBlockKeys(4, 1)(col("fp"))).as("k"))
+    assert(candidates(combo) <= candidates(chunk16))
+  }
+
   test("embeddingNearDupLsh builds its plan without any driver-side job (no data collect)") {
     // Round-1 verdict: the scale path must not materialize the corpus on the
     // driver. Plan CONSTRUCTION must therefore launch zero Spark jobs — the
