@@ -44,11 +44,22 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
   /** Declare the key ordered (sort realized lazily by ordered ops). */
   def sortRows: KFrame = KFrame(df.orderBy(keyCols.map(col): _*), keyCols, ordered = true)
 
-  /** indexRowsOrdinally — replace key with 0..n-1 in current key order. */
+  /** indexRowsOrdinally — replace key with 0..n-1 in current key order.
+    * Above `spark.graft.globalWindow.maxBytes` (single-key frames) the
+    * numbering delegates to [[graft.operators.OrderedScan.rowNumber]] — the
+    * global `Window.orderBy` form would serialize the frame through one
+    * task. */
   def indexRowsOrdinally: KFrame = {
-    val w = Window.orderBy(keyCols.map(col): _*)
-    KFrame(df.withColumn("__ord", row_number().over(w) - 1).drop(keyCols: _*),
-      Seq("__ord"), ordered = true)
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.globalWindow.maxBytes", KSeries.DefaultGlobalWindowMaxBytes.toString).toLong
+    if (keyCols.size == 1 && df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes)
+      KFrame(graft.operators.OrderedScan.rowNumber(df, keyCols.head, "__ord")
+        .drop(keyCols: _*), Seq("__ord"), ordered = true)
+    else {
+      val w = Window.orderBy(keyCols.map(col): _*)
+      KFrame(df.withColumn("__ord", (row_number().over(w) - 1).cast("long")).drop(keyCols: _*),
+        Seq("__ord"), ordered = true)
+    }
   }
 
   // ---- column ops (reference src/Frame.fs:315-414) ----

@@ -74,6 +74,18 @@ final case class KSeries(
   private def requireOrdered(op: String): Unit =
     require(ordered, s"$op requires an ordered series (reference LinearIndex.fs:210-211)")
 
+  /** Auto-routing for unpartitioned ordered ops (shift/diff/fill): above
+    * this estimated plan size, a global `Window.orderBy` would serialize the
+    * whole series through ONE task, so the op delegates to the
+    * partition-stitched [[graft.operators.OrderedScan]] form (bucket shuffle
+    * + broadcast carry) instead. Plan-time decision from Catalyst statistics
+    * — no job is run to decide. Tunable via `spark.graft.globalWindow.maxBytes`. */
+  private def isLargeForGlobalWindow: Boolean = {
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.globalWindow.maxBytes", KSeries.DefaultGlobalWindowMaxBytes.toString).toLong
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes
+  }
+
   // ---- projection / filtering (reference src/Series.fs:229-286) ----
 
   /** Series.mapValues — missing-propagating map over values. */
@@ -221,16 +233,28 @@ final case class KSeries(
     * (reference src/SeriesModule.fs:207-219). */
   def shift(offset: Int, partitionBy: Seq[Column] = Nil): KSeries = {
     requireOrdered("shift")
-    val w = orderedWindow(partitionBy)
-    val shifted = if (offset >= 0) lag(v, offset).over(w) else lead(v, -offset).over(w)
-    result(df.select(k.as(keyCol), shifted.as(valueCol)))
+    if (partitionBy.isEmpty && isLargeForGlobalWindow)
+      result(graft.operators.OrderedScan.shift(df, keyCol, Seq(valueCol), offset)
+        .select(col(keyCol), col(valueCol)))
+    else {
+      val w = orderedWindow(partitionBy)
+      val shifted = if (offset >= 0) lag(v, offset).over(w) else lead(v, -offset).over(w)
+      result(df.select(k.as(keyCol), shifted.as(valueCol)))
+    }
   }
 
   /** Series.diff — x[i] - x[i-offset] (reference src/SeriesModule.fs:169-175). */
   def diff(offset: Int, partitionBy: Seq[Column] = Nil): KSeries = {
     requireOrdered("diff")
-    val w = orderedWindow(partitionBy)
-    result(df.select(k.as(keyCol), (v - lag(v, offset).over(w)).as(valueCol)))
+    if (partitionBy.isEmpty && isLargeForGlobalWindow) {
+      val shifted = graft.operators.OrderedScan.shift(
+        df.withColumn("__orig", v), keyCol, Seq(valueCol), offset)
+      result(shifted.select(col(keyCol),
+        (col("__orig") - col(valueCol)).as(valueCol)))
+    } else {
+      val w = orderedWindow(partitionBy)
+      result(df.select(k.as(keyCol), (v - lag(v, offset).over(w)).as(valueCol)))
+    }
   }
 
   /** Series.pairwise — consecutive (prev, cur); key = the later key
@@ -250,16 +274,26 @@ final case class KSeries(
     * graft.operators.OrderedScan.forwardFill. */
   def fillForward(partitionBy: Seq[Column] = Nil): KSeries = {
     requireOrdered("fillMissing")
-    val w = orderedWindow(partitionBy).rowsBetween(Window.unboundedPreceding, 0)
-    result(df.select(k.as(keyCol), last(v, ignoreNulls = true).over(w).as(valueCol)))
+    if (partitionBy.isEmpty && isLargeForGlobalWindow)
+      result(graft.operators.OrderedScan.forwardFill(df, keyCol, Seq(valueCol))
+        .select(col(keyCol), col(valueCol)))
+    else {
+      val w = orderedWindow(partitionBy).rowsBetween(Window.unboundedPreceding, 0)
+      result(df.select(k.as(keyCol), last(v, ignoreNulls = true).over(w).as(valueCol)))
+    }
   }
 
   /** fillMissing Direction.Backward. */
   def fillBackward(partitionBy: Seq[Column] = Nil): KSeries = {
     requireOrdered("fillMissing")
-    val base = if (partitionBy.isEmpty) Window.orderBy(k.desc) else Window.partitionBy(partitionBy: _*).orderBy(k.desc)
-    val w = base.rowsBetween(Window.unboundedPreceding, 0)
-    result(df.select(k.as(keyCol), last(v, ignoreNulls = true).over(w).as(valueCol)))
+    if (partitionBy.isEmpty && isLargeForGlobalWindow)
+      result(graft.operators.OrderedScan.backwardFill(df, keyCol, Seq(valueCol))
+        .select(col(keyCol), col(valueCol)))
+    else {
+      val base = if (partitionBy.isEmpty) Window.orderBy(k.desc) else Window.partitionBy(partitionBy: _*).orderBy(k.desc)
+      val w = base.rowsBetween(Window.unboundedPreceding, 0)
+      result(df.select(k.as(keyCol), last(v, ignoreNulls = true).over(w).as(valueCol)))
+    }
   }
 
   /** fillMissingWith constant. */
@@ -278,4 +312,11 @@ final case class KSeries(
     case Lookup.NearestGreater =>
       df.where(k >= key && v.isNotNull).orderBy(k.asc).limit(1)
   }
+}
+
+object KSeries {
+  /** Default size above which unpartitioned shift/diff/fill delegate to
+    * [[graft.operators.OrderedScan]] (see isLargeForGlobalWindow). 32 MiB:
+    * comfortably one window task below it, a single-task bottleneck above. */
+  val DefaultGlobalWindowMaxBytes: Long = 32L << 20
 }

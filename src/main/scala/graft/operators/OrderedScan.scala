@@ -34,9 +34,13 @@ object OrderedScan {
       case _ => col(keyCol).cast("double")
     }
 
-  /** Assign a range-bucket id column `__bucket` (0..buckets) using
+  /** Assign a range-bucket id column `__bucket` (-1..buckets) using
     * approx-quantile boundaries of the key. Rows with equal keys always land
-    * in the same bucket (boundaries are key values). */
+    * in the same bucket (boundaries are key values). Null keys get bucket -1
+    * — BEFORE every data bucket — matching the nulls-first order of the
+    * single-window form (`Window.orderBy` asc) these scans reproduce
+    * (approxQuantile itself ignores nulls, so they'd otherwise fall through
+    * the `<=` chain into the LAST bucket and diverge). */
   def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
     val keyed = df.withColumn("__knum", numericKey(df, keyCol))
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -44,7 +48,8 @@ object OrderedScan {
     val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
       case ((cut, i), elseExpr) => when(col("__knum") <= cut, i).otherwise(elseExpr)
     }
-    keyed.withColumn("__bucket", bucketExpr).drop("__knum")
+    keyed.withColumn("__bucket",
+      when(col("__knum").isNull, lit(-1)).otherwise(bucketExpr)).drop("__knum")
   }
 
   /** Global forward fill of `valueCols` in key order, distributed.
@@ -61,8 +66,11 @@ object OrderedScan {
       d.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wIn))
     }
     // one row per bucket: the last filled value of each column = the running
-    // fill at the bucket's max key
-    val lastAggs = valueCols.map(c => max_by(col(s"__f_$c"), col(keyCol)).as(s"__last_$c"))
+    // fill at the bucket's max key. Ordering proxy is null-safe (max_by over
+    // an all-null key — the null-key bucket — would itself return null and
+    // drop the carry).
+    val ordProxy = coalesce(numericKey(within, keyCol), lit(Double.MinValue))
+    val lastAggs = valueCols.map(c => max_by(col(s"__f_$c"), ordProxy).as(s"__last_$c"))
     val summary = within.groupBy(col("__bucket")).agg(lastAggs.head, lastAggs.tail: _*)
     // carry-in for bucket i = last non-null among buckets < i (tiny window)
     val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
@@ -98,6 +106,55 @@ object OrderedScan {
     within.join(broadcast(carry), Seq("__bucket"), "left_outer")
       .select(df.columns.map(col) :+
         (col("__cum") + col("__offset")).as(cumCol): _*)
+  }
+
+  /** Global backward fill — [[forwardFill]] mirrored (desc within buckets,
+    * carry-in from later buckets). */
+  def backwardFill(
+      df: DataFrame,
+      keyCol: String,
+      valueCols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = valueCols.foldLeft(b) { (d, c) =>
+      d.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wIn))
+    }
+    val ordProxy = coalesce(numericKey(within, keyCol), lit(Double.MinValue))
+    val lastAggs = valueCols.map(c => min_by(col(s"__f_$c"), ordProxy).as(s"__last_$c"))
+    val summary = within.groupBy(col("__bucket")).agg(lastAggs.head, lastAggs.tail: _*)
+    val wCarry = Window.orderBy(col("__bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = valueCols.foldLeft(summary) { (d, c) =>
+      d.withColumn(s"__carry_$c", last(col(s"__last_$c"), ignoreNulls = true).over(wCarry))
+    }.select(col("__bucket") +: valueCols.map(c => col(s"__carry_$c")): _*)
+    val joined = within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+    val outCols = df.columns.toSeq.map {
+      case c if valueCols.contains(c) => coalesce(col(s"__f_$c"), col(s"__carry_$c")).as(c)
+      case c => col(c)
+    }
+    joined.select(outCols: _*)
+  }
+
+  /** Global positional shift of `valueCols` by `offset` rows in key order,
+    * distributed: global row numbers (one bucket shuffle + broadcast) and a
+    * self-equi-join on the shifted position. Two shuffles total — never a
+    * single-task global window. Null where the source position falls off
+    * either end (same as `lag`/`lead`). */
+  def shift(
+      df: DataFrame,
+      keyCol: String,
+      valueCols: Seq[String],
+      offset: Int,
+      buckets: Int = 64): DataFrame = {
+    val rn = rowNumber(df, keyCol, "__g", buckets)
+    val src = rn.select((col("__g") + offset).as("__g") +:
+      valueCols.map(c => col(c).as(s"__s_$c")): _*)
+    rn.join(src, Seq("__g"), "left_outer")
+      .select(df.columns.toSeq.map {
+        case c if valueCols.contains(c) => col(s"__s_$c").as(c)
+        case c => col(c)
+      }: _*)
   }
 
   /** Global 0-based row number in key order, distributed. Appends `ordCol`.

@@ -48,4 +48,78 @@ class OrderedScanSpec extends SparkSpecBase {
     assert(got.take(50).forall(_._2.isEmpty))
     assert(got.drop(50).zipWithIndex.forall { case ((_, v), i) => v.contains((i + 50).toDouble) })
   }
+
+  test("backwardFill matches the single-window (desc) reference") {
+    val df = seriesDf(input: _*)
+    val got = collectKV(OrderedScan.backwardFill(df, "k", Seq("v"), buckets = 8))
+    // next multiple of 7 at or after i (last multiple <= 499 is 497)
+    val expect = (0 until n).map { i =>
+      val nx = (i + 6) / 7 * 7
+      (i.toLong, if (nx < n) Some(nx.toDouble) else None)
+    }
+    assert(got === expect)
+  }
+
+  test("shift matches lag over a single global window") {
+    val df = seriesDf(input: _*)
+    val got = OrderedScan.shift(df, "k", Seq("v"), 3, buckets = 8)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    val vals = input.map { case (_, v) => Option(v).map(_.doubleValue) }
+    val expect = (0 until n).map(i =>
+      (i.toLong, if (i < 3) None else vals(i - 3)))
+    assert(got.toSeq === expect)
+  }
+
+  test("null keys sort FIRST (parity with Window.orderBy asc nulls-first)") {
+    val rows = Seq[(java.lang.Long, java.lang.Double)](
+      (null, 99.0), (1L, null), (2L, null), (3L, 3.0))
+    val df = rows.toDF("k", "v")
+    // window form: null key first → its value is the carry-in for key 1,2
+    val got = OrderedScan.forwardFill(df, "k", Seq("v"), buckets = 4)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got === Set(
+      (None, Some(99.0)), (Some(1L), Some(99.0)),
+      (Some(2L), Some(99.0)), (Some(3L), Some(3.0))))
+    val ord = OrderedScan.rowNumber(df, "k", "ord", buckets = 4)
+      .where(col("k").isNull).select("ord").head.getLong(0)
+    assert(ord === 0L, "null key must be ordinal 0, as in Window.orderBy")
+  }
+
+  test("large unpartitioned KSeries ops auto-route away from the single-task global window") {
+    import graft.core.KSeries
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    spark.conf.set("spark.graft.globalWindow.maxBytes", "0") // everything is "large"
+    try {
+      val df = seriesDf(input: _*)
+      val s = KSeries(df, ordered = true)
+      for ((routed, label) <- Seq(
+          (s.fillForward(), "fillForward"), (s.fillBackward(), "fillBackward"),
+          (s.shift(2), "shift"), (s.diff(1), "diff"))) {
+        val plan = routed.df.queryExecution.executedPlan
+        val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        // any remaining unpartitioned window must sit over a tiny per-bucket
+        // aggregate (the carry table), never over the raw data
+        globalWindows.foreach { w =>
+          val overSummary = w.child.collect {
+            case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+          }.nonEmpty
+          assert(overSummary, s"$label: global window over non-aggregated input:\n$w")
+        }
+      }
+      // and the routed results agree with the window form
+      spark.conf.set("spark.graft.globalWindow.maxBytes", Long.MaxValue.toString)
+      val df2 = seriesDf(input: _*)
+      val sSmall = KSeries(df2, ordered = true)
+      spark.conf.set("spark.graft.globalWindow.maxBytes", "0")
+      val sLarge = KSeries(df2, ordered = true)
+      def kv(x: KSeries) = collectKV(x.df)
+      spark.conf.set("spark.graft.globalWindow.maxBytes", Long.MaxValue.toString)
+      val smallFF = kv(sSmall.fillForward()); val smallD = kv(sSmall.diff(1))
+      spark.conf.set("spark.graft.globalWindow.maxBytes", "0")
+      assert(kv(sLarge.fillForward()) === smallFF)
+      assert(kv(sLarge.diff(1)).sortBy(_._1) === smallD.sortBy(_._1))
+    } finally spark.conf.unset("spark.graft.globalWindow.maxBytes")
+  }
 }
