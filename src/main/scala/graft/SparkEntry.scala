@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{CustomAggs, Text, Vectors => V}
 import graft.operators._
-import graft.sources.Bucketing
+import graft.sources.{Bucketing, Csv}
 import graft.streaming.Streams
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -878,6 +878,40 @@ object SparkEntry {
         .df.select(col("k"), round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
     }),
 
+    // ---- §2.1 CSV culture round-trip: de-DE comma decimals + ';' separator
+    //      (reference FrameExtensions.fs:45-78; its test Frame.fs:32-49 is
+    //      exactly this custom-separator-plus-culture loop) ----
+    "q93_csv_culture" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_decsv_${java.util.UUID.randomUUID().toString.take(8)}"
+      val src = t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      Csv.write(src, tmp, separator = ";", culture = "de-DE", decimals = 2)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType)))
+      Csv.read(s, tmp, separator = ";", schema = Some(schema), culture = "de-DE")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+    }),
+
+    // ---- §2.8 3-level hierarchical key: stacked groupRowsBy + SimpleLookup
+    //      level slice + getRowLevel (reference MultiKey.fs:10-175) ----
+    "q92_level3_slice" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        col("o_orderstatus").as("st"),
+        col("o_totalprice"))
+      // 3-level row key (yr, mo, st) like the reference's nested tuple keys;
+      // pin level 2 (June) with a wildcard pattern, keep levels 1 and 3
+      val kf = KFrame(o, Seq("st"), ordered = false)
+        .groupRowsBy("mo").groupRowsBy("yr")
+        .lookupLevels(None, Some(6), None)
+      kf.df.groupBy(kf.getRowLevel(0).as("yr"), kf.getRowLevel(2).as("st"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+
     // ---- §2.5 unstack (split by key level = pivot) + stack back ----
     "q70_unstack_stack" -> ((s, dir) => {
       val grouped = t(s, dir, "orders")
@@ -1307,6 +1341,16 @@ object SparkEntry {
   )
 
   private def extendedOracleSql: Map[String, String] = Map(
+    "q93_csv_culture" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q92_level3_slice" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus AS st,
+        |count(*) AS n, round(sum(o_totalprice),4) AS total
+        |FROM orders WHERE month(o_orderdate) = 6
+        |GROUP BY 1, 2""".stripMargin,
+
     "q55_take_last" ->
       s"""$dailySql
          |SELECT k, round(v,4) AS v FROM daily ORDER BY k DESC LIMIT 15""".stripMargin,

@@ -215,9 +215,33 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
 
   /** GroupRowsBy — group rows by a column: becomes a 2-level row key
     * (group, origKey). Pure metadata + column reorder; no shuffle until an
-    * aggregation consumes it (SURVEY §2.5). */
+    * aggregation consumes it (SURVEY §2.5). Stacks: repeated calls build
+    * 3- and 4-level keys like the reference's nested tuple keys
+    * (reference src/Indices/MultiKey.fs:10-103). */
   def groupRowsBy(groupCol: String): KFrame =
     KFrame(df, groupCol +: keyCols, ordered = false)
+
+  /** Level-pattern slice over a hierarchical row key — the reference's
+    * `SimpleLookup`/`LookupAnyOfN` semantics at any arity (reference
+    * src/Indices/MultiKey.fs:92-160: `Some v` pins a level, `None`
+    * wildcards it; a pattern whose arity differs from the key's is an
+    * error). Pinned levels become plain equality predicates, so Catalyst
+    * pushes them into the scan (partition pruning on a partitioned level). */
+  def lookupLevels(pattern: Option[Any]*): KFrame = {
+    require(pattern.size == keyCols.size,
+      s"SimpleLookup.Matches: key has ${keyCols.size} levels, pattern has ${pattern.size} " +
+        "(reference MultiKey.fs:100-103)")
+    val conds = pattern.zip(keyCols).collect { case (Some(v), c) => col(c) === lit(v) }
+    keyed(conds.foldLeft(df)((d, c) => d.where(c)))
+  }
+
+  /** Pair.getNOfM — the key column at `level` (0-based; reference
+    * src/Indices/MultiKey.fs:164-175 and `ICustomKey.GetLevel`). */
+  def getRowLevel(level: Int): Column = {
+    require(level >= 0 && level < keyCols.size,
+      s"level $level out of range for ${keyCols.size}-level key")
+    col(keyCols(level))
+  }
 
   /** Frame.meanBy etc — grouped per-numeric-column aggregates
     * ("hierarchical aggregation", reference src/FrameModule.fs:413-435). */

@@ -78,6 +78,27 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("4-level hierarchical key: SimpleLookup wildcard patterns + getRowLevel (reference MultiKey.fs:92-175)") {
+    val df = Seq(
+      (2024, 1, "a", "x", 1.0), (2024, 2, "a", "y", 2.0),
+      (2025, 1, "b", "x", 3.0), (2025, 2, "b", "y", 4.0)).toDF("y", "m", "g", "s", "v")
+    // stacked groupRowsBy → 4-level key (y, m, g, s), like nested tuples
+    val kf = KFrame(df, Seq("s"), ordered = false)
+      .groupRowsBy("g").groupRowsBy("m").groupRowsBy("y")
+    assert(kf.keyCols === Seq("y", "m", "g", "s"))
+    // Lookup2Of4: pin level 2, wildcard the rest
+    val sliced = kf.lookupLevels(None, Some(1), None, None)
+    assert(sliced.df.select("v").collect().map(_.getDouble(0)).toSet === Set(1.0, 3.0))
+    // LookupAnyOf4 with two pinned levels
+    val multi = kf.lookupLevels(Some(2025), None, None, Some("y"))
+    assert(multi.df.select("v").collect().map(_.getDouble(0)).toSet === Set(4.0))
+    // getRowLevel projects a key level (0-based)
+    assert(sliced.df.select(sliced.getRowLevel(2)).collect().map(_.getString(0)).toSet === Set("a", "b"))
+    // arity mismatch is an error, like SimpleLookup.Matches
+    intercept[IllegalArgumentException](kf.lookupLevels(None, Some(1)))
+    intercept[IllegalArgumentException](kf.getRowLevel(4))
+  }
+
   test("simhash block-combo keys: exact recall vs brute-force Hamming, fewer candidates than 16-bit chunks") {
     import graft.functions.{Text, Vectors}
     // near-dup clusters: base docs + variants differing in a few tokens
