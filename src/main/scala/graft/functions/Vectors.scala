@@ -257,23 +257,41 @@ object Vectors {
     * Plane components are deterministic ±1s derived by hashing (plane, dim) —
     * no stored model, identical across executors. Cosine-similar vectors
     * agree on most bits. Compiled kernel (UDF) like [[minhashSignatureFast]]. */
-  def rpSignature(planes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def rpSignature(planes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // The ±1 plane components are row-independent: precompute the sign
+    // matrix once per executor (hashing (p,j) per ROW per element cost
+    // planes×dim tuple allocs + hashes per row — the round-2 q66 hot-spot).
+    // 4096 dims × 64 planes = 32 KB of booleans; rare longer vectors fall
+    // back to the hash formula, keeping output identical at any dim.
+    val maxDim = 4096
+    lazy val signs: Array[Array[Boolean]] = Array.tabulate(planes, maxDim) {
+      (p, j) => (scala.util.hashing.MurmurHash3.productHash((p, j)) & 1) == 1
+    }
+    def signAt(p: Int, j: Int): Boolean =
+      if (j < maxDim) signs(p)(j)
+      else (scala.util.hashing.MurmurHash3.productHash((p, j)) & 1) == 1
     udf { (vec0: Seq[Float]) =>
-      val vec = if (vec0 == null) Seq.empty[Float] else vec0
+      val vec: Array[Float] =
+        if (vec0 == null) Array.empty[Float]
+        else vec0 match {
+          case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+          case other => other.toArray
+        }
       var sig = 0L
       var p = 0
       while (p < planes) {
         var dotAcc = 0.0
         var j = 0
-        while (j < vec.length) {
-          // deterministic ±1 component for (plane p, dim j)
-          val h = scala.util.hashing.MurmurHash3.productHash((p, j))
-          dotAcc += (if ((h & 1) == 1) vec(j) else -vec(j))
-          j += 1
+        if (vec.length <= maxDim) {
+          val row = signs(p)
+          while (j < vec.length) { dotAcc += (if (row(j)) vec(j) else -vec(j)); j += 1 }
+        } else {
+          while (j < vec.length) { dotAcc += (if (signAt(p, j)) vec(j) else -vec(j)); j += 1 }
         }
         if (dotAcc > 0) sig |= (1L << p)
         p += 1
       }
       sig
     }
+  }
 }

@@ -30,6 +30,13 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** [[saveBucketed]] only if `table` is not already in the session catalog
+    * — lets a benchmark (or any repeated pipeline) pay the bucketing write
+    * once and time only the exchange-free join. */
+  def ensureBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      saveBucketed(df, table, keyCol, buckets)
+
   /** Join two bucketed tables on their bucket key — planner sees matching
     * output partitionings and elides both exchanges. */
   def bucketedJoin(
