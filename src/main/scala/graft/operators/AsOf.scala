@@ -29,6 +29,14 @@ import graft.core.Lookup
   * parallelizes perfectly. Without them Spark's window collapses to a single
   * task; for that shape prefer a range-partitioned sort + boundary-carry
   * stitch (see OrderedScan) — same algorithm, distributed.
+  *
+  * DATA-SIDE KEYS MUST BE UNIQUE (as the reference enforces at index
+  * construction, reference src/Indices/LinearIndex.fs:53-56). With
+  * duplicates the three physical forms can disagree on which duplicate's
+  * value is carried: the window form tie-breaks nondeterministically among
+  * equal (key, side) rows, while broadcastJoin/AsOfJoinExec take the last
+  * duplicate after a stable sort. Check with `KFrame.assertUniqueKeys` when
+  * in doubt — a distributed assertion, no collect.
   */
 object AsOf {
 
@@ -182,15 +190,18 @@ object AsOf {
     * → AsOfJoinStrategy → AsOfJoinExec): same broadcast algorithm as
     * [[broadcastJoin]] but planned as a first-class physical operator, so
     * `explain()` shows `AsOfJoinExec` and the planner knows the probe
-    * partitioning is preserved. Keys must be LongType; value DoubleType. */
+    * partitioning is preserved. Keys: long/int/date/timestamp (both sides
+    * the same type); value columns: any number, any type — each filled
+    * independently. */
   def joinNative(
       left: DataFrame,
       leftKey: String,
       right: DataFrame,
       rightKey: String,
-      valueCol: String,
-      direction: Lookup = Lookup.NearestSmaller): DataFrame = {
+      valueCols: Seq[String],
+      direction: Lookup): DataFrame = {
     require(direction != Lookup.Exact, "as-of join needs NearestSmaller/NearestGreater")
+    require(valueCols.nonEmpty, "joinNative needs at least one value column")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
@@ -198,16 +209,26 @@ object AsOf {
         throw new IllegalArgumentException(s"column $n not found"))
     val lk = attr(lPlan, leftKey)
     val rk = attr(rPlan, rightKey)
-    val rv = attr(rPlan, valueCol)
-    require(lk.dataType == org.apache.spark.sql.types.LongType &&
-      rk.dataType == org.apache.spark.sql.types.LongType,
-      s"joinNative needs LongType keys (got ${lk.dataType}/${rk.dataType}) — cast first")
-    require(rv.dataType == org.apache.spark.sql.types.DoubleType,
-      s"joinNative needs a DoubleType value (got ${rv.dataType}) — cast first")
-    val valueAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
-      valueCol, org.apache.spark.sql.types.DoubleType, nullable = true)()
+    val rvs = valueCols.map(attr(rPlan, _))
+    require(graft.plans.AsOfJoinNode.supportedKeyType(lk.dataType) &&
+      lk.dataType == rk.dataType,
+      s"joinNative needs matching long/int/date/timestamp keys " +
+        s"(got ${lk.dataType}/${rk.dataType}) — cast first")
+    val valueAttrs = rvs.map(rv =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        rv.name, rv.dataType, nullable = true)())
     org.apache.spark.sql.GraftShim.ofRows(left.sparkSession,
-      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, rv, valueAttr,
+      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, rk, rvs, valueAttrs,
         smaller = direction == Lookup.NearestSmaller))
   }
+
+  /** Single-value-column convenience form of [[joinNative]]. */
+  def joinNative(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      valueCol: String,
+      direction: Lookup = Lookup.NearestSmaller): DataFrame =
+    joinNative(left, leftKey, right, rightKey, Seq(valueCol), direction)
 }

@@ -39,14 +39,23 @@ object Streams {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg(events).writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    try {
+      val q = agg(events).writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // localCheckpoint pins the rows off the memory sink, so the sink table
+      // and scratch dir can be released — repeated calls in a long-lived
+      // session no longer accumulate sink tables (driver memory) or temp dirs
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      spark.catalog.dropTempView(name)
+      java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(srcDir)
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a watermark —

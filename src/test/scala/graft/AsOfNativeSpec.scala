@@ -40,10 +40,55 @@ class AsOfNativeSpec extends SparkSpecBase {
     assert(got === Set((2L, "x", Some(10.0)), (5L, "y", Some(50.0))))
   }
 
-  test("rejects non-long keys with a clear error") {
+  test("rejects unsupported keys with a clear error") {
     import spark.implicits._
     val badLeft = Seq(("a", 1)).toDF("g", "x")
     intercept[IllegalArgumentException](
       AsOf.joinNative(badLeft, "g", data, "k", "v"))
+  }
+
+  test("multiple value columns of mixed types carried, each filled independently") {
+    import spark.implicits._
+    val rich = Seq(
+      (1L, Some(10.0), Some("a"), Some(100L)),
+      (3L, None, Some("b"), None),
+      (5L, Some(50.0), None, Some(500L)))
+      .toDF("k", "v", "s", "n")
+    val p = probes(2L, 4L, 6L)
+    val got = AsOf.joinNative(p, "g", rich, "k", Seq("v", "s", "n"), Lookup.NearestSmaller)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // at 4: v fills through missing k=3 back to 10.0; s takes "b"; n fills to 100
+    assert(got === Set(
+      (2L, Some(10.0), Some("a"), Some(100L)),
+      (4L, Some(10.0), Some("b"), Some(100L)),
+      (6L, Some(50.0), Some("b"), Some(500L))))
+    // and agrees with the window form per column
+    val window = AsOf.join(p, "g", rich, "k", Seq("v", "s", "n"), Lookup.NearestSmaller)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === window)
+  }
+
+  test("date keys binary-search correctly") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val quotes = Seq((d("2024-01-01"), 1.0), (d("2024-02-01"), 2.0))
+      .toDF("day", "px")
+    val p = Seq(d("2024-01-15"), d("2024-02-15"), d("2023-12-15"))
+      .toDF("day")
+    val got = AsOf.joinNative(p, "day", quotes, "day", Seq("px"), Lookup.NearestSmaller)
+      .collect().map(r => (r.getDate(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(got === Set(
+      ("2024-01-15", Some(1.0)), ("2024-02-15", Some(2.0)), ("2023-12-15", None)))
+    // mixed key types rejected
+    val badProbe = Seq(1L).toDF("day")
+    intercept[IllegalArgumentException](
+      AsOf.joinNative(badProbe, "day", quotes, "day", Seq("px"), Lookup.NearestSmaller))
   }
 }
