@@ -899,6 +899,36 @@ object SparkEntry {
         .df.select(col("k"), round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
     }),
 
+    // ---- §2.2/§2.1 combined construction+projection surface: FromRecords,
+    //      mapKeys, mapAll, addSeries, getSeriesAs — the previously
+    //      spec-only rows, end-to-end against one oracle ----
+    "q94_series_ops" -> ((s, dir) => {
+      import s.implicits._
+      val d = daily(s, dir)
+      // mapKeys: re-key each day to its month (orderedness invalidated)
+      val monthly = d.mapKeys(k => trunc(k, "month").cast("date"))
+      // mapAll: sees missingness — missing days count as 0 before doubling
+      val doubled = monthly.mapAll(v => coalesce(v, lit(0.0)) * 2)
+      val total = KSeries(
+        doubled.df.groupBy(col("k")).agg(sum(col("v")).as("v")), ordered = false)
+      val n = KSeries(
+        monthly.df.groupBy(col("k")).agg(count(col("v")).cast("double").as("v")),
+        ordered = false)
+      // FromRecords: quarter→factor dimension from case-class-style tuples
+      val dim = Seq((1, 1.05), (2, 0.95), (3, 1.10), (4, 1.20)).toDF("q", "factor")
+      // addSeries: join the count series onto the totals frame by row key
+      val kf = KFrame(total.df.select(col("k"), col("v").as("total")), Seq("k"))
+        .addSeries("n", n)
+      // getSeriesAs: runtime conversion double→long of the count column
+      val nLong = kf.getSeriesAs("n", org.apache.spark.sql.types.LongType)
+      KFrame(kf.df.drop("n"), Seq("k"))
+        .addSeries("n", nLong)
+        .addColumn("q", quarter(col("k")))
+        .df.join(broadcast(dim), Seq("q"))
+        .select(col("k"), round(col("total") * col("factor"), 4).as("adj_total"),
+          col("n"))
+    }),
+
     // ---- §2.1 CSV culture round-trip: de-DE comma decimals + ';' separator
     //      (reference FrameExtensions.fs:45-78; its test Frame.fs:32-49 is
     //      exactly this custom-separator-plus-culture loop) ----
@@ -1365,6 +1395,16 @@ object SparkEntry {
     "q93_csv_culture" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q94_series_ops" ->
+      s"""$dailySql,
+         |m AS (SELECT date_trunc('month', k)::DATE AS k,
+         |             sum(coalesce(v,0)*2) AS total, count(v) AS n
+         |      FROM daily GROUP BY 1)
+         |SELECT m.k, round(m.total * f.factor, 4) AS adj_total,
+         |CAST(m.n AS BIGINT) AS n
+         |FROM m JOIN (VALUES (1, 1.05), (2, 0.95), (3, 1.10), (4, 1.20)) AS f(q, factor)
+         |ON quarter(m.k) = f.q""".stripMargin,
 
     "q92_level3_slice" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus AS st,

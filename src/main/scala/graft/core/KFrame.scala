@@ -44,7 +44,19 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
   /** Declare the key ordered (sort realized lazily by ordered ops). */
   def sortRows: KFrame = KFrame(df.orderBy(keyCols.map(col): _*), keyCols, ordered = true)
 
+  /** Frame.orderCols — sort the COLUMN axis by name (reference
+    * src/FrameModule.fs:314-331). A pure `select` reorder: zero cost in the
+    * plan. Key columns stay leftmost, as in the reference's row-key display. */
+  def orderCols: KFrame = keyed(df.select((keyCols ++ dataCols.sorted).map(col): _*))
+
   /** indexRowsOrdinally — replace key with 0..n-1 in current key order.
+    *
+    * Positional access (`GetAt`) on an UNORDERED frame is deliberately not
+    * offered: the reference returns values in whatever order the index
+    * happens to hold (reference src/Series.fs:202-209 — nondeterministic
+    * under any distributed layout). Here positions are always defined
+    * against the key order: `sortRows`/`indexRowsOrdinally` first, then
+    * positions are deterministic on any cluster.
     * Above `spark.graft.globalWindow.maxBytes` (single-key frames) the
     * numbering delegates to [[graft.operators.OrderedScan.rowNumber]] — the
     * global `Window.orderBy` form would serialize the frame through one

@@ -78,6 +78,12 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("orderCols sorts the column axis, key columns stay leftmost (reference FrameModule.fs:314-331)") {
+    val df = Seq((1L, 2.0, 1.0, 3.0)).toDF("id", "b", "a", "c")
+    val kf = KFrame(df, Seq("id"))
+    assert(kf.orderCols.df.columns.toSeq === Seq("id", "a", "b", "c"))
+  }
+
   test("4-level hierarchical key: SimpleLookup wildcard patterns + getRowLevel (reference MultiKey.fs:92-175)") {
     val df = Seq(
       (2024, 1, "a", "x", 1.0), (2024, 2, "a", "y", 2.0),
