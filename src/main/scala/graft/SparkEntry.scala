@@ -899,6 +899,35 @@ object SparkEntry {
         .df.select(col("k"), round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
     }),
 
+    // ---- pipeline: deterministic stratified sampling (dataset mixing) ----
+    "q95_stratified_sample" -> ((s, dir) => {
+      Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), default = 0.125)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("toks"))
+    }),
+
+    // ---- pipeline: token-budget sequence packing over the distributed
+    //      running sum ----
+    "q96_token_packing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok"))
+      Packing.packByTokens(d, "doc_id", "n_tok", targetTokens = 4096)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("bin_tokens"))
+    }),
+
+    // ---- pipeline: benchmark decontamination (train vs probe n-gram
+    //      overlap; probe side broadcast) ----
+    "q97_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContamination(
+        docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minOverlap = 0.5)
+    }),
+
     // ---- §2.2/§2.1 combined construction+projection surface: FromRecords,
     //      mapKeys, mapAll, addSeries, getSeriesAs — the previously
     //      spec-only rows, end-to-end against one oracle ----
@@ -1395,6 +1424,39 @@ object SparkEntry {
     "q93_csv_culture" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q95_stratified_sample" ->
+      s"""WITH $tokSql
+         |SELECT lang, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS toks
+         |FROM toks JOIN documents USING (doc_id)
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |  CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40' ELSE '20' END
+         |GROUP BY 1""".stripMargin,
+
+    "q96_token_packing" ->
+      s"""WITH $tokSql, c AS (
+         |SELECT doc_id, n_tok,
+         |sum(n_tok) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |FROM toks)
+         |SELECT CAST(floor((cum - n_tok) / 4096) AS BIGINT) AS bin,
+         |count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "q97_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |  END) AS sh
+        |  FROM w),
+        |pairs AS (
+        |SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+        |  len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) AS ov
+        |FROM g t, g p
+        |WHERE t.doc_id >= 10 AND p.doc_id < 10 AND len(t.sh) > 0 AND len(p.sh) > 0)
+        |SELECT train_id, probe_id, round(ov, 6) AS overlap
+        |FROM pairs WHERE ov >= 0.5""".stripMargin,
 
     "q94_series_ops" ->
       s"""$dailySql,

@@ -179,6 +179,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
   }
 
+  /** Benchmark decontamination: for every training document, the fraction
+    * of each probe (eval-set) document's distinct word n-grams it contains.
+    * Pairs at or above `minOverlap` are contaminated and should be dropped
+    * before training — the standard n-gram decontamination check of LLM
+    * data pipelines.
+    *
+    * Scale shape: the probe side is an eval benchmark — thousands of docs,
+    * broadcast-sized by construction — so the train side STREAMS through a
+    * broadcast nested-loop with an early `size`-filter; nothing shuffles.
+    * (For a large probe set, explode both sides to (shingle, id) and
+    * equi-join on the shingle hash — the [[minhashLsh]] shape.) */
+  def ngramContamination(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Double): DataFrame = {
+    val tSh = train.select(col(idCol).as("train_id"),
+      array_distinct(Text.shingles(col(textCol), n)).as("sh_t"))
+      .where(size(col("sh_t")) > 0)
+    val pSh = probe.select(col(idCol).as("probe_id"),
+      array_distinct(Text.shingles(col(textCol), n)).as("sh_p"))
+      .where(size(col("sh_p")) > 0)
+    tSh.crossJoin(broadcast(pSh))
+      .withColumn("overlap",
+        size(array_intersect(col("sh_t"), col("sh_p"))).cast("double") / size(col("sh_p")))
+      .where(col("overlap") >= minOverlap)
+      .select(col("train_id"), col("probe_id"), round(col("overlap"), 6).as("overlap"))
+  }
+
   /** Character n-gram Jaccard over all pairs — the char-level variant of
     * [[tokenJaccardPairs]] (robust to tokenization differences; standard for
     * short/noisy text). O(n²); use MinHash-LSH over char shingles at scale. */

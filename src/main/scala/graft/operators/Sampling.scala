@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and dataset mixing — training-data
+  * pipeline operators (additive; the reference has no sampling surface).
+  *
+  * The sampler is HASH-BASED, not RNG-based: a row is kept iff the first
+  * two hex chars of `md5(id)` fall below the fraction's threshold. That
+  * makes the sample (a) identical on every engine and cluster layout — no
+  * seed plumbing, no partition-order sensitivity (Spark's `sample()` is
+  * neither repeatable across repartitionings nor reproducible in another
+  * engine), (b) a pure narrow filter the optimizer pushes into the scan,
+  * and (c) stable under incremental reruns: a document's membership never
+  * changes as the corpus around it grows — exactly what repeated training
+  * runs over a growing crawl need. Granularity is 1/256 of the keyspace. */
+object Sampling {
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    f"${math.round(fraction * 256).toInt}%02x"
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def deterministic(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(keyOf(col(idCol)) < lit(hexThreshold(fraction)))
+
+  private def keyOf(id: Column): Column = substring(md5(id.cast("string")), 1, 2)
+
+  /** Per-stratum fractions (dataset mixing): `fractions` maps stratum value
+    * → keep-fraction; strata not in the map use `default`. One narrow
+    * filter — no shuffle, no per-stratum scans. */
+  def stratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    val thresh = fractions.foldLeft(lit(hexThreshold(default)): Column) {
+      case (acc, (value, f)) =>
+        when(col(strataCol) === value, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.where(keyOf(col(idCol)) < thresh)
+  }
+}

@@ -94,4 +94,34 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r === Set((1L, 2L)))
   }
+
+  test("deterministic sampler: membership stable under corpus growth, rate ≈ fraction") {
+    import graft.operators.Sampling
+    val small = (0L until 2000L).toDF("id")
+    val big = (0L until 10000L).toDF("id")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Sampling.deterministic(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val (ks, kb) = (kept(small), kept(big))
+    // a row's membership never changes as the corpus grows (incremental runs)
+    assert(ks === kb.filter(_ < 2000L))
+    // rate within a few points of the target
+    assert(math.abs(kb.size / 10000.0 - 0.25) < 0.03, s"rate ${kb.size / 10000.0}")
+  }
+
+  test("packByTokens: contiguous bins, budget-crossing doc stays in earlier bin") {
+    import graft.operators.Packing
+    val d = Seq((1L, 50), (2L, 40), (3L, 30), (4L, 100), (5L, 10)).toDF("doc_id", "n_tok")
+    val bins = Packing.packByTokens(d, "doc_id", "n_tok", targetTokens = 100, buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // prefix-exclusive sums: 0,50,90,120,220 → bins 0,0,0,1,2
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("ngramContamination: exact substring doc flagged, disjoint doc not") {
+    val train = Seq((10L, "x y z w q"), (11L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val probe = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val r = Dedup.ngramContamination(train, probe, "doc_id", "text", n = 3, minOverlap = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq === Seq((11L, 1L, 1.0)))
+  }
 }
