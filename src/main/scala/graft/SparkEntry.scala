@@ -899,6 +899,27 @@ object SparkEntry {
         .df.select(col("k"), round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
     }),
 
+    // ---- pipeline: streaming-ingest dedup (dropDuplicates at the
+    //      firehose — the streaming twin of q36's exact dedup) ----
+    "q98_stream_dedup" -> ((s, dir) => {
+      Streams.dedupedTypeTotals(s, dir)
+    }),
+
+    // ---- §2.1 additive JSONL source (the lingua franca of training-data
+    //      interchange): write-read round-trip with explicit schema ----
+    "q99_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_jsonl_${java.util.UUID.randomUUID().toString.take(8)}"
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
     // ---- pipeline: deterministic stratified sampling (dataset mixing) ----
     "q95_stratified_sample" -> ((s, dir) => {
       Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
@@ -1424,6 +1445,15 @@ object SparkEntry {
     "q93_csv_culture" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q98_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q99_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q95_stratified_sample" ->
       s"""WITH $tokSql

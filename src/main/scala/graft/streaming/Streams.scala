@@ -85,6 +85,23 @@ object Streams {
           col("n"), round(col("total"), 4).as("total"))
     }
 
+  /** Streaming-ingest dedup — the streaming twin of `Dedup.exact`: drop
+    * duplicate content keys as they arrive, BEFORE they reach storage (the
+    * shape of a training-data ingest pipe: dedup at the firehose, not in a
+    * nightly batch). Local verification uses unbounded `dropDuplicates`
+    * state (= global distinct, exactly the batch oracle); on a real
+    * unbounded stream use `dropDuplicatesWithinWatermark` so state ages out
+    * with the watermark. */
+  def dedupedTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, dir, outputMode = "append") { events =>
+      events
+        .withWatermark("ts", "25 hours")
+        .dropDuplicates(Seq("user_id", "event_type", "value"))
+        .select(col("event_type"), col("value"))
+    }
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+
   /** Arbitrary-state streaming: per-user running (count, sum) via
     * mapGroupsWithState — the Structured Streaming home of the reference's
     * per-group custom reducers (SURVEY §2.10) and the building block for
