@@ -920,6 +920,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
+    // ---- pipeline: temperature-based source mixing (rows-only: fractions
+    //      derive from JVM math.pow; deterministic, spec-checked) ----
+    "q100_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "lang",
+        temperature = 3.0, targetFraction = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- pipeline: deterministic stratified sampling (dataset mixing) ----
     "q95_stratified_sample" -> ((s, dir) => {
       Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",

@@ -19,7 +19,11 @@ object Sampling {
 
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
-    f"${math.round(fraction * 256).toInt}%02x"
+    val n = math.round(fraction * 256).toInt
+    // 256 would format as "100", which sorts BELOW 2-char hex ("ff" > "100"
+    // lexicographically) and would keep ~1/16 instead of all — clamp to a
+    // string above every hex pair
+    if (n >= 256) "zz" else f"$n%02x"
   }
 
   /** Keep ~`fraction` of rows, deterministically by id hash. */
@@ -42,5 +46,34 @@ object Sampling {
         when(col(strataCol) === value, lit(hexThreshold(f))).otherwise(acc)
     }
     df.where(keyOf(col(idCol)) < thresh)
+  }
+
+  /** Temperature-based source mixing — the resampling rule of multilingual /
+    * multi-source pretraining: a stratum holding share q_s of the corpus is
+    * sampled with probability p_s ∝ q_s^(1/T), flattening the source
+    * distribution as T grows (T=1 → proportional, T→∞ → uniform across
+    * strata). Keep-fractions are scaled so the expected output size is
+    * `targetFraction` of the corpus (capped at 1 per stratum). Strata
+    * weights come from ONE aggregate collect of #strata rows (model-sized,
+    * like a broadcast-join build) — the sample itself stays a narrow
+    * [[stratified]] filter. */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      temperature: Double,
+      targetFraction: Double): DataFrame = {
+    require(temperature > 0, s"temperature $temperature must be positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).toMap
+    val total = counts.values.sum.toDouble
+    val weights = counts.map { case (k, n) =>
+      k -> math.pow(n / total, 1.0 / temperature)
+    }
+    val z = weights.values.sum
+    val fracs = counts.map { case (k, n) =>
+      k -> math.min(1.0, targetFraction * total * (weights(k) / z) / n)
+    }
+    stratified(df, idCol, strataCol, fracs, default = 0.0)
   }
 }

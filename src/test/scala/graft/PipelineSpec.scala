@@ -108,6 +108,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(math.abs(kb.size / 10000.0 - 0.25) < 0.03, s"rate ${kb.size / 10000.0}")
   }
 
+  test("temperatureMix flattens the source distribution as T grows") {
+    import graft.operators.Sampling
+    // skewed corpus: a=8000, b=1500, c=500
+    val rows = (0L until 8000L).map((_, "a")) ++
+      (8000L until 9500L).map((_, "b")) ++ (9500L until 10000L).map((_, "c"))
+    val df = rows.toDF("id", "src")
+    def shares(t: Double): Map[String, Double] = {
+      val kept = Sampling.temperatureMix(df, "id", "src", t, targetFraction = 0.3)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = kept.values.sum.toDouble
+      kept.map { case (k, v) => k -> v / n }
+    }
+    val prop = shares(1.0)   // T=1: proportional to input
+    val flat = shares(50.0)  // T→∞: near-uniform
+    assert(math.abs(prop("a") - 0.8) < 0.05, s"T=1 share a: $prop")
+    assert(flat("a") < 0.5 && flat("c") > 0.15, s"T=50 shares: $flat")
+  }
+
   test("packByTokens: contiguous bins, budget-crossing doc stays in earlier bin") {
     import graft.operators.Packing
     val d = Seq((1L, 50), (2L, 40), (3L, 30), (4L, 100), (5L, 10)).toDF("doc_id", "n_tok")
