@@ -920,6 +920,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
+    // ---- pipeline: near-dup clusters = connected components over the
+    //      exact-Jaccard pair graph (keep id==cluster as representative) ----
+    "q101_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      val pairs = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.9)
+      Dedup.components(pairs)
+        .select(col("id").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster"))
+    }),
+
     // ---- pipeline: temperature-based source mixing (rows-only: fractions
     //      derive from JVM math.pow; deterministic, spec-checked) ----
     "q100_temperature_mix" -> ((s, dir) => {
@@ -1453,6 +1463,23 @@ object SparkEntry {
     "q93_csv_culture" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q101_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(trim(text),' ')) AS tok
+        |           FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.tok, b.tok))::DOUBLE
+        |    / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.9),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id)
+        |SELECT id AS doc_id, min(label) AS cluster FROM walk GROUP BY id""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total

@@ -179,6 +179,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
   }
 
+  /** Near-duplicate CLUSTERS from a pair list — the step after candidate
+    * generation that dedup actually needs: connected components, labeling
+    * every member with the smallest id reachable through the pair graph
+    * (keep `id == cluster` as the representative, drop the rest).
+    *
+    * Algorithm: min-label propagation — each round, every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds, each one equi-join + partial-agg
+    * shuffle. Near-dup components are short chains (diameter is tiny), so
+    * rounds stay single-digit; `localCheckpoint` cuts the growing lineage
+    * each round. For adversarial long-chain graphs switch to the
+    * large-star/small-star rounds of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond" (SoCC'14) — same join-agg primitives.
+    * Output: (id, cluster) for every id occurring in `pairs`. */
+  def components(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Benchmark decontamination: for every training document, the fraction
     * of each probe (eval-set) document's distinct word n-grams it contains.
     * Pairs at or above `minOverlap` are contaminated and should be dropped

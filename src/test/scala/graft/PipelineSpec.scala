@@ -135,6 +135,14 @@ class PipelineSpec extends SparkSpecBase {
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("components: min-label propagation across chains and disjoint clusters") {
+    val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Dedup.components(pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // the 1-2-3-4 chain needs multiple propagation rounds to reach label 1
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngramContamination: exact substring doc flagged, disjoint doc not") {
     val train = Seq((10L, "x y z w q"), (11L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val probe = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
