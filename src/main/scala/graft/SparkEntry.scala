@@ -920,6 +920,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
+    // ---- pipeline: repetition quality filter (per-doc most-repeated
+    //      bigram; explode → partial-agg count → per-doc top-1) ----
+    "q102_repetition" -> ((s, dir) => {
+      Text.topNgramRepetition(t(s, dir, "documents"), "doc_id", "text", n = 2)
+    }),
+
     // ---- pipeline: near-dup clusters = connected components over the
     //      exact-Jaccard pair graph (keep id==cluster as representative) ----
     "q101_dedup_clusters" -> ((s, dir) => {
@@ -1463,6 +1469,18 @@ object SparkEntry {
     "q93_csv_culture" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q102_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(ws) < 2 THEN []
+        |    ELSE list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+        |  END) AS gram FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |r AS (SELECT doc_id, gram, c,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |  FROM c)
+        |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
 
     "q101_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(trim(text),' ')) AS tok

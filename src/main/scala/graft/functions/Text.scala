@@ -79,6 +79,25 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** Per-document most-repeated word n-gram — the core of the repetition
+    * quality filters of large-scale corpus curation (flag docs whose top
+    * n-gram repeats excessively). Distributed shape: explode n-grams →
+    * map-side-partial count per (doc, gram) → per-doc top-1 window.
+    * Deterministic tie-break (gram asc). Returns (doc_id, top_gram, n_rep). */
+  def topNgramRepetition(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(Vectors.shinglesAllFast(n)(col(textCol))).as("gram"))
+    val counts = g.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram").asc)
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"), col("c").as("n_rep"))
+  }
+
   /** GPT-2-style pre-tokenizer pattern (simplified to the portable regex
     * subset): contractions, letter runs, digit runs, punctuation runs, each
     * optionally preceded by a space. The "BPE-ish regex" token count of the

@@ -119,6 +119,17 @@ object Vectors {
       }
     }
 
+  /** Compiled word n-gram shingling WITHOUT dedup — all occurrences, in
+    * order, identical to `Text.shingles(text, n)` (which is an interpreted
+    * HOF; use this in hot paths that need occurrence counts, e.g. the
+    * repetition filter). */
+  def shinglesAllFast(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val ws = if (text == null) Array.empty[String] else text.trim.split(" ", -1)
+      if (ws.length < n) Array.empty[String]
+      else Array.tabulate(ws.length - n + 1)(i => ws.slice(i, i + n).mkString(" "))
+    }
+
   /** Compiled shingles→band-keys kernel: minhash signature + banding in one
     * pass per row. Band key = 64-bit hash of (band index, band's minhash
     * slice); two docs collide on a key iff that band's slice agrees exactly —

@@ -238,11 +238,13 @@ object Dedup {
       textCol: String,
       n: Int,
       minOverlap: Double): DataFrame = {
+    // compiled distinct-shingle kernel (the HOF form is interpreted and was
+    // this query's hot-spot at sf0.1)
     val tSh = train.select(col(idCol).as("train_id"),
-      array_distinct(Text.shingles(col(textCol), n)).as("sh_t"))
+      Vectors.shinglesFast(n)(col(textCol)).as("sh_t"))
       .where(size(col("sh_t")) > 0)
     val pSh = probe.select(col(idCol).as("probe_id"),
-      array_distinct(Text.shingles(col(textCol), n)).as("sh_p"))
+      Vectors.shinglesFast(n)(col(textCol)).as("sh_p"))
       .where(size(col("sh_p")) > 0)
     tSh.crossJoin(broadcast(pSh))
       .withColumn("overlap",
