@@ -920,6 +920,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
+    // ---- §2.6 additive EWM family: distributed exact EWMA (rows-only:
+    //      the two-level stitch differs from a sequential loop in last
+    //      ulps; spec asserts ≤1e-12 relative vs the sequential oracle) ----
+    "q103_ewma" -> ((s, dir) => {
+      daily(s, dir).ewma(alpha = 0.1)
+        .df.select(col("k"), round(col("v"), 2).as("ewma"))
+    }),
+
     // ---- pipeline: repetition quality filter (per-doc most-repeated
     //      bigram; explode → partial-agg count → per-doc top-1) ----
     "q102_repetition" -> ((s, dir) => {

@@ -300,6 +300,17 @@ final case class KSeries(
   def fillWith(value: Any): KSeries =
     result(df.select(k.as(keyCol), coalesce(v, lit(value)).as(valueCol)))
 
+  /** Exponentially-weighted moving average, y_i = α·x_i + (1-α)·y_{i-1}
+    * with y_1 = x_1 (additive — the reference has no EWM family). A
+    * sequential recurrence no window frame expresses; always runs as the
+    * distributed two-level stitch ([[graft.operators.OrderedScan.ewma]]) —
+    * never a single-task collapse. Missing values are dropped first (the
+    * reference's stats skip missings the same way). */
+  def ewma(alpha: Double): KSeries = {
+    requireOrdered("ewma")
+    result(graft.operators.OrderedScan.ewma(df, keyCol, valueCol, alpha, valueCol))
+  }
+
   // ---- lookup (reference src/Series.fs:156-209) ----
 
   /** Point lookup with Lookup semantics, skipping missing values exactly like

@@ -157,6 +157,86 @@ object OrderedScan {
       }: _*)
   }
 
+  /** Distributed EWMA — the recurrence y_i = α·x_i + (1-α)·y_{i-1}
+    * (y_1 = x_1) over global key order, computed EXACTLY without a global
+    * window or driver loop. A sequential recurrence looks unparallelizable,
+    * but it is linear in the carry: within a bucket of m rows,
+    * y_end = w + d·y_in with w = the bucket's zero-seeded EWMA tail and
+    * d = (1-α)^m. So: (1) one pass computes per-bucket (w, d) in parallel;
+    * (2) the tiny per-bucket recurrence (≤ `buckets` rows) runs on the
+    * driver; (3) a second pass re-scans each bucket seeded with its
+    * carry-in. The stitch is algebraically exact; floating-point-wise the
+    * carry combination reorders a handful of additions, so results can
+    * differ from a strict sequential loop in the last ulps (≈1e-15
+    * relative per boundary — asserted ≤1e-12 overall in OrderedScanSpec).
+    * Rows with null `valueCol` are dropped (EWMA is undefined over gaps;
+    * realign/fill first if needed). Output: (keyCol, outCol). */
+  def ewma(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      alpha: Double,
+      outCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0,1]")
+    val spark = df.sparkSession
+    val b = withRangeBucket(
+      df.select(col(keyCol), col(valueCol)).where(col(valueCol).isNotNull),
+      keyCol, buckets)
+    val sorted = b.repartition(buckets, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col(keyCol))
+      .select(col("__bucket").cast("int"), col(keyCol), col(valueCol).cast("double"))
+      .cache()
+
+    // pass 1: per bucket, (w0 = zero-seeded end value, wInit = first-row-
+    // init end value, d = (1-α)^m). A partition may hold several buckets —
+    // state resets on bucket change.
+    val summaries = sorted.rdd.mapPartitions { iter =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
+      var cur = Int.MinValue
+      var w0 = 0.0; var wInit = 0.0; var d = 1.0; var first = true
+      def flush(): Unit = if (cur != Int.MinValue) out += ((cur, w0, wInit, d))
+      iter.foreach { r =>
+        val bk = r.getInt(0); val x = r.getDouble(2)
+        if (bk != cur) { flush(); cur = bk; w0 = 0.0; wInit = 0.0; d = 1.0; first = true }
+        w0 = alpha * x + (1 - alpha) * w0
+        wInit = if (first) x else alpha * x + (1 - alpha) * wInit
+        d *= (1 - alpha)
+        first = false
+      }
+      flush()
+      out.iterator
+    }.collect().sortBy(_._1)
+
+    // tiny cross-bucket recurrence: carry-IN per bucket (NaN = none yet)
+    val carryIn = scala.collection.mutable.Map.empty[Int, Double]
+    var carry = Double.NaN
+    summaries.foreach { case (bk, w0, wInit, d) =>
+      carryIn(bk) = carry
+      carry = if (carry.isNaN) wInit else w0 + d * carry
+    }
+    val bcCarry = spark.sparkContext.broadcast(carryIn.toMap)
+
+    // pass 2: re-scan each bucket seeded with its exact carry-in
+    val keyIdx = 1
+    val outRdd = sorted.rdd.mapPartitions { iter =>
+      val carries = bcCarry.value
+      var cur = Int.MinValue
+      var y = Double.NaN
+      iter.map { r =>
+        val bk = r.getInt(0); val x = r.getDouble(2)
+        if (bk != cur) { cur = bk; y = carries.getOrElse(bk, Double.NaN) }
+        y = if (y.isNaN) x else alpha * x + (1 - alpha) * y
+        org.apache.spark.sql.Row(r.get(keyIdx), y)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema(1).copy(name = keyCol),
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(outRdd, schema)
+  }
+
   /** Global 0-based row number in key order, distributed. Appends `ordCol`.
     * The scale path behind indexRowsOrdinally / positional GetAt. */
   def rowNumber(

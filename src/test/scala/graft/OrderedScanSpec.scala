@@ -86,6 +86,29 @@ class OrderedScanSpec extends SparkSpecBase {
     assert(ord === 0L, "null key must be ordinal 0, as in Window.orderBy")
   }
 
+  test("ewma matches the sequential recurrence to 1e-12 relative across many buckets") {
+    val xs = (0 until 1000).map(i => (i.toLong, math.sin(i * 0.7) * 1e6 + 2e6))
+    val df = seriesDf(xs.map { case (k, v) => (k, Double.box(v)) }: _*)
+    val got = OrderedScan.ewma(df, "k", "v", alpha = 0.1, "y", buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    var y = Double.NaN
+    val want = xs.map { case (k, x) =>
+      y = if (y.isNaN) x else 0.1 * x + 0.9 * y
+      (k, y)
+    }
+    got.zip(want).foreach { case ((gk, gv), (wk, wv)) =>
+      assert(gk === wk)
+      assert(math.abs(gv - wv) <= 1e-12 * math.abs(wv), s"k=$gk got=$gv want=$wv")
+    }
+  }
+
+  test("ewma drops nulls and seeds from the first non-null value") {
+    val df = seriesDf((1L, null), (2L, 10.0), (3L, null), (4L, 20.0))
+    val got = OrderedScan.ewma(df, "k", "v", alpha = 0.5, "y", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((2L, 10.0), (4L, 15.0)))
+  }
+
   test("large unpartitioned KSeries ops auto-route away from the single-task global window") {
     import graft.core.KSeries
     import org.apache.spark.sql.execution.window.WindowExec
