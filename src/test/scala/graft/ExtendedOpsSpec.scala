@@ -84,6 +84,18 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(kf.orderCols.df.columns.toSeq === Seq("id", "a", "b", "c"))
   }
 
+  test("reference MultiKey.fs test parity: LookupNOf3 templates match with holes, reject other values") {
+    // reference tests/FSharp.DataFrame.Tests/MultiKey.fs:21-37 on key ('a',"hi",1)
+    val kf = KFrame(Seq(("a", "hi", 1, 42.0)).toDF("k1", "k2", "k3", "v"),
+      Seq("k1", "k2", "k3"))
+    assert(kf.lookupLevels(Some("a"), None, None).df.count() === 1)   // Lookup1Of3 'a'
+    assert(kf.lookupLevels(None, Some("hi"), None).df.count() === 1)  // Lookup2Of3 "hi"
+    assert(kf.lookupLevels(None, None, Some(1)).df.count() === 1)     // Lookup3Of3 1
+    assert(kf.lookupLevels(Some("!"), None, None).df.count() === 0)
+    assert(kf.lookupLevels(None, Some("hi!"), None).df.count() === 0)
+    assert(kf.lookupLevels(None, None, Some(999)).df.count() === 0)
+  }
+
   test("4-level hierarchical key: SimpleLookup wildcard patterns + getRowLevel (reference MultiKey.fs:92-175)") {
     val df = Seq(
       (2024, 1, "a", "x", 1.0), (2024, 2, "a", "y", 2.0),
