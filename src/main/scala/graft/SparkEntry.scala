@@ -873,6 +873,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- similarity: product-quantization ANN (ADC over byte codes —
+    //      the memory-compressed scale path; rows-only + recall spec) ----
+    "q104_knn_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, m = 8, kCentroids = 16, iters = 2)
+    }),
+
     // ---- additive ranking family (absent in reference; §2.6 last row) ----
     "q90_rank_family" -> ((s, dir) => {
       val d = daily(s, dir)

@@ -118,6 +118,153 @@ object Similarity {
     ivfKnnWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
   }
 
+  /** Product-quantization codebooks (Jégou-Douze-Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * L2-normalized vector into `m` subspaces and k-means each to `k`
+    * centroids. Training is `iters` Lloyd rounds, each ONE distributed
+    * pass: a compiled kernel assigns all m sub-codes per row, then a
+    * posexplode-groupBy reduces (subspace, code, dim) sums — only
+    * m×k×subDim model-sized rows ever reach the driver. Deterministic:
+    * init from the `k` smallest-id vectors, fixed round count.
+    * Returns codebooks[m][k][subDim]. */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 2): Array[Array[Array[Float]]] = {
+    import corpus.sparkSession.implicits._
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dim $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val init = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(k).as[(Long, Seq[Float])].collect().map(_._2.toArray)
+    require(init.length == k, s"corpus smaller than k=$k")
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
+      (j, c) => normalize(init(c)).slice(j * sub, (j + 1) * sub)
+    }
+    for (_ <- 1 to iters) {
+      // kernel emits (subspace, code, subvector) per subspace — one explode,
+      // no duplication of the full vector across subspaces
+      val bks = books
+      val assignSub = udf { (v0: Seq[Float]) =>
+        val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
+        bks.indices.map { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < bks(j).length) {
+            val cb = bks(j)(c)
+            var d = 0.0; var t = 0
+            while (t < cb.length && j * sub + t < v.length) {
+              val diff = v(j * sub + t) - cb(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (j, best, v.slice(j * sub, (j + 1) * sub))
+        }.toArray
+      }
+      val sums = corpus.select(explode(assignSub(col(vecCol))).as("a"))
+        .select(col("a._1").as("j"), col("a._2").as("c"),
+          posexplode(col("a._3")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("c"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (j, c, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(j)(c)(pos) = (r.getDouble(3) / r.getLong(4)).toFloat
+      }
+      books = next
+    }
+    books
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Compiled sub-code assignment: argmin L2 per subspace over the
+    * codebook, emitted as (subspace, code) structs. */
+  private def pqEncodeUdf(books: Array[Array[Array[Float]]], sub: Int) =
+    udf { (v0: Seq[Float]) =>
+      val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
+      books.indices.map { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < books(j).length) {
+          val cb = books(j)(c)
+          var d = 0.0; var t = 0
+          while (t < cb.length && j * sub + t < v.length) {
+            val diff = v(j * sub + t) - cb(t); d += diff * diff; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (j, best)
+      }.toArray
+    }
+
+  /** PQ ANN search by Asymmetric Distance Computation: corpus vectors are
+    * replaced by m byte codes (16-64× smaller than raw floats — the table
+    * that scans at 100 TB); each query precomputes an m×k table of subspace
+    * dot products against the codebooks and scores a corpus row with m
+    * table lookups in a compiled kernel. Approximate; rows-only checked +
+    * recall-spec'd like IVF. Output: (query_id, rank, neighbor_id, cosine_pq). */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      kCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val books = pqTrain(corpus, idCol, vecCol, m, kCentroids, iters)
+    val dims = books.length * books(0)(0).length
+    val sub = dims / m
+    val encode = pqEncodeUdf(books, sub)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      transform(encode(col(vecCol)), s => s("_2")).as("code"))
+    // per-query ADC tables, built once on the driver (m×k doubles per query)
+    import corpus.sparkSession.implicits._
+    val qRows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])].collect()
+    val tables: Array[(Long, Array[Array[Double]])] = qRows.map { case (qid, qv) =>
+      val q = normalize(qv.toArray)
+      qid -> books.indices.map { j =>
+        books(j).map { cb =>
+          var d = 0.0; var t = 0
+          while (t < cb.length && j * sub + t < q.length) {
+            d += q(j * sub + t).toDouble * cb(t); t += 1
+          }
+          d
+        }
+      }.toArray
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast(tables)
+    val score = udf { (code: Seq[Int]) =>
+      bc.value.map { case (qid, table) =>
+        var s = 0.0; var j = 0
+        while (j < code.length) { s += table(j)(code(j)); j += 1 }
+        (qid, s)
+      }
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("neighbor_id").asc)
+    codes.select(col("neighbor_id"), explode(score(col("code"))).as("qs"))
+      .select(col("neighbor_id"), col("qs._1").as("query_id"),
+        round(col("qs._2"), 6).as("cosine_pq"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_pq"))
+  }
+
   /** IVF search against explicit centroid vectors (bucket id = index) —
     * pair with [[kmeansCentroids]] for trained buckets. */
   def ivfKnnWithCentroids(

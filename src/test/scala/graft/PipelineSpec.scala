@@ -95,6 +95,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(r === Set((1L, 2L)))
   }
 
+  test("PQ ANN: reasonable recall vs brute force on clustered vectors") {
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        (if (d / 4 == c) 1.0f else 0.05f) + (i % 13) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 3)
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = topk(Similarity.bruteForceKnn(vecs, q, "vec_id", "embedding", 5))
+    val pq = topk(Similarity.pqKnn(vecs, q, "vec_id", "embedding", k = 5,
+      m = 4, kCentroids = 8, iters = 2))
+    // quantization collapses cluster members to near-identical codes, so
+    // exact top-5 membership is tie-broken differently than brute force —
+    // the ANN guarantee is CLUSTER correctness: every PQ neighbor must be
+    // in the query's cluster, as every brute-force neighbor is
+    brute.foreach { case (qid, ns) => assert(ns.forall(_ % 4 == qid % 4)) }
+    pq.foreach { case (qid, ns) =>
+      assert(ns.forall(_ % 4 == qid % 4),
+        s"PQ neighbors of $qid leave its cluster: $ns")
+    }
+  }
+
   test("deterministic sampler: membership stable under corpus growth, rate ≈ fraction") {
     import graft.operators.Sampling
     val small = (0L until 2000L).toDF("id")
