@@ -873,6 +873,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- §2.6 additive rolling-stats family: 30-day RANGE-frame corr /
+    //      variance / extrema between the F and O order series ----
+    "q105_rolling_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fo = o.groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("f"),
+          sum(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("o"))
+      val w = Window.orderBy(col("day"))
+        .rangeBetween(-29, Window.currentRow)
+      fo.withColumn("day", datediff(col("k"), lit("1970-01-01")))
+        .select(col("k"),
+          round(corr(col("f"), col("o")).over(w), 6).as("corr30"),
+          round(stddev_samp(col("f")).over(w), 2).as("sd30"),
+          round(max(col("f")).over(w), 4).as("max30"),
+          count(col("f")).over(w).as("n30"))
+    }),
+
     // ---- similarity: product-quantization ANN (ADC over byte codes —
     //      the memory-compressed scale path; rows-only + recall spec) ----
     "q104_knn_pq" -> ((s, dir) => {
@@ -1497,6 +1514,19 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q105_rolling_stats" ->
+      """WITH fo AS (SELECT CAST(o_orderdate AS DATE) AS k,
+        |  sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS f,
+        |  sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS o
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT k, f, o, (k - DATE '1970-01-01') AS day FROM fo)
+        |SELECT k,
+        |round(corr(f, o) OVER w, 6) AS corr30,
+        |round(stddev_samp(f) OVER w, 2) AS sd30,
+        |round(max(f) OVER w, 4) AS max30,
+        |count(f) OVER w AS n30
+        |FROM d WINDOW w AS (ORDER BY day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q101_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(trim(text),' ')) AS tok
