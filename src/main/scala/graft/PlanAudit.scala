@@ -19,6 +19,11 @@ object PlanAudit {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE wraps the whole plan in an AdaptiveSparkPlanExec LEAF, hiding
+      // every operator from tree traversal and codegen markers from the
+      // string — the audit inspects the STATIC shape, so turn it off here
+      // (production sessions keep it on; it only ever improves these plans)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,9 +54,15 @@ object PlanAudit {
         val cartesian = n("CartesianProduct") > 0 && !n2Baselines(name)
         val flags = (if (badWindow) " !!global-window-over-data" else "") +
           (if (cartesian) " !!cartesian" else "")
+        // codegen spans print as "*(n) " prefixes; pushdown = any non-empty
+        // PushedFilters list
+        val wsc = plan.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }.size
+        val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined
         println(f"[plan] $name%-24s ex=${n("Exchange")}%2d bhj=${n("BroadcastHashJoin")}%2d " +
-          f"smj=${n("SortMergeJoin")}%2d wsc=${n("WholeStageCodegen")}%2d " +
-          f"pushed=${if (s.contains("PushedFilters: [I") || s.contains("PushedFilters: [G") || s.contains("PushedFilters: [L")) "y" else "-"}$flags")
+          f"smj=${n("SortMergeJoin")}%2d wsc=$wsc%2d " +
+          f"pushed=${if (pushed) "y" else "-"}$flags")
       } catch {
         case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}")
       }

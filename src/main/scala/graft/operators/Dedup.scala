@@ -169,8 +169,13 @@ object Dedup {
     // post-candidate, via two equi-joins that AQE can broadcast when the
     // candidate set is small. Nothing data-sized ever reaches the driver.
     // Scoring uses the codegen dot_f32 / norm2_f32 kernels.
+    // zero-norm vectors (padding / failed embeds) would make cosine 0/0 =
+    // NaN, and SQL NaN sorts ABOVE every double so `>= threshold` would
+    // admit them — exclude them up front (the JVM baseline drops them via
+    // NaN comparison semantics; this keeps the two paths agreeing)
     val vdf = sigd.select(col("id"), col("v"),
       sqrt(call_function("norm2_f32", col("v"))).as("nrm"))
+      .where(col("nrm") > 0)
     cand
       .join(vdf.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(vdf.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
@@ -206,6 +211,8 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // (convergence checked below; non-convergence raises, never silently
+      // returns partially propagated labels)
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
       val updated = labels.join(neighborMin, labels("id") === col("nid"), "left_outer")
@@ -217,6 +224,9 @@ object Dedup {
       labels = updated
       i += 1
     }
+    require(converged,
+      s"components did not converge in $maxIter rounds (component diameter > " +
+        s"$maxIter) — raise maxIter or switch to large-star/small-star rounds")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -183,10 +183,13 @@ object OrderedScan {
     val b = withRangeBucket(
       df.select(col(keyCol), col(valueCol)).where(col(valueCol).isNotNull),
       keyCol, buckets)
+    // localCheckpoint (not cache): both passes read it, and the blocks are
+    // released by the ContextCleaner when the result is GC'd — cache()
+    // would pin an entry per ewma() call for the session lifetime
     val sorted = b.repartition(buckets, col("__bucket"))
       .sortWithinPartitions(col("__bucket"), col(keyCol))
       .select(col("__bucket").cast("int"), col(keyCol), col(valueCol).cast("double"))
-      .cache()
+      .localCheckpoint(true)
 
     // pass 1: per bucket, (w0 = zero-seeded end value, wInit = first-row-
     // init end value, d = (1-α)^m). A partition may hold several buckets —

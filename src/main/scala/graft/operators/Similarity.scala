@@ -27,10 +27,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // zero-norm rows would score NaN, which sorts ABOVE every cosine in the
+    // desc ranking — exclude them (see Dedup.embeddingNearDupLsh)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(call_function("norm2_f32", col(vecCol))).as("cn"))
+      .where(col("cn") > 0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(call_function("norm2_f32", col(vecCol))).as("qn"))
+      .where(col("qn") > 0)
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", call_function("dot_f32", col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -151,18 +155,7 @@ object Similarity {
       val assignSub = udf { (v0: Seq[Float]) =>
         val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
         bks.indices.map { j =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < bks(j).length) {
-            val cb = bks(j)(c)
-            var d = 0.0; var t = 0
-            while (t < cb.length && j * sub + t < v.length) {
-              val diff = v(j * sub + t) - cb(t); d += diff * diff; t += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (j, best, v.slice(j * sub, (j + 1) * sub))
+          (j, nearestSubCode(v, bks, sub, j), v.slice(j * sub, (j + 1) * sub))
         }.toArray
       }
       val sums = corpus.select(explode(assignSub(col(vecCol))).as("a"))
@@ -181,6 +174,24 @@ object Similarity {
     books
   }
 
+  /** Shared argmin-L2 over subspace `j`'s codebook — single source of truth
+    * for training assignment and encoding (tie → lower code). */
+  private def nearestSubCode(
+      v: Array[Float], books: Array[Array[Array[Float]]], sub: Int, j: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < books(j).length) {
+      val cb = books(j)(c)
+      var d = 0.0; var t = 0
+      while (t < cb.length && j * sub + t < v.length) {
+        val diff = v(j * sub + t) - cb(t); d += diff * diff; t += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   private def normalize(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -193,20 +204,7 @@ object Similarity {
   private def pqEncodeUdf(books: Array[Array[Array[Float]]], sub: Int) =
     udf { (v0: Seq[Float]) =>
       val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
-      books.indices.map { j =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < books(j).length) {
-          val cb = books(j)(c)
-          var d = 0.0; var t = 0
-          while (t < cb.length && j * sub + t < v.length) {
-            val diff = v(j * sub + t) - cb(t); d += diff * diff; t += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        (j, best)
-      }.toArray
+      books.indices.map(j => (j, nearestSubCode(v, books, sub, j))).toArray
     }
 
   /** PQ ANN search by Asymmetric Distance Computation: corpus vectors are
@@ -280,9 +278,11 @@ object Similarity {
     // was the IVF hot-spot).
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(call_function("norm2_f32", col(vecCol))).as("cn"))
+      .where(col("cn") > 0) // NaN cosine guard, as in bruteForceKnn
       .withColumn("bucket", Vectors.nearestCentroids(centroids, 1)(col("cv"))(0))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(call_function("norm2_f32", col(vecCol))).as("qn"))
+      .where(col("qn") > 0)
       .withColumn("bucket", explode(Vectors.nearestCentroids(centroids, nprobe)(col("qv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))

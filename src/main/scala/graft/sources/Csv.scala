@@ -24,8 +24,25 @@ import org.apache.spark.sql.types._
   */
 object Csv {
 
-  /** The reference's missing-value tokens (FrameExtensions.fs:49). */
+  /** The reference's missing-value tokens (FrameExtensions.fs:49). Typed
+    * columns get them via parse-failure→null (permissive mode) plus the
+    * NaN→missing canonicalization below; string columns are scrubbed
+    * explicitly in [[read]] — Spark's single `nullValue` option alone can
+    * only carry one of them. */
   val MissingTokens: Seq[String] = Seq("NaN", "NA", "#N/A", ":")
+
+  private def applyMissingTokens(df: DataFrame): DataFrame =
+    df.select(df.schema.map { f =>
+      f.dataType match {
+        case StringType =>
+          when(col(f.name).isin(MissingTokens: _*), lit(null))
+            .otherwise(col(f.name)).as(f.name)
+        case DoubleType | FloatType =>
+          // the reference reads "NaN" as MISSING, not as a NaN value
+          when(isnan(col(f.name)), lit(null)).otherwise(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
 
   private def commaDecimal(culture: String): Boolean = {
     val sym = java.text.DecimalFormatSymbols.getInstance(
@@ -53,7 +70,7 @@ object Csv {
       .option("nanValue", "NaN")
       .option("locale", culture)
     dateFormat.foreach(f => r = r.option("dateFormat", f))
-    schema match {
+    val parsed = schema match {
       case Some(sc) if commaDecimal(culture) =>
         val swapped = StructType(sc.map {
           case f if f.dataType == DoubleType || f.dataType == FloatType =>
@@ -73,6 +90,7 @@ object Csv {
           .option("samplingRatio", samplingRatio.toString).csv(path)
       case None => r.csv(path)
     }
+    applyMissingTokens(parsed)
   }
 
   /** Frame.SaveCsv (reference FrameExtensions.fs:320-356). For

@@ -29,11 +29,17 @@ class CsvSpec extends SparkSpecBase {
     assert(got === Map("a" -> Some(1234.56), "b" -> Some(-0.5), "c" -> Some(7.0)))
   }
 
-  test("reference missing tokens: NA parses as null") {
-    val dir = writeRaw(Seq("name;x", "a;NA", "b;2,5"))
+  test("ALL reference missing tokens (NaN, NA, #N/A, :) parse as null in numeric AND string columns") {
+    val dir = writeRaw(Seq("name;x",
+      "a;NA", "b;2,5", "c;#N/A", "d;:", "e;NaN",
+      "NA;1,0", "#N/A;1,0", ":;1,0"))
     val df = Csv.read(spark, dir, separator = ";", schema = Some(deSchema), culture = "de-DE")
-    val got = df.collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
-    assert(got === Map("a" -> true, "b" -> false))
+    val rows = df.collect()
+    val byName = rows.filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(byName === Map("a" -> true, "b" -> false, "c" -> true, "d" -> true, "e" -> true))
+    // token-valued STRING cells are missing too (FrameExtensions.fs:49)
+    assert(rows.count(_.isNullAt(0)) === 3)
   }
 
   test("write+read round-trip under de-DE preserves values exactly (2-dp money)") {

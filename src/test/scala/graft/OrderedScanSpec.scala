@@ -114,14 +114,22 @@ class OrderedScanSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     spark.conf.set("spark.graft.globalWindow.maxBytes", "0") // everything is "large"
+    // AQE wraps executedPlan in an AdaptiveSparkPlanExec LEAF that hides
+    // every node from collect() — turn it off so the shape assertions see
+    // the actual operators (they were vacuously green otherwise)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = seriesDf(input: _*)
       val s = KSeries(df, ordered = true)
+      var sawWindowNodes = false
       for ((routed, label) <- Seq(
           (s.fillForward(), "fillForward"), (s.fillBackward(), "fillBackward"),
           (s.shift(2), "shift"), (s.diff(1), "diff"))) {
         val plan = routed.df.queryExecution.executedPlan
+        assert(plan.collect { case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a }.isEmpty, "AQE still on — assertions would be vacuous")
         val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        sawWindowNodes ||= globalWindows.nonEmpty
         // any remaining unpartitioned window must sit over a tiny per-bucket
         // aggregate (the carry table), never over the raw data
         globalWindows.foreach { w =>
@@ -131,6 +139,9 @@ class OrderedScanSpec extends SparkSpecBase {
           assert(overSummary, s"$label: global window over non-aggregated input:\n$w")
         }
       }
+      // the carry windows of the stitched form must be visible — otherwise
+      // the loop above asserted nothing
+      assert(sawWindowNodes, "no WindowExec found in any routed plan — detector is blind")
       // and the routed results agree with the window form
       spark.conf.set("spark.graft.globalWindow.maxBytes", Long.MaxValue.toString)
       val df2 = seriesDf(input: _*)
@@ -143,6 +154,9 @@ class OrderedScanSpec extends SparkSpecBase {
       spark.conf.set("spark.graft.globalWindow.maxBytes", "0")
       assert(kv(sLarge.fillForward()) === smallFF)
       assert(kv(sLarge.diff(1)).sortBy(_._1) === smallD.sortBy(_._1))
-    } finally spark.conf.unset("spark.graft.globalWindow.maxBytes")
+    } finally {
+      spark.conf.unset("spark.graft.globalWindow.maxBytes")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }
