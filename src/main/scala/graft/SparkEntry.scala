@@ -873,6 +873,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- additive range join: events ↦ overlapping 3-day audit windows
+    //      via the grid-bucketed equi-join (no BNLJ, no cartesian) ----
+    "q106_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("long").as("sec"), col("value"))
+      val wk = e.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(604800L))).as("w_start"))
+        .withColumn("w_end", col("w_start") + 259200L)
+      RangeJoin.pointInInterval(e, "sec", wk, "w_start", "w_end", cellWidth = 86400L)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    }),
+
     // ---- §2.6 additive rolling-stats family: 30-day RANGE-frame corr /
     //      variance / extrema between the F and O order series ----
     "q105_rolling_stats" -> ((s, dir) => {
@@ -1514,6 +1527,16 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q106_interval_join" ->
+      """WITH e AS (SELECT event_id,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, value FROM events),
+        |b AS (SELECT min(sec) AS lo, max(sec) AS hi FROM e),
+        |w AS (SELECT unnest(generate_series(lo, hi, 604800)) AS w_start FROM b),
+        |j AS (SELECT w.w_start, e.value FROM w JOIN e
+        |      ON e.sec >= w.w_start AND e.sec < w.w_start + 259200)
+        |SELECT w_start, count(*) AS n, round(sum(value), 4) AS total
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q105_rolling_stats" ->
       """WITH fo AS (SELECT CAST(o_orderdate AS DATE) AS k,

@@ -159,6 +159,19 @@ class PipelineSpec extends SparkSpecBase {
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("grid-bucketed interval join equals the naive range-predicate join") {
+    import graft.operators.RangeJoin
+    val pts = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("pid", "t")
+    val ivs = (0L until 40L).map(i => (i, i * 25, i * 25 + (i % 5) * 30))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", cellWidth = 50)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(got === naive)
+  }
+
   test("components: min-label propagation across chains and disjoint clusters") {
     val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.components(pairs).collect()
