@@ -873,6 +873,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- §2.5 higher-moment stats: skewness/kurtosis builtins (population
+    //      definitions; oracle recomputes from raw central moments since
+    //      DuckDB's builtins use the sample-corrected forms) ----
+    "q107_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(skewness(col("l_extendedprice")), 6).as("skew"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- additive range join: events ↦ overlapping 3-day audit windows
     //      via the grid-bucketed equi-join (no BNLJ, no cartesian) ----
     "q106_interval_join" -> ((s, dir) => {
@@ -1527,6 +1538,18 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q107_moments" ->
+      """WITH mu AS (SELECT l_returnflag, avg(l_extendedprice) AS mu
+        |            FROM lineitem GROUP BY 1),
+        |c AS (SELECT l.l_returnflag, count(*) AS n,
+        |  avg(pow(l_extendedprice - mu, 2)) AS m2,
+        |  avg(pow(l_extendedprice - mu, 3)) AS m3,
+        |  avg(pow(l_extendedprice - mu, 4)) AS m4
+        |  FROM lineitem l JOIN mu USING (l_returnflag) GROUP BY 1)
+        |SELECT l_returnflag, round(m3 / pow(m2, 1.5), 6) AS skew,
+        |round(m4 / (m2*m2) - 3, 6) AS kurt, n
+        |FROM c""".stripMargin,
 
     "q106_interval_join" ->
       """WITH e AS (SELECT event_id,
