@@ -873,6 +873,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- streaming: stream-stream time-range self-join (state on both
+    //      sides, watermark-expired) vs the batch self-join oracle ----
+    "q108_stream_join" -> ((s, dir) => {
+      Streams.withinHourPairCounts(s, dir, maxUserId = 20)
+    }),
+
     // ---- §2.5 higher-moment stats: skewness/kurtosis builtins (population
     //      definitions; oracle recomputes from raw central moments since
     //      DuckDB's builtins use the sample-corrected forms) ----
@@ -1538,6 +1544,15 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q108_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+        |  FROM events WHERE user_id < 20)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us > a.us AND b.us <= a.us + 3600000000
+        |GROUP BY 1""".stripMargin,
 
     "q107_moments" ->
       """WITH mu AS (SELECT l_returnflag, avg(l_extendedprice) AS mu

@@ -85,6 +85,24 @@ object Streams {
           col("n"), round(col("total"), 4).as("total"))
     }
 
+  /** Stream-stream self-join: for each event, the same user's events in the
+    * following hour — the streaming form of a time-range self-join (state
+    * on both sides, expired by the watermarks + the time constraint; at
+    * scale state is partitioned by the join key like any shuffle). The
+    * joined pairs land in the sink; the per-user pair counts are a batch
+    * aggregate over it. */
+  def withinHourPairCounts(spark: SparkSession, dir: String, maxUserId: Long): DataFrame =
+    runToCompletion(spark, dir, outputMode = "append") { events =>
+      val base = events.where(col("user_id") < maxUserId)
+      val a = base.withWatermark("ts", "2 hours").alias("a")
+      val b = base.withWatermark("ts", "2 hours").alias("b")
+      a.join(b, expr(
+        "a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + interval 1 hour"))
+        .select(col("a.user_id").as("user_id"), col("a.event_id").as("eid_a"))
+    }
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Streaming-ingest dedup — the streaming twin of `Dedup.exact`: drop
     * duplicate content keys as they arrive, BEFORE they reach storage (the
     * shape of a training-data ingest pipe: dedup at the firehose, not in a
