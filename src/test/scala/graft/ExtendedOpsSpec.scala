@@ -176,6 +176,21 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(msgs(ex).exists(_.contains("duplicate row key")))
   }
 
+  test("approx_percentile stays within its accuracy bound of the exact percentile") {
+    // the 100 TB quantile path: approx_percentile is mergeable/one-pass,
+    // exact percentile is the small-data oracle
+    val df = (1 to 50000).map(i => ((i * 7919) % 50000).toDouble).toDF("x")
+    val r = df.agg(
+      expr("percentile(x, array(0.5, 0.95))").as("exact"),
+      expr("approx_percentile(x, array(0.5, 0.95), 1000)").as("approx")).head
+    val exact = r.getSeq[Double](0)
+    val approx = r.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      // accuracy 1000 → rank error ≤ n/1000 = 50 ranks ≈ 50 in value space
+      assert(math.abs(e - a) <= 100.0, s"exact=$e approx=$a")
+    }
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact at corpus scale") {
     val df = (1 to 20000).map(i => (i.toLong, s"doc_${i % 7321}")).toDF("id", "fp")
     val r = df.agg(

@@ -180,6 +180,14 @@ class PipelineSpec extends SparkSpecBase {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components: pointer jumping closes a 100-link chain within the default round budget") {
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.components(chain).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.length === 101)
+    assert(r.forall(_._2 === 0L), "every chain node must reach label 0")
+  }
+
   test("ngramContamination: exact substring doc flagged, disjoint doc not") {
     val train = Seq((10L, "x y z w q"), (11L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val probe = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
