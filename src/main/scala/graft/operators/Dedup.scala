@@ -215,9 +215,12 @@ object Dedup {
       // returns partially propagated labels)
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
+      // materialized: it feeds BOTH sides of the jump join below — without
+      // this the neighbor-min join subtree would execute twice per round
       val propagated = labels.join(neighborMin, labels("id") === col("nid"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // pointer jumping: label(x) ← min(label(x), label(label(x))) — doubles
       // the propagation horizon per round, so convergence is O(log diameter)
       // instead of O(diameter) (the join-agg analog of union-find path
@@ -234,8 +237,9 @@ object Dedup {
       i += 1
     }
     require(converged,
-      s"components did not converge in $maxIter rounds (component diameter > " +
-        s"$maxIter) — raise maxIter or switch to large-star/small-star rounds")
+      s"components did not converge in $maxIter pointer-jumping rounds " +
+        s"(component diameter ≳ 2^$maxIter — no real near-dup graph looks " +
+        "like this; suspect a data or algorithm bug before raising maxIter)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

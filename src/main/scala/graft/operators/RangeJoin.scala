@@ -27,12 +27,18 @@ object RangeJoin {
       endCol: String,
       cellWidth: Long): DataFrame = {
     require(cellWidth > 0, "cellWidth must be positive")
+    require(!points.columns.contains("__cell") && !intervals.columns.contains("__cell"),
+      "__cell is reserved by pointInInterval")
     val p = points.withColumn("__cell",
       floor(col(pointCol).cast("long") / cellWidth))
-    val i = intervals.withColumn("__cell", explode(sequence(
-      floor(col(startCol).cast("long") / cellWidth),
-      // end is exclusive: last overlapped cell holds end-1
-      floor((col(endCol).cast("long") - 1) / cellWidth))))
+    // degenerate intervals (end <= start) match nothing — and MUST be
+    // dropped before the explode: sequence(a, b) with a > b silently steps
+    // DESCENDING, so one corrupt row would fan out into millions of cells
+    val i = intervals.where(col(endCol) > col(startCol))
+      .withColumn("__cell", explode(sequence(
+        floor(col(startCol).cast("long") / cellWidth),
+        // end is exclusive: last overlapped cell holds end-1
+        floor((col(endCol).cast("long") - 1) / cellWidth))))
     p.join(i, Seq("__cell"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__cell")
