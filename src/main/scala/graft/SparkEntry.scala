@@ -873,6 +873,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- capstone: the full curation pipeline in one plan — exact dedup →
+    //      quality filter → decontamination → deterministic sample →
+    //      token packing, hash-verified end-to-end ----
+    "q109_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reps = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = docs.join(reps, "doc_id")
+      val quality = deduped.where(Text.tokenCount(col("text")) >= 20)
+      val train = quality.where(col("doc_id") >= 5)
+      val contaminated = Dedup.ngramContamination(
+        train, docs.where(col("doc_id") < 5), "doc_id", "text", n = 3, minOverlap = 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = Sampling.deterministic(clean, "doc_id", 0.5)
+      val withTok = sampled.select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok"))
+      Packing.packByTokens(withTok, "doc_id", "n_tok", targetTokens = 4096)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("bin_tokens"))
+    }),
+
     // ---- streaming: stream-stream time-range self-join (state on both
     //      sides, watermark-expired) vs the batch self-join oracle ----
     "q108_stream_join" -> ((s, dir) => {
@@ -1544,6 +1565,29 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q109_pipeline_e2e" ->
+      s"""WITH $tokSql,
+         |fp AS (SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM documents) GROUP BY f),
+         |d AS (SELECT t.doc_id, t.n_tok FROM toks t JOIN fp USING (doc_id)
+         |      WHERE t.n_tok >= 20 AND t.doc_id >= 5),
+         |g AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(ws) < 3 THEN []
+         |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+         |  END) AS sh FROM toks),
+         |bad AS (SELECT DISTINCT t.doc_id FROM g t, g p
+         |  WHERE t.doc_id >= 5 AND p.doc_id < 5 AND len(t.sh) > 0 AND len(p.sh) > 0
+         |  AND len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) >= 0.5),
+         |clean AS (SELECT * FROM d
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+         |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM clean)
+         |SELECT CAST(floor((cum - n_tok) / 4096) AS BIGINT) AS bin,
+         |count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY 1""".stripMargin,
 
     "q108_stream_join" ->
       """WITH e AS (SELECT user_id, event_id,
