@@ -39,6 +39,12 @@ object Streams {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    // local verification streams carry tiny per-batch state; the session's
+    // batch-sized shuffle width just multiplies state-store open/commit
+    // overhead across partitions. Scope a narrow width to this stream and
+    // restore after (a production deployment sizes this to its key space).
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = agg(events).writeStream
         .outputMode(outputMode)
@@ -52,6 +58,7 @@ object Streams {
       // session no longer accumulate sink tables (driver memory) or temp dirs
       spark.table(name).localCheckpoint(true)
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
       spark.catalog.dropTempView(name)
       java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(srcDir)
