@@ -25,6 +25,17 @@ class KSeriesSpec extends SparkSpecBase {
       Seq((2L, None), (3L, Some(3.0))))
   }
 
+  test("slicing with inexact keys below/inside/above the range (reference tests Series.fs:258-266)") {
+    val sr = s((2L, 2.0), (4L, 4.0), (6L, 6.0))
+    // bounds that are not keys slice as a range, exactly like the reference
+    assert(collectKV(sr.between(lit(1L), lit(5L)).df) === Seq((2L, Some(2.0)), (4L, Some(4.0))))
+    assert(collectKV(sr.between(lit(3L), lit(9L)).df) === Seq((4L, Some(4.0)), (6L, Some(6.0))))
+    // bounds entirely out of range yield an empty series, not an error
+    assert(collectKV(sr.between(lit(10L), lit(20L)).df) === Seq())
+    assert(collectKV(sr.endAt(lit(1L)).df) === Seq())
+    assert(collectKV(sr.startAt(lit(7L)).df) === Seq())
+  }
+
   test("union PreferLeft / PreferRight (reference Series.fs:346-359)") {
     val a = s((1L, 1.0), (2L, 2.0))
     val b = s((2L, 20.0), (3L, 30.0))
