@@ -873,6 +873,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- pipeline: context-window chunking (64-token chunks, 16 overlap);
+    //      chunk text verified by md5 against the SQL slicing oracle ----
+    "q110_chunk_docs" -> ((s, dir) => {
+      Text.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"))
+    }),
+
     // ---- capstone: the full curation pipeline in one plan — exact dedup →
     //      quality filter → decontamination → deterministic sample →
     //      token packing, hash-verified end-to-end ----
@@ -1565,6 +1574,19 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q110_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n,
+        |  CASE WHEN len(ws) <= 64 THEN 1
+        |       ELSE 1 + CAST(ceil((len(ws) - 64)::DOUBLE / 48) AS BIGINT) END AS nch
+        |  FROM w),
+        |c AS (SELECT doc_id,
+        |  unnest(range(0, nch)) AS chunk_idx,
+        |  unnest(list_transform(range(0, nch),
+        |    i -> array_to_string(ws[i*48+1 : least(i*48+64, n)], ' '))) AS txt
+        |  FROM n)
+        |SELECT doc_id, chunk_idx, md5(txt) AS chunk_md5 FROM c""".stripMargin,
 
     "q109_pipeline_e2e" ->
       s"""WITH $tokSql,

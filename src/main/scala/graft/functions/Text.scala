@@ -98,6 +98,37 @@ object Text {
       .select(col("doc_id"), col("gram").as("top_gram"), col("c").as("n_rep"))
   }
 
+  /** Split documents into ≤`maxTokens`-token chunks with `overlap` shared
+    * tokens between consecutive chunks — the context-window chunking of
+    * training/RAG pipelines (the complement of `Packing`: packing merges
+    * short docs into a budget, chunking splits long ones). Chunk i covers
+    * tokens [i·stride, i·stride+maxTokens) with stride = maxTokens−overlap;
+    * a doc at or under the budget stays one chunk. Compiled kernel +
+    * posexplode — a pure fan-out, no shuffle.
+    * Output: (doc_id, chunk_idx, chunk). */
+  def chunkTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, s"need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val kernel = udf { (text: String) =>
+      val ws = if (text == null) Array.empty[String] else text.trim.split(" ", -1)
+      val n = ws.length
+      val nChunks =
+        if (n <= maxTokens) 1
+        else 1 + math.ceil((n - maxTokens).toDouble / stride).toInt
+      Array.tabulate(nChunks) { i =>
+        val start = i * stride
+        ws.slice(start, math.min(start + maxTokens, n)).mkString(" ")
+      }
+    }
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(kernel(col(textCol))).as(Seq("chunk_idx", "chunk")))
+  }
+
   /** GPT-2-style pre-tokenizer pattern (simplified to the portable regex
     * subset): contractions, letter runs, digit runs, punctuation runs, each
     * optionally preceded by a space. The "BPE-ish regex" token count of the

@@ -159,6 +159,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("chunkTokens: coverage + overlap invariants") {
+    import graft.functions.{Text => T}
+    val doc = (1 to 150).map(i => s"t$i").mkString(" ")
+    val chunks = T.chunkTokens(Seq((1L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 64, overlap = 16)
+      .orderBy("chunk_idx").collect().map(_.getString(2).split(" ").toSeq)
+    // stride 48 over 150 tokens → chunks at 0, 48, 96 (length 64, 64, 54)
+    assert(chunks.map(_.length).toSeq === Seq(64, 64, 54))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(chunks(0).takeRight(16) === chunks(1).take(16))
+    assert(chunks(1).takeRight(16) === chunks(2).take(16))
+    // every token covered in order
+    assert(chunks(0) ++ chunks(1).drop(16) ++ chunks(2).drop(16)
+      === (1 to 150).map(i => s"t$i"))
+    // short doc stays one chunk
+    val one = T.chunkTokens(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", 64, 16).collect()
+    assert(one.length === 1 && one.head.getString(2) === "a b c")
+  }
+
   test("grid-bucketed interval join equals the naive range-predicate join") {
     import graft.operators.RangeJoin
     val pts = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("pid", "t")
