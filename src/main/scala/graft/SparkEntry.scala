@@ -873,6 +873,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- similarity: IVF+PQ composed index (coarse routing + ADC codes —
+    //      the FAISS-style production ANN shape; rows-only) ----
+    "q111_knn_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 3, m = 8, kCentroids = 16)
+    }),
+
     // ---- pipeline: context-window chunking (64-token chunks, 16 overlap);
     //      chunk text verified by md5 against the SQL slicing oracle ----
     "q110_chunk_docs" -> ((s, dir) => {

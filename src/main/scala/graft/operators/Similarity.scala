@@ -263,6 +263,82 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_pq"))
   }
 
+  /** IVF+PQ — the production ANN index shape (FAISS IVFPQ): coarse k-means
+    * routing prunes the corpus to `nprobe`/`nlist` of its buckets, and
+    * within the probed buckets rows are scored by ADC over their PQ codes —
+    * the scan touches bucket ids and byte codes only, never raw vectors.
+    * Query tables are built driver-side (query-set × m×k doubles — the
+    * query set is broadcast-sized by contract, as in [[bruteForceKnn]]).
+    * Approximate on two axes (routing recall × quantization error);
+    * rows-only checked + cluster-exactness spec like [[pqKnn]]. */
+  def ivfPqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      m: Int = 8,
+      kCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val books = pqTrain(corpus, idCol, vecCol, m, kCentroids, iters)
+    val sub = books(0)(0).length
+    val encode = pqEncodeUdf(books, sub)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.nearestCentroids(cents, 1)(col(vecCol))(0).as("bucket"),
+      transform(encode(col(vecCol)), s => s("_2")).as("code"))
+
+    // driver-side per-query routing + ADC tables, regrouped by bucket so a
+    // corpus row only ever scores the queries probing its bucket
+    import corpus.sparkSession.implicits._
+    val qRows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])].collect()
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val byBucket: Map[Long, Array[(Long, Array[Array[Double]])]] = qRows.flatMap {
+      case (qid, qv) =>
+        val q = normalize(qv.toArray)
+        val table = books.indices.map { j =>
+          books(j).map { cb =>
+            var d = 0.0; var t = 0
+            while (t < cb.length && j * sub + t < q.length) {
+              d += q(j * sub + t).toDouble * cb(t); t += 1
+            }
+            d
+          }
+        }.toArray
+        // nprobe nearest coarse centroids by cosine (sim desc, id asc)
+        val sims = cents.indices.map { c =>
+          var dot = 0.0; var t = 0
+          val n = math.min(q.length, cents(c).length)
+          while (t < n) { dot += q(t).toDouble * cents(c)(t); t += 1 }
+          if (centNorms(c) == 0) -2.0 else dot / centNorms(c)
+        }
+        cents.indices.sortBy(c => (-sims(c), c)).take(nprobe)
+          .map(b => (b.toLong, (qid, table)))
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toArray }
+    val bc = corpus.sparkSession.sparkContext.broadcast(byBucket)
+
+    val score = udf { (bucket: Long, code: Seq[Int]) =>
+      bc.value.getOrElse(bucket, Array.empty[(Long, Array[Array[Double]])]).map {
+        case (qid, table) =>
+          var s = 0.0; var j = 0
+          while (j < code.length) { s += table(j)(code(j)); j += 1 }
+          (qid, s)
+      }
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("neighbor_id").asc)
+    codes.select(col("neighbor_id"), explode(score(col("bucket"), col("code"))).as("qs"))
+      .select(col("neighbor_id"), col("qs._1").as("query_id"),
+        round(col("qs._2"), 6).as("cosine_pq"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_pq"))
+  }
+
   /** IVF search against explicit centroid vectors (bucket id = index) —
     * pair with [[kmeansCentroids]] for trained buckets. */
   def ivfKnnWithCentroids(

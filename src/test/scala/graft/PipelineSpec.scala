@@ -119,6 +119,24 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF+PQ ANN: neighbors stay cluster-exact on separable vectors") {
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        (if (d / 4 == c) 1.0f else 0.05f) + (i % 13) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 3)
+    val got = Similarity.ivfPqKnn(vecs, q, "vec_id", "embedding", k = 5,
+      nlist = 4, nprobe = 2, m = 4, kCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(got.nonEmpty)
+    got.foreach { case (qid, ns) =>
+      assert(ns.nonEmpty && ns.forall(_ % 4 == qid % 4),
+        s"IVF+PQ neighbors of $qid leave its cluster: $ns")
+    }
+  }
+
   test("deterministic sampler: membership stable under corpus growth, rate ≈ fraction") {
     import graft.operators.Sampling
     val small = (0L until 2000L).toDF("id")
