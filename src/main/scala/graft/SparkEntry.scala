@@ -873,6 +873,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
     }),
 
+    // ---- §2.6 per-group EWMA: one shuffle on the group key, exact
+    //      sequential recurrence within groups (hash-exact vs the
+    //      recursive SQL oracle — same IEEE ops in the same order) ----
+    "q112_ewma_by_user" -> ((s, dir) => {
+      OrderedScan.ewmaByGroup(t(s, dir, "events"),
+        "user_id", "event_id", "value", alpha = 0.2, outCol = "ewma")
+        .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+    }),
+
     // ---- similarity: IVF+PQ composed index (coarse routing + ADC codes —
     //      the FAISS-style production ANN shape; rows-only) ----
     "q111_knn_ivfpq" -> ((s, dir) => {
@@ -1582,6 +1591,18 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
         |  FROM c)
         |SELECT doc_id, gram AS top_gram, c AS n_rep FROM r WHERE rn = 1""".stripMargin,
+
+    "q112_ewma_by_user" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |w(user_id, event_id, rn, y) AS (
+        |  SELECT user_id, event_id, rn, value FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, 0.2*e.value + 0.8*w.y
+        |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, round(y, 6) AS ewma FROM w""".stripMargin,
 
     "q110_chunk_docs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),

@@ -240,6 +240,44 @@ object OrderedScan {
     spark.createDataFrame(outRdd, schema)
   }
 
+  /** Per-group EWMA — the common 100 TB shape (per-symbol, per-user):
+    * groups are independent, so one shuffle on the group key + a sequential
+    * scan within each sorted group computes the recurrence exactly, fully
+    * parallel across groups. Unlike [[ewma]]'s global stitch this is a
+    * straight loop — bit-identical to any engine's sequential recurrence,
+    * hence DuckDB-oracle-exact. Null values dropped. Output:
+    * (groupCol, keyCol, outCol). */
+  def ewmaByGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      alpha: Double,
+      outCol: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0,1]")
+    val spark = df.sparkSession
+    val sorted = df.select(col(groupCol), col(keyCol), col(valueCol).cast("double"))
+      .where(col(valueCol).isNotNull)
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(keyCol))
+    val outRdd = sorted.rdd.mapPartitions { iter =>
+      var cur: Any = null
+      var started = false
+      var y = 0.0
+      iter.map { r =>
+        val g = r.get(0)
+        if (!started || g != cur) { cur = g; started = true; y = r.getDouble(2) }
+        else y = alpha * r.getDouble(2) + (1 - alpha) * y
+        org.apache.spark.sql.Row(g, r.get(1), y)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema(0), sorted.schema(1),
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(outRdd, schema).toDF(groupCol, keyCol, outCol)
+  }
+
   /** Global 0-based row number in key order, distributed. Appends `ordCol`.
     * The scale path behind indexRowsOrdinally / positional GetAt. */
   def rowNumber(

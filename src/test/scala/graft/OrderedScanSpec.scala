@@ -102,6 +102,21 @@ class OrderedScanSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmaByGroup: exact per-group recurrence, groups independent across partitions") {
+    import spark.implicits._
+    val rows = for (g <- 0L until 37L; i <- 0L until 40L) yield (g, i, (g * 31 + i * 7 % 13).toDouble)
+    val df = rows.toDF("g", "k", "v")
+    val got = OrderedScan.ewmaByGroup(df, "g", "k", "v", alpha = 0.3, "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      var y = Double.NaN
+      rs.sortBy(_._2).foreach { case (_, k, v) =>
+        y = if (y.isNaN) v else 0.3 * v + 0.7 * y
+        assert(got((g, k)) === y, s"g=$g k=$k") // bit-exact, no tolerance
+      }
+    }
+  }
+
   test("ewma drops nulls and seeds from the first non-null value") {
     val df = seriesDf((1L, null), (2L, 10.0), (3L, null), (4L, 20.0))
     val got = OrderedScan.ewma(df, "k", "v", alpha = 0.5, "y", buckets = 2)
