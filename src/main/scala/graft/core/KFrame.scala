@@ -64,7 +64,9 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
   def indexRowsOrdinally: KFrame = {
     val maxBytes = df.sparkSession.conf
       .get("spark.graft.globalWindow.maxBytes", KSeries.DefaultGlobalWindowMaxBytes.toString).toLong
-    if (keyCols.size == 1 && df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes)
+    if (keyCols.size == 1 &&
+        graft.operators.OrderedScan.supportsRangeBucket(df.schema(keyCols.head).dataType) &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes)
       KFrame(graft.operators.OrderedScan.rowNumber(df, keyCols.head, "__ord")
         .drop(keyCols: _*), Seq("__ord"), ordered = true)
     else {

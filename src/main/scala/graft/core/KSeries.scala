@@ -79,11 +79,17 @@ final case class KSeries(
     * whole series through ONE task, so the op delegates to the
     * partition-stitched [[graft.operators.OrderedScan]] form (bucket shuffle
     * + broadcast carry) instead. Plan-time decision from Catalyst statistics
-    * — no job is run to decide. Tunable via `spark.graft.globalWindow.maxBytes`. */
+    * — no job is run to decide. Tunable via `spark.graft.globalWindow.maxBytes`.
+    * Only keys whose cast-to-double bucket proxy is monotone qualify
+    * (numeric/date/timestamp — [[graft.operators.OrderedScan.supportsRangeBucket]]);
+    * a string-keyed series stays on the single-window form regardless of
+    * size, because range-bucketing it would silently reorder ('10' < '9'
+    * lexicographically but not numerically). */
   private def isLargeForGlobalWindow: Boolean = {
     val maxBytes = df.sparkSession.conf
       .get("spark.graft.globalWindow.maxBytes", KSeries.DefaultGlobalWindowMaxBytes.toString).toLong
-    df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes
+    graft.operators.OrderedScan.supportsRangeBucket(df.schema(keyCol).dataType) &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes
   }
 
   // ---- projection / filtering (reference src/Series.fs:229-286) ----

@@ -208,7 +208,14 @@ object Vectors {
     val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     val combos = (0 until nBlocks).combinations(comboSize).map(_.toArray).toArray
-    require(combos.forall(c => 6 + c.map(widths).sum <= 63), "combo key overflows a long")
+    // the combo id occupies the high bits: its actual width is
+    // ceil(log2(#combos)) — NOT a fixed 6; maxHamming=8 already needs
+    // C(11,3)=165 combos = 8 bits. Guard with the real width so a wide
+    // config can't pass and then collide key spaces through the sign bit.
+    val idBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((combos.length - 1).toLong))
+    require(combos.forall(c => idBits + c.map(widths).sum <= 63),
+      s"combo key overflows a long: $idBits id bits + widest combo " +
+        s"${combos.map(_.map(widths).sum).max} value bits > 63")
     udf { (fp: Long) =>
       val keys = new Array[Long](combos.length)
       var c = 0

@@ -22,17 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object OrderedScan {
 
+  /** Key dtypes for which `numericKey` is MONOTONE in the key's natural
+    * order — the correctness precondition of every scan here. StringType is
+    * deliberately excluded: `cast("double")` orders '9' before '10' while
+    * the key order is '10' < '9', and non-numeric strings cast to null and
+    * would all collapse into the null bucket — a string-keyed scan would
+    * silently return different fills/shifts than the single-window form.
+    * Callers auto-routing to OrderedScan must gate on this. */
+  def supportsRangeBucket(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
   /** Numeric proxy of an orderable key (approxQuantile needs numeric):
     * monotone in the key, so range buckets over it are range buckets over
-    * the key. */
-  private def numericKey(df: DataFrame, keyCol: String): Column =
-    df.schema(keyCol).dataType match {
+    * the key. Only dtypes passing [[supportsRangeBucket]] have a monotone
+    * proxy — anything else is a hard error, not a silent reorder. */
+  private def numericKey(df: DataFrame, keyCol: String): Column = {
+    val dt = df.schema(keyCol).dataType
+    require(supportsRangeBucket(dt),
+      s"OrderedScan needs a numeric/date/timestamp key; '$keyCol' is $dt " +
+        "(cast-to-double is not monotone in its natural order)")
+    dt match {
       case org.apache.spark.sql.types.DateType =>
         datediff(col(keyCol), lit("1970-01-01")).cast("double")
-      case org.apache.spark.sql.types.TimestampType =>
-        col(keyCol).cast("double")
       case _ => col(keyCol).cast("double")
     }
+  }
 
   /** Assign a range-bucket id column `__bucket` (-1..buckets) using
     * approx-quantile boundaries of the key. Rows with equal keys always land
@@ -211,25 +231,39 @@ object OrderedScan {
       out.iterator
     }.collect().sortBy(_._1)
 
-    // tiny cross-bucket recurrence: carry-IN per bucket (NaN = none yet)
+    // tiny cross-bucket recurrence: carry-IN per bucket. "No carry yet" is
+    // tracked with an explicit flag, NOT a NaN sentinel — a legitimate NaN
+    // data value must poison the recurrence forward (exactly like a
+    // sequential loop would), not be mistaken for "reseed here".
     val carryIn = scala.collection.mutable.Map.empty[Int, Double]
-    var carry = Double.NaN
+    var carry = 0.0
+    var hasCarry = false
     summaries.foreach { case (bk, w0, wInit, d) =>
-      carryIn(bk) = carry
-      carry = if (carry.isNaN) wInit else w0 + d * carry
+      if (hasCarry) carryIn(bk) = carry
+      carry = if (!hasCarry) wInit else w0 + d * carry
+      hasCarry = true
     }
     val bcCarry = spark.sparkContext.broadcast(carryIn.toMap)
 
-    // pass 2: re-scan each bucket seeded with its exact carry-in
+    // pass 2: re-scan each bucket seeded with its exact carry-in (buckets
+    // absent from the map start fresh; same flag discipline as above)
     val keyIdx = 1
     val outRdd = sorted.rdd.mapPartitions { iter =>
       val carries = bcCarry.value
       var cur = Int.MinValue
-      var y = Double.NaN
+      var y = 0.0
+      var hasY = false
       iter.map { r =>
         val bk = r.getInt(0); val x = r.getDouble(2)
-        if (bk != cur) { cur = bk; y = carries.getOrElse(bk, Double.NaN) }
-        y = if (y.isNaN) x else alpha * x + (1 - alpha) * y
+        if (bk != cur) {
+          cur = bk
+          carries.get(bk) match {
+            case Some(c) => y = c; hasY = true
+            case None => hasY = false
+          }
+        }
+        y = if (!hasY) x else alpha * x + (1 - alpha) * y
+        hasY = true
         org.apache.spark.sql.Row(r.get(keyIdx), y)
       }
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range) join: match fact rows at a point to interval rows with
@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   * equi-join. */
 object RangeJoin {
 
+  /** floor(col / w) as a cell id, exact for every numeric dtype. Integral
+    * columns use `(c - pmod(c, w)) div w` — integer-only arithmetic, so
+    * epoch-nano longs beyond 2^53 don't lose precision the way a double
+    * division would (and unlike `cast("long")`, pmod-then-div floors toward
+    * -inf for negative values). Fractional columns floor the real quotient,
+    * so a point at 20.3 with width 10 lands in cell 2 instead of the cell of
+    * a truncated 20. */
+  private def cellOf(name: String, w: Long, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        expr(s"(`$name` - pmod(`$name`, $w)) div $w")
+      case _ => floor(col(name) / lit(w.toDouble)).cast("long")
+    }
+  }
+
   /** Join `points` (numeric/epoch `pointCol`) to `intervals`
     * (`[startCol, endCol)` numeric): inner join keeping all columns of
     * both sides. */
@@ -29,16 +45,23 @@ object RangeJoin {
     require(cellWidth > 0, "cellWidth must be positive")
     require(!points.columns.contains("__cell") && !intervals.columns.contains("__cell"),
       "__cell is reserved by pointInInterval")
-    val p = points.withColumn("__cell",
-      floor(col(pointCol).cast("long") / cellWidth))
+    val pDt = points.schema(pointCol).dataType
+    val sDt = intervals.schema(startCol).dataType
+    val eDt = intervals.schema(endCol).dataType
+    val p = points.withColumn("__cell", cellOf(pointCol, cellWidth, pDt))
+    // End is exclusive: the last overlapped cell is floor(end/w), EXCEPT
+    // when end sits exactly on a cell boundary — then no point of the
+    // interval reaches that cell. (The old `cast("long") - 1` form silently
+    // dropped matches for fractional ends: [5.0, 20.5) must emit cell 2
+    // because 20.3 lives there.)
+    val lastCell = cellOf(endCol, cellWidth, eDt) -
+      when(pmod(col(endCol), lit(cellWidth)) === lit(0), lit(1)).otherwise(lit(0))
     // degenerate intervals (end <= start) match nothing — and MUST be
     // dropped before the explode: sequence(a, b) with a > b silently steps
     // DESCENDING, so one corrupt row would fan out into millions of cells
     val i = intervals.where(col(endCol) > col(startCol))
       .withColumn("__cell", explode(sequence(
-        floor(col(startCol).cast("long") / cellWidth),
-        // end is exclusive: last overlapped cell holds end-1
-        floor((col(endCol).cast("long") - 1) / cellWidth))))
+        cellOf(startCol, cellWidth, sDt), lastCell)))
     p.join(i, Seq("__cell"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__cell")

@@ -32,19 +32,25 @@ object Streams {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val raw = spark.readStream.schema(batchSchema).parquet(srcDir.toString)
+    // local verification streams carry tiny per-batch state; the session's
+    // batch-sized shuffle width just multiplies state-store open/commit
+    // overhead across partitions. Run the stream in an ISOLATED child
+    // session (shared SparkContext, own SQLConf) with a narrow width —
+    // mutating the caller's session-global conf would race any concurrent
+    // query on it. The child inherits the caller's runtime conf (ANSI,
+    // nanosAsLong, …) minus the shuffle width.
+    val stream = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    stream.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = stream.readStream.schema(batchSchema).parquet(srcDir.toString)
     // events.ts is INT64 nanos (read as long under nanosAsLong) → micros
     val events =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // local verification streams carry tiny per-batch state; the session's
-    // batch-sized shuffle width just multiplies state-store open/commit
-    // overhead across partitions. Scope a narrow width to this stream and
-    // restore after (a production deployment sizes this to its key space).
-    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = agg(events).writeStream
         .outputMode(outputMode)
@@ -55,11 +61,14 @@ object Streams {
       finally q.stop()
       // localCheckpoint pins the rows off the memory sink, so the sink table
       // and scratch dir can be released — repeated calls in a long-lived
-      // session no longer accumulate sink tables (driver memory) or temp dirs
-      spark.table(name).localCheckpoint(true)
+      // session no longer accumulate sink tables (driver memory) or temp dirs.
+      // The checkpointed RDD is context-level, so re-rooting the result in
+      // the CALLER's session is free and keeps downstream composition in one
+      // session.
+      val chk = stream.table(name).localCheckpoint(true)
+      spark.createDataFrame(chk.rdd, chk.schema)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-      spark.catalog.dropTempView(name)
+      stream.catalog.dropTempView(name)
       java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(srcDir)
     }

@@ -174,4 +174,52 @@ class OrderedScanSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("string-keyed series never auto-routes: cast-to-double is not monotone in key order") {
+    import graft.core.KSeries
+    import org.apache.spark.sql.types._
+    // '10' sorts before '9' lexicographically but after it numerically — the
+    // range-bucket proxy would reorder; the dtype gate must keep the series
+    // on the single-window form even when the size threshold says "large".
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = (1 to 12).map(i => org.apache.spark.sql.Row(i.toString, i.toDouble))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    def shifted(maxBytes: String): Seq[(String, Option[Double])] = {
+      spark.conf.set("spark.graft.globalWindow.maxBytes", maxBytes)
+      try KSeries(df, ordered = true).shift(1).df.collect().toSeq
+        .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1)
+      finally spark.conf.unset("spark.graft.globalWindow.maxBytes")
+    }
+    val small = shifted(Long.MaxValue.toString)
+    val large = shifted("0")
+    assert(large === small, "string keys must take the identical window path at any size")
+    // and the lexicographic predecessor of '2' is '12', not '1'
+    assert(small.find(_._1 == "2").get._2 === Some(12.0))
+    // OrderedScan itself refuses a string key outright rather than reordering
+    val err = intercept[IllegalArgumentException] {
+      OrderedScan.forwardFill(df, "k", Seq("v"))
+    }
+    assert(err.getMessage.contains("monotone"))
+  }
+
+  test("ewma: a NaN data value poisons the recurrence forward, like the sequential loop") {
+    val xs = (0 until 300).map { i =>
+      (i.toLong, if (i == 100) Double.NaN else math.cos(i * 0.3) + 2.0)
+    }
+    val df = seriesDf(xs.map { case (k, v) => (k, Double.box(v)) }: _*)
+    val got = OrderedScan.ewma(df, "k", "v", alpha = 0.2, "y", buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length === 300)
+    var y = Double.NaN; var seeded = false
+    xs.zip(got).foreach { case ((k, x), (gk, gv)) =>
+      y = if (!seeded) x else 0.2 * x + 0.8 * y
+      seeded = true
+      assert(gk === k)
+      if (k >= 100) assert(gv.isNaN, s"k=$k must stay NaN once poisoned, got $gv")
+      else assert(math.abs(gv - y) <= 1e-12 * math.abs(y), s"k=$k got=$gv want=$y")
+    }
+  }
 }

@@ -210,6 +210,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(got === naive)
   }
 
+  test("grid-bucketed interval join: fractional bounds, boundary ends, negatives") {
+    import graft.operators.RangeJoin
+    // the old cast("long") truncation dropped point 20.3 from [5.0, 20.5) —
+    // the interval's cell fan-out stopped at floor((20-1)/10)=1 while the
+    // point lives in cell 2. Cover fractional points/ends, ends exactly on a
+    // cell boundary, and negative coordinates (truncation != floor there).
+    val pts = Seq.tabulate(600)(i => (i.toLong, -30.0 + i * 0.1))
+      .toDF("pid", "t")
+    val ivs = Seq(
+      (0L, 5.0, 20.5), (1L, -25.3, -10.0), (2L, -10.0, 0.0),
+      (3L, 19.9, 20.1), (4L, 10.0, 30.0), (5L, 7.0, 7.0) // degenerate
+    ).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", cellWidth = 10)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(got === naive)
+    // the specific regression: 20.3 ∈ [5.0, 20.5)
+    val p203 = pts.where(abs(col("t") - 20.3) < 1e-9).select("pid").head.getLong(0)
+    assert(got.contains((p203, 0L)))
+  }
+
   test("components: min-label propagation across chains and disjoint clusters") {
     val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.components(pairs).collect()
