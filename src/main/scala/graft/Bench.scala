@@ -25,9 +25,11 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // ONE final SHORT line (3-dp timings, locale-proof): the driver tails
-    // the output and must parse the JSON whole
+    // the output and must parse the JSON whole. Keys are shortened to their
+    // qNN id — the round-2 line with 112 full names (~4.4 KB) overflowed the
+    // driver's tail window, truncating the head and leaving parsed:null.
     def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + n3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
