@@ -882,6 +882,15 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
     }),
 
+    // ---- dedup: MinHash-LSH with an md5-portable hash family — the FULL
+    //      approximate pipeline (shingle→minhash→band→bucket-join→verify)
+    //      hash-verified value-by-value against the SQL oracle (q42 keeps
+    //      the compiled-xxhash production path, rows-only) ----
+    "q113_minhash_portable" -> ((s, dir) => {
+      Dedup.minhashLshPortable(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }),
+
     // ---- similarity: IVF+PQ composed index (coarse routing + ADC codes —
     //      the FAISS-style production ANN shape; rows-only) ----
     "q111_knn_ivfpq" -> ((s, dir) => {
@@ -1603,6 +1612,28 @@ object SparkEntry {
         |  SELECT e.user_id, e.event_id, e.rn, 0.2*e.value + 0.8*w.y
         |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
         |SELECT user_id, event_id, round(y, 6) AS ewma FROM w""".stripMargin,
+
+    "q113_minhash_portable" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl)
+        |SELECT c.id_a, c.id_b,
+        |round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        |FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+        |WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""".stripMargin,
 
     "q110_chunk_docs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),

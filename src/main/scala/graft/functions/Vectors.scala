@@ -130,6 +130,56 @@ object Vectors {
       else Array.tabulate(ws.length - n + 1)(i => ws.slice(i, i + n).mkString(" "))
     }
 
+  /** Compiled SQL-PORTABLE MinHash band keys: signature element `s` is the
+    * lexicographic MIN over the shingle set of the lowercase-hex
+    * `md5(s || ':' || shingle)`, and band key `b` is `md5` of its `r`
+    * signature elements joined with '|' in seed order — byte-identical to
+    * the plain-SQL formulation `min(md5(s::VARCHAR || ':' || sh))` +
+    * `md5(string_agg(m, '|' ORDER BY s))`, so results can be
+    * differential-tested value-by-value against any engine with md5.
+    * One JVM call per row replaces a seeds×shingles explode + hash-agg
+    * shuffle (hex compare = binary collation compare: hex chars are
+    * single-byte ASCII in UTF-8). Empty/null shingle sets → empty keys
+    * (doc drops out of banding, like SQL's group-by-nothing). */
+  def md5BandKeys(numHashes: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    udf { (shingles: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(bs: Array[Byte]): String = {
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < bs.length) {
+          sb.append(Character.forDigit((bs(i) >> 4) & 0xF, 16))
+          sb.append(Character.forDigit(bs(i) & 0xF, 16))
+          i += 1
+        }
+        sb.toString
+      }
+      val sh = if (shingles == null) Seq.empty[String] else shingles
+      if (sh.isEmpty) Seq.empty[String]
+      else {
+        val mins = new Array[String](numHashes)
+        sh.foreach { g =>
+          val bytes = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var s = 0
+          while (s < numHashes) {
+            md.update(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            md.update(':'.toByte)
+            md.update(bytes)
+            val h = hex(md.digest()) // digest() resets the instance
+            if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+            s += 1
+          }
+        }
+        (0 until bands).map { b =>
+          val joined = (b * r until (b + 1) * r).map(mins).mkString("|")
+          hex(md.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    }
+  }
+
   /** Compiled shingles→band-keys kernel: minhash signature + banding in one
     * pass per row. Band key = 64-bit hash of (band index, band's minhash
     * slice); two docs collide on a key iff that band's slice agrees exactly —

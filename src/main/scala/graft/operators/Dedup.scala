@@ -63,6 +63,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** MinHash-LSH with a fully SQL-PORTABLE hash family: the minhash of a
+    * shingle set under seed `s` is the lexicographic MIN of
+    * `md5(s || ':' || shingle)` hex strings, and a band's bucket key is
+    * `md5` of its `r` minhashes joined in seed order. Every step (shingle →
+    * minhash → band → bucket-join → exact-Jaccard verify) is reproducible
+    * verbatim in any engine with `md5` — so the WHOLE approximate pipeline
+    * is differential-testable value-by-value against a SQL oracle, not just
+    * row-counted. [[minhashLsh]]'s compiled xxhash kernels remain the
+    * production hot path (~3× cheaper hashing, no md5-hex materialization);
+    * this variant certifies the pipeline's semantics.
+    *
+    * Same plan shape as [[minhashLsh]] at scale: shingle/minhash/band are
+    * projections + one hash agg; the only data shuffles are the (band, key)
+    * self-join on bare ids and the two id-joins that bring shingle sets back
+    * for the verify. Shingles are word n-grams over a single-space split of
+    * `trim(text)` (q41's token convention). Returns (id_a, id_b, jaccard)
+    * with id_a < id_b and exact jaccard >= threshold. */
+  def minhashLshPortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    // distinct shingles (shinglesFast dedups): the min under every seed is
+    // unchanged by duplicates, and the Jaccard verify wants the SET anyway
+    // localCheckpoint (blocks freed by the ContextCleaner, unlike cache):
+    // base feeds BOTH the banding and both sides of the verify join, and bk
+    // feeds both sides of the bucket self-join — without materialization the
+    // shingling + md5 kernel lineage re-executes once per consumer
+    val base = docs
+      .select(col(idCol).as("id"), Vectors.shinglesFast(shingleN)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .localCheckpoint(true)
+    // one compiled kernel call per doc computes the md5 signature AND the
+    // band keys — a seeds×shingles explode + hash-agg shuffle (the naive
+    // plan shape) cost ~8s of the sf0.1 bench on hash-row materialization
+    val bk = base
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+      .localCheckpoint(true)
+    val buckets = bk.select(col("band"), col("bk"), col("id"))
+    val cand = buckets
+      .join(buckets.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("shs").as("tok"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: fingerprint every doc, generate candidates by
     * exact-match on pigeonhole block-combination keys (Manku-Jain-Sarma
     * WWW'07: `maxHamming + 3` blocks, every 3-block subset as a key — a pair
