@@ -882,6 +882,40 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
     }),
 
+    // ---- curation: per-source document cap (no domain dominates the mix);
+    //      one window partitioned by source — parallel across sources ----
+    "q114_source_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(t(s, dir, "documents"), "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), cap = 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+    }),
+
+    // ---- curation: TF-IDF top terms per doc (explode + two hash aggs +
+    //      vocabulary-sized join; ranking windowed per doc) ----
+    "q115_tfidf" -> ((s, dir) => {
+      Text.tfidfTopTerms(
+        t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3)
+    }),
+
+    // ---- curation: rare-token redaction (k-anonymity-style vocabulary
+    //      clamping); reconstructed text md5-verified ----
+    "q116_rare_redact" -> ((s, dir) => {
+      Text.redactRareTokens(t(s, dir, "documents"), "doc_id", "text",
+        maxDocFreq = 2)
+    }),
+
+    // ---- curation: per-source exact-quantile length trimming (outlier
+    //      docs out); group-quantile table broadcast back as a filter ----
+    "q117_source_len_filter" -> ((s, dir) => {
+      Sampling.filterByGroupQuantiles(
+        t(s, dir, "documents"), "source", "n_chars", 0.05, 0.95)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+    }),
+
     // ---- dedup: MinHash-LSH with an md5-portable hash family — the FULL
     //      approximate pipeline (shingle→minhash→band→bucket-join→verify)
     //      hash-verified value-by-value against the SQL oracle (q42 keeps
@@ -1612,6 +1646,51 @@ object SparkEntry {
         |  SELECT e.user_id, e.event_id, e.rn, 0.2*e.value + 0.8*w.y
         |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
         |SELECT user_id, event_id, round(y, 6) AS ewma FROM w""".stripMargin,
+
+    "q114_source_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM r WHERE rn <= 10 GROUP BY source""".stripMargin,
+
+    "q115_tfidf" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |      tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, term, round(score, 6) AS score FROM r WHERE rank <= 3""".stripMargin,
+
+    "q116_rare_redact" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w)+1)) AS pos FROM w),
+        |dfq AS (SELECT t, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY 1),
+        |rare AS (SELECT t FROM dfq WHERE df <= 2),
+        |red AS (SELECT doc_id, pos,
+        |        CASE WHEN t IN (SELECT t FROM rare) THEN '<RARE>' ELSE t END AS t2,
+        |        CASE WHEN t IN (SELECT t FROM rare) THEN 1 ELSE 0 END AS r
+        |        FROM tok)
+        |SELECT doc_id, CAST(sum(r) AS BIGINT) AS n_redacted,
+        |md5(string_agg(t2, ' ' ORDER BY pos)) AS text_md5
+        |FROM red GROUP BY doc_id""".stripMargin,
+
+    "q117_source_len_filter" ->
+      """WITH q AS (SELECT source, quantile_cont(n_chars, 0.05) AS qlo,
+        |           quantile_cont(n_chars, 0.95) AS qhi
+        |           FROM documents GROUP BY 1)
+        |SELECT d.source, count(*) AS n_kept, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents d JOIN q ON d.source = q.source
+        |WHERE n_chars >= qlo AND n_chars <= qhi
+        |GROUP BY d.source""".stripMargin,
 
     "q113_minhash_portable" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -140,4 +140,67 @@ object Text {
     regexp_extract_all(text, lit(bpePattern), lit(0))
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** TF-IDF top-`k` terms per document. Plan: one explode + (doc, term)
+    * hash agg for tf; a term-keyed agg of that for document frequency
+    * (vocabulary-sized — orders of magnitude below corpus size, AQE
+    * broadcast-joins it when it fits); corpus doc count joined as a 1-row
+    * broadcast. Ranking is a window PARTITIONED by doc (parallel across
+    * docs — no global sort). idf = ln((N+1)/(df+1)); ties broken by term
+    * so the top-k is deterministic on any engine. */
+  def tfidfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(col("score"), 6).as("score"))
+  }
+
+  /** Rare-token redaction (vocabulary clamping): replace every token whose
+    * DOCUMENT frequency is <= `maxDocFreq` with `mask` — the k-anonymity
+    * flavor of PII scrubbing for training corpora (a token appearing in
+    * one or two documents is identifying almost by definition). Plan: one
+    * distinct (doc, token) projection feeds a token-keyed agg (vocabulary-
+    * sized); the rare set left-joins back against the exploded tokens; the
+    * doc is reassembled in token order inside a per-doc agg — partitioned
+    * by doc, so fully parallel. Output (doc_id, n_redacted, text_md5):
+    * md5 of the reconstructed text keeps the verified value compact. */
+  def redactRareTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int = 2,
+      mask: String = "<RARE>"): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val rare = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select(col("t"), lit(1).as("__rare"))
+    tok.join(rare, Seq("t"), "left_outer")
+      .select(col("doc_id"), col("pos"),
+        when(col("__rare").isNotNull, lit(mask)).otherwise(col("t")).as("t2"),
+        coalesce(col("__rare"), lit(0)).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("r")).cast("long").as("n_redacted"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("t2")))),
+          x => x.getField("t2")), " ")).as("text_md5"))
+  }
 }

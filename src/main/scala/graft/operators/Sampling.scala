@@ -76,4 +76,47 @@ object Sampling {
     }
     stratified(df, idCol, strataCol, fracs, default = 0.0)
   }
+
+  /** Cap each group's contribution at `cap` rows — the per-domain cap of
+    * crawl curation (no single source may dominate the training mix).
+    * Deterministic: rows rank within their group by `orderCols` (make the
+    * last one a unique tiebreak). ONE window partitioned by the group key —
+    * parallel across groups, no global sort; at 100 TB this is the same
+    * shape as any per-user sessionization. A skewed mega-group serializes
+    * only its own partition (cap >> skew threshold ⇒ consider pre-slicing
+    * by a salt + second-level re-rank; not needed at cap ~10^2). */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap $cap must be positive")
+    require(!df.columns.contains("__rn"), "__rn is reserved by capPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Keep rows whose `valueCol` lies within their OWN group's exact
+    * [lo, hi] quantiles — per-source outlier trimming (too-short / too-long
+    * documents are low-quality with high probability). Two passes: a
+    * group-keyed hash agg computes exact interpolated percentiles (output
+    * is #groups rows — model-sized), broadcast-joined back as a narrow
+    * filter. No global sort, no per-group scans. */
+  def filterByGroupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val q = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(lo)).as("__qlo"),
+      percentile(col(valueCol), lit(hi)).as("__qhi"))
+    df.join(broadcast(q), groupCol)
+      .where(col(valueCol) >= col("__qlo") && col(valueCol) <= col("__qhi"))
+      .drop("__qlo", "__qhi")
+  }
 }

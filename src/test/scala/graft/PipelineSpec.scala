@@ -168,6 +168,78 @@ class PipelineSpec extends SparkSpecBase {
     assert(flat("a") < 0.5 && flat("c") > 0.15, s"T=50 shares: $flat")
   }
 
+  test("capPerGroup keeps exactly min(cap, |group|) rows, chosen by the order spec") {
+    import graft.operators.Sampling
+    val df = (0L until 100L).map(i => (s"s${i % 4}", i, (i * 37 % 100).toInt))
+      .toDF("src", "id", "sz")
+    val got = Sampling.capPerGroup(df, "src", Seq(col("sz").desc, col("id").asc), cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.size === 20)
+    // per group: exactly the 5 largest sz (id tiebreak)
+    val rows = (0L until 100L).map(i => (s"s${i % 4}", i, (i * 37 % 100).toInt))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val want = rs.sortBy(r => (-r._3, r._2)).take(5).map(r => (g, r._2)).toSet
+      assert(got.filter(_._1 == g) === want, s"group $g")
+    }
+    // a group smaller than the cap survives whole
+    val tiny = Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 3)).toDF("src", "id", "sz")
+    assert(Sampling.capPerGroup(tiny, "src", Seq(col("id").asc), 5).count() === 3)
+  }
+
+  test("filterByGroupQuantiles trims per-group outliers against a brute-force oracle") {
+    import graft.operators.Sampling
+    val rows = for (g <- 0 until 3; i <- 0 until 200) yield (s"g$g", (i * 13 + g * 7) % 500)
+    val df = rows.toDF("src", "v")
+    val got = Sampling.filterByGroupQuantiles(df, "src", "v", 0.1, 0.9)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val byG = rows.groupBy(_._1)
+    def pct(sorted: IndexedSeq[Int], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = math.floor(idx).toInt; val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    val want = byG.toSeq.flatMap { case (g, rs) =>
+      val s = rs.map(_._2).sorted.toIndexedSeq
+      val (qlo, qhi) = (pct(s, 0.1), pct(s, 0.9))
+      rs.filter(r => r._2 >= qlo && r._2 <= qhi).map(r => (g, r._2))
+    }
+    assert(got.sorted.toSeq === want.sorted)
+    assert(got.length < rows.length, "must actually trim something")
+  }
+
+  test("tfidfTopTerms: rarer term outranks frequent common term") {
+    import graft.functions.Text
+    val docs = Seq(
+      (1L, "apple apple apple zebra"),
+      (2L, "apple banana banana"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    val got = Text.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2))).toMap
+    // 'apple' appears in every doc → idf = ln(4/4) = 0 → never rank 1
+    assert(!got.collect { case ((_, 1L), term) => term }.toSet.contains("apple"))
+    // doc 1's top term is its unique 'zebra'
+    assert(got((1L, 1L)) === "zebra")
+    assert(got((2L, 1L)) === "banana")
+    assert(got((3L, 1L)) === "cherry")
+  }
+
+  test("redactRareTokens masks only rare tokens and reassembles text in order") {
+    import graft.functions.Text
+    val docs = Seq(
+      (1L, "the cat sat zzqx"),
+      (2L, "the dog sat"),
+      (3L, "the cat ran")).toDF("doc_id", "text")
+    // df: the=3, cat=2, sat=2, dog=1, ran=1, zzqx=1 → rare (df<=1): dog ran zzqx
+    val got = Text.redactRareTokens(docs, "doc_id", "text", maxDocFreq = 1, mask = "<X>")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((1L, md5hex("the cat sat <X>"))))
+    assert(got(2L) === ((1L, md5hex("the <X> sat"))))
+    assert(got(3L) === ((1L, md5hex("the cat <X>"))))
+  }
+
   test("packByTokens: contiguous bins, budget-crossing doc stays in earlier bin") {
     import graft.operators.Packing
     val d = Seq((1L, 50), (2L, 40), (3L, 30), (4L, 100), (5L, 10)).toDF("doc_id", "n_tok")
