@@ -43,6 +43,13 @@ object Dedup {
       .where(size(col("sh")) > 0)
       // one compiled kernel call per row: signature + banding together
       .withColumn("bands", Vectors.minhashBandKeysFast(numHashes, bands)(col("sh")))
+      // localCheckpoint (ContextCleaner-freed): this feeds the bucket
+      // self-join (twice) AND both verify join-backs — without it the
+      // shingling + minhash kernel re-executes once per consumer (~4×).
+      // Materialization is corpus-shingle-sized on executor local storage;
+      // at very large scale trade it off against recompute via
+      // StorageLevel / a persisted table
+      .localCheckpoint(true)
     // Candidate generation on bare (bucket, id) pairs — the shingle arrays
     // must NOT ride through the self-join + distinct (at sf0.1 that shuffled
     // ~bands× the corpus text and dominated the whole bench run). Ids-only
@@ -140,6 +147,14 @@ object Dedup {
       Vectors.simhash(Text.tokens(col(textCol))).as("fp"))
     val keyed = fp.select(col("id"), col("fp"),
       explode(Vectors.simhashBlockKeys(maxHamming + 3, 3)(col("fp"))).as("k"))
+      // localCheckpoint: both sides of the candidate self-join read this —
+      // without it the tokenize + 64-bit-count simhash kernel runs twice
+      // over the corpus. (id, fp, k) rows are ~24 bytes — combos×n of them.
+      // (Carrying fp through the self-join beats ids-only pairs + two
+      // fingerprint join-backs here: a checkpointed plan has no stats, so
+      // the join-backs plan as sort-merge joins whose two extra shuffles
+      // cost more than the 8 wider bytes/row through ONE shuffle.)
+      .localCheckpoint(true)
     val l = keyed.select(col("k"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = keyed.select(col("k"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("k")).where(col("id_a") < col("id_b"))
