@@ -916,6 +916,17 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- dedup: SimHash with md5-portable bit votes — the blocked
+    //      candidate plan is verified against the oracle's brute-force
+    //      all-pairs scan, certifying fingerprint math AND exact recall
+    //      of the pigeonhole blocking cross-engine (q43 keeps the
+    //      MurmurHash3 production path, rows-only) ----
+    "q118_simhash_portable" -> ((s, dir) => {
+      Dedup.simhashPortable(
+        t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
+        maxHamming = 8)
+    }),
+
     // ---- dedup: MinHash-LSH with an md5-portable hash family — the FULL
     //      approximate pipeline (shingle→minhash→band→bucket-join→verify)
     //      hash-verified value-by-value against the SQL oracle (q42 keeps
@@ -1647,6 +1658,26 @@ object SparkEntry {
         |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
         |SELECT user_id, event_id, round(y, 6) AS ewma FROM w""".stripMargin,
 
+    // temperatureMix's driver-side weight math is pure closed-form over the
+    // per-stratum counts, so the whole sampler replays in SQL: same
+    // (n/N)^(1/T) weights, same min(1, ...) keep-fractions, same
+    // round(frac*256) hex threshold (NB lower(to_hex(..)): DuckDB's to_hex
+    // is UPPERCASE, which sorts below the lowercase md5 keyspace and
+    // silently shrinks every stratum), same md5-prefix keyspace filter.
+    "q100_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS t FROM c),
+        |w AS (SELECT lang, n, pow(n / t, 1.0/3.0) AS wt FROM c, tot),
+        |z AS (SELECT sum(wt) AS zz FROM w),
+        |f AS (SELECT w.lang, w.n, least(1.0, 0.5 * tot.t * (w.wt / z.zz) / w.n) AS frac
+        |      FROM w, z, tot),
+        |th AS (SELECT lang, CASE WHEN round(frac * 256) >= 256 THEN 'zz'
+        |       ELSE lpad(lower(to_hex(CAST(round(frac*256) AS BIGINT))), 2, '0') END AS thresh
+        |       FROM f)
+        |SELECT d.lang, count(*) AS n FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < th.thresh
+        |GROUP BY d.lang""".stripMargin,
+
     "q114_source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
@@ -1691,6 +1722,31 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q118_simhash_portable" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+        |d AS (SELECT doc_id, p.p, strpos('0123456789abcdef', substr(hx, p.p + 1, 1)) - 1 AS dv
+        |      FROM h, (SELECT unnest(range(0, 16)) AS p) p),
+        |b AS (SELECT doc_id, d.p * 4 + j.j AS bit,
+        |      CASE WHEN (dv >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS c
+        |      FROM d, (SELECT unnest(range(0, 4)) AS j) j),
+        |bits AS (SELECT doc_id, bit, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS v
+        |         FROM b GROUP BY 1, 2),
+        |fpd AS (SELECT doc_id, bit // 4 AS p,
+        |        CAST(sum(CASE WHEN v = 1 THEN 1 << (bit % 4) ELSE 0 END) AS INT) AS digit
+        |        FROM bits GROUP BY 1, 2),
+        |fph AS (SELECT doc_id, string_agg(substr('0123456789abcdef', digit + 1, 1), '' ORDER BY p) AS fph
+        |        FROM fpd GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fph AS ha, b.fph AS hb
+        |       FROM fph a, fph b WHERE a.doc_id < b.doc_id),
+        |ham AS (SELECT id_a, id_b, CAST(sum(bit_count(
+        |        xor(strpos('0123456789abcdef', substr(ha, p.p + 1, 1)) - 1,
+        |            strpos('0123456789abcdef', substr(hb, p.p + 1, 1)) - 1))) AS BIGINT) AS hamming
+        |        FROM pr, (SELECT unnest(range(0, 16)) AS p) p GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin,
 
     "q113_minhash_portable" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

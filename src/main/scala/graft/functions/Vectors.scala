@@ -240,6 +240,49 @@ object Vectors {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SQL-PORTABLE SimHash: the per-token hash is the first 16 hex chars of
+    * `md5(token)`, bit `j` of hex digit `p` votes ±1 on fingerprint bit
+    * `p*4 + j`, and the fingerprint is returned as the 16-char lowercase
+    * hex string of the winning bits (ties → 0, matching `count > 0`).
+    * Byte-identical to a plain-SQL replay over `substr(md5(t), 1, 16)`, so
+    * the fingerprint math is differential-testable cross-engine — unlike
+    * [[simhash]]'s MurmurHash3 family, which no SQL engine reproduces.
+    * Parse with `java.lang.Long.parseUnsignedLong(_, 16)` for bit ops. */
+  def simhashMd5Hex: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tokens: Seq[String]) =>
+      val counts = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (if (tokens == null) Seq.empty[String] else tokens).foreach { t =>
+        val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var p = 0
+        while (p < 16) {
+          val b = dig(p >> 1)
+          val dv = if ((p & 1) == 0) (b >> 4) & 0xF else b & 0xF
+          var j = 0
+          while (j < 4) {
+            if (((dv >> j) & 1) == 1) counts(p * 4 + j) += 1 else counts(p * 4 + j) -= 1
+            j += 1
+          }
+          p += 1
+        }
+      }
+      val sb = new java.lang.StringBuilder(16)
+      var p = 0
+      while (p < 16) {
+        var d = 0
+        var j = 0
+        while (j < 4) { if (counts(p * 4 + j) > 0) d |= (1 << j); j += 1 }
+        sb.append(Character.forDigit(d, 16))
+        p += 1
+      }
+      sb.toString
+    }
+
+  /** Unsigned hex-string → 64-bit long (bit-preserving), for feeding
+    * [[simhashMd5Hex]] fingerprints into long-keyed bit ops. */
+  def parseHex64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (hx: String) => java.lang.Long.parseUnsignedLong(hx, 16) }
+
   /** Pigeonhole blocking keys for SimHash candidate generation (the
     * multi-block scheme of Manku-Jain-Sarma, "Detecting Near-Duplicates for
     * Web Crawling", WWW'07): split the 64-bit fingerprint into `nBlocks`

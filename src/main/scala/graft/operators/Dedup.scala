@@ -70,6 +70,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SQL-PORTABLE SimHash near-dup pairs: fingerprints from
+    * [[Vectors.simhashMd5Hex]] (md5-derived bit votes — replayable verbatim
+    * in SQL, unlike the MurmurHash3 production family of [[simhash]]), the
+    * same exact-recall pigeonhole block-combination candidate generation,
+    * Hamming verify on the parsed 64-bit form. Because the blocking has
+    * guaranteed recall 1.0 for Hamming <= maxHamming, the output of this
+    * APPROXIMATE plan equals a brute-force all-pairs scan — which is
+    * exactly what the DuckDB oracle computes, so the differential test
+    * certifies both the fingerprint math and the blocking's recall
+    * cross-engine. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def simhashPortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      Vectors.parseHex64(Vectors.simhashMd5Hex(Text.tokens(col(textCol)))).as("fp"))
+    val keyed = fp.select(col("id"), col("fp"),
+      explode(Vectors.simhashBlockKeys(maxHamming + 3, 3)(col("fp"))).as("k"))
+      .localCheckpoint(true) // same recompute rationale as [[simhash]]
+    val l = keyed.select(col("k"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = keyed.select(col("k"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("k")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", Vectors.hamming64(col("fp_a"), col("fp_b")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** MinHash-LSH with a fully SQL-PORTABLE hash family: the minhash of a
     * shingle set under seed `s` is the lexicographic MIN of
     * `md5(s || ':' || shingle)` hex strings, and a band's bucket key is
