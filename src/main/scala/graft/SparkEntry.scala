@@ -916,6 +916,30 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- curation: unigram-LM quality score (perplexity proxy, corpus as
+    //      LM); fixed-point NLL accumulation keeps it order-free and
+    //      hash-exact ----
+    "q119_unigram_nll" -> ((s, dir) => {
+      Text.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- curation: near-dup dedup APPLIED — portable-minhash pairs →
+    //      connected components → min-id representative kept, other
+    //      cluster members dropped; per-lang before/after census ----
+    "q120_dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val drop = Dedup.components(pairs)
+        .where(col("id") =!= col("cluster"))
+        .select(col("id").cast("long").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("tokens_after"))
+    }),
+
     // ---- dedup: SimHash with md5-portable bit votes — the blocked
     //      candidate plan is verified against the oracle's brute-force
     //      all-pairs scan, certifying fingerprint math AND exact recall
@@ -1722,6 +1746,50 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q119_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |c AS (SELECT t, count(*) AS n_t FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |s AS (SELECT doc_id, CAST(round(-ln(c.n_t / n.n_total) * 1e6) AS BIGINT) AS nll
+        |      FROM tok JOIN c USING (t) CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_tok,
+        |round(sum(nll) / 1e6 / count(*), 4) AS avg_nll
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q120_dedup_apply" ->
+      s"""WITH RECURSIVE $tokSql,
+        |shl AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shs
+        |        FROM toks WHERE len(ws) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE cluster <> id)
+        |SELECT d.lang, count(*) AS n_after, CAST(sum(t.n_tok) AS BIGINT) AS tokens_after
+        |FROM documents d JOIN toks t USING (doc_id)
+        |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY d.lang""".stripMargin,
 
     "q118_simhash_portable" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w

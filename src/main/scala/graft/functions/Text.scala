@@ -171,6 +171,34 @@ object Text {
         col("term"), round(col("score"), 6).as("score"))
   }
 
+  /** Unigram negative-log-likelihood quality score — the perplexity-proxy
+    * filter of CCNet-style curation, with the corpus itself as the language
+    * model: p(t) = count(t)/N, doc score = avg over tokens of -ln p(t)
+    * (high = surprising = likely junk; low = repetitive boilerplate).
+    *
+    * The per-token NLL is accumulated in FIXED POINT (micro-nats as longs):
+    * float sums over unordered token sets are order-dependent in the last
+    * ulps — across engines AND across Spark runs with different
+    * partitioning — while integer sums are exact and order-free, which is
+    * what makes this hash-verifiable. Plan: explode + vocabulary agg +
+    * term-keyed join back + per-doc agg; the 1-row corpus total broadcasts. */
+  def unigramNll(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(counts, "t")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        round(-log(col("n_t") / col("n_total")) * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll_micro")).as("nll_total"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("nll_total") / lit(1e6) / col("n_tok"), 4).as("avg_nll"))
+  }
+
   /** Rare-token redaction (vocabulary clamping): replace every token whose
     * DOCUMENT frequency is <= `maxDocFreq` with `mask` — the k-anonymity
     * flavor of PII scrubbing for training corpora (a token appearing in

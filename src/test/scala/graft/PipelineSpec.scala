@@ -223,6 +223,19 @@ class PipelineSpec extends SparkSpecBase {
     assert(got((3L, 1L)) === "cherry")
   }
 
+  test("unigramNll: fixed-point corpus-LM surprise matches hand computation") {
+    import graft.functions.Text
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Text.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // N=5: p(a)=3/5, p(b)=p(c)=1/5; micro-nat rounding then exact long sums
+    val nllA = math.round(-math.log(3.0 / 5) * 1e6)
+    val nllB = math.round(-math.log(1.0 / 5) * 1e6)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, r4((2 * nllA + nllB) / 1e6 / 3))))
+    assert(got(2L) === ((2L, r4((nllA + nllB) / 1e6 / 2))))
+  }
+
   test("redactRareTokens masks only rare tokens and reassembles text in order") {
     import graft.functions.Text
     val docs = Seq(
