@@ -916,6 +916,21 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- §2.4 series-level zipAlign (reference zipAlignInto): daily
+    //      totals as-of-aligned to their month anchor, ratio combined —
+    //      verified against DuckDB's native ASOF JOIN ----
+    "q121_series_zipalign" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val daily = KSeries(
+        orders.groupBy(col("o_orderdate").as("k"))
+          .agg(sum(col("o_totalprice")).as("v")), ordered = true)
+      val monthly = KSeries(
+        orders.groupBy(trunc(col("o_orderdate"), "month").as("k"))
+          .agg(sum(col("o_totalprice")).as("v")), ordered = true)
+      daily.zipAlign(monthly, JoinKind.Left, Lookup.NearestSmaller)(
+        (l, r) => round(l / r, 6)).df
+    }),
+
     // ---- curation: unigram-LM quality score (perplexity proxy, corpus as
     //      LM); fixed-point NLL accumulation keeps it order-free and
     //      hash-exact ----
@@ -1746,6 +1761,13 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q121_series_zipalign" ->
+      """WITH a AS (SELECT o_orderdate AS k, sum(o_totalprice) AS v FROM orders GROUP BY 1),
+        |b AS (SELECT date_trunc('month', o_orderdate)::DATE AS k, sum(o_totalprice) AS v
+        |      FROM orders GROUP BY 1)
+        |SELECT a.k, round(a.v / b.v, 6) AS v
+        |FROM a ASOF JOIN b ON a.k >= b.k""".stripMargin,
 
     "q119_unigram_nll" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t

@@ -156,6 +156,35 @@ final case class KSeries(
         .as(valueCol))), ord = false)
   }
 
+  /** Series.zipAlignInto with a LOOKUP — align the other series' values
+    * onto this series' keys (Left) or this onto the other's keys (Right)
+    * via exact-or-nearest lookup that SKIPS missing values (reference
+    * Series.Zip with Lookup, src/Series.fs:318-343; directional tests
+    * tests/FSharp.DataFrame.Tests/Series.fs:294-330), then combine present
+    * pairs with `op` (op's first argument is always THIS series' value).
+    * Realized as the [[graft.operators.AsOf]] union+window plan — one sort,
+    * no per-key probes. Lookup.Exact degenerates to [[zipWith]]. */
+  def zipAlign(other: KSeries, kind: JoinKind, lookup: Lookup)(
+      op: (Column, Column) => Column): KSeries = {
+    requireOrdered("zipAlign")
+    (kind, lookup) match {
+      case (_, Lookup.Exact) => zipWith(other, kind)(op)
+      case (JoinKind.Left, _) =>
+        val l = df.select(k.as("__pk"), v.as("__pv"))
+        val r = other.df.select(other.k.as("__dk"), other.v.as("__dv"))
+        val joined = graft.operators.AsOf.join(l, "__pk", r, "__dk", Seq("__dv"), lookup)
+        result(canonical(joined.select(col("__pk").as(keyCol),
+          when(col("__pv").isNotNull && col("__dv").isNotNull,
+            op(col("__pv"), col("__dv"))).as(valueCol))))
+      case (JoinKind.Right, _) =>
+        // mirror: align THIS onto the other's keys; preserve op's arg order
+        other.zipAlign(this, JoinKind.Left, lookup)((otherV, thisV) => op(thisV, otherV))
+      case _ =>
+        throw new IllegalArgumentException(
+          "zipAlign needs JoinKind.Left or Right (reference zipAlignInto)")
+    }
+  }
+
   /** Series.Union — key-union merge with overlap policy
     * (reference src/Series.fs:346-359). Exclusive raises on overlap like the
     * reference's LeftOrRight transform — realized as a raise_error expression
