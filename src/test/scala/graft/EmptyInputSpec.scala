@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{JoinKind, KSeries, Lookup}
+import graft.functions.Text
+import graft.operators._
+
+/** Every operator must survive EMPTY input (a filter that matches nothing,
+  * an empty partition of a larger job) by returning empty — never throwing.
+  * The risky spots are driver-side model builds: approxQuantile over zero
+  * rows, carry-table collects, broadcast builds. */
+class EmptyInputSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptySeries = seriesDf()
+
+  test("dedup family on an empty corpus") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashLsh(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashLshPortable(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashPortable(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.tokenJaccardPairs(emptyDocs, "doc_id", "text", 0.5).count() === 0)
+  }
+
+  test("text analysis on an empty corpus") {
+    assert(Text.tfidfTopTerms(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Text.redactRareTokens(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Text.unigramNll(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Text.chunkTokens(emptyDocs, "doc_id", "text", 64, 16).count() === 0)
+  }
+
+  test("sampling and packing on empty input") {
+    assert(Sampling.deterministic(emptyDocs, "doc_id", 0.5).count() === 0)
+    assert(Sampling.capPerGroup(emptyDocs, "text", Seq(col("doc_id")), 5).count() === 0)
+    assert(Sampling.filterByGroupQuantiles(
+      Seq.empty[(String, Int)].toDF("g", "v"), "g", "v", 0.1, 0.9).count() === 0)
+    val emptyTok = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    assert(Packing.packByTokens(emptyTok, "doc_id", "n_tok", 4096).count() === 0)
+  }
+
+  test("ordered scans on an empty series (approxQuantile/carry-table builds)") {
+    assert(OrderedScan.forwardFill(emptySeries, "k", Seq("v")).count() === 0)
+    assert(OrderedScan.runningSum(emptySeries.where(col("v").isNotNull), "k", "v", "cum").count() === 0)
+    assert(OrderedScan.rowNumber(emptySeries, "k", "ord").count() === 0)
+    assert(OrderedScan.ewma(emptySeries, "k", "v", 0.3, "y").count() === 0)
+    assert(OrderedScan.ewmaByGroup(
+      Seq.empty[(Long, Long, Double)].toDF("g", "k", "v"), "g", "k", "v", 0.3, "y").count() === 0)
+  }
+
+  test("series ops on an empty ordered series") {
+    val s = KSeries(emptySeries, ordered = true)
+    assert(s.shift(1).df.count() === 0)
+    assert(s.diff(1).df.count() === 0)
+    assert(s.fillForward().df.count() === 0)
+    val other = KSeries(seriesDf((1L, 1.0)), ordered = true)
+    assert(s.zipAlign(other, JoinKind.Left, Lookup.NearestSmaller)(_ + _).df.count() === 0)
+    assert(other.zipAlign(s, JoinKind.Left, Lookup.NearestSmaller)(_ + _).df.count() === 1)
+  }
+
+  test("range join with empty sides") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    val noPts = Seq.empty[(Long, Long)].toDF("pid", "t")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(noPts, "t", ivs, "s", "e", 10).count() === 0)
+    assert(RangeJoin.pointInInterval(pts, "t", noIvs, "s", "e", 10).count() === 0)
+  }
+
+  test("components on an empty edge set") {
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+  }
+}
