@@ -916,6 +916,14 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- streaming: parquet FILE sink, append mode — a window row lands
+    //      in the files only once the watermark passed its end (the
+    //      exactly-once production output path; the batch oracle filters
+    //      to the same finalization rule) ----
+    "q122_stream_file_sink" -> ((s, dir) => {
+      Streams.tumblingFileSink(s, dir, "1 hour")
+    }),
+
     // ---- §2.4 series-level zipAlign (reference zipAlignInto): daily
     //      totals as-of-aligned to their month anchor, ratio combined —
     //      verified against DuckDB's native ASOF JOIN ----
@@ -1761,6 +1769,16 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    // append-mode finalization rule: a window lands in the file sink iff
+    // the final watermark (max event time - delay) passed its end
+    "q122_stream_file_sink" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |agg AS (SELECT date_trunc('hour', ts) AS w, event_type,
+        |        count(*) AS n, round(sum(value), 4) AS total
+        |        FROM events GROUP BY 1, 2)
+        |SELECT CAST(epoch(w) AS BIGINT) AS k, event_type, n, total
+        |FROM agg, m WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR""".stripMargin,
 
     "q121_series_zipalign" ->
       """WITH a AS (SELECT o_orderdate AS k, sum(o_totalprice) AS v FROM orders GROUP BY 1),

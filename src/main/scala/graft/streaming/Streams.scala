@@ -74,6 +74,65 @@ object Streams {
     }
   }
 
+  /** Tumbling windows through a PARQUET FILE SINK in append mode — the
+    * production exactly-once output path (checkpointed offsets + file
+    * manifest), where a window row is emitted ONLY once the watermark has
+    * passed its end (late-window finalization; complete-mode memory sinks
+    * never exercise this). Windows still open when the input is exhausted
+    * are deliberately unemitted — the batch-oracle twin is the same
+    * aggregation filtered to `window_end <= max(ts) - delay`. Returns the
+    * sink's contents read back; scratch dirs cleaned up. */
+  def tumblingFileSink(
+      spark: SparkSession, dir: String, windowLen: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_fsrc")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_fsink")
+    val chkDir = java.nio.file.Files.createTempDirectory("graft_stream_fchk")
+    val stream = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    stream.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = stream.readStream.schema(batchSchema).parquet(srcDir.toString)
+      val events =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val q = events
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), windowLen), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .select(unix_timestamp(col("window.start")).as("k"),
+          col("event_type"), col("n"), round(col("total"), 4).as("total"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", chkDir.toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = spark.read.parquet(sinkDir.toString).localCheckpoint(true)
+      out
+    } finally {
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(srcDir)
+      rmTree(chkDir)
+      rmTree(sinkDir)
+    }
+  }
+
   /** Tumbling-window counts/sums per event type with a watermark —
     * the streaming twin of Resample.sampleTime. */
   def tumblingByType(spark: SparkSession, dir: String, windowLen: String): DataFrame =
