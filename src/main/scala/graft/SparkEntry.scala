@@ -916,6 +916,15 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- similarity: RP-LSH with md5 integer hyperplanes + fixed-point
+    //      projections — every sign is an exact integer comparison, so the
+    //      WHOLE bucketing pipeline is hash-verified against the SQL
+    //      oracle (q66 keeps the gaussian production path, rows-only) ----
+    "q123_rplsh_portable" -> ((s, dir) => {
+      Dedup.rpLshNearDupPortable(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nbits = 16, bands = 4, dim = 64)
+    }),
+
     // ---- streaming: parquet FILE sink, append mode — a window row lands
     //      in the files only once the watermark passed its end (the
     //      exactly-once production output path; the batch oracle filters
@@ -1769,6 +1778,32 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q123_rplsh_portable" ->
+      """WITH hp AS (
+        |  SELECT h.h, d.d,
+        |    4096*(strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 1, 1))-1)
+        |  +  256*(strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 2, 1))-1)
+        |  +   16*(strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 3, 1))-1)
+        |  +      (strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 4, 1))-1)
+        |  - 32768 AS r
+        |  FROM (SELECT unnest(range(0, 16)) AS h) h, (SELECT unnest(range(0, 64)) AS d) d),
+        |f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1048576) AS BIGINT) AS q FROM embeddings),
+        |s AS (SELECT f.vec_id, hp.h, sum(f.q * hp.r) AS dot FROM f JOIN hp ON f.d = hp.d GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id, h // 4 AS band,
+        |            CAST(sum(CASE WHEN dot > 0 THEN 1 << (h % 4) ELSE 0 END) AS BIGINT) AS bk
+        |            FROM s GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.vec_id < b.vec_id),
+        |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings),
+        |p AS (SELECT c.id_a, c.id_b,
+        |      sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cos
+        |      FROM cand c JOIN fl a ON a.vec_id = c.id_a JOIN fl b ON b.vec_id = c.id_b AND a.i = b.i
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
 
     // append-mode finalization rule: a window lands in the file sink iff
     // the final watermark (max event time - delay) passed its end

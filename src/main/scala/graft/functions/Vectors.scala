@@ -283,6 +283,46 @@ object Vectors {
   def parseHex64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (hx: String) => java.lang.Long.parseUnsignedLong(hx, 16) }
 
+  /** SQL-PORTABLE random-projection LSH band buckets for an embedding
+    * column. Hyperplane component r[h][d] is an md5-derived integer in
+    * [-32768, 32767] (first 4 hex digits of md5("h:d")); the vector is
+    * quantized to FIXED POINT q[d] = floor(v[d] * 2^20) — the float×2^20
+    * product is exact (power-of-two scale) and floor is engine-uniform, so
+    * the per-hyperplane dot Σ q[d]·r[h][d] is an EXACT integer sum:
+    * order-free, overflow-safe (≤ 2^42), replayable verbatim in SQL.
+    * Sign bits pack into `bands` bucket keys of nbits/bands bits each.
+    * (A float-dot sign would be non-portable: sum order shifts the last
+    * ulps and can flip signs near 0 — same lesson as Text.unigramNll.)
+    * Returns the band bucket keys; empty for null/wrong-dim vectors. */
+  def rpLshBuckets(nbits: Int, bands: Int, dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(nbits % bands == 0 && nbits <= 63, s"bad config ($nbits, $bands)")
+    val perBand = nbits / bands
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(s: String): Int = {
+      val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((dig(0) & 0xFF) << 8) | (dig(1) & 0xFF)
+    }
+    val r = Array.tabulate(nbits, dim)((h, d) => hex4(s"$h:$d") - 32768)
+    udf { (v: Seq[Float]) =>
+      if (v == null || v.length != dim) Seq.empty[Long]
+      else {
+        val q = Array.tabulate(dim)(d => math.floor(v(d).toDouble * 1048576.0).toLong)
+        val bits = Array.tabulate(nbits) { h =>
+          var s = 0L
+          var d = 0
+          while (d < dim) { s += q(d) * r(h)(d); d += 1 }
+          if (s > 0) 1L else 0L
+        }
+        (0 until bands).map { b =>
+          var k = 0L
+          var j = 0
+          while (j < perBand) { k |= bits(b * perBand + j) << j; j += 1 }
+          k
+        }
+      }
+    }
+  }
+
   /** Pigeonhole blocking keys for SimHash candidate generation (the
     * multi-block scheme of Manku-Jain-Sarma, "Detecting Near-Duplicates for
     * Web Crawling", WWW'07): split the 64-bit fingerprint into `nBlocks`

@@ -70,6 +70,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SQL-PORTABLE random-projection LSH embedding near-dup: candidates
+    * from [[Vectors.rpLshBuckets]] band buckets (md5-derived integer
+    * hyperplanes × fixed-point vectors — the sign of every projection is
+    * an exact integer comparison, replayable verbatim in SQL), verified
+    * with exact cosine via the codegen `dot_f32`/`norm2_f32` kernels.
+    * Complements [[embeddingNearDupLsh]] (gaussian RP — float dot signs
+    * are sum-order-dependent, hence rows-only-checkable). Plan shape:
+    * kernel projection + ids-only bucket self-join + two id-joins for the
+    * verify. Returns (id_a, id_b, cosine >= threshold). */
+  def rpLshNearDupPortable(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nbits: Int = 16,
+      bands: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val bk = base
+      .select(col("id"), posexplode(Vectors.rpLshBuckets(nbits, bands, dim)(col("v"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+      .localCheckpoint(true) // both sides of the self-join (see minhashLsh)
+    val cand = bk.join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos",
+        expr("dot_f32(va, vb) / (sqrt(norm2_f32(va)) * sqrt(norm2_f32(vb)))"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** SQL-PORTABLE SimHash near-dup pairs: fingerprints from
     * [[Vectors.simhashMd5Hex]] (md5-derived bit votes — replayable verbatim
     * in SQL, unlike the MurmurHash3 production family of [[simhash]]), the
