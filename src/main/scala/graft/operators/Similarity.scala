@@ -122,6 +122,116 @@ object Similarity {
     ivfKnnWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
   }
 
+  /** SQL-PORTABLE IVF ANN with FIXED-POINT k-means. Vectors quantize to
+    * integers (floor(v·2^10) — the power-of-two scale makes the product
+    * exact), so every Lloyd step is integer arithmetic: squared distances
+    * are exact longs (argmin ties → lower centroid id), per-cluster sums
+    * are order-free exact longs, and the centroid update floor(sum/count)
+    * is engine-uniform. Unlike float k-means (whose per-cluster float sums
+    * drift with partitioning/order — why q45/q89/q104/q111 are rows-only),
+    * the WHOLE index build replays verbatim in SQL: init = the `nlist`
+    * smallest-id vectors, a fixed number of rounds, empty clusters keep
+    * their previous centroid. Each round is one distributed pass (compiled
+    * assignment kernel + (cluster, dim) hash agg); only nlist×dim summary
+    * rows reach the driver. Probe/verify as [[ivfKnnWithCentroids]]:
+    * queries probe `nprobe` buckets, exact cosine via codegen kernels.
+    * Output: (query_id, rank, neighbor_id, cosine) — approximate recall,
+    * exact-deterministic contents. */
+  def ivfKnnPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      rounds: Int = 2): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val quant = udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[Long]
+      else Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1024.0).toLong)
+    }
+    // read rounds+2 times (training passes + final bucketing) — materialize
+    val qdf = corpus.select(col(idCol).cast("long").as("id"),
+        quant(col(vecCol)).as("q"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    var cents: Array[Array[Long]] = qdf.select(col("id"), col("q")).orderBy(col("id"))
+      .limit(nlist).as[(Long, Seq[Long])].collect().map(_._2.toArray)
+    require(cents.length == nlist, s"corpus smaller than nlist=$nlist")
+    def assignIdx(q: Seq[Long], cs: Array[Array[Long]]): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var s = 0L
+        var d = 0
+        while (d < cv.length) { val x = q(d) - cv(d); s += x * x; d += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    // each Lloyd round is ONE narrow pass: per-partition (cluster × dim)
+    // integer sums merged on the driver (nlist×dim longs — model-sized).
+    // No explode, no shuffle; exact long sums keep it order-free.
+    val dimLen = cents(0).length
+    val qRdd = qdf.select(col("q")).as[Seq[Long]].rdd
+    for (_ <- 0 until rounds) {
+      val cs = cents
+      val (sums, counts) = qRdd.treeAggregate(
+        (Array.fill(nlist)(new Array[Long](dimLen)), new Array[Long](nlist)))(
+        seqOp = { case ((s, n), q) =>
+          val c = assignIdx(q, cs)
+          var d = 0
+          while (d < dimLen) { s(c)(d) += q(d); d += 1 }
+          n(c) += 1
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < nlist) {
+            var d = 0
+            while (d < dimLen) { s1(c)(d) += s2(c)(d); d += 1 }
+            n1(c) += n2(c)
+            c += 1
+          }
+          (s1, n1)
+        })
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dimLen)(d => math.floor(sums(c)(d).toDouble / counts(c)).toLong)
+      }
+    }
+    val csF = cents
+    val assignF = udf { (q: Seq[Long]) => assignIdx(q, csF) }
+    val probeF = udf { (q: Seq[Long]) =>
+      csF.indices.map { c =>
+        val cv = csF(c)
+        var s = 0L
+        var d = 0
+        while (d < cv.length) { val x = q(d) - cv(d); s += x * x; d += 1 }
+        (s, c)
+      }.sorted.take(nprobe).map(_._2).toArray
+    }
+    val bucketed = qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
+      assignF(col("q")).as("c"))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv0"),
+        quant(col(vecCol)).as("qq"))
+      .select(col("query_id"), col("qv0"), explode(probeF(col("qq"))).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(bucketed, Seq("c"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("dot_f32(qv0, cv) / (sqrt(norm2_f32(qv0)) * sqrt(norm2_f32(cv)))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Product-quantization codebooks (Jégou-Douze-Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * L2-normalized vector into `m` subspaces and k-means each to `k`
