@@ -916,6 +916,15 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- similarity: product quantization with FIXED-POINT subspace
+    //      k-means + exact integer ADC distances — training and scan both
+    //      hash-verified against the SQL oracle ----
+    "q125_pq_portable" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqKnnPortable(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, m = 8, codes = 16, rounds = 2)
+    }),
+
     // ---- similarity: IVF ANN with FIXED-POINT k-means — the entire index
     //      build (quantize → integer Lloyd rounds → bucket → probe) is
     //      hash-verified against the SQL oracle; q45/q89/q104/q111 keep
@@ -1788,6 +1797,47 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q125_pq_portable" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |fj AS (SELECT vec_id, d, d // 8 AS j, q FROM f),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cb0 AS (SELECT fj.j, ids.c, fj.d, fj.q AS cv FROM ids JOIN fj USING (vec_id)),
+        |d1 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb0 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d1) WHERE rn = 1),
+        |u1 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a1 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT b0.j, b0.c, b0.d, coalesce(u.cv, b0.cv) AS cv
+        |        FROM cb0 b0 LEFT JOIN u1 u ON b0.j = u.j AND b0.c = u.c AND b0.d = u.d),
+        |d2 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb1 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d2) WHERE rn = 1),
+        |u2 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a2 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb2 AS (SELECT b1.j, b1.c, b1.d, coalesce(u.cv, b1.cv) AS cv
+        |        FROM cb1 b1 LEFT JOIN u2 u ON b1.j = u.j AND b1.c = u.c AND b1.d = u.d),
+        |d3 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb2 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, j, c FROM (
+        |        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |        FROM d3) WHERE rn = 1),
+        |adc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        CAST(sum((q.q - b.cv)*(q.q - b.cv)) AS BIGINT) AS dist
+        |        FROM fj q JOIN enc e ON e.vec_id <> q.vec_id AND e.j = q.j
+        |                  JOIN cb2 b ON b.j = q.j AND b.c = e.c AND b.d = q.d
+        |        WHERE q.vec_id < 5
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, dist,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
 
     "q124_ivf_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

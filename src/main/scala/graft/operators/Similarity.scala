@@ -232,6 +232,119 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SQL-PORTABLE product quantization: the fixed-point treatment of
+    * [[ivfKnnPortable]] applied per SUBSPACE. Vectors quantize to
+    * floor(v·2^10); each of the `m` subspaces k-means its integer
+    * sub-slices (exact distances, tie → lower code, order-free sums,
+    * floor-mean updates, empty cluster keeps its code vector); the ADC
+    * scan ranks candidates by the exact INTEGER distance
+    * Σ_j ‖q_j − codebook[j][code_j(x)]‖² (tie → lower neighbor id). Every
+    * step replays verbatim in SQL — float PQ ([[pqTrain]]/[[pqKnn]])
+    * stays the production path, rows-only-checkable. Training is `rounds`
+    * narrow treeAggregate passes (m×k×subDim longs to the driver).
+    * Output: (query_id, rank, neighbor_id, dist). */
+  def pqKnnPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codes: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dim $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val quant = udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[Long]
+      else Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1024.0).toLong)
+    }
+    val qdf = corpus.select(col(idCol).cast("long").as("id"),
+        quant(col(vecCol)).as("q"))
+      .localCheckpoint(true)
+    // codebook[j][c] = sub-slice j of the c-th smallest-id quantized vector
+    val init = qdf.orderBy(col("id")).limit(codes).as[(Long, Seq[Long])]
+      .collect().map(_._2.toArray)
+    require(init.length == codes, s"corpus smaller than codes=$codes")
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(m, codes)((j, c) => init(c).slice(j * sub, (j + 1) * sub))
+    def codeOf(q: Seq[Long], j: Int, bks: Array[Array[Array[Long]]]): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < codes) {
+        val cv = bks(j)(c)
+        var s = 0L
+        var d = 0
+        while (d < sub) { val x = q(j * sub + d) - cv(d); s += x * x; d += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val qRdd = qdf.select(col("q")).as[Seq[Long]].rdd
+    for (_ <- 0 until rounds) {
+      val bks = books
+      val (sums, counts) = qRdd.treeAggregate(
+        (Array.fill(m, codes)(new Array[Long](sub)), Array.fill(m, codes)(0L)))(
+        seqOp = { case ((s, n), q) =>
+          var j = 0
+          while (j < m) {
+            val c = codeOf(q, j, bks)
+            var d = 0
+            while (d < sub) { s(j)(c)(d) += q(j * sub + d); d += 1 }
+            n(j)(c) += 1
+            j += 1
+          }
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var j = 0
+          while (j < m) {
+            var c = 0
+            while (c < codes) {
+              var d = 0
+              while (d < sub) { s1(j)(c)(d) += s2(j)(c)(d); d += 1 }
+              n1(j)(c) += n2(j)(c)
+              c += 1
+            }
+            j += 1
+          }
+          (s1, n1)
+        })
+      books = Array.tabulate(m, codes) { (j, c) =>
+        if (counts(j)(c) == 0) books(j)(c)
+        else Array.tabulate(sub)(d => math.floor(sums(j)(c)(d).toDouble / counts(j)(c)).toLong)
+      }
+    }
+    val bksF = books
+    val encodeF = udf { (q: Seq[Long]) =>
+      Array.tabulate(m)(j => codeOf(q, j, bksF).toLong)
+    }
+    val encoded = qdf.select(col("id").as("neighbor_id"), encodeF(col("q")).as("cd"))
+    val adc = udf { (qq: Seq[Long], cd: Seq[Long]) =>
+      var s = 0L
+      var j = 0
+      while (j < m) {
+        val cv = bksF(j)(cd(j).toInt)
+        var d = 0
+        while (d < sub) { val x = qq(j * sub + d) - cv(d); s += x * x; d += 1 }
+        j += 1
+      }
+      s
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    queries.select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
+      .crossJoin(encoded)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", adc(col("qq"), col("cd")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Product-quantization codebooks (Jégou-Douze-Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * L2-normalized vector into `m` subspaces and k-means each to `k`
