@@ -29,6 +29,9 @@ object Bench {
     // qNN id — the round-2 line with 112 full names (~4.4 KB) overflowed the
     // driver's tail window, truncating the head and leaving parsed:null.
     def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    require(shortKeys.distinct.size == shortKeys.size,
+      "two query names share a qNN id — the shortened bench JSON would emit duplicate keys")
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + n3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1175,8 +1175,9 @@ object SparkEntry {
           col("cluster").cast("long").as("cluster"))
     }),
 
-    // ---- pipeline: temperature-based source mixing (rows-only: fractions
-    //      derive from JVM math.pow; deterministic, spec-checked) ----
+    // ---- pipeline: temperature-based source mixing — oracle-verified:
+    //      the closed-form (n/N)^(1/T) weights, keep-fractions, and hex
+    //      keyspace threshold all replay in SQL ----
     "q100_temperature_mix" -> ((s, dir) => {
       Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "lang",
         temperature = 3.0, targetFraction = 0.5)

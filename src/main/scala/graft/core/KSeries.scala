@@ -163,7 +163,14 @@ final case class KSeries(
     * tests/FSharp.DataFrame.Tests/Series.fs:294-330), then combine present
     * pairs with `op` (op's first argument is always THIS series' value).
     * Realized as the [[graft.operators.AsOf]] union+window plan — one sort,
-    * no per-key probes. Lookup.Exact degenerates to [[zipWith]]. */
+    * no per-key probes. Lookup.Exact degenerates to [[zipWith]].
+    *
+    * PRECONDITION (inherited from AsOf.join): the data-side series must
+    * have unique keys — the reference enforces this at index construction
+    * (src/Indices/LinearIndex.fs:53-56); here duplicate data keys would
+    * tie-break nondeterministically inside the carry window. Use
+    * [[graft.core.KFrame.assertUniqueKeys]]-style checking upstream when
+    * the input is untrusted (opt-in, it costs a shuffle — SURVEY §7.4.10). */
   def zipAlign(other: KSeries, kind: JoinKind, lookup: Lookup)(
       op: (Column, Column) => Column): KSeries = {
     requireOrdered("zipAlign")

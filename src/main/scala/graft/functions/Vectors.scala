@@ -283,6 +283,17 @@ object Vectors {
   def parseHex64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (hx: String) => java.lang.Long.parseUnsignedLong(hx, 16) }
 
+  /** Fixed-point quantizer: floor(v[d] · scale) as longs — the ONE
+    * quantization rule the portable-ANN SQL oracles replay (q123/q124/
+    * q125 use `floor(x::DOUBLE * scale)`); keep Scala and SQL in lockstep
+    * through this single definition. Power-of-two scales make the float
+    * product exact. Null → empty (callers filter on size). */
+  def fixedPointQuant(scale: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[Long]
+      else Array.tabulate(v.length)(d => math.floor(v(d).toDouble * scale).toLong)
+    }
+
   /** SQL-PORTABLE random-projection LSH band buckets for an embedding
     * column. Hyperplane component r[h][d] is an md5-derived integer in
     * [-32768, 32767] (first 4 hex digits of md5("h:d")); the vector is
@@ -346,22 +357,28 @@ object Vectors {
     // C(11,3)=165 combos = 8 bits. Guard with the real width so a wide
     // config can't pass and then collide key spaces through the sign bit.
     val idBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((combos.length - 1).toLong))
-    require(combos.forall(c => idBits + c.map(widths).sum <= 63),
-      s"combo key overflows a long: $idBits id bits + widest combo " +
-        s"${combos.map(_.map(widths).sum).max} value bits > 63")
+    // the id must be shifted by the MAX value width, uniformly: shifting
+    // each combo by its OWN width (blocks differ by 1 bit when nBlocks ∤ 64)
+    // let key spaces overlap — e.g. nBlocks=11: id 8 over a 17-bit value
+    // and id 4 over an 18-bit value both produced 2^20 for fp=0. Collisions
+    // only added spurious candidates (Hamming verify screens them), but the
+    // injectivity claim and the bucket-size math rely on disjoint spaces.
+    val maxW = combos.map(_.map(widths).sum).max
+    require(idBits + maxW <= 63,
+      s"combo key overflows a long: $idBits id bits + widest combo $maxW value bits > 63")
     udf { (fp: Long) =>
       val keys = new Array[Long](combos.length)
       var c = 0
       while (c < combos.length) {
-        var key = c.toLong // combo id in the high bits — distinct key spaces
+        var value = 0L
         val combo = combos(c)
         var t = 0
         while (t < combo.length) {
           val b = combo(t)
-          key = (key << widths(b)) | ((fp >>> starts(b)) & ((1L << widths(b)) - 1))
+          value = (value << widths(b)) | ((fp >>> starts(b)) & ((1L << widths(b)) - 1))
           t += 1
         }
-        keys(c) = key
+        keys(c) = (c.toLong << maxW) | value
         c += 1
       }
       keys

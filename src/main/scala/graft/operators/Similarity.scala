@@ -147,12 +147,16 @@ object Similarity {
       nprobe: Int = 2,
       rounds: Int = 2): DataFrame = {
     import corpus.sparkSession.implicits._
-    val quant = udf { (v: Seq[Float]) =>
-      if (v == null) Array.empty[Long]
-      else Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1024.0).toLong)
-    }
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
+    // null / wrong-dimension vectors are DROPPED (the kernels index q(d)
+    // for d < centroid dim — a malformed row must not abort the job)
+    val dims = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
     // read rounds+2 times (training passes + final bucketing) — materialize
-    val qdf = corpus.select(col(idCol).cast("long").as("id"),
+    val qdf = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
         quant(col(vecCol)).as("q"), col(vecCol).as("v"))
       .localCheckpoint(true)
     var cents: Array[Array[Long]] = qdf.select(col("id"), col("q")).orderBy(col("id"))
@@ -217,6 +221,7 @@ object Similarity {
     val bucketed = qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
       assignF(col("q")).as("c"))
     val probes = queries
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv0"),
         quant(col(vecCol)).as("qq"))
       .select(col("query_id"), col("qv0"), explode(probeF(col("qq"))).as("c"))
@@ -253,14 +258,16 @@ object Similarity {
       codes: Int = 16,
       rounds: Int = 2): DataFrame = {
     import corpus.sparkSession.implicits._
-    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
-    require(dims % m == 0, s"dim $dims not divisible into $m subspaces")
+    val dims = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
-    val quant = udf { (v: Seq[Float]) =>
-      if (v == null) Array.empty[Long]
-      else Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1024.0).toLong)
-    }
-    val qdf = corpus.select(col(idCol).cast("long").as("id"),
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
+    // null / wrong-dimension vectors dropped — codeOf/adc index q(j*sub+d)
+    val qdf = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
         quant(col(vecCol)).as("q"))
       .localCheckpoint(true)
     // codebook[j][c] = sub-slice j of the c-th smallest-id quantized vector
@@ -336,7 +343,9 @@ object Similarity {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
-    queries.select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
+    queries
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
       .crossJoin(encoded)
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("dist", adc(col("qq"), col("cd")))

@@ -20,36 +20,57 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Isolated child session for a verification stream: local streams carry
+    * tiny per-batch state, so the session's batch-sized shuffle width just
+    * multiplies state-store open/commit overhead — but mutating the
+    * caller's session-global conf would race any concurrent query on it.
+    * The child (shared SparkContext, own SQLConf) inherits the caller's
+    * runtime conf (ANSI, nanosAsLong, …) minus the shuffle width. */
+  private def isolatedStreamSession(spark: SparkSession): SparkSession = {
+    val stream = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    stream.conf.set("spark.sql.shuffle.partitions", "8")
+    stream
+  }
+
+  /** The file-stream source requires a DIRECTORY; expose the single
+    * events.parquet file through a temp dir (symlink). Caller must delete
+    * via [[dropStagedSourceDir]]. */
+  private def stageSourceDir(dir: String): java.nio.file.Path = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    srcDir
+  }
+
+  private def dropStagedSourceDir(srcDir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(srcDir)
+  }
+
+  /** events stream off the staged dir; ts is INT64 nanos in the parquet
+    * (read as long under nanosAsLong) → converted to a real timestamp. */
+  private def eventsStream(
+      stream: SparkSession, batchSchema: org.apache.spark.sql.types.StructType,
+      srcDir: java.nio.file.Path): DataFrame = {
+    val raw = stream.readStream.schema(batchSchema).parquet(srcDir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Run a streaming aggregation over the events table to completion and
     * return the result as a batch DataFrame. */
   private def runToCompletion(
       spark: SparkSession, dir: String, outputMode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source requires a directory; expose the single
-    // events.parquet file through a temp dir (symlink)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // local verification streams carry tiny per-batch state; the session's
-    // batch-sized shuffle width just multiplies state-store open/commit
-    // overhead across partitions. Run the stream in an ISOLATED child
-    // session (shared SparkContext, own SQLConf) with a narrow width —
-    // mutating the caller's session-global conf would race any concurrent
-    // query on it. The child inherits the caller's runtime conf (ANSI,
-    // nanosAsLong, …) minus the shuffle width.
-    val stream = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    stream.conf.set("spark.sql.shuffle.partitions", "8")
-    val raw = stream.readStream.schema(batchSchema).parquet(srcDir.toString)
-    // events.ts is INT64 nanos (read as long under nanosAsLong) → micros
-    val events =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val srcDir = stageSourceDir(dir)
+    val stream = isolatedStreamSession(spark)
+    val events = eventsStream(stream, batchSchema, srcDir)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     try {
       val q = agg(events).writeStream
@@ -69,8 +90,7 @@ object Streams {
       spark.createDataFrame(chk.rdd, chk.schema)
     } finally {
       stream.catalog.dropTempView(name)
-      java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(srcDir)
+      dropStagedSourceDir(srcDir)
     }
   }
 
@@ -85,23 +105,12 @@ object Streams {
   def tumblingFileSink(
       spark: SparkSession, dir: String, windowLen: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_fsrc")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val srcDir = stageSourceDir(dir)
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_fsink")
     val chkDir = java.nio.file.Files.createTempDirectory("graft_stream_fchk")
-    val stream = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    stream.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = isolatedStreamSession(spark)
     try {
-      val raw = stream.readStream.schema(batchSchema).parquet(srcDir.toString)
-      val events =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val events = eventsStream(stream, batchSchema, srcDir)
       val q = events
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -116,8 +125,15 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      val out = spark.read.parquet(sinkDir.toString).localCheckpoint(true)
-      out
+      // explicit schema: when NO window finalized (input shorter than
+      // windowLen + delay) the sink dir holds only _spark_metadata and a
+      // schema-inferring read would throw instead of returning empty
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.DoubleType)))
+      spark.read.schema(outSchema).parquet(sinkDir.toString).localCheckpoint(true)
     } finally {
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
@@ -126,8 +142,7 @@ object Streams {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       }
-      java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(srcDir)
+      dropStagedSourceDir(srcDir)
       rmTree(chkDir)
       rmTree(sinkDir)
     }

@@ -73,4 +73,20 @@ class EmptyInputSpec extends SparkSpecBase {
   test("components on an empty edge set") {
     assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
   }
+
+  test("portable ANN ops drop null / wrong-dimension vectors instead of aborting") {
+    val good: Seq[(Long, Seq[Float])] =
+      (0L until 20L).map(i => (i, Seq.tabulate(8)(d => (i * 3 + d).toFloat / 10f)))
+    val bad: Seq[(Long, Seq[Float])] = Seq((98L, Seq(1f)), (99L, null))
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 2)
+    val ivf = Similarity.ivfKnnPortable(df, q, "vec_id", "embedding",
+      k = 2, nlist = 4, nprobe = 2, rounds = 1)
+    assert(ivf.count() > 0)
+    assert(!ivf.select("neighbor_id").collect().map(_.getLong(0)).exists(id => id >= 98))
+    val pq = Similarity.pqKnnPortable(df, q, "vec_id", "embedding",
+      k = 2, m = 2, codes = 4, rounds = 1)
+    assert(pq.count() > 0)
+    assert(!pq.select("neighbor_id").collect().map(_.getLong(0)).exists(id => id >= 98))
+  }
 }
