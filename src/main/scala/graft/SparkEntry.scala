@@ -916,6 +916,18 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- skew: salted equi-join — result-identical to the plain join by
+    //      construction, so the plain join IS the oracle; the salt spreads
+    //      a hot key over `salts` tasks (the big-hammer beyond AQE) ----
+    "q126_salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey")
+      Skew.saltedJoin(orders, cust, "custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+
     // ---- similarity: product quantization with FIXED-POINT subspace
     //      k-means + exact integer ADC distances — training and scan both
     //      hash-verified against the SQL oracle ----
@@ -1798,6 +1810,11 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q126_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q125_pq_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
