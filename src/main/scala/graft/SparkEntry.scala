@@ -916,6 +916,15 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
 
+    // ---- curation: weighted sampling without replacement (A-ES priority
+    //      keys over the md5 keyspace — deterministic, weight ∝ n_chars);
+    //      per-lang census of the top-100 sample ----
+    "q127_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedPriority(t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("w_sum"))
+    }),
+
     // ---- skew: salted equi-join — result-identical to the plain join by
     //      construction, so the plain join IS the oracle; the salt spreads
     //      a hot key over `salts` tasks (the big-hammer beyond AQE) ----
@@ -1810,6 +1819,20 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.source = q.source
         |WHERE n_chars >= qlo AND n_chars <= qhi
         |GROUP BY d.source""".stripMargin,
+
+    "q127_weighted_sample" ->
+      """WITH hx AS (SELECT doc_id, lang, n_chars, substr(md5(doc_id::VARCHAR), 1, 8) AS h8
+        |            FROM documents WHERE n_chars > 0),
+        |hv AS (SELECT doc_id, lang, n_chars,
+        |       (SELECT sum((strpos('0123456789abcdef', substr(h8, i, 1)) - 1)
+        |               * pow(16, 8 - i)::BIGINT)
+        |        FROM unnest(range(1, 9)) AS t(i)) AS h
+        |       FROM hx),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |      pow((h + 1)::DOUBLE / 4294967296.0, 1.0 / n_chars) AS prio FROM hv),
+        |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 100)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS w_sum
+        |FROM top GROUP BY lang""".stripMargin,
 
     "q126_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total

@@ -77,6 +77,32 @@ object Sampling {
     stratified(df, idCol, strataCol, fracs, default = 0.0)
   }
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row gets
+    * priority u^(1/w) with u uniform in (0,1]; the k highest priorities
+    * form an exact weight-proportional sample. u is NOT random here — it
+    * derives from the first 8 hex digits of md5(id) (u = (h+1)/2^32, the
+    * +1 excludes u=0 where 0^(1/w) would tie every zero-weight row), so
+    * the sample is reproducible on any engine/cluster and stable under
+    * corpus growth, like [[deterministic]]. Rows with weight <= 0 are
+    * excluded (the estimator is undefined there). One projection + a
+    * top-k — no shuffle beyond the global top-k's single reduce. */
+  def weightedPriority(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    // conv(hex, 16, 10) == the positional digit sum an oracle computes
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1)).cast("double") / lit(4294967296.0) // 2^32
+    df.where(col(weightCol) > 0)
+      .withColumn("__prio", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("__prio").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__prio")
+  }
+
   /** Cap each group's contribution at `cap` rows — the per-domain cap of
     * crawl curation (no single source may dominate the training mix).
     * Deterministic: rows rank within their group by `orderCols` (make the

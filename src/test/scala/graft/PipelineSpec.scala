@@ -223,6 +223,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(got((3L, 1L)) === "cherry")
   }
 
+  test("weightedPriority: huge weights always sampled, zero weights never, deterministic") {
+    import graft.operators.Sampling
+    val df = ((0L until 200L).map(i => (i, 10)) ++
+      Seq((900L, 1000000000), (901L, 0), (902L, -5))).toDF("id", "w")
+    val got = Sampling.weightedPriority(df, "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size === 50)
+    // w=1e9 ⇒ priority u^(1e-9) ≈ 1 beats every u^(1/10) — always in
+    assert(got.contains(900L))
+    // non-positive weights are excluded outright
+    assert(!got.contains(901L) && !got.contains(902L))
+    // deterministic: same input, same sample
+    val again = Sampling.weightedPriority(df, "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
   test("unigramNll: fixed-point corpus-LM surprise matches hand computation") {
     import graft.functions.Text
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
