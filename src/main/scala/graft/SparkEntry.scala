@@ -925,6 +925,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("w_sum"))
     }),
 
+    // ---- §2.6 at scale: DISTRIBUTED sliding count-window (the bounded-
+    //      overlap stitch behind the windowInto auto-route — no global
+    //      WindowExec anywhere; buckets=32 exercises warm-up shipping).
+    //      Fixed-point values make the window sums hash-exact. ----
+    "q128_window_stitch" -> ((s, dir) => {
+      val series = t(s, dir, "events").select(col("event_id").as("k"),
+        floor(col("value") * 1024).cast("long").as("v"))
+      OrderedScan.slidingAgg(series, "k", "v", 50, Boundary.AtBeginning,
+        sum, "v", buckets = 32)
+        .select(col("k"), col("v").as("wsum"))
+    }),
+
+    // ---- §2.6 at scale: DISTRIBUTED key-distance (RANGE) window — the
+    //      stitch behind the windowDistInto auto-route; events within the
+    //      trailing hour, shipped across epoch-second range buckets ----
+    "q129_windowdist_stitch" -> ((s, dir) => {
+      val series = t(s, dir, "events").select(col("ts").cast("long").as("k"),
+        floor(col("value") * 1024).cast("long").as("v"))
+      OrderedScan.slidingRangeAgg(series, "k", "v", 3600L, sum, "v", buckets = 32)
+        .select(col("k"), col("v").as("wsum"))
+    }),
+
+    // ---- §2.6 at scale: DISTRIBUTED fixed chunking (chunkInto auto-route
+    //      target): global ranks from bucket starts, then one map-side-
+    //      partial groupBy on the chunk id — no window at all ----
+    "q130_chunk_stitch" -> ((s, dir) => {
+      val series = t(s, dir, "events").select(col("event_id").as("k"),
+        floor(col("value") * 1024).cast("long").as("v"))
+      OrderedScan.chunkAgg(series, "k", "v", 500, Boundary.Skip,
+        Seq((sum(_), "chunk_sum"), (count(_), "n")), buckets = 32)
+        .select(col("k"), col("chunk_sum"), col("n"))
+    }),
+
     // ---- skew: salted equi-join — result-identical to the plain join by
     //      construction, so the plain join IS the oracle; the salt spreads
     //      a hot key over `salts` tasks (the big-hammer beyond AQE) ----
@@ -1833,6 +1866,23 @@ object SparkEntry {
         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 100)
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS w_sum
         |FROM top GROUP BY lang""".stripMargin,
+
+    "q128_window_stitch" ->
+      """WITH e AS (SELECT event_id AS k, CAST(floor(value * 1024) AS BIGINT) AS v FROM events)
+        |SELECT k, CAST(sum(v) OVER (ORDER BY k ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS wsum FROM e""".stripMargin,
+
+    "q129_windowdist_stitch" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS k,
+        |           CAST(floor(value * 1024) AS BIGINT) AS v FROM events)
+        |SELECT k, CAST(sum(v) OVER (ORDER BY k RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS wsum FROM e""".stripMargin,
+
+    "q130_chunk_stitch" ->
+      """WITH e AS (SELECT event_id AS k, CAST(floor(value * 1024) AS BIGINT) AS v FROM events),
+        |o AS (SELECT k, v, row_number() OVER (ORDER BY k) - 1 AS ord FROM e)
+        |SELECT min(k) AS k, CAST(sum(v) AS BIGINT) AS chunk_sum, count(*) AS n
+        |FROM o GROUP BY CAST(floor(ord / 500.0) AS BIGINT) HAVING count(*) = 500""".stripMargin,
 
     "q126_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total

@@ -85,12 +85,8 @@ final case class KSeries(
     * a string-keyed series stays on the single-window form regardless of
     * size, because range-bucketing it would silently reorder ('10' < '9'
     * lexicographically but not numerically). */
-  private def isLargeForGlobalWindow: Boolean = {
-    val maxBytes = df.sparkSession.conf
-      .get("spark.graft.globalWindow.maxBytes", KSeries.DefaultGlobalWindowMaxBytes.toString).toLong
-    graft.operators.OrderedScan.supportsRangeBucket(df.schema(keyCol).dataType) &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes
-  }
+  private def isLargeForGlobalWindow: Boolean =
+    graft.operators.OrderedScan.autoRoutes(df, keyCol)
 
   // ---- projection / filtering (reference src/Series.fs:229-286) ----
 
@@ -303,9 +299,17 @@ final case class KSeries(
     * (Backward direction, reference src/Series.fs:461-500). */
   def pairwise(partitionBy: Seq[Column] = Nil): DataFrame = {
     requireOrdered("pairwise")
-    val w = orderedWindow(partitionBy)
-    df.select(k.as(keyCol), lag(v, 1).over(w).as("prev"), v.as("cur"))
-      .where(col("prev").isNotNull)
+    if (partitionBy.isEmpty && isLargeForGlobalWindow) {
+      // prev via the distributed positional shift; never a global window
+      val shifted = graft.operators.OrderedScan.shift(
+        df.withColumn("__cur", v), keyCol, Seq(valueCol), 1)
+      shifted.select(col(keyCol), col(valueCol).as("prev"), col("__cur").as("cur"))
+        .where(col("prev").isNotNull)
+    } else {
+      val w = orderedWindow(partitionBy)
+      df.select(k.as(keyCol), lag(v, 1).over(w).as("prev"), v.as("cur"))
+        .where(col("prev").isNotNull)
+    }
   }
 
   // ---- fill (reference src/SeriesModule.fs:612-655) ----
@@ -369,7 +373,7 @@ final case class KSeries(
 
 object KSeries {
   /** Default size above which unpartitioned shift/diff/fill delegate to
-    * [[graft.operators.OrderedScan]] (see isLargeForGlobalWindow). 32 MiB:
-    * comfortably one window task below it, a single-task bottleneck above. */
-  val DefaultGlobalWindowMaxBytes: Long = 32L << 20
+    * [[graft.operators.OrderedScan]] (see isLargeForGlobalWindow). */
+  val DefaultGlobalWindowMaxBytes: Long =
+    graft.operators.OrderedScan.DefaultGlobalWindowMaxBytes
 }

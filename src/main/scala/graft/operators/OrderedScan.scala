@@ -312,6 +312,179 @@ object OrderedScan {
     spark.createDataFrame(outRdd, schema).toDF(groupCol, keyCol, outCol)
   }
 
+  /** Plan-size + dtype gate shared by every unpartitioned ordered op that
+    * can delegate here (shift/diff/fill in KSeries, the sliding-window
+    * family in Windowing): above `spark.graft.globalWindow.maxBytes` a
+    * global `Window.orderBy` would serialize the whole series through ONE
+    * task, so the op takes the partition-stitched form instead. Plan-time
+    * decision from Catalyst statistics — no job runs to decide. Only keys
+    * with a monotone numeric proxy qualify ([[supportsRangeBucket]]); a
+    * string-keyed series stays on the single-window form at any size. */
+  def autoRoutes(df: DataFrame, keyCol: String): Boolean = {
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.globalWindow.maxBytes", DefaultGlobalWindowMaxBytes.toString).toLong
+    supportsRangeBucket(df.schema(keyCol).dataType) &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes
+  }
+
+  /** Default size above which unpartitioned ordered ops delegate here.
+    * 32 MiB: comfortably one window task below it, a single-task bottleneck
+    * above. */
+  val DefaultGlobalWindowMaxBytes: Long = 32L << 20
+
+  /** Per-bucket layout collected to the driver (bucket-count-sized, tiny):
+    * non-empty bucket ids in scan order, each with its global start
+    * position. The basis of the bounded-overlap stitch: a row knows its
+    * global position from (bucket start + within-bucket rank), and which
+    * successor buckets need a warm-up copy of it from the starts array. */
+  private final case class BucketLayout(
+      denseOf: Map[Int, Int], startOf: Map[Int, Long], starts: Seq[Long], total: Long)
+
+  private def bucketLayout(b: DataFrame, descending: Boolean): BucketLayout = {
+    val counts = b.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val sorted = if (descending) counts.sortBy(-_._1) else counts.sortBy(_._1)
+    val cum = sorted.map(_._2).scanLeft(0L)(_ + _)
+    val starts = cum.dropRight(1).toSeq
+    val denseOf = sorted.map(_._1).zipWithIndex.toMap
+    BucketLayout(denseOf, denseOf.map { case (bk, j) => bk -> starts(j) }, starts, cum.last)
+  }
+
+  /** Distributed sliding count-window of size `n` — the 100× path for an
+    * unpartitioned `Series.windowInto`. Bounded-overlap stitch:
+    *   1. range-bucket the series ([[withRangeBucket]]);
+    *   2. global position `g` = within-bucket rank + bucket start (starts
+    *      from a tiny per-bucket count, collected driver-side);
+    *   3. ship a warm-up COPY of each row to every later bucket whose start
+    *      lies within n-1 positions of it — ≤ (n-1)·buckets extra rows
+    *      total, and a bucket smaller than n-1 simply forwards through
+    *      several successors (multi-bucket spans stay exact);
+    *   4. window WITHIN each target bucket ordered by `g` — every kept
+    *      row's frame holds exactly its n global predecessors — then drop
+    *      the warm-up copies.
+    * Two bucket-key shuffles + two tiny driver actions; never a single-task
+    * global window. `descending=true` gives the forward-anchored variant
+    * (windowIntoForward): same machinery over reversed scan order.
+    * Output: (keyCol, outCol) with reference Boundary semantics; rows with
+    * equal keys have the same tie nondeterminism as `Window.orderBy`. */
+  def slidingAgg(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      n: Int,
+      boundary: Boundary,
+      agg: Column => Column,
+      outCol: String,
+      buckets: Int = 64,
+      descending: Boolean = false): DataFrame = {
+    require(n >= 1, s"window size $n must be >= 1")
+    val base = df.select(col(keyCol), col(valueCol))
+    val b = withRangeBucket(base, keyCol, buckets)
+    val lay = bucketLayout(b, descending)
+    val ord = if (descending) col(keyCol).desc else col(keyCol).asc
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(ord)
+    val d = (n - 1).toLong
+    val withG = b
+      .withColumn("__rn", row_number().over(wIn).cast("long") - 1)
+      .withColumn("__g", col("__rn") + element_at(typedLit(lay.startOf), col("__bucket")))
+    val copies = size(filter(typedLit(lay.starts),
+      a => a > col("__g") && a <= col("__g") + d))
+    val exploded = withG
+      .withColumn("__dense", element_at(typedLit(lay.denseOf), col("__bucket")))
+      .withColumn("__copy", explode(sequence(lit(0), copies)))
+      .withColumn("__target", col("__dense") + col("__copy"))
+    val w2 = Window.partitionBy(col("__target")).orderBy(col("__g"))
+      .rowsBetween(-(n - 1), 0)
+    val out = exploded.select(
+        col(keyCol),
+        agg(col(valueCol)).over(w2).as(outCol),
+        count(lit(1)).over(w2).as("__cnt"),
+        col("__copy"))
+      .where(col("__copy") === 0)
+    boundary match {
+      case Boundary.Skip => out.where(col("__cnt") === n).select(col(keyCol), col(outCol))
+      case _             => out.select(col(keyCol), col(outCol))
+    }
+  }
+
+  /** Distributed key-distance (RANGE) window — the 100× path for an
+    * unpartitioned `Series.windowDistInto`: frame = all rows with key in
+    * (k - dist, k]. Same stitch as [[slidingAgg]] with the key itself as
+    * the position: a row is warm-up-copied to every later bucket whose MIN
+    * key lies within dist-1 of it (per-bucket min keys are the tiny
+    * driver-side table). RANGE frames include key peers, so ties are
+    * deterministic. Output: (keyCol, outCol). */
+  def slidingRangeAgg(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      dist: Long,
+      agg: Column => Column,
+      outCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(dist >= 1, s"window distance $dist must be >= 1")
+    val base = df.select(col(keyCol), col(valueCol))
+    val b = withRangeBucket(base, keyCol, buckets)
+    val keyLong = col(keyCol).cast("long")
+    // per-bucket min key (bucket-count-sized). The null-key bucket maps to
+    // Long.MinValue: it sorts first and must never receive warm-up copies.
+    val minsByBucket = b.groupBy(col("__bucket")).agg(min(keyLong).as("__mk"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+      .sortBy(_._1)
+    val denseOf = minsByBucket.map(_._1).zipWithIndex.toMap
+    val mins = minsByBucket.map(_._2).toSeq
+    val d = dist - 1
+    val withP = b.withColumn("__p", keyLong)
+    val copies = when(col("__p").isNull, lit(0)).otherwise(
+      size(filter(typedLit(mins), a => a > col("__p") && a <= col("__p") + d)))
+    val exploded = withP
+      .withColumn("__dense", element_at(typedLit(denseOf), col("__bucket")))
+      .withColumn("__copy", explode(sequence(lit(0), copies)))
+      .withColumn("__target", col("__dense") + col("__copy"))
+    val w2 = Window.partitionBy(col("__target")).orderBy(col("__p"))
+      .rangeBetween(-d, 0)
+    exploded.select(col(keyCol), agg(col(valueCol)).over(w2).as(outCol), col("__copy"))
+      .where(col("__copy") === 0)
+      .select(col(keyCol), col(outCol))
+  }
+
+  /** Distributed fixed chunking — the 100× path for an unpartitioned
+    * `Series.chunkInto`: chunk id = global position ÷ n (AtBeginning aligns
+    * chunks to the END, so the incomplete chunk comes first — computed from
+    * the total count, which the stitch already collected). No window at
+    * all: one bucket shuffle for ranks + one map-side-partial groupBy on
+    * the chunk id. Output: (keyCol = chunk's min key, agg columns). */
+  def chunkAgg(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      n: Int,
+      boundary: Boundary,
+      aggs: Seq[(Column => Column, String)],
+      buckets: Int = 64): DataFrame = {
+    require(n >= 1, s"chunk size $n must be >= 1")
+    val base = df.select(col(keyCol), col(valueCol))
+    val b = withRangeBucket(base, keyCol, buckets)
+    val lay = bucketLayout(b, descending = false)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    val withG = b
+      .withColumn("__rn", row_number().over(wIn).cast("long") - 1)
+      .withColumn("__g", col("__rn") + element_at(typedLit(lay.startOf), col("__bucket")))
+    // non-negative operands, so truncation == floor
+    val chunk = boundary match {
+      case Boundary.AtBeginning => -((lit(lay.total - 1) - col("__g")) / n).cast("long")
+      case _                    => (col("__g") / n).cast("long")
+    }
+    val aggExprs = min(col(keyCol)).as(keyCol) +:
+      aggs.map { case (f, name) => f(col(valueCol)).as(name) } :+
+      count(lit(1)).as("__sz")
+    val grouped = withG.withColumn("__chunk", chunk)
+      .groupBy(col("__chunk"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val kept = if (boundary == Boundary.Skip) grouped.where(col("__sz") === n) else grouped
+    kept.drop("__sz", "__chunk")
+  }
+
   /** Global 0-based row number in key order, distributed. Appends `ordCol`.
     * The scale path behind indexRowsOrdinally / positional GetAt. */
   def rowNumber(

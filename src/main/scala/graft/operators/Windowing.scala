@@ -27,10 +27,14 @@ object Boundary {
   * Here each op is ONE window-function pass (whole-stage codegen, running
   * frames), per SURVEY §3 trace 3.
   *
-  * All ops take `partitionBy`: empty reproduces the reference's global order
-  * (single window task — fine at test scale, documented caveat at 100 TB);
+  * All ops take `partitionBy`: empty reproduces the reference's global order;
   * non-empty partitions the scan (per-symbol / per-user series), which is the
-  * shape big data actually has.
+  * shape big data actually has. An unpartitioned call over a LARGE series
+  * (plan stats above `spark.graft.globalWindow.maxBytes`, numeric-keyed)
+  * auto-routes to the bounded-overlap stitch in [[OrderedScan]] — same
+  * results, never a single-task global window (see
+  * [[OrderedScan.slidingAgg]] / [[OrderedScan.slidingRangeAgg]] /
+  * [[OrderedScan.chunkAgg]]).
   */
 object Windowing {
 
@@ -50,6 +54,8 @@ object Windowing {
       partitionBy: Seq[Column] = Nil)(
       agg: Column => Column): DataFrame = {
     require(boundary != Boundary.AtEnding, "AtEnding windows: key = first key — use windowIntoForward")
+    if (partitionBy.isEmpty && OrderedScan.autoRoutes(s.df, s.keyCol))
+      return OrderedScan.slidingAgg(s.df, s.keyCol, s.valueCol, n, boundary, agg, s.valueCol)
     val w = baseWindow(s, partitionBy).rowsBetween(-(n - 1), 0)
     val out = s.df.select(
       s.k.as(s.keyCol),
@@ -70,6 +76,9 @@ object Windowing {
       boundary: Boundary,
       partitionBy: Seq[Column] = Nil)(
       agg: Column => Column): DataFrame = {
+    if (partitionBy.isEmpty && OrderedScan.autoRoutes(s.df, s.keyCol))
+      return OrderedScan.slidingAgg(s.df, s.keyCol, s.valueCol, n, boundary, agg, s.valueCol,
+        descending = true)
     val w = baseWindow(s, partitionBy).rowsBetween(0, n - 1)
     val out = s.df.select(
       s.k.as(s.keyCol),
@@ -88,6 +97,8 @@ object Windowing {
       dist: Long,
       partitionBy: Seq[Column] = Nil)(
       agg: Column => Column): DataFrame = {
+    if (partitionBy.isEmpty && OrderedScan.autoRoutes(s.df, s.keyCol))
+      return OrderedScan.slidingRangeAgg(s.df, s.keyCol, s.valueCol, dist, agg, s.valueCol)
     val w0 =
       if (partitionBy.isEmpty) Window.orderBy(s.k.cast("long"))
       else Window.partitionBy(partitionBy: _*).orderBy(s.k.cast("long"))
@@ -105,6 +116,8 @@ object Windowing {
       boundary: Boundary,
       partitionBy: Seq[String] = Nil)(
       aggs: (Column => Column, String)*): DataFrame = {
+    if (partitionBy.isEmpty && OrderedScan.autoRoutes(s.df, s.keyCol))
+      return OrderedScan.chunkAgg(s.df, s.keyCol, s.valueCol, n, boundary, aggs)
     // project first, then refer to columns by name only (fresh attributes)
     val base = s.df.select(
       (partitionBy.map(col) :+ s.k.as(s.keyCol) :+ s.v.as(s.valueCol)): _*)

@@ -205,6 +205,119 @@ class OrderedScanSpec extends SparkSpecBase {
     assert(err.getMessage.contains("monotone"))
   }
 
+  test("slidingAgg matches the single global window, including spans wider than a bucket") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Boundary
+    val df = seriesDf(input: _*)
+    // n=120 exceeds the ~62-row buckets: warm-up rows must forward through
+    // SEVERAL successor buckets for the frames to stay exact
+    for (n <- Seq(3, 120); boundary <- Seq(Boundary.Skip, Boundary.AtBeginning)) {
+      val got = collectKV(
+        OrderedScan.slidingAgg(df, "k", "v", n, boundary, avg, "v", buckets = 8))
+      val w = Window.orderBy(col("k")).rowsBetween(-(n - 1), 0)
+      val all = df.select(col("k"), avg(col("v")).over(w).as("v"),
+        count(lit(1)).over(w).as("__c"))
+      val expDf = if (boundary == Boundary.Skip) all.where(col("__c") === n) else all
+      val exp = collectKV(expDf.select("k", "v"))
+      assert(got === exp, s"n=$n boundary=$boundary")
+    }
+  }
+
+  test("slidingAgg descending matches the forward-anchored global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Boundary
+    val df = seriesDf(input: _*)
+    for (n <- Seq(5, 120)) {
+      val got = collectKV(OrderedScan.slidingAgg(
+        df, "k", "v", n, Boundary.Skip, sum, "v", buckets = 8, descending = true))
+      val w = Window.orderBy(col("k")).rowsBetween(0, n - 1)
+      val exp = collectKV(
+        df.select(col("k"), sum(col("v")).over(w).as("v"), count(lit(1)).over(w).as("__c"))
+          .where(col("__c") === n).select("k", "v"))
+      assert(got === exp, s"n=$n")
+    }
+  }
+
+  test("slidingRangeAgg matches the single global RANGE window across buckets") {
+    import org.apache.spark.sql.expressions.Window
+    val df = seriesDf(input: _*)
+    for (dist <- Seq(10L, 100L)) { // 100 > the ~62-key bucket width
+      val got = collectKV(
+        OrderedScan.slidingRangeAgg(df, "k", "v", dist, sum, "v", buckets = 8))
+      val w = Window.orderBy(col("k").cast("long")).rangeBetween(-(dist - 1), 0)
+      val exp = collectKV(df.select(col("k"), sum(col("v")).over(w).as("v")))
+      assert(got === exp, s"dist=$dist")
+    }
+  }
+
+  test("chunkAgg matches chunkInto's single-window form on every boundary") {
+    import graft.core.KSeries
+    import graft.operators.{Boundary, Windowing}
+    val df = seriesDf(input: _*)
+    val s = KSeries(df, ordered = true)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))).toSeq.sortBy(_._1)
+    for (boundary <- Seq(Boundary.Skip, Boundary.AtBeginning); n <- Seq(7, 120)) {
+      val got = rows(OrderedScan.chunkAgg(df, "k", "v", n, boundary,
+        Seq((sum(_), "s"), (count(_), "n")), buckets = 8))
+      val exp = rows(Windowing.chunkInto(s, n, boundary)((sum(_), "s"), (count(_), "n")))
+      assert(got === exp, s"n=$n boundary=$boundary")
+    }
+  }
+
+  test("large unpartitioned sliding-window family auto-routes: no global WindowExec over data") {
+    import graft.core.KSeries
+    import graft.operators.{Boundary, Windowing}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = seriesDf(input: _*)
+      val s = KSeries(df, ordered = true)
+      // small-path references
+      spark.conf.set("spark.graft.globalWindow.maxBytes", Long.MaxValue.toString)
+      val smallW = collectKV(Windowing.windowInto(s, 7, Boundary.AtBeginning)(avg))
+      val smallF = collectKV(Windowing.windowIntoForward(s, 7, Boundary.Skip)(avg))
+      val smallD = collectKV(Windowing.windowDistInto(s, 10)(sum))
+      def pv(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq.sortBy(_._1)
+      val smallP = pv(s.pairwise())
+      // large: every form must route; sliding/range/chunk plans contain NO
+      // unpartitioned WindowExec at all
+      spark.conf.set("spark.graft.globalWindow.maxBytes", "0")
+      val routedW = Windowing.windowInto(s, 7, Boundary.AtBeginning)(avg)
+      val routedF = Windowing.windowIntoForward(s, 7, Boundary.Skip)(avg)
+      val routedD = Windowing.windowDistInto(s, 10)(sum)
+      for ((d, label) <- Seq((routedW, "windowInto"), (routedF, "windowIntoForward"),
+          (routedD, "windowDistInto"))) {
+        val bad = d.queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$label: unpartitioned WindowExec survived the route")
+      }
+      assert(collectKV(routedW) === smallW)
+      assert(collectKV(routedF) === smallF)
+      assert(collectKV(routedD) === smallD)
+      // pairwise routes through the positional shift: its only unpartitioned
+      // window is the tiny per-bucket carry (over an aggregate), never data
+      val routedP = s.pairwise()
+      routedP.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        val overSummary = w.child.collect {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+        }.nonEmpty
+        assert(overSummary, s"pairwise: global window over non-aggregated input:\n$w")
+      }
+      assert(pv(routedP) === smallP)
+    } finally {
+      spark.conf.unset("spark.graft.globalWindow.maxBytes")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("ewma: a NaN data value poisons the recurrence forward, like the sequential loop") {
     val xs = (0 until 300).map { i =>
       (i.toLong, if (i == 100) Double.NaN else math.cos(i * 0.3) + 2.0)
