@@ -1089,16 +1089,26 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val reps = Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
+      // token count computed ONCE at the dedup join and carried through —
+      // the quality filter and the final packing read the same column
+      // instead of re-running the tokenizer
       val deduped = docs.join(reps, "doc_id")
-      val quality = deduped.where(Text.tokenCount(col("text")) >= 20)
-      val train = quality.where(col("doc_id") >= 5)
+        .withColumn("n_tok", Text.tokenCount(col("text")))
+      val train = deduped.where(col("n_tok") >= 20 && col("doc_id") >= 5)
+        .select(col("doc_id"), col("text"), col("n_tok"))
+        // both the contamination probe-join and the final anti-join consume
+        // `train` — materialize the dedup+filter subplan once instead of
+        // recomputing fingerprints + the dedup join per branch
+        .localCheckpoint(true)
       val contaminated = Dedup.ngramContamination(
         train, docs.where(col("doc_id") < 5), "doc_id", "text", n = 3, minOverlap = 0.5)
         .select(col("train_id").as("doc_id")).distinct()
-      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      // contaminated ids are probe-set-sized; the checkpointed side has no
+      // stats for AQE to see, so broadcast explicitly (SMJ otherwise)
+      val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       val sampled = Sampling.deterministic(clean, "doc_id", 0.5)
-      val withTok = sampled.select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok"))
-      Packing.packByTokens(withTok, "doc_id", "n_tok", targetTokens = 4096)
+      Packing.packByTokens(sampled.select(col("doc_id"), col("n_tok")),
+        "doc_id", "n_tok", targetTokens = 4096)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("bin_tokens"))
     }),

@@ -141,13 +141,15 @@ object Text {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
-  /** TF-IDF top-`k` terms per document. Plan: one explode + (doc, term)
-    * hash agg for tf; a term-keyed agg of that for document frequency
-    * (vocabulary-sized — orders of magnitude below corpus size, AQE
-    * broadcast-joins it when it fits); corpus doc count joined as a 1-row
-    * broadcast. Ranking is a window PARTITIONED by doc (parallel across
-    * docs — no global sort). idf = ln((N+1)/(df+1)); ties broken by term
-    * so the top-k is deterministic on any engine. */
+  /** TF-IDF top-`k` terms per document. Plan: ONE explode + (doc, term)
+    * hash agg for tf; document frequency comes from a term-partitioned
+    * window COUNT over those same tf rows — the tf subplan is computed
+    * once, with no second explode, no term-keyed re-aggregation and no
+    * join back (DataFrame plans don't share subtrees, so the previous
+    * tf→dfreq→join shape paid the tokenize+agg twice). Corpus doc count
+    * joins as a 1-row broadcast. Ranking is a window PARTITIONED by doc
+    * (parallel across docs — no global sort). idf = ln((N+1)/(df+1));
+    * ties broken by term so the top-k is deterministic on any engine. */
   def tfidfTopTerms(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -157,9 +159,10 @@ object Text {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
+    val scored = withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))

@@ -48,9 +48,12 @@ object Similarity {
 
   /** Deterministic mini k-means for IVF centroids: init = the `k` vectors
     * with smallest ids, then `iters` Lloyd rounds (assign by cosine, mean
-    * per bucket). Each round is one argmax projection + one
-    * posexplode-groupBy (k×dim rows collected — bounded by model size, not
-    * data). Deterministic: no sampling, fixed init, fixed iteration count. */
+    * per bucket). Each round is ONE narrow per-partition pass — assignment
+    * and (cluster × dim) double sums accumulate inside the partition, and
+    * only numPartitions × k × dim summary cells reach the driver, merged in
+    * partition order (deterministic, unlike treeAggregate's combine order).
+    * Replaces the posexplode+groupBy shape that shuffled dim× the corpus
+    * every round. Deterministic: no sampling, fixed init, fixed rounds. */
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -58,41 +61,48 @@ object Similarity {
       k: Int,
       iters: Int = 3): Array[Array[Float]] = {
     import corpus.sparkSession.implicits._
-    var cents: Array[Array[Float]] = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val vdf = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    var cents: Array[Array[Float]] = vdf
       .orderBy("id").limit(k)
       .as[(Long, Seq[Float])].collect().map(_._2.toArray)
-    val assignUdf = (cs: Array[Array[Float]]) => udf { (v: Seq[Float]) =>
-      var best = 0
-      var bestSim = Double.MinValue
-      var c = 0
-      while (c < cs.length) {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var j = 0
-        val n = math.min(v.length, cs(c).length)
-        while (j < n) {
-          dot += v(j).toDouble * cs(c)(j); na += v(j).toDouble * v(j); nb += cs(c)(j).toDouble * cs(c)(j)
-          j += 1
-        }
-        val sim = if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
-      }
-      best
-    }
+    // every round re-reads the vectors — materialize the projection once
+    val vRdd = vdf.select(col("v")).where(col("v").isNotNull)
+      .localCheckpoint(true).as[Seq[Float]].rdd
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col(vecCol).as("v"))
-        .withColumn("b", assignUdf(cents)(col("v")))
-      val sums = assigned
-        .select(col("b"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("b", "pos")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.groupBy(_.getInt(0)).foreach { case (b, rows) =>
-        rows.foreach { r =>
-          next(b)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+      val cs = cents
+      val dim = cs.map(_.length).max
+      val parts = vRdd.mapPartitionsWithIndex { (pi, iter) =>
+        val s = Array.fill(cs.length)(new Array[Double](dim))
+        val n = Array.fill(cs.length)(new Array[Long](dim))
+        iter.foreach { v =>
+          // argmax cosine, tie → lower cluster id (strict >)
+          var best = 0
+          var bestSim = Double.MinValue
+          var c = 0
+          while (c < cs.length) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var j = 0
+            val len = math.min(v.length, cs(c).length)
+            while (j < len) {
+              dot += v(j).toDouble * cs(c)(j); na += v(j).toDouble * v(j)
+              nb += cs(c)(j).toDouble * cs(c)(j)
+              j += 1
+            }
+            val sim = if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
+            if (sim > bestSim) { bestSim = sim; best = c }
+            c += 1
+          }
+          var j = 0
+          val len = math.min(v.length, dim)
+          while (j < len) { s(best)(j) += v(j); n(best)(j) += 1; j += 1 }
         }
+        Iterator((pi, s, n))
+      }.collect().sortBy(_._1)
+      val next = cents.map(_.clone())
+      for (c <- cs.indices; j <- 0 until math.min(dim, next(c).length)) {
+        var sum = 0.0; var cnt = 0L
+        parts.foreach { case (_, s, n) => sum += s(c)(j); cnt += n(c)(j) }
+        if (cnt > 0) next(c)(j) = (sum / cnt).toFloat
       }
       cents = next
     }
@@ -357,11 +367,12 @@ object Similarity {
   /** Product-quantization codebooks (Jégou-Douze-Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * L2-normalized vector into `m` subspaces and k-means each to `k`
-    * centroids. Training is `iters` Lloyd rounds, each ONE distributed
-    * pass: a compiled kernel assigns all m sub-codes per row, then a
-    * posexplode-groupBy reduces (subspace, code, dim) sums — only
-    * m×k×subDim model-sized rows ever reach the driver. Deterministic:
-    * init from the `k` smallest-id vectors, fixed round count.
+    * centroids. Training is `iters` Lloyd rounds, each ONE narrow
+    * per-partition pass (no explode, no shuffle): sub-codes assign and
+    * (subspace × code × dim) double sums accumulate inside the partition;
+    * only numPartitions × m×k×subDim summary cells reach the driver,
+    * merged in partition order (deterministic). Deterministic: init from
+    * the `k` smallest-id vectors, fixed round count.
     * Returns codebooks[m][k][subDim]. */
   def pqTrain(
       corpus: DataFrame,
@@ -380,26 +391,33 @@ object Similarity {
     var books: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
       (j, c) => normalize(init(c)).slice(j * sub, (j + 1) * sub)
     }
+    // every round re-reads the vectors — materialize the projection once
+    val vRdd = corpus.select(col(vecCol).as("v"))
+      .localCheckpoint(true).as[Seq[Float]].rdd
     for (_ <- 1 to iters) {
-      // kernel emits (subspace, code, subvector) per subspace — one explode,
-      // no duplication of the full vector across subspaces
       val bks = books
-      val assignSub = udf { (v0: Seq[Float]) =>
-        val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
-        bks.indices.map { j =>
-          (j, nearestSubCode(v, bks, sub, j), v.slice(j * sub, (j + 1) * sub))
-        }.toArray
-      }
-      val sums = corpus.select(explode(assignSub(col(vecCol))).as("a"))
-        .select(col("a._1").as("j"), col("a._2").as("c"),
-          posexplode(col("a._3")).as(Seq("pos", "x")))
-        .groupBy(col("j"), col("c"), col("pos"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
+      val parts = vRdd.mapPartitionsWithIndex { (pi, iter) =>
+        val s = Array.fill(m, k)(new Array[Double](sub))
+        val n = Array.fill(m, k)(new Array[Long](sub))
+        iter.foreach { v0 =>
+          val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
+          var j = 0
+          while (j < m) {
+            val c = nearestSubCode(v, bks, sub, j)
+            var t = 0
+            while (t < sub && j * sub + t < v.length) {
+              s(j)(c)(t) += v(j * sub + t); n(j)(c)(t) += 1; t += 1
+            }
+            j += 1
+          }
+        }
+        Iterator((pi, s, n))
+      }.collect().sortBy(_._1)
       val next = books.map(_.map(_.clone()))
-      sums.foreach { r =>
-        val (j, c, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
-        next(j)(c)(pos) = (r.getDouble(3) / r.getLong(4)).toFloat
+      for (j <- 0 until m; c <- 0 until k; t <- 0 until sub) {
+        var sum = 0.0; var cnt = 0L
+        parts.foreach { case (_, s, n) => sum += s(j)(c)(t); cnt += n(j)(c)(t) }
+        if (cnt > 0) next(j)(c)(t) = (sum / cnt).toFloat
       }
       books = next
     }
