@@ -958,6 +958,38 @@ object SparkEntry {
         .select(col("k"), col("chunk_sum"), col("n"))
     }),
 
+    // ---- streaming: foreachBatch sink with the idempotent batchId-keyed
+    //      overwrite (the exactly-once recipe for JDBC/MERGE-style targets
+    //      Structured Streaming has no native sink for); latest batch per
+    //      key == the batch aggregate ----
+    "q133_stream_foreach_batch" -> ((s, dir) => {
+      Streams.foreachBatchTypeTotals(s, dir)
+    }),
+
+    // ---- curation at scale: LARGE-PROBE decontamination — the probe set
+    //      is itself a corpus (half the documents), so the pairs come from
+    //      a shingle equi-join (one shuffle), not a broadcast nested-loop;
+    //      ngramContamination auto-routes here above the broadcast
+    //      threshold ----
+    "q132_decontaminate_large" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContaminationLarge(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, minOverlap = 0.5)
+    }),
+
+    // ---- §2.5 quantile family: exact interpolated quantiles through the
+    //      KSeries surface (hash-green); the sketch path (approxQuantiles,
+    //      one-pass mergeable summary for 100 TB) is engine-specific and
+    //      error-bound-spec'd against this exact form in KSeriesSpec ----
+    "q131_quantile_family" -> ((s, dir) => {
+      val series = KSeries(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("v")))
+      series.quantiles(Seq(0.25, 0.5, 0.75, 0.95))
+        .select(round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))
+    }),
+
     // ---- skew: salted equi-join — result-identical to the plain join by
     //      construction, so the plain join IS the oracle; the salt spreads
     //      a hot key over `salts` tasks (the big-hammer beyond AQE) ----
@@ -1876,6 +1908,32 @@ object SparkEntry {
         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 100)
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS w_sum
         |FROM top GROUP BY lang""".stripMargin,
+
+    "q133_stream_foreach_batch" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q132_decontaminate_large" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |  END) AS sh
+        |  FROM w),
+        |pairs AS (
+        |SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+        |  len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) AS ov
+        |FROM g t, g p
+        |WHERE t.doc_id % 2 = 1 AND p.doc_id % 2 = 0 AND len(t.sh) > 0 AND len(p.sh) > 0)
+        |SELECT train_id, probe_id, round(ov, 6) AS overlap
+        |FROM pairs WHERE ov >= 0.5""".stripMargin,
+
+    "q131_quantile_family" ->
+      """SELECT round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem""".stripMargin,
 
     "q128_window_stitch" ->
       """WITH e AS (SELECT event_id AS k, CAST(floor(value * 1024) AS BIGINT) AS v FROM events)

@@ -245,6 +245,32 @@ final case class KSeries(
   def sdv: DataFrame = stats((stddev_samp(v), "sdv"))
   /** exact median for oracle parity (SURVEY §7.4: percentile, not approx). */
   def exactMedian: DataFrame = stats((percentile(v, lit(0.5)), "median"))
+
+  /** Exact interpolated quantiles at the given probabilities — columns
+    * p25/p50/... Exact `percentile` SORTS the values per group; right for
+    * parity tests and small-to-medium data, wrong at 100 TB — see
+    * [[approxQuantiles]] for the sketch path. */
+  def quantiles(probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty)
+    stats(probs.map(p =>
+      (percentile(v, lit(p)), s"p${math.round(p * 100)}")): _*)
+  }
+
+  /** Sketch-based median — the 100 TB path beside [[exactMedian]]:
+    * `approx_percentile` builds a bounded-size mergeable summary in ONE
+    * pass with map-side partial aggregation (no sort, no full shuffle of
+    * the values), with rank error ≤ n/`accuracy`. Results are
+    * engine-specific — cross-engine parity tests must use the exact form;
+    * the error-bound contract is spec'd against exact in KSeriesSpec. */
+  def approxMedian(accuracy: Int = 10000): DataFrame =
+    stats((approx_percentile(v, lit(0.5), lit(accuracy)), "median"))
+
+  /** Sketch-based quantiles (see [[approxMedian]]): one row, one ARRAY
+    * column `quantiles` in probability order. */
+  def approxQuantiles(probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty)
+    stats((approx_percentile(v, array(probs.map(lit): _*), lit(accuracy)), "quantiles"))
+  }
   def countValues: DataFrame = stats((count(v), "countValues"))
   def countKeys: DataFrame = stats((count(lit(1)), "countKeys"))
 

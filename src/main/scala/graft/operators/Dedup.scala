@@ -388,11 +388,12 @@ object Dedup {
     * before training — the standard n-gram decontamination check of LLM
     * data pipelines.
     *
-    * Scale shape: the probe side is an eval benchmark — thousands of docs,
-    * broadcast-sized by construction — so the train side STREAMS through a
-    * broadcast nested-loop with an early `size`-filter; nothing shuffles.
-    * (For a large probe set, explode both sides to (shingle, id) and
-    * equi-join on the shingle hash — the [[minhashLsh]] shape.) */
+    * Scale shape: a broadcast-sized probe (the common case — an eval
+    * benchmark of thousands of docs) streams the train side through a
+    * broadcast nested-loop with an early `size`-filter, nothing shuffles;
+    * a probe whose plan stats exceed the session's broadcast threshold
+    * routes automatically to [[ngramContaminationLarge]] (shingle
+    * equi-join — both sides corpus-scale). Identical output either way. */
   def ngramContamination(
       train: DataFrame,
       probe: DataFrame,
@@ -400,6 +401,10 @@ object Dedup {
       textCol: String,
       n: Int,
       minOverlap: Double): DataFrame = {
+    val broadcastable = probe.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (!broadcastable)
+      return ngramContaminationLarge(train, probe, idCol, textCol, n, minOverlap)
     // compiled distinct-shingle kernel (the HOF form is interpreted and was
     // this query's hot-spot at sf0.1)
     val tSh = train.select(col(idCol).as("train_id"),
@@ -411,6 +416,37 @@ object Dedup {
     tSh.crossJoin(broadcast(pSh))
       .withColumn("overlap",
         size(array_intersect(col("sh_t"), col("sh_p"))).cast("double") / size(col("sh_p")))
+      .where(col("overlap") >= minOverlap)
+      .select(col("train_id"), col("probe_id"), round(col("overlap"), 6).as("overlap"))
+  }
+
+  /** Decontamination against a probe set that is ITSELF a corpus (too big
+    * to broadcast): both sides explode to distinct (shingle, id) rows and
+    * equi-join on the shingle — the [[minhashLsh]] candidate shape, one
+    * shuffle on the shingle key instead of a broadcast. The per-pair
+    * match count IS |T ∩ P| (shingles are distinct per doc), and |P| joins
+    * back from a probe-sized size table. Same output as the broadcast
+    * form; common stop-shingles dominate the join fan-out, so prefer the
+    * broadcast path whenever the probe fits. */
+  def ngramContaminationLarge(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Double): DataFrame = {
+    val tSh = train.select(col(idCol).as("train_id"),
+      explode(Vectors.shinglesFast(n)(col(textCol))).as("sh"))
+    val pArr = probe.select(col(idCol).as("probe_id"),
+      Vectors.shinglesFast(n)(col(textCol)).as("sh_p"))
+      .where(size(col("sh_p")) > 0)
+    val pSizes = pArr.select(col("probe_id"), size(col("sh_p")).as("__np"))
+    val pSh = pArr.select(col("probe_id"), explode(col("sh_p")).as("sh"))
+    tSh.join(pSh, "sh")
+      .groupBy(col("train_id"), col("probe_id"))
+      .agg(count(lit(1)).as("__ni"))
+      .join(pSizes, "probe_id")
+      .withColumn("overlap", col("__ni").cast("double") / col("__np"))
       .where(col("overlap") >= minOverlap)
       .select(col("train_id"), col("probe_id"), round(col("overlap"), 6).as("overlap"))
   }

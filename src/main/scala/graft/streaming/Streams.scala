@@ -135,13 +135,63 @@ object Streams {
         org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.DoubleType)))
       spark.read.schema(outSchema).parquet(sinkDir.toString).localCheckpoint(true)
     } finally {
-      def rmTree(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+      dropStagedSourceDir(srcDir)
+      rmTree(chkDir)
+      rmTree(sinkDir)
+    }
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** `foreachBatch` sink — the escape hatch for targets Structured
+    * Streaming has no native sink for (JDBC upserts, MERGE into a table
+    * format, multi-table writes). Exactly-once recipe: foreachBatch is
+    * at-least-once (a failed batch REPLAYS with the same checkpointed
+    * batchId), so the write must be IDEMPOTENT in the batchId — here each
+    * micro-batch overwrites its own deterministic `batch=<id>` directory,
+    * so a replay rewrites the same files instead of appending duplicates
+    * (dynamic partition overwrite / MERGE-on-batchId are the table-format
+    * analogs). Update-mode per-type running totals land one snapshot per
+    * batch; reading back the LATEST batch per type reproduces the batch
+    * aggregate exactly — the parity check of q133. */
+  def foreachBatchTypeTotals(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = stageSourceDir(dir)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_feb")
+    val chkDir = java.nio.file.Files.createTempDirectory("graft_stream_febchk")
+    val stream = isolatedStreamSession(spark)
+    try {
+      val events = eventsStream(stream, batchSchema, srcDir)
+      val agg = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chkDir.toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         }
-      }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // explicit schema incl. the discovered `batch` partition column — an
+      // inference-free read stays well-defined on an empty sink
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+      spark.read.schema(outSchema).parquet(sinkDir.toString)
+        .groupBy(col("event_type"))
+        .agg(max_by(col("n"), col("batch")).as("n"),
+          max_by(col("total"), col("batch")).as("total"))
+        .localCheckpoint(true)
+    } finally {
       dropStagedSourceDir(srcDir)
       rmTree(chkDir)
       rmTree(sinkDir)

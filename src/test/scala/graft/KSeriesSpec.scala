@@ -123,4 +123,27 @@ class KSeriesSpec extends SparkSpecBase {
     assert(collectKV(in.shift(1).df) === Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0))))
     assert(collectKV(in.diff(1).df) === Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0))))
   }
+
+  test("approx quantile sketch stays within its rank-error bound of the exact form") {
+    // uniform 0..n-1: rank error maps 1:1 to value error, so the
+    // approx_percentile contract (rank error <= n/accuracy) is directly
+    // checkable against exact percentile
+    val n = 20000
+    val in = KSeries(seriesDf((0 until n).map(i =>
+      (i.toLong, Double.box(i.toDouble))): _*))
+    val accuracy = 1000
+    val tol = n.toDouble / accuracy + 1 // +1: interpolation of adjacent ranks
+    val exactMed = in.exactMedian.head.getDouble(0)
+    val approxMed = in.approxMedian(accuracy).head.getDouble(0)
+    assert(math.abs(approxMed - exactMed) <= tol, s"median: $approxMed vs $exactMed")
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val exactQ = in.quantiles(probs).head
+    val approxQ = in.approxQuantiles(probs, accuracy).head.getSeq[Double](0)
+    probs.indices.foreach { i =>
+      assert(math.abs(approxQ(i) - exactQ.getDouble(i)) <= tol,
+        s"p=${probs(i)}: ${approxQ(i)} vs ${exactQ.getDouble(i)}")
+    }
+    // and the exact side is the true interpolated quantile
+    assert(exactMed === (n - 1) / 2.0)
+  }
 }

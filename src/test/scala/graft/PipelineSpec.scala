@@ -358,4 +358,28 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
     assert(r.toSeq === Seq((11L, 1L, 1.0)))
   }
+
+  test("large-probe decontamination: equi-join path matches the broadcast form and auto-routes") {
+    val docs = (0L until 40L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta token$i"
+      (i, if (i % 2 == 0) base else base + s" extra words w${i % 5}")
+    }.toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") % 2 === 1)
+    val probe = docs.where(col("doc_id") % 2 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bcast = rows(Dedup.ngramContamination(train, probe, "doc_id", "text", 3, 0.3))
+    val large = rows(Dedup.ngramContaminationLarge(train, probe, "doc_id", "text", 3, 0.3))
+    assert(bcast.nonEmpty)
+    assert(large === bcast)
+    // dispatcher: with a 1-byte broadcast threshold the probe is "too big" —
+    // the plan must be the shingle equi-join, not a broadcast nested-loop
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val routed = Dedup.ngramContamination(train, probe, "doc_id", "text", 3, 0.3)
+      assert(!routed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "large probe still took the broadcast nested-loop path")
+      assert(rows(routed) === bcast)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
