@@ -140,6 +140,38 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
   def *(s: Double): KFrame = mapNumeric(_ * s)
   def /(s: Double): KFrame = mapNumeric(_ / s)
 
+  /** frame ⊙ series — apply `op` between every numeric column and the
+    * series value aligned by row key (reference Frame.fs:442-586 series
+    * overloads; test tests/.../Frame.fs:84-106). Rows without a series
+    * value go missing (null arithmetic), like the reference. Reversed
+    * operand order is `zipSeries(s)((c, v) => op(v, c))`. */
+  def zipSeries(s: KSeries)(op: (Column, Column) => Column): KFrame = {
+    val r = s.df.select(s.k.as("__sk"), s.v.as("__sv"))
+    val nums = numericCols.toSet
+    val joined = df.join(r, key === col("__sk"), "left_outer")
+    keyed(joined.select(df.columns.toIndexedSeq.map { c =>
+      if (nums(c)) op(col(c), col("__sv")).as(c) else col(c)
+    }: _*))
+  }
+
+  /** Frame.shift — move every data column by `offset` positions in row-key
+    * order, keys stay (reference FrameModule shift over all columns; test
+    * tests/.../Frame.fs:108-121). Ordered-only. Large unpartitioned frames
+    * auto-route to the distributed positional shift (all columns in one
+    * [[graft.operators.OrderedScan.shift]] pass). */
+  def shift(offset: Int): KFrame = {
+    require(ordered, "shift requires an ordered frame")
+    if (graft.operators.OrderedScan.autoRoutes(df, keyCols.head))
+      keyed(graft.operators.OrderedScan.shift(df, keyCols.head, dataCols, offset))
+    else {
+      val w = Window.orderBy(key)
+      keyed(df.select((keyCols.map(col) ++ dataCols.map { c =>
+        (if (offset >= 0) lag(col(c), offset).over(w)
+         else lead(col(c), -offset).over(w)).as(c)
+      }): _*))
+    }
+  }
+
   // ---- joins (reference src/Frame.fs:146-167) ----
 
   /** frame.Join — row-key join; column sets must be disjoint like the
@@ -161,16 +193,19 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
       other.dataCols, direction), ord = ordered)
   }
 
-  /** frame.Zip — cell-level zip (reference src/Frame.fs:103-142): outer join
-    * rows; shared columns combined with op where both present, otherwise the
-    * present side; unshared columns pass through. */
-  def zip(other: KFrame)(op: (Column, Column) => Column): KFrame = {
+  /** frame.Zip — cell-level zip (reference src/Frame.fs:103-142): rows
+    * aligned by `kind` (the reference's row JoinKind — Outer default, test
+    * tests/.../Frame.fs:134-146); shared columns combined with op where
+    * both present, otherwise the present side; unshared columns pass
+    * through. */
+  def zip(other: KFrame, kind: JoinKind = JoinKind.Outer)(
+      op: (Column, Column) => Column): KFrame = {
     val shared = dataCols.toSet.intersect(other.dataCols.toSet).toSeq.sorted
     val lOnly = dataCols.filterNot(shared.contains)
     val rOnly = other.dataCols.filterNot(shared.contains)
     val l = df.select((key.as("__k") +: dataCols.map(c => col(c).as(s"__l_$c"))): _*)
     val r = other.df.select((other.key.as("__k") +: other.dataCols.map(c => col(c).as(s"__r_$c"))): _*)
-    val j = l.join(r, Seq("__k"), "full_outer")
+    val j = l.join(r, Seq("__k"), kind.spark)
     val out = j.select(
       (col("__k").as(keyCols.head) +:
         (shared.map { c =>
@@ -291,5 +326,16 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
     // melt #columns values: stack(n, 'c1', c1, ...) — stays in the plan
     val stackArgs = nums.map(c => s"'$c', `$c`").mkString(", ")
     wide.selectExpr(s"stack(${nums.size}, $stackArgs) as (column, value)")
+  }
+}
+
+object KFrame {
+  /** Reversed scalar operand order — the reference's `2.0 - df` / `2.0 / df`
+    * overloads (test tests/.../Frame.fs:62-80). */
+  implicit final class ScalarFrameOps(private val s: Double) extends AnyVal {
+    def +(f: KFrame): KFrame = f.mapNumeric(lit(s) + _)
+    def -(f: KFrame): KFrame = f.mapNumeric(lit(s) - _)
+    def *(f: KFrame): KFrame = f.mapNumeric(lit(s) * _)
+    def /(f: KFrame): KFrame = f.mapNumeric(lit(s) / _)
   }
 }
