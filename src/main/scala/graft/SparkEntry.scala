@@ -958,6 +958,17 @@ object SparkEntry {
         .select(col("k"), col("chunk_sum"), col("n"))
     }),
 
+    // ---- §2.6 at scale: STRING-keyed distributed ordered scan — doc-hash
+    //      keys (the 100 TB norm) bucket on sampled lexicographic
+    //      boundaries, never a numeric proxy; positional shift in exact
+    //      md5-key order vs DuckDB's lag ----
+    "q134_string_key_scan" -> ((s, dir) => {
+      val series = t(s, dir, "documents").select(
+        md5(col("doc_id").cast("string")).as("k"), col("n_chars").cast("double").as("v"))
+      OrderedScan.shift(series, "k", Seq("v"), 1, buckets = 16)
+        .select(col("k"), col("v").as("prev_chars"))
+    }),
+
     // ---- streaming: foreachBatch sink with the idempotent batchId-keyed
     //      overwrite (the exactly-once recipe for JDBC/MERGE-style targets
     //      Structured Streaming has no native sink for); latest batch per
@@ -1908,6 +1919,10 @@ object SparkEntry {
         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 100)
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS w_sum
         |FROM top GROUP BY lang""".stripMargin,
+
+    "q134_string_key_scan" ->
+      """WITH e AS (SELECT md5(doc_id::VARCHAR) AS k, n_chars::DOUBLE AS v FROM documents)
+        |SELECT k, lag(v, 1) OVER (ORDER BY k) AS prev_chars FROM e""".stripMargin,
 
     "q133_stream_foreach_batch" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total

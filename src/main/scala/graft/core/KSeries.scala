@@ -74,17 +74,18 @@ final case class KSeries(
   private def requireOrdered(op: String): Unit =
     require(ordered, s"$op requires an ordered series (reference LinearIndex.fs:210-211)")
 
-  /** Auto-routing for unpartitioned ordered ops (shift/diff/fill): above
-    * this estimated plan size, a global `Window.orderBy` would serialize the
-    * whole series through ONE task, so the op delegates to the
-    * partition-stitched [[graft.operators.OrderedScan]] form (bucket shuffle
-    * + broadcast carry) instead. Plan-time decision from Catalyst statistics
-    * — no job is run to decide. Tunable via `spark.graft.globalWindow.maxBytes`.
-    * Only keys whose cast-to-double bucket proxy is monotone qualify
-    * (numeric/date/timestamp — [[graft.operators.OrderedScan.supportsRangeBucket]]);
-    * a string-keyed series stays on the single-window form regardless of
-    * size, because range-bucketing it would silently reorder ('10' < '9'
-    * lexicographically but not numerically). */
+  /** Auto-routing for unpartitioned ordered ops (shift/diff/fill/pairwise):
+    * above this estimated plan size, a global `Window.orderBy` would
+    * serialize the whole series through ONE task, so the op delegates to
+    * the partition-stitched [[graft.operators.OrderedScan]] form (bucket
+    * shuffle + broadcast carry) instead. Plan-time decision from Catalyst
+    * statistics — no job is run to decide. Tunable via
+    * `spark.graft.globalWindow.maxBytes`. Numeric/date/timestamp keys
+    * bucket via the monotone numeric proxy; STRING keys bucket via sampled
+    * boundary keys compared lexicographically (their natural order — the
+    * cast-to-double proxy would reorder '10' before '9', which is why
+    * strings get their own exact path, see
+    * [[graft.operators.OrderedScan.withRangeBucket]]). */
   private def isLargeForGlobalWindow: Boolean =
     graft.operators.OrderedScan.autoRoutes(df, keyCol)
 

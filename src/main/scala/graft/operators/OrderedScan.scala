@@ -22,14 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object OrderedScan {
 
-  /** Key dtypes for which `numericKey` is MONOTONE in the key's natural
-    * order — the correctness precondition of every scan here. StringType is
-    * deliberately excluded: `cast("double")` orders '9' before '10' while
-    * the key order is '10' < '9', and non-numeric strings cast to null and
-    * would all collapse into the null bucket — a string-keyed scan would
-    * silently return different fills/shifts than the single-window form.
-    * Callers auto-routing to OrderedScan must gate on this. */
+  /** Key dtypes with an order-exact range-bucket path. Numeric/date/
+    * timestamp keys bucket on approx-quantile boundaries of a monotone
+    * numeric proxy; StringType buckets on SAMPLED boundary keys compared
+    * with the key's own `<=` (exact lexicographic order — `cast("double")`
+    * would order '9' before '10' and null out non-numeric strings, which
+    * is why strings take the sampling path instead of the proxy).
+    * Callers auto-routing to OrderedScan gate on this. */
   def supportsRangeBucket(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | _: DecimalType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Key dtypes whose VALUES the scan may do arithmetic on (key-distance
+    * RANGE windows cast to long): the numeric subset of
+    * [[supportsRangeBucket]] — strings bucket fine but have no distance. */
+  def supportsRangeArith(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
@@ -54,23 +66,60 @@ object OrderedScan {
     }
   }
 
-  /** Assign a range-bucket id column `__bucket` (-1..buckets) using
-    * approx-quantile boundaries of the key. Rows with equal keys always land
-    * in the same bucket (boundaries are key values). Null keys get bucket -1
-    * — BEFORE every data bucket — matching the nulls-first order of the
-    * single-window form (`Window.orderBy` asc) these scans reproduce
-    * (approxQuantile itself ignores nulls, so they'd otherwise fall through
-    * the `<=` chain into the LAST bucket and diverge). */
-  def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
-    val keyed = df.withColumn("__knum", numericKey(df, keyCol))
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = keyed.stat.approxQuantile("__knum", probes, 0.01).distinct.sorted
-    val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-      case ((cut, i), elseExpr) => when(col("__knum") <= cut, i).otherwise(elseExpr)
-    }
-    keyed.withColumn("__bucket",
-      when(col("__knum").isNull, lit(-1)).otherwise(bucketExpr)).drop("__knum")
+  /** Sampled boundary keys for orderable-but-non-numeric (string) keys:
+    * a fixed-seed takeSample (driver-sized — `buckets`×128 keys), sorted,
+    * thinned to `buckets-1` cut points. Boundaries need only be BALANCED,
+    * not exact quantiles — bucket assignment compares with the key's own
+    * `<=`, so order-correctness never depends on the sample. */
+  private def sampledStringCuts(
+      df: DataFrame, keyCol: String, buckets: Int): Array[String] = {
+    val sample = df.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .rdd.takeSample(withReplacement = false, num = buckets * 128, seed = 42L)
+      .map(_.getString(0)).sorted
+    if (sample.isEmpty) Array.empty
+    else (1 until buckets)
+      .map(i => sample(math.min((i.toLong * sample.length / buckets).toInt, sample.length - 1)))
+      .distinct.sorted.toArray
   }
+
+  /** Assign a range-bucket id column `__bucket` (-1..buckets): numeric/
+    * date/timestamp keys use approx-quantile boundaries of the monotone
+    * numeric proxy; string keys use sampled boundary KEYS compared
+    * lexicographically (exact natural order, no proxy). Rows with equal
+    * keys always land in the same bucket (boundaries are key values).
+    * Null keys get bucket -1 — BEFORE every data bucket — matching the
+    * nulls-first order of the single-window form (`Window.orderBy` asc)
+    * these scans reproduce (the samplers ignore nulls, so they'd otherwise
+    * fall through the `<=` chain into the LAST bucket and diverge). */
+  def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    if (df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType) {
+      val cuts = sampledStringCuts(df, keyCol, buckets)
+      val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+        case ((cut, i), elseExpr) => when(col(keyCol) <= lit(cut), i).otherwise(elseExpr)
+      }
+      df.withColumn("__bucket",
+        when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr))
+    } else {
+      val keyed = df.withColumn("__knum", numericKey(df, keyCol))
+      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+      val cuts = keyed.stat.approxQuantile("__knum", probes, 0.01).distinct.sorted
+      val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+        case ((cut, i), elseExpr) => when(col("__knum") <= cut, i).otherwise(elseExpr)
+      }
+      keyed.withColumn("__bucket",
+        when(col("__knum").isNull, lit(-1)).otherwise(bucketExpr)).drop("__knum")
+    }
+  }
+
+  /** max_by/min_by ordering proxy over the key, null-safe for the all-null
+    * bucket (-1): numeric keys use the monotone numeric proxy; string keys
+    * order natively (nulls coalesce to "" — only bucket -1 holds nulls, so
+    * the coalesce never crosses buckets). */
+  private def ordProxyOf(df: DataFrame, keyCol: String): Column =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType => coalesce(col(keyCol), lit(""))
+      case _ => coalesce(numericKey(df, keyCol), lit(Double.MinValue))
+    }
 
   /** Global forward fill of `valueCols` in key order, distributed.
     * Same semantics as KSeries.fillForward with no partition keys. */
@@ -89,7 +138,7 @@ object OrderedScan {
     // fill at the bucket's max key. Ordering proxy is null-safe (max_by over
     // an all-null key — the null-key bucket — would itself return null and
     // drop the carry).
-    val ordProxy = coalesce(numericKey(within, keyCol), lit(Double.MinValue))
+    val ordProxy = ordProxyOf(within, keyCol)
     val lastAggs = valueCols.map(c => max_by(col(s"__f_$c"), ordProxy).as(s"__last_$c"))
     val summary = within.groupBy(col("__bucket")).agg(lastAggs.head, lastAggs.tail: _*)
     // carry-in for bucket i = last non-null among buckets < i (tiny window)
@@ -141,7 +190,7 @@ object OrderedScan {
     val within = valueCols.foldLeft(b) { (d, c) =>
       d.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wIn))
     }
-    val ordProxy = coalesce(numericKey(within, keyCol), lit(Double.MinValue))
+    val ordProxy = ordProxyOf(within, keyCol)
     val lastAggs = valueCols.map(c => min_by(col(s"__f_$c"), ordProxy).as(s"__last_$c"))
     val summary = within.groupBy(col("__bucket")).agg(lastAggs.head, lastAggs.tail: _*)
     val wCarry = Window.orderBy(col("__bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
@@ -317,9 +366,10 @@ object OrderedScan {
     * family in Windowing): above `spark.graft.globalWindow.maxBytes` a
     * global `Window.orderBy` would serialize the whole series through ONE
     * task, so the op takes the partition-stitched form instead. Plan-time
-    * decision from Catalyst statistics — no job runs to decide. Only keys
-    * with a monotone numeric proxy qualify ([[supportsRangeBucket]]); a
-    * string-keyed series stays on the single-window form at any size. */
+    * decision from Catalyst statistics — no job runs to decide. Keys
+    * qualify when they have an order-exact bucket path
+    * ([[supportsRangeBucket]]): numeric/date/timestamp via the monotone
+    * proxy, strings via sampled lexicographic boundaries. */
   def autoRoutes(df: DataFrame, keyCol: String): Boolean = {
     val maxBytes = df.sparkSession.conf
       .get("spark.graft.globalWindow.maxBytes", DefaultGlobalWindowMaxBytes.toString).toLong
@@ -423,6 +473,9 @@ object OrderedScan {
       outCol: String,
       buckets: Int = 64): DataFrame = {
     require(dist >= 1, s"window distance $dist must be >= 1")
+    require(supportsRangeArith(df.schema(keyCol).dataType),
+      s"key-distance windows need a numeric/date/timestamp key; " +
+        s"'$keyCol' is ${df.schema(keyCol).dataType}")
     val base = df.select(col(keyCol), col(valueCol))
     val b = withRangeBucket(base, keyCol, buckets)
     val keyLong = col(keyCol).cast("long")

@@ -97,7 +97,8 @@ object Windowing {
       dist: Long,
       partitionBy: Seq[Column] = Nil)(
       agg: Column => Column): DataFrame = {
-    if (partitionBy.isEmpty && OrderedScan.autoRoutes(s.df, s.keyCol))
+    if (partitionBy.isEmpty && OrderedScan.autoRoutes(s.df, s.keyCol) &&
+        OrderedScan.supportsRangeArith(s.df.schema(s.keyCol).dataType))
       return OrderedScan.slidingRangeAgg(s.df, s.keyCol, s.valueCol, dist, agg, s.valueCol)
     val w0 =
       if (partitionBy.isEmpty) Window.orderBy(s.k.cast("long"))

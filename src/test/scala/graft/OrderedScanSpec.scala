@@ -175,34 +175,43 @@ class OrderedScanSpec extends SparkSpecBase {
     }
   }
 
-  test("string-keyed series never auto-routes: cast-to-double is not monotone in key order") {
+  test("string-keyed series auto-route through EXACT lexicographic buckets") {
     import graft.core.KSeries
     import org.apache.spark.sql.types._
-    // '10' sorts before '9' lexicographically but after it numerically — the
-    // range-bucket proxy would reorder; the dtype gate must keep the series
-    // on the single-window form even when the size threshold says "large".
+    // '10' sorts before '9' lexicographically but after it numerically —
+    // the stitch must bucket on sampled boundary KEYS compared with the
+    // string's own <=, never a numeric proxy, so the routed results are
+    // identical to the single-window form at any size.
     val schema = StructType(Seq(
       StructField("k", StringType, nullable = false),
       StructField("v", DoubleType, nullable = true)))
-    val rows = (1 to 12).map(i => org.apache.spark.sql.Row(i.toString, i.toDouble))
+    val rows = (1 to 500).map(i => org.apache.spark.sql.Row(
+      i.toString, if (i % 3 == 0) null else Double.box(i.toDouble)))
     val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    def shifted(maxBytes: String): Seq[(String, Option[Double])] = {
-      spark.conf.set("spark.graft.globalWindow.maxBytes", maxBytes)
-      try KSeries(df, ordered = true).shift(1).df.collect().toSeq
+    def kv(d: org.apache.spark.sql.DataFrame): Seq[(String, Option[Double])] =
+      d.collect().toSeq
         .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
         .sortBy(_._1)
-      finally spark.conf.unset("spark.graft.globalWindow.maxBytes")
+    def withMax[T](maxBytes: String)(body: => T): T = {
+      spark.conf.set("spark.graft.globalWindow.maxBytes", maxBytes)
+      try body finally spark.conf.unset("spark.graft.globalWindow.maxBytes")
     }
-    val small = shifted(Long.MaxValue.toString)
-    val large = shifted("0")
-    assert(large === small, "string keys must take the identical window path at any size")
-    // and the lexicographic predecessor of '2' is '12', not '1'
-    assert(small.find(_._1 == "2").get._2 === Some(12.0))
-    // OrderedScan itself refuses a string key outright rather than reordering
+    val s = KSeries(df, ordered = true)
+    val smallShift = withMax(Long.MaxValue.toString)(kv(s.shift(1).df))
+    val smallFill = withMax(Long.MaxValue.toString)(kv(s.fillForward().df))
+    val largeShift = withMax("0")(kv(s.shift(1).df))
+    val largeFill = withMax("0")(kv(s.fillForward().df))
+    assert(largeShift === smallShift, "routed string shift must match the window form")
+    assert(largeFill === smallFill, "routed string fill must match the window form")
+    // and the order really is lexicographic: the predecessor of '2' is '199'
+    assert(smallShift.find(_._1 == "2").get._2 === Some(199.0))
+    // direct OrderedScan forms work on string keys too
+    assert(kv(OrderedScan.forwardFill(df, "k", Seq("v"), buckets = 8)) === smallFill)
+    // key-distance windows still refuse strings (no key arithmetic)
     val err = intercept[IllegalArgumentException] {
-      OrderedScan.forwardFill(df, "k", Seq("v"))
+      OrderedScan.slidingRangeAgg(df, "k", "v", 10L, sum, "v")
     }
-    assert(err.getMessage.contains("monotone"))
+    assert(err.getMessage.contains("numeric"))
   }
 
   test("slidingAgg matches the single global window, including spans wider than a bucket") {
