@@ -146,6 +146,9 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
     * value go missing (null arithmetic), like the reference. Reversed
     * operand order is `zipSeries(s)((c, v) => op(v, c))`. */
   def zipSeries(s: KSeries)(op: (Column, Column) => Column): KFrame = {
+    require(keyCols.size == 1,
+      "zipSeries aligns on the single row key (a KSeries has one key " +
+        "column); collapse multi-level keys first")
     val r = s.df.select(s.k.as("__sk"), s.v.as("__sv"))
     val nums = numericCols.toSet
     val joined = df.join(r, key === col("__sk"), "left_outer")
@@ -161,10 +164,12 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
     * [[graft.operators.OrderedScan.shift]] pass). */
   def shift(offset: Int): KFrame = {
     require(ordered, "shift requires an ordered frame")
-    if (graft.operators.OrderedScan.autoRoutes(df, keyCols.head))
+    // multi-level keys order by ALL levels (single-window form only — the
+    // range-bucket route is single-key, same guard as indexRowsOrdinally)
+    if (keyCols.size == 1 && graft.operators.OrderedScan.autoRoutes(df, keyCols.head))
       keyed(graft.operators.OrderedScan.shift(df, keyCols.head, dataCols, offset))
     else {
-      val w = Window.orderBy(key)
+      val w = Window.orderBy(keyCols.map(col): _*)
       keyed(df.select((keyCols.map(col) ++ dataCols.map { c =>
         (if (offset >= 0) lag(col(c), offset).over(w)
          else lead(col(c), -offset).over(w)).as(c)

@@ -253,8 +253,15 @@ final case class KSeries(
     * [[approxQuantiles]] for the sketch path. */
   def quantiles(probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty)
-    stats(probs.map(p =>
-      (percentile(v, lit(p)), s"p${math.round(p * 100)}")): _*)
+    // decimal-safe labels: 0.25 -> p25, 0.254 -> p25_4, 0.005 -> p0_5 —
+    // rounding to an int would collide nearby probabilities into
+    // duplicate column names
+    val labels = probs.map { p =>
+      "p" + (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
+        .replace(".", "_").replace("-", "m")
+    }
+    require(labels.distinct.size == labels.size, s"duplicate probabilities: $probs")
+    stats(probs.zip(labels).map { case (p, l) => (percentile(v, lit(p)), l) }: _*)
   }
 
   /** Sketch-based median — the 100 TB path beside [[exactMedian]]:

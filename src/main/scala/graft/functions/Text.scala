@@ -142,14 +142,18 @@ object Text {
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
   /** TF-IDF top-`k` terms per document. Plan: ONE explode + (doc, term)
-    * hash agg for tf; document frequency comes from a term-partitioned
-    * window COUNT over those same tf rows — the tf subplan is computed
-    * once, with no second explode, no term-keyed re-aggregation and no
-    * join back (DataFrame plans don't share subtrees, so the previous
-    * tf→dfreq→join shape paid the tokenize+agg twice). Corpus doc count
-    * joins as a 1-row broadcast. Ranking is a window PARTITIONED by doc
-    * (parallel across docs — no global sort). idf = ln((N+1)/(df+1));
-    * ties broken by term so the top-k is deterministic on any engine. */
+    * hash agg for tf, materialized once (localCheckpoint — DataFrame
+    * plans don't share subtrees, so deriving df from a second tf subplan
+    * would pay the tokenize+agg twice); document frequency is a
+    * map-side-partial term agg over the checkpoint (vocabulary-sized)
+    * broadcast back to it. A term-PARTITIONED WINDOW over tf would reach
+    * the same numbers with one less pass but puts every tf row of a stop
+    * term into a single unsplittable window partition (~nDocs rows in one
+    * task at corpus scale) — the skew-safe agg+broadcast shape is the one
+    * that survives 100 TB. Corpus doc count joins as a 1-row broadcast.
+    * Ranking is a window PARTITIONED by doc (parallel across docs — no
+    * global sort). idf = ln((N+1)/(df+1)); ties broken by term so the
+    * top-k is deterministic on any engine. */
   def tfidfTopTerms(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -159,10 +163,12 @@ object Text {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+      .localCheckpoint(true)
+    // vocabulary-sized; broadcast explicitly — the checkpointed side has
+    // no stats for AQE to size the join from
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val scored = withDf
+    val scored = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))

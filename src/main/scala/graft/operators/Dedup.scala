@@ -401,8 +401,18 @@ object Dedup {
       textCol: String,
       n: Int,
       minOverlap: Double): DataFrame = {
-    val broadcastable = probe.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // > 0 keeps the two physical forms result-identical: the equi-join
+    // path can never emit zero-intersection pairs, the broadcast path
+    // would at 0 (and a 0 threshold means "flag everything" anyway)
+    require(minOverlap > 0, s"minOverlap $minOverlap must be > 0")
+    // routing floor: autoBroadcastJoinThreshold = -1 disables Spark's
+    // AUTO broadcasts but our explicit broadcast() hint still works, so
+    // a disabled threshold must not force tiny probes onto the
+    // shuffle-heavy large path — fall back to the 10 MiB default
+    val conf = probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val limit = if (conf > 0) conf else 10L << 20
+    val broadcastable =
+      probe.queryExecution.optimizedPlan.stats.sizeInBytes <= limit
     if (!broadcastable)
       return ngramContaminationLarge(train, probe, idCol, textCol, n, minOverlap)
     // compiled distinct-shingle kernel (the HOF form is interpreted and was
@@ -435,6 +445,7 @@ object Dedup {
       textCol: String,
       n: Int,
       minOverlap: Double): DataFrame = {
+    require(minOverlap > 0, s"minOverlap $minOverlap must be > 0")
     val tSh = train.select(col(idCol).as("train_id"),
       explode(Vectors.shinglesFast(n)(col(textCol))).as("sh"))
     val pArr = probe.select(col(idCol).as("probe_id"),

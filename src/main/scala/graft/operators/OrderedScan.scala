@@ -443,8 +443,19 @@ object OrderedScan {
       .withColumn("__dense", element_at(typedLit(lay.denseOf), col("__bucket")))
       .withColumn("__copy", explode(sequence(lit(0), copies)))
       .withColumn("__target", col("__dense") + col("__copy"))
-    val w2 = Window.partitionBy(col("__target")).orderBy(col("__g"))
-      .rowsBetween(-(n - 1), 0)
+    // identical frame SET either way (trailing n rows in scan position g) —
+    // but the frame must present rows in ASCENDING KEY order so
+    // order-sensitive aggregates (first/last/collect_list) match the
+    // single-window form: ascending scans order by g asc with a trailing
+    // frame; descending scans (g counts down the key order) order by g
+    // DESC with a leading frame, which is the same set read key-ascending.
+    val w2 =
+      if (descending)
+        Window.partitionBy(col("__target")).orderBy(col("__g").desc)
+          .rowsBetween(0, n - 1)
+      else
+        Window.partitionBy(col("__target")).orderBy(col("__g"))
+          .rowsBetween(-(n - 1), 0)
     val out = exploded.select(
         col(keyCol),
         agg(col(valueCol)).over(w2).as(outCol),

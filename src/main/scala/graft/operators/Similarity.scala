@@ -46,14 +46,17 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic mini k-means for IVF centroids: init = the `k` vectors
-    * with smallest ids, then `iters` Lloyd rounds (assign by cosine, mean
-    * per bucket). Each round is ONE narrow per-partition pass — assignment
-    * and (cluster × dim) double sums accumulate inside the partition, and
-    * only numPartitions × k × dim summary cells reach the driver, merged in
-    * partition order (deterministic, unlike treeAggregate's combine order).
-    * Replaces the posexplode+groupBy shape that shuffled dim× the corpus
-    * every round. Deterministic: no sampling, fixed init, fixed rounds. */
+  /** Mini k-means for IVF centroids: init = the `k` vectors with smallest
+    * ids, then `iters` Lloyd rounds (assign by cosine, mean per bucket).
+    * Each round is ONE narrow treeAggregate pass — assignment and
+    * (cluster × dim) double sums accumulate inside partitions and combine
+    * on executors, so the driver receives O(k × dim) regardless of
+    * partition count (a per-partition collect would scale driver memory
+    * with the cluster). Replaces the posexplode+groupBy shape that
+    * shuffled dim× the corpus every round. No sampling, fixed init, fixed
+    * rounds; float sums are combine-order-dependent in the last ulps, the
+    * standard caveat of any distributed float reduction (and why the
+    * hash-verified twin q124 uses integer arithmetic). */
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -71,10 +74,10 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cs = cents
       val dim = cs.map(_.length).max
-      val parts = vRdd.mapPartitionsWithIndex { (pi, iter) =>
-        val s = Array.fill(cs.length)(new Array[Double](dim))
-        val n = Array.fill(cs.length)(new Array[Long](dim))
-        iter.foreach { v =>
+      val (sums, counts) = vRdd.treeAggregate(
+        (Array.fill(cs.length)(new Array[Double](dim)),
+          Array.fill(cs.length)(new Array[Long](dim))))(
+        seqOp = { case ((s, n), v) =>
           // argmax cosine, tie → lower cluster id (strict >)
           var best = 0
           var bestSim = Double.MinValue
@@ -95,15 +98,20 @@ object Similarity {
           var j = 0
           val len = math.min(v.length, dim)
           while (j < len) { s(best)(j) += v(j); n(best)(j) += 1; j += 1 }
-        }
-        Iterator((pi, s, n))
-      }.collect().sortBy(_._1)
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < cs.length) {
+            var j = 0
+            while (j < dim) { s1(c)(j) += s2(c)(j); n1(c)(j) += n2(c)(j); j += 1 }
+            c += 1
+          }
+          (s1, n1)
+        })
       val next = cents.map(_.clone())
-      for (c <- cs.indices; j <- 0 until math.min(dim, next(c).length)) {
-        var sum = 0.0; var cnt = 0L
-        parts.foreach { case (_, s, n) => sum += s(c)(j); cnt += n(c)(j) }
-        if (cnt > 0) next(c)(j) = (sum / cnt).toFloat
-      }
+      for (c <- cs.indices; j <- 0 until math.min(dim, next(c).length))
+        if (counts(c)(j) > 0) next(c)(j) = (sums(c)(j) / counts(c)(j)).toFloat
       cents = next
     }
     cents
@@ -368,11 +376,11 @@ object Similarity {
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * L2-normalized vector into `m` subspaces and k-means each to `k`
     * centroids. Training is `iters` Lloyd rounds, each ONE narrow
-    * per-partition pass (no explode, no shuffle): sub-codes assign and
-    * (subspace × code × dim) double sums accumulate inside the partition;
-    * only numPartitions × m×k×subDim summary cells reach the driver,
-    * merged in partition order (deterministic). Deterministic: init from
-    * the `k` smallest-id vectors, fixed round count.
+    * treeAggregate pass (no explode, no shuffle): sub-codes assign and
+    * (subspace × code × dim) double sums accumulate inside partitions and
+    * combine on executors — the driver receives O(m×k×subDim) regardless
+    * of partition count. Init from the `k` smallest-id vectors, fixed
+    * round count; float-sum combine order caveat as [[kmeansCentroids]].
     * Returns codebooks[m][k][subDim]. */
   def pqTrain(
       corpus: DataFrame,
@@ -396,10 +404,10 @@ object Similarity {
       .localCheckpoint(true).as[Seq[Float]].rdd
     for (_ <- 1 to iters) {
       val bks = books
-      val parts = vRdd.mapPartitionsWithIndex { (pi, iter) =>
-        val s = Array.fill(m, k)(new Array[Double](sub))
-        val n = Array.fill(m, k)(new Array[Long](sub))
-        iter.foreach { v0 =>
+      val (sums, counts) = vRdd.treeAggregate(
+        (Array.fill(m, k)(new Array[Double](sub)),
+          Array.fill(m, k)(new Array[Long](sub))))(
+        seqOp = { case ((s, n), v0) =>
           val v = normalize(if (v0 == null) Array.empty[Float] else v0.toArray)
           var j = 0
           while (j < m) {
@@ -410,15 +418,26 @@ object Similarity {
             }
             j += 1
           }
-        }
-        Iterator((pi, s, n))
-      }.collect().sortBy(_._1)
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var j = 0
+          while (j < m) {
+            var c = 0
+            while (c < k) {
+              var t = 0
+              while (t < sub) {
+                s1(j)(c)(t) += s2(j)(c)(t); n1(j)(c)(t) += n2(j)(c)(t); t += 1
+              }
+              c += 1
+            }
+            j += 1
+          }
+          (s1, n1)
+        })
       val next = books.map(_.map(_.clone()))
-      for (j <- 0 until m; c <- 0 until k; t <- 0 until sub) {
-        var sum = 0.0; var cnt = 0L
-        parts.foreach { case (_, s, n) => sum += s(j)(c)(t); cnt += n(j)(c)(t) }
-        if (cnt > 0) next(j)(c)(t) = (sum / cnt).toFloat
-      }
+      for (j <- 0 until m; c <- 0 until k; t <- 0 until sub)
+        if (counts(j)(c)(t) > 0) next(j)(c)(t) = (sums(j)(c)(t) / counts(j)(c)(t)).toFloat
       books = next
     }
     books

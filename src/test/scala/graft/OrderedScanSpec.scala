@@ -247,6 +247,34 @@ class OrderedScanSpec extends SparkSpecBase {
     }
   }
 
+  test("slidingAgg frames keep ASCENDING key order in both directions (order-sensitive aggs)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Boundary
+    // collect_list + first are order-sensitive: the stitched frames must
+    // present rows ascending-by-key exactly like the single-window form
+    val df = seriesDf((0 until 300).map(i => (i.toLong, Double.box(i * 2.0))): _*)
+    def lists(d: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Double])] =
+      d.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    for (n <- Seq(4, 90)) {
+      val gotB = lists(OrderedScan.slidingAgg(
+        df, "k", "v", n, Boundary.Skip, collect_list, "v", buckets = 8))
+      val wB = Window.orderBy(col("k")).rowsBetween(-(n - 1), 0)
+      val expB = lists(df
+        .select(col("k"), collect_list(col("v")).over(wB).as("v"),
+          count(lit(1)).over(wB).as("__c"))
+        .where(col("__c") === n).select("k", "v"))
+      assert(gotB === expB, s"backward n=$n")
+      val gotF = lists(OrderedScan.slidingAgg(
+        df, "k", "v", n, Boundary.Skip, collect_list, "v", buckets = 8, descending = true))
+      val wF = Window.orderBy(col("k")).rowsBetween(0, n - 1)
+      val expF = lists(df
+        .select(col("k"), collect_list(col("v")).over(wF).as("v"),
+          count(lit(1)).over(wF).as("__c"))
+        .where(col("__c") === n).select("k", "v"))
+      assert(gotF === expF, s"forward n=$n")
+    }
+  }
+
   test("slidingRangeAgg matches the single global RANGE window across buckets") {
     import org.apache.spark.sql.expressions.Window
     val df = seriesDf(input: _*)
