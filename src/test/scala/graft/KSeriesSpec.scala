@@ -124,6 +124,40 @@ class KSeriesSpec extends SparkSpecBase {
     assert(collectKV(in.diff(1).df) === Seq((1L, None), (2L, Some(10.0)), (3L, Some(20.0))))
   }
 
+  test("Series.diff works forward AND backward on the sample input (Series.fs:74-81)") {
+    // reference: diff 2 keeps only 'c' => 2; diff -2 only 'a' => -2 —
+    // comparing present observations (our SQL-natural form keeps the
+    // missing-valued keys as nulls; the observations must agree)
+    val in3 = s((1L, 1.0), (2L, 2.0), (3L, 3.0))
+    def obs(x: KSeries) = collectKV(x.df).collect { case (k, Some(v)) => (k, v) }
+    assert(obs(in3.diff(2)) === Seq((3L, 2.0)))
+    assert(obs(in3.diff(-2)) === Seq((1L, -2.0)))
+  }
+
+  test("grouping a series with missing values drops all-missing groups (Series.fs:107-114)") {
+    val n = s((0L, null), (1L, 1.0), (2L, null), (3L, 2.0))
+    // reference Series.groupBy skips missing observations entirely: the
+    // even group (both values missing) must not appear — dropMissing first
+    val got = n.dropMissing.aggBy(k => pmod(k, lit(2)))((sum(col("v")), "s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 3.0)))
+  }
+
+  test("point lookups on the ordered string fixture (Series.fs:24-47)") {
+    import spark.implicits._
+    val df5 = Seq((1L, "hi"), (2L, "bye"), (3L, "ciao"), (5L, "nazdar")).toDF("k", "v")
+    val s5 = KSeries(df5, ordered = true)
+    assert(s5.lookup(lit(4), Lookup.NearestGreater).head.getString(1) === "nazdar")
+    assert(s5.lookup(lit(4), Lookup.NearestSmaller).head.getString(1) === "ciao")
+    assert(s5.lookup(lit(7), Lookup.Exact).isEmpty)
+    // a missing value at the exact key is a miss, not a null hit (Series.fs:32-34)
+    val m = KSeries(
+      Seq((1L, "hi"), (3L, "ciao")).toDF("k", "v")
+        .unionByName(Seq((2L, Option.empty[String].orNull)).toDF("k", "v")),
+      ordered = true)
+    assert(m.lookup(lit(2), Lookup.Exact).isEmpty)
+  }
+
   test("approx quantile sketch stays within its rank-error bound of the exact form") {
     // uniform 0..n-1: rank error maps 1:1 to value error, so the
     // approx_percentile contract (rank error <= n/accuracy) is directly
