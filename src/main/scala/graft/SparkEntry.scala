@@ -958,6 +958,14 @@ object SparkEntry {
         .select(col("k"), col("chunk_sum"), col("n"))
     }),
 
+    // ---- curation at scale: heavy-hitter tokens via count-min sketch
+    //      pruning + exact verify — the shuffle carries only candidate
+    //      rows, yet the output is EXACTLY the true heavy-hitter set
+    //      (CMS never underestimates; exact count trims overestimates) ----
+    "q135_heavy_hitters" -> ((s, dir) => {
+      Text.heavyHitterTokens(t(s, dir, "documents"), "doc_id", "text", minCount = 200L)
+    }),
+
     // ---- §2.6 at scale: STRING-keyed distributed ordered scan — doc-hash
     //      keys (the 100 TB norm) bucket on sampled lexicographic
     //      boundaries, never a numeric proxy; positional shift in exact
@@ -1919,6 +1927,10 @@ object SparkEntry {
         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 100)
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS w_sum
         |FROM top GROUP BY lang""".stripMargin,
+
+    "q135_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS n FROM t GROUP BY term HAVING count(*) >= 200""".stripMargin,
 
     "q134_string_key_scan" ->
       """WITH e AS (SELECT md5(doc_id::VARCHAR) AS k, n_chars::DOUBLE AS v FROM documents)

@@ -208,6 +208,37 @@ object Text {
         round(col("nll_total") / lit(1e6) / col("n_tok"), 4).as("avg_nll"))
   }
 
+  /** Heavy-hitter tokens via count-min sketch pruning with EXACT
+    * verification (Cormode-Muthukrishnan CM-sketch): pass 1 treeAggregates
+    * a model-sized sketch over the exploded tokens (no shuffle); pass 2
+    * shuffles ONLY the rows whose token the sketch estimates at or above
+    * `minCount` and counts them exactly. CMS never underestimates, so the
+    * candidate set contains every true heavy hitter, and the exact count
+    * trims the overestimates — the output is EXACTLY the true heavy-hitter
+    * set (hash-verifiable against a plain GROUP BY ... HAVING oracle),
+    * while the shuffle carries only heavy-candidate rows instead of the
+    * full vocabulary. The scale path when the vocabulary dwarfs executor
+    * memory; `eps`/`confidence` size the sketch (width ~ e/eps columns).
+    * Output: (term, n) for every term with exact count >= minCount. */
+  def heavyHitterTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(explode(tokens(col(textCol))).as("term"))
+    val cms = tok.stat.countMinSketch("term", eps, confidence, seed = 42)
+    val bc = docs.sparkSession.sparkContext.broadcast(cms)
+    val isCandidate = udf { (t: String) =>
+      t != null && bc.value.estimateCount(t) >= minCount
+    }
+    tok.where(isCandidate(col("term")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Rare-token redaction (vocabulary clamping): replace every token whose
     * DOCUMENT frequency is <= `maxDocFreq` with `mask` — the k-anonymity
     * flavor of PII scrubbing for training corpora (a token appearing in

@@ -359,6 +359,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.toSeq === Seq((11L, 1L, 1.0)))
   }
 
+  test("heavy hitters: CMS pruning + exact verify equals the brute-force answer") {
+    // skewed corpus: token "hot<i>" appears i times, plus 2000 singletons
+    val docs = ((1 to 30).flatMap(i => Seq.fill(i)(s"hot$i")) ++
+      (0 until 2000).map(i => s"rare$i"))
+      .grouped(37).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = rows(Text.heavyHitterTokens(docs, "doc_id", "text", minCount = 10L))
+    val brute = rows(docs
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 10))
+    assert(got === brute)
+    assert(got.size === 21) // hot10..hot30
+  }
+
   test("large-probe decontamination: equi-join path matches the broadcast form and auto-routes") {
     val docs = (0L until 40L).map { i =>
       val base = s"alpha beta gamma delta epsilon zeta eta theta token$i"
