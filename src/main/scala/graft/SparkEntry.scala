@@ -958,6 +958,18 @@ object SparkEntry {
         .select(col("k"), col("chunk_sum"), col("n"))
     }),
 
+    // ---- §2.6 at scale: forward-anchored (AtEnding) DISTRIBUTED sliding
+    //      window — the descending stitch; Skip drops incomplete trailing
+    //      windows; frames must read ascending-by-key (order-sensitive
+    //      agg parity is spec'd, the sum here is the oracle check) ----
+    "q136_window_forward_stitch" -> ((s, dir) => {
+      val series = t(s, dir, "events").select(col("event_id").as("k"),
+        floor(col("value") * 1024).cast("long").as("v"))
+      OrderedScan.slidingAgg(series, "k", "v", 50, Boundary.Skip,
+        sum, "v", buckets = 32, descending = true)
+        .select(col("k"), col("v").as("wsum"))
+    }),
+
     // ---- curation at scale: heavy-hitter tokens via count-min sketch
     //      pruning + exact verify — the shuffle carries only candidate
     //      rows, yet the output is EXACTLY the true heavy-hitter set
@@ -1927,6 +1939,14 @@ object SparkEntry {
         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 100)
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS w_sum
         |FROM top GROUP BY lang""".stripMargin,
+
+    "q136_window_forward_stitch" ->
+      """WITH e AS (SELECT event_id AS k, CAST(floor(value * 1024) AS BIGINT) AS v FROM events),
+        |w AS (SELECT k,
+        |  sum(v) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS wsum,
+        |  count(*) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS c
+        |  FROM e)
+        |SELECT k, CAST(wsum AS BIGINT) AS wsum FROM w WHERE c = 50""".stripMargin,
 
     "q135_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
