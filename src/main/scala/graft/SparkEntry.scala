@@ -970,6 +970,19 @@ object SparkEntry {
         .select(col("k"), col("v").as("wsum"))
     }),
 
+    // ---- §2.6 at scale: key-distance stitch over FRACTIONAL keys — rows
+    //      that are RANGE peers only after the long cast (4 per integer,
+    //      .0/.25/.5/.75 — exact in binary) must never straddle a bucket
+    //      boundary (the stitch buckets on the CAST key); certifies the
+    //      peer-alignment fix cross-engine ----
+    "q137_windowdist_fractional" -> ((s, dir) => {
+      val series = t(s, dir, "events").select(
+        (floor(col("event_id") / 4) + (col("event_id") % 4) * 0.25).as("k"),
+        floor(col("value") * 1024).cast("long").as("v"))
+      OrderedScan.slidingRangeAgg(series, "k", "v", 7L, sum, "v", buckets = 32)
+        .select((col("k") * 4).cast("long").as("k4"), col("v").as("wsum"))
+    }),
+
     // ---- curation at scale: heavy-hitter tokens via count-min sketch
     //      pruning + exact verify — the shuffle carries only candidate
     //      rows, yet the output is EXACTLY the true heavy-hitter set
@@ -1992,6 +2005,14 @@ object SparkEntry {
         |           CAST(floor(value * 1024) AS BIGINT) AS v FROM events)
         |SELECT k, CAST(sum(v) OVER (ORDER BY k RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |       AS BIGINT) AS wsum FROM e""".stripMargin,
+
+    "q137_windowdist_fractional" ->
+      """WITH e AS (SELECT floor(event_id / 4) + (event_id % 4) * 0.25 AS k,
+        |           CAST(floor(value * 1024) AS BIGINT) AS v FROM events)
+        |SELECT CAST(k * 4 AS BIGINT) AS k4,
+        |       CAST(sum(v) OVER (ORDER BY CAST(floor(k) AS BIGINT)
+        |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum
+        |FROM e""".stripMargin,
 
     "q130_chunk_stitch" ->
       """WITH e AS (SELECT event_id AS k, CAST(floor(value * 1024) AS BIGINT) AS v FROM events),

@@ -164,11 +164,19 @@ object Text {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    // vocabulary-sized; broadcast explicitly — the checkpointed side has
-    // no stats for AQE to size the join from
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // vocabulary-sized on most corpora — but not guaranteed, so gate the
+    // explicit broadcast (the checkpointed side has no stats for AQE to
+    // size the join from) on the materialized row count: checkpointed, so
+    // the count is a cheap local scan. Above the session's broadcast
+    // threshold (~64 bytes/term row estimate) fall back to the shuffle
+    // equi-join rather than OOM the driver on a pathological vocabulary.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val bcastBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val dfreqSide =
+      if (bcastBytes > 0 && dfreq.count() * 64L <= bcastBytes) broadcast(dfreq) else dfreq
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreqSide, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))

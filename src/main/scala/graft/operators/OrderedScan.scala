@@ -75,12 +75,24 @@ object OrderedScan {
       df: DataFrame, keyCol: String, buckets: Int): Array[String] = {
     val sample = df.select(col(keyCol)).where(col(keyCol).isNotNull)
       .rdd.takeSample(withReplacement = false, num = buckets * 128, seed = 42L)
-      .map(_.getString(0)).sorted
+      .map(_.getString(0)).sorted(utf8Ordering)
     if (sample.isEmpty) Array.empty
     else (1 until buckets)
       .map(i => sample(math.min((i.toLong * sample.length / buckets).toInt, sample.length - 1)))
-      .distinct.sorted.toArray
+      .distinct.sorted(utf8Ordering).toArray
   }
+
+  /** Driver-side string ordering that matches Spark's UTF8_BINARY (UTF-8
+    * byte) comparison. JVM `String.compareTo` compares UTF-16 code units,
+    * which disagrees with UTF-8 byte order for supplementary-plane
+    * characters — mis-ordered cut points would break the
+    * buckets-are-ordered-ranges invariant the stitches rely on. */
+  private val utf8Ordering: Ordering[String] =
+    Ordering.comparatorToOrdering(new java.util.Comparator[String] {
+      def compare(a: String, b: String): Int =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    })
 
   /** Assign a range-bucket id column `__bucket` (-1..buckets): numeric/
     * date/timestamp keys use approx-quantile boundaries of the monotone
@@ -487,18 +499,25 @@ object OrderedScan {
     require(supportsRangeArith(df.schema(keyCol).dataType),
       s"key-distance windows need a numeric/date/timestamp key; " +
         s"'$keyCol' is ${df.schema(keyCol).dataType}")
+    // Bucket on the LONG-CAST key, not the raw key: every piece of frame
+    // arithmetic below (positions, per-bucket mins, the warm-up-copy
+    // predicate) runs on __p, and the single-window form this stitch must
+    // match orders by the same cast (Windowing.windowDistInto). Bucketing
+    // the raw key would let long-EQUAL peers (e.g. 100.4 and 100.6)
+    // straddle a boundary, where the strict `a > __p` copy predicate skips
+    // them and frames near boundaries silently miss RANGE peers.
     val base = df.select(col(keyCol), col(valueCol))
-    val b = withRangeBucket(base, keyCol, buckets)
-    val keyLong = col(keyCol).cast("long")
+      .withColumn("__p", col(keyCol).cast("long"))
+    val b = withRangeBucket(base, "__p", buckets)
     // per-bucket min key (bucket-count-sized). The null-key bucket maps to
     // Long.MinValue: it sorts first and must never receive warm-up copies.
-    val minsByBucket = b.groupBy(col("__bucket")).agg(min(keyLong).as("__mk"))
+    val minsByBucket = b.groupBy(col("__bucket")).agg(min(col("__p")).as("__mk"))
       .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
       .sortBy(_._1)
     val denseOf = minsByBucket.map(_._1).zipWithIndex.toMap
     val mins = minsByBucket.map(_._2).toSeq
     val d = dist - 1
-    val withP = b.withColumn("__p", keyLong)
+    val withP = b
     val copies = when(col("__p").isNull, lit(0)).otherwise(
       size(filter(typedLit(mins), a => a > col("__p") && a <= col("__p") + d)))
     val exploded = withP

@@ -287,6 +287,32 @@ class OrderedScanSpec extends SparkSpecBase {
     }
   }
 
+  test("slidingRangeAgg matches the global RANGE window on FRACTIONAL keys (long-cast peers)") {
+    import org.apache.spark.sql.expressions.Window
+    // Doubles like 100.4 / 100.6 are RANGE peers after the long cast but
+    // distinct raw keys: if buckets were cut on the raw key, peers could
+    // straddle a boundary and the strict warm-up predicate would skip them.
+    // Dense fractional steps guarantee many such peers land next to every
+    // bucket cut (8 buckets over 2000 rows).
+    val rows = (0 until 2000).map { i =>
+      org.apache.spark.sql.Row(i * 0.2 + (if (i % 3 == 0) 0.05 else 0.0), i * 1.0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    def kv(d: org.apache.spark.sql.DataFrame): Seq[(Double, Option[Double])] =
+      d.collect().toSeq
+        .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1)
+    for (dist <- Seq(3L, 50L)) {
+      val got = kv(OrderedScan.slidingRangeAgg(df, "k", "v", dist, sum, "v", buckets = 8))
+      val w = Window.orderBy(col("k").cast("long")).rangeBetween(-(dist - 1), 0)
+      val exp = kv(df.select(col("k"), sum(col("v")).over(w).as("v")))
+      assert(got === exp, s"dist=$dist")
+    }
+  }
+
   test("chunkAgg matches chunkInto's single-window form on every boundary") {
     import graft.core.KSeries
     import graft.operators.{Boundary, Windowing}
