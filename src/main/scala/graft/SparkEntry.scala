@@ -983,6 +983,43 @@ object SparkEntry {
         .select((col("k") * 4).cast("long").as("k4"), col("v").as("wsum"))
     }),
 
+    // ---- curation at scale: exact-substring duplicate-span census (Lee
+    //      et al. ExactSubstr re-expressed relationally) — ids-only span
+    //      shuffle, md5(slice) computed map-side, fixed-point dup ppm ----
+    "q138_dup_spans" -> ((s, dir) => {
+      Dedup.exactSubstringSpans(t(s, dir, "documents"), "doc_id", "text", n = 20)
+    }),
+
+    // ---- curation at scale: Gopher-style rule-based quality gate — pure
+    //      closed-form projection (mean word length from length(trim)),
+    //      NO explode/shuffle; fixed-point micro units hash-exact ----
+    "q139_gopher_rules" -> ((s, dir) => {
+      Text.gopherQualityFlags(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- curation at scale: PII scrubbing (email/IPv4/phone masks) over
+    //      a synthesized contact tail — RE2-compatible patterns keep the
+    //      regex text identical cross-engine; one codegen projection ----
+    "q140_pii_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(trim(col("text")), lit(" contact user"), col("doc_id"),
+          lit("@example.com ip 10."), col("doc_id") % 256,
+          lit(".0.1 call +1415"), col("doc_id") + 1000000).as("text"))
+      Text.scrubPii(d, "doc_id", "text")
+    }),
+
+    // ---- curation at scale: Bloom-prefiltered decontamination — probe
+    //      shingles sketched into a bit array (no false negatives) prune
+    //      the train side BEFORE the shuffle; exact equi-join removes the
+    //      false positives, so the output is identical to q132's
+    //      unfiltered large-probe form and shares its oracle ----
+    "q141_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContaminationBloom(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, minOverlap = 0.5)
+    }),
+
     // ---- curation at scale: heavy-hitter tokens via count-min sketch
     //      pruning + exact verify — the shuffle carries only candidate
     //      rows, yet the output is EXACTLY the true heavy-hitter set
@@ -1974,6 +2011,63 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q132_decontaminate_large" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |  END) AS sh
+        |  FROM w),
+        |pairs AS (
+        |SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+        |  len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) AS ov
+        |FROM g t, g p
+        |WHERE t.doc_id % 2 = 1 AND p.doc_id % 2 = 0 AND len(t.sh) > 0 AND len(p.sh) > 0)
+        |SELECT train_id, probe_id, round(ov, 6) AS overlap
+        |FROM pairs WHERE ov >= 0.5""".stripMargin,
+
+    "q138_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, md5(array_to_string(w[i:i+19], ' ')) AS h
+        |        FROM d, unnest(range(1, len(w) - 18)) AS t(i)
+        |        WHERE len(w) >= 20),
+        |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  (CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 1000000) // count(*) AS dup_ppm
+        |FROM win GROUP BY doc_id""".stripMargin,
+
+    "q139_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(w) AS n_words,
+        |        ((length(t) - (len(w) - 1)) * 1000000) // len(w) AS mean_wlen_u,
+        |        len(w) - len(list_filter(w, x -> x NOT IN ('value', 'table'))) AS stop_hits
+        |      FROM d)
+        |SELECT doc_id, n_words, mean_wlen_u, stop_hits,
+        |  CASE WHEN n_words BETWEEN 50 AND 100000
+        |        AND mean_wlen_u BETWEEN 3000000 AND 10000000
+        |        AND stop_hits >= 2 THEN 1 ELSE 0 END AS pass
+        |FROM m""".stripMargin,
+
+    "q140_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |   trim(text) || ' contact user' || doc_id || '@example.com ip 10.'
+        |   || (doc_id % 256) || '.0.1 call +1415' || (doc_id + 1000000) AS t
+        |   FROM documents),
+        |s AS (SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(t,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |     '\+\d{7,15}', '<PHONE>', 'g') AS red,
+        |   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |   len(regexp_extract_all(t, '\+\d{7,15}')) AS n_phone
+        |   FROM d)
+        |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ip AS BIGINT) AS n_ip,
+        |       CAST(n_phone AS BIGINT) AS n_phone, md5(red) AS red_md5 FROM s""".stripMargin,
+
+    "q141_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(ws) < 3 THEN []

@@ -279,4 +279,72 @@ object Text {
           array_sort(collect_list(struct(col("pos"), col("t2")))),
           x => x.getField("t2")), " ")).as("text_md5"))
   }
+
+  /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1 — the
+    * word-level subset expressible over single-space corpora): word count,
+    * mean word length, and "stopword" hits, each folded into a pass/fail
+    * gate. Entirely closed-form Column arithmetic — mean word length
+    * derives from `length(trim(text))` (total chars = word chars + n-1
+    * separators), so NO explode and no shuffle at all: one codegen'd
+    * projection over the scan, the cheapest possible 100 TB shape. All
+    * ratios are fixed-point (micro units, integer div) so the output is
+    * hash-exact cross-engine. */
+  def gopherQualityFlags(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String] = Seq("value", "table"),
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWlenU: Long = 3000000L,
+      maxMeanWlenU: Long = 10000000L,
+      minStopHits: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col(textCol))
+    val nWords = size(w).cast("long")
+    // total word chars = length(trim) - (n_words - 1) single-space seps
+    val meanWlenU = expr(
+      s"((length(trim($textCol)) - (size(split(trim($textCol), ' ')) - 1)) * 1000000L) " +
+        s"DIV size(split(trim($textCol), ' '))")
+    // stop hits via array_remove (codegen) — no HOF lambda, no explode
+    val kept = stopwords.foldLeft(w) { (arr, s) => array_remove(arr, s) }
+    val stopHits = (size(w) - size(kept)).cast("long")
+    docs.select(
+        col(idCol).as("doc_id"),
+        nWords.as("n_words"),
+        meanWlenU.as("mean_wlen_u"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass",
+        when(col("n_words").between(minWords, maxWords) &&
+             col("mean_wlen_u").between(minMeanWlenU, maxMeanWlenU) &&
+             col("stop_hits") >= minStopHits, 1L).otherwise(0L))
+  }
+
+  /** PII scrubbing: replace emails / IPv4s / international phone numbers
+    * with typed mask tokens and count each kind. The patterns are
+    * backreference-free so the same regex text runs identically on Java
+    * regex and RE2-family engines (oracle parity, and the plan stays one
+    * codegen'd projection — regexp_replace/regexp_count are native
+    * expressions, no UDF). Output md5 of the scrubbed text keeps verified
+    * values compact. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\+\\d{7,15}"
+
+  def scrubPii(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(piiEmail), lit("<EMAIL>")),
+        lit(piiIpv4), lit("<IP>")),
+      lit(piiPhone), lit("<PHONE>"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(t, lit(piiEmail)).cast("long").as("n_email"),
+      regexp_count(t, lit(piiIpv4)).cast("long").as("n_ip"),
+      regexp_count(t, lit(piiPhone)).cast("long").as("n_phone"),
+      md5(red).as("red_md5"))
+  }
 }

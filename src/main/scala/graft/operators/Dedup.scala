@@ -511,4 +511,90 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Duplicate-span census — the relational form of exact-substring
+    * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": suffix-array ExactSubstr): every length-`n`
+    * token window of every document, keyed by an md5 of its text; a window
+    * occurring in >= 2 DISTINCT documents is a duplicate span. Output per
+    * doc: window count, duplicate-window count, and a fixed-point (ppm,
+    * integer-div — hash-exact) duplicated fraction, the signal used to
+    * drop or trim boilerplate-heavy documents.
+    *
+    * Scale shape: windows never materialize as text off the scan — the
+    * projection computes md5(slice) map-side (codegen builtins: slice /
+    * concat_ws / md5) and ONLY (hash, doc_id) ids shuffle: one hash agg
+    * for span multiplicity, one equi-join back, one per-doc agg. The
+    * suffix array of the original is a single-machine construction; this
+    * trades its arbitrary-length matches for fixed-n windows to get a
+    * plan whose only state is a vocabulary-of-spans-sized agg. */
+  def exactSubstringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span window $n must be >= 2")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("pos"),
+        col("w"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(n)))).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("__dup"))
+    spans.join(dup, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("n_dup * 1000000L DIV n_windows").as("dup_ppm"))
+  }
+
+  /** [[ngramContaminationLarge]] with a Bloom-filter pre-pass — the
+    * membership-pruning decontamination shape for a probe too big to
+    * broadcast as data but whose DISTINCT shingle set fits a bit array: a
+    * Bloom filter over the probe shingles (one pass, model-sized sketch)
+    * filters the exploded train shingles BEFORE the shuffle, so the
+    * equi-join moves only shingles that (probably) occur in the probe —
+    * at corpus scale that is a tiny fraction of the train side. Bloom
+    * filters have NO false negatives, so every true match survives the
+    * pre-pass, and false positives simply fail the exact equi-join:
+    * output is IDENTICAL to the unfiltered form (hash-verifiable against
+    * the same oracle). `fpp` trades bit-array size against leftover
+    * shuffle traffic. */
+  def ngramContaminationBloom(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Double,
+      fpp: Double = 0.01): DataFrame = {
+    require(minOverlap > 0, s"minOverlap $minOverlap must be > 0")
+    val pArr = probe.select(col(idCol).as("probe_id"),
+      Vectors.shinglesFast(n)(col(textCol)).as("sh_p"))
+      .where(size(col("sh_p")) > 0)
+      .localCheckpoint(true) // shingled ONCE: sizes, bloom and join reuse it
+    val pSizes = pArr.select(col("probe_id"), size(col("sh_p")).as("__np"))
+    val pSh = pArr.select(col("probe_id"), explode(col("sh_p")).as("sh"))
+    val distinctSh = pSh.select(col("sh")).distinct()
+    val bloom = distinctSh.stat.bloomFilter(
+      "sh", math.max(distinctSh.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (s: String) => s != null && bc.value.mightContainString(s) }
+    val tSh = train.select(col(idCol).as("train_id"),
+      explode(Vectors.shinglesFast(n)(col(textCol))).as("sh"))
+      .where(mightContain(col("sh")))
+    tSh.join(pSh, "sh")
+      .groupBy(col("train_id"), col("probe_id"))
+      .agg(count(lit(1)).as("__ni"))
+      .join(pSizes, "probe_id")
+      .withColumn("overlap", col("__ni").cast("double") / col("__np"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("train_id"), col("probe_id"), round(col("overlap"), 6).as("overlap"))
+  }
 }

@@ -400,4 +400,77 @@ class PipelineSpec extends SparkSpecBase {
       assert(rows(routed) === bcast)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("exactSubstringSpans: shared 20-token run flagged in both docs, unique docs at 0") {
+    val run = (0 until 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " tail1 a b c"),            // shares the 25-token run with doc 2
+      (2L, "head x y " + run),
+      (3L, (0 until 40).map(i => s"u$i").mkString(" ")), // all-unique windows
+      (4L, "too short")                       // < n tokens: no windows at all
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringSpans(docs, "doc_id", "text", n = 20)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc1: 29 tokens → 10 windows, 6 of them (positions 1..6 inside the run) shared
+    assert(r(1L)._1 === 10L && r(1L)._2 === 6L)
+    assert(r(2L)._2 === 6L)
+    assert(r(3L) === ((21L, 0L, 0L)))
+    assert(!r.contains(4L))
+    assert(r(1L)._3 === 600000L) // 6/10 in exact ppm
+  }
+
+  test("gopherQualityFlags: rules gate on length, mean word length and stop hits") {
+    val docs = Seq(
+      (1L, (("value table " * 30) + "end").trim), // 61 words, stop hits 60 → pass
+      (2L, "short value table doc"),              // 4 words → fail (too short)
+      (3L, ("a " * 60).trim)                      // 60 words, mean len 1 < 3 → fail
+    ).toDF("doc_id", "text")
+    val r = Text.gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((61L, 60L, 1L)))
+    assert(r(2L)._3 === 0L)
+    assert(r(3L) === ((60L, 0L, 0L)))
+    // no shuffle: the whole thing is one projection over the scan
+    val plan = Text.gopherQualityFlags(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher flags should not shuffle:\n$plan")
+  }
+
+  test("scrubPii masks emails, IPs and phones; counts match; clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or +14155551234 host 192.168.0.1"),
+      (2L, "no pii here just words")
+    ).toDF("doc_id", "text")
+    val r = Text.scrubPii(docs, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((1L, 1L, 1L)))
+    assert(r(2L) === ((0L, 0L, 0L)))
+    // the masked text really replaces each match
+    val red = Seq((1L, "a jane@x.io b 10.0.0.1 c +123456789"))
+      .toDF("doc_id", "text")
+      .select(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(Text.piiEmail), lit("<EMAIL>")), lit(Text.piiIpv4), lit("<IP>")),
+        lit(Text.piiPhone), lit("<PHONE>"))).collect()(0).getString(0)
+    assert(red === "a <EMAIL> b <IP> c <PHONE>")
+  }
+
+  test("bloom-prefiltered decontamination equals the unfiltered form and prunes the train side") {
+    val docs = (0L until 60L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta token$i"
+      (i, if (i % 2 == 0) base else base + s" extra words w${i % 5}")
+    }.toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") % 2 === 1)
+    val probe = docs.where(col("doc_id") % 2 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(Dedup.ngramContaminationLarge(train, probe, "doc_id", "text", 3, 0.3))
+    val bloom = rows(Dedup.ngramContaminationBloom(train, probe, "doc_id", "text", 3, 0.3))
+    assert(plain.nonEmpty)
+    assert(bloom === plain)
+    // no false negatives by construction; and on disjoint vocab the filter
+    // really prunes: nothing survives to shuffle, output empty
+    val disjointTrain = Seq((100L, "qq ww ee rr tt yy uu ii")).toDF("doc_id", "text")
+    assert(rows(Dedup.ngramContaminationBloom(
+      disjointTrain, probe, "doc_id", "text", 3, 0.3)).isEmpty)
+  }
 }
