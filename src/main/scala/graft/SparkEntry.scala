@@ -1020,6 +1020,14 @@ object SparkEntry {
         "doc_id", "text", n = 3, minOverlap = 0.5)
     }),
 
+    // ---- curation at scale: per-source unigram KL drift vs the blended
+    //      corpus — the dataset-mixing diagnostic; fixed-point micro-nats
+    //      (per-term log rounded once, integer-scaled and -summed) keep it
+    //      hash-exact; corpus stats DERIVE from the one (source,term) agg ----
+    "q142_source_drift" -> ((s, dir) => {
+      Text.sourceTokenDrift(t(s, dir, "documents"), "text", "source")
+    }),
+
     // ---- curation at scale: heavy-hitter tokens via count-min sketch
     //      pruning + exact verify — the shuffle carries only candidate
     //      rows, yet the output is EXACTLY the true heavy-hitter set
@@ -2024,6 +2032,19 @@ object SparkEntry {
         |WHERE t.doc_id % 2 = 1 AND p.doc_id % 2 = 0 AND len(t.sh) > 0 AND len(p.sh) > 0)
         |SELECT train_id, probe_id, round(ov, 6) AS overlap
         |FROM pairs WHERE ov >= 0.5""".stripMargin,
+
+    "q142_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |n AS (SELECT sum(c_st) AS n_tot FROM st)
+        |SELECT st.source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c_st * CAST(round(ln((c_st / n_s) / (c_t / n_tot)) * 1000000)
+        |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
+        |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
 
     "q138_dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -280,6 +280,42 @@ object Text {
           x => x.getField("t2")), " ")).as("text_md5"))
   }
 
+  /** Per-source token-distribution drift: KL(P_source ‖ P_corpus) in
+    * micro-nats per token — the dataset-mixing diagnostic that tells you
+    * which source's unigram distribution diverges from the blended corpus
+    * (a drifting source gets down-weighted or re-cleaned). Same fixed-point
+    * discipline as [[unigramNll]]: the per-TERM log-ratio is rounded once
+    * to integer micro-nats, scaled by the exact integer term count, and
+    * integer-summed — order-free, hash-exact cross-engine; only the final
+    * per-token division leaves integer space (integer DIV, exact).
+    *
+    * Plan: one explode feeds a (source, term) hash agg, checkpointed once;
+    * the corpus vocabulary and per-source totals DERIVE from it (map-side
+    * partial re-aggs — the corpus is never re-tokenized); the vocabulary
+    * join is term-keyed (skew-safe), totals broadcast as tiny tables. */
+  def sourceTokenDrift(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      srcCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("t"))
+    val st = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val corpus = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = st.agg(sum(col("c_st")).as("n_tot"))
+    st.join(corpus, "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("term_micro",
+        round(log((col("c_st") / col("n_s")) / (col("c_t") / col("n_tot"))) * lit(1e6))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("c_st") * col("term_micro")).as("kl_sum"))
+      .select(col("source"), col("n_tokens"),
+        expr("kl_sum DIV n_tokens").as("kl_micro_per_tok"))
+  }
+
   /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1 — the
     * word-level subset expressible over single-space corpora): word count,
     * mean word length, and "stopword" hits, each folded into a pass/fail

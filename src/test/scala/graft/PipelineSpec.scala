@@ -473,4 +473,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows(Dedup.ngramContaminationBloom(
       disjointTrain, probe, "doc_id", "text", 3, 0.3)).isEmpty)
   }
+
+  test("sourceTokenDrift: fixed-point KL matches hand computation; identical dists at 0") {
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x y y y")).toDF("source", "text")
+    val r = Text.sourceTokenDrift(docs, "text", "source")
+      .collect().map(x => (x.getString(0), (x.getLong(1), x.getLong(2)))).toMap
+    def micro(p: Double, q: Double): Long = Math.round(Math.log(p / q) * 1e6)
+    // corpus: x=3/7, y=4/7; A: x=2/3, y=1/3; B: x=1/4, y=3/4
+    val klA = (2L * micro(2.0 / 3, 3.0 / 7) + 1L * micro(1.0 / 3, 4.0 / 7)) / 3L
+    val klB = (1L * micro(1.0 / 4, 3.0 / 7) + 3L * micro(3.0 / 4, 4.0 / 7)) / 4L
+    assert(r("A") === ((3L, klA)))
+    assert(r("B") === ((4L, klB)))
+    assert(klA > 0 && klB > 0)
+    // two sources with the same distribution as the corpus: every log-ratio
+    // is ln(1) → exactly 0 micro-nats
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val r2 = Text.sourceTokenDrift(same, "text", "source")
+      .collect().map(x => (x.getString(0), x.getLong(2))).toMap
+    assert(r2 === Map("A" -> 0L, "B" -> 0L))
+  }
 }
