@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{CustomAggs, Text, Vectors => V}
 import graft.operators._
-import graft.sources.{Bucketing, Csv}
+import graft.sources.{Bucketing, Csv, Partitioned}
 import graft.streaming.Streams
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -32,6 +32,9 @@ object SparkEntry {
     (s"graft_orders_b_$h", s"graft_customer_b_$h")
   }
 
+  private def partitionedEventsPath(dir: String): String =
+    s"/tmp/graft_warehouse/graft_events_by_date_${math.abs(dir.hashCode).toString.take(6)}"
+
   /** One-time benchmark setup (NOT timed): pre-create the bucketed tables
     * q82 joins, so its timed section measures the exchange-free join rather
     * than two table writes. */
@@ -41,6 +44,9 @@ object SparkEntry {
       t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), ot, "custkey", 8)
     Bucketing.ensureBucketed(
       t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"), ct, "custkey", 8)
+    Partitioned.ensurePartitionedDir(
+      t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+      partitionedEventsPath(dir), "event_date")
   }
 
   /** Daily order totals — the ordered "time series" backing series ops. */
@@ -783,6 +789,21 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 60), "doc_id", "text", 3, 0.5)
     }),
 
+    // ---- additive: Hive-partitioned layout + partition pruning — a
+    //      date-ranged query over the partitionBy(event_date) layout lists
+    //      only the 3 matching day-directories (PartitionFilters on the
+    //      scan; the other 27 days' files are never opened) ----
+    "q144_partition_prune" -> ((s, dir) => {
+      val path = partitionedEventsPath(dir)
+      Partitioned.ensurePartitionedDir(
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        path, "event_date")
+      s.read.parquet(path)
+        .where(col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    }),
+
     // ---- additive: bucketed co-located join (no exchange on either side) ----
     "q82_bucketed_join" -> ((s, dir) => {
       // table writes are one-time setup (ensureBucketed skips when present —
@@ -1045,6 +1066,14 @@ object SparkEntry {
         md5(col("doc_id").cast("string")).as("k"), col("n_chars").cast("double").as("v"))
       OrderedScan.shift(series, "k", Seq("v"), 1, buckets = 16)
         .select(col("k"), col("v").as("prev_chars"))
+    }),
+
+    // ---- streaming: gap-based SESSION windows (append mode, watermark-
+    //      finalized) vs a batch gaps-and-islands oracle — completes the
+    //      window family (tumbling/sliding/session); micro timestamps
+    //      keep session boundaries integer-exact cross-engine ----
+    "q143_stream_sessions" -> ((s, dir) => {
+      Streams.sessionCounts(s, dir, "12 hours")
     }),
 
     // ---- streaming: foreachBatch sink with the idempotent batchId-keyed
@@ -2257,6 +2286,24 @@ object SparkEntry {
 
     // append-mode finalization rule: a window lands in the file sink iff
     // the final watermark (max event time - delay) passed its end
+    "q143_stream_sessions" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |e AS (SELECT user_id, ts, value,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |      sum(CASE WHEN pts IS NULL
+        |               OR epoch_us(ts) - epoch_us(pts) >= 43200000000
+        |          THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM e),
+        |agg AS (SELECT user_id, sid, epoch_us(min(ts)) AS sess_start,
+        |        epoch_us(max(ts)) + 43200000000 AS sess_end,
+        |        count(*) AS n, round(sum(value), 4) AS total
+        |        FROM s GROUP BY 1, 2)
+        |SELECT CAST(sess_start AS BIGINT) AS sess_start,
+        |       CAST(sess_end AS BIGINT) AS sess_end, user_id, n, total
+        |FROM agg, m WHERE sess_end <= epoch_us(mx) - 3600000000""".stripMargin,
+
     "q122_stream_file_sink" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |agg AS (SELECT date_trunc('hour', ts) AS w, event_type,
@@ -2711,6 +2758,13 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),4) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q144_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+        |round(sum(value), 4) AS total
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-12'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q83_per_user_diff" ->
       """SELECT user_id, event_id,

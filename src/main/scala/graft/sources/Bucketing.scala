@@ -44,3 +44,22 @@ object Bucketing {
       keyCol: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
 }
+
+/** Hive-style directory partitioning: the OTHER half of the 100 TB layout
+  * story (Bucketing co-locates joins; partitioning prunes scans). A fact
+  * table written `partitionBy(date)` turns every date-ranged query into a
+  * directory listing of just the matching partitions — the scan never
+  * opens the other days' files at all (visible as `PartitionFilters` on
+  * the FileSourceScan, a stronger guarantee than row-group pushdown). */
+object Partitioned {
+
+  /** Write `df` Hive-partitioned by `partCol` under `path`, once
+    * (`_SUCCESS` marks a completed prior write — repeated pipelines and
+    * the bench pay the layout cost one time). */
+  def ensurePartitionedDir(df: DataFrame, path: String, partCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+}

@@ -260,6 +260,28 @@ object Streams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
 
+  /** Gap-based SESSION windows per user — the streaming form of
+    * windowWhile's "new window when the key jumps" semantics: a session
+    * holds an event iff it lands strictly before the previous event's ts +
+    * `gap`, so its window is [first ts, last ts + gap). Append mode emits a
+    * session only once the watermark passes its end — sessions still open
+    * at end-of-input stay unemitted, and the batch oracle applies the same
+    * `end <= max(ts) - delay` cut (gaps-and-islands: lag + break-flag
+    * cumulative sum). At scale the session state store partitions by the
+    * grouping key exactly like the aggregation shuffle. Micro timestamps
+    * (unix_micros / epoch_us) keep boundary values integer-exact. */
+  def sessionCounts(spark: SparkSession, dir: String, gap: String): DataFrame =
+    runToCompletion(spark, dir, outputMode = "append") { events =>
+      events
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .select(
+          unix_micros(col("session_window.start")).as("sess_start"),
+          unix_micros(col("session_window.end")).as("sess_end"),
+          col("user_id"), col("n"), round(col("total"), 4).as("total"))
+    }
+
   /** Arbitrary-state streaming: per-user running (count, sum) via
     * mapGroupsWithState — the Structured Streaming home of the reference's
     * per-group custom reducers (SURVEY §2.10) and the building block for

@@ -40,6 +40,33 @@ class PushdownSpec extends SparkSpecBase {
       s"plan:\n$scan")
   }
 
+  test("Partitioned.ensurePartitionedDir: writes once, date filter prunes to listed partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hivepart").toString + "/t"
+    val df = (1 to 90).map(i => (i.toLong, s"d${i % 9}"))
+      .toDF("v", "day")
+    graft.sources.Partitioned.ensurePartitionedDir(df, dir, "day")
+    val marker = java.nio.file.Path.of(dir, "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    // second call is a no-op (the _SUCCESS marker short-circuits)
+    graft.sources.Partitioned.ensurePartitionedDir(df.limit(1), dir, "day")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0, "rewrote an existing layout")
+    val read = spark.read.parquet(dir).where(col("day").isin("d3", "d4"))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["), s"plan:\n$scan")
+    assert(scan.contains("day#") && scan.contains("IN (d3,d4)") || scan.contains("day IN"),
+      s"partition filter not pushed:\n$scan")
+    assert(read.count() === 20)
+    // dynamic proof: only the two matching day-directories are scanned
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val files = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.inputFiles.length
+    }
+    // inputFiles is the UNPRUNED listing; the pruned selection is what the
+    // scan string's PartitionFilters guarantee — assert the layout really
+    // has 9 day dirs so the 2-dir selection is a genuine subset
+    assert(files.headOption.exists(_ >= 9), s"expected >=9 partition files, got $files")
+  }
+
   test("CSV missing tokens map to null like the reference's NaN,NA,#N/A set (FrameUtils.fs:196-205)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(
