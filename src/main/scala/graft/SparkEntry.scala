@@ -1041,6 +1041,14 @@ object SparkEntry {
         "doc_id", "text", n = 3, minOverlap = 0.5)
     }),
 
+    // ---- embedding analytics at scale: fixed-point covariance sufficient
+    //      statistics in ONE narrow treeAggregate pass (PCA precursor) —
+    //      d(d+1)/2 longs to the driver, data never shuffles; integer
+    //      sums are order-free and hash-exact vs the position-join oracle ----
+    "q145_embed_covariance" -> ((s, dir) => {
+      Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding")
+    }),
+
     // ---- curation at scale: per-source unigram KL drift vs the blended
     //      corpus — the dataset-mixing diagnostic; fixed-point micro-nats
     //      (per-term log rounded once, integer-scaled and -summed) keep it
@@ -2074,6 +2082,19 @@ object SparkEntry {
         |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
         |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    "q145_embed_covariance" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |tok AS (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) - 1 AS i FROM q),
+        |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+        |      FROM tok a JOIN tok b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS sx FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM q)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sxy,
+        |       sa.sx AS sx_i, sb.sx AS sx_j, n.n
+        |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i CROSS JOIN n""".stripMargin,
 
     "q138_dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

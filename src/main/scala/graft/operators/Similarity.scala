@@ -639,4 +639,65 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Fixed-point covariance statistics of an embedding column in ONE
+    * narrow treeAggregate pass — the PCA/whitening precursor of embedding
+    * diagnostics (which dimensions are dead, which correlate). Vectors
+    * quantize to integers (floor(v·2^10), the q123-q125 convention), so
+    * the per-pair product sums Σxᵢxⱼ, the marginals Σxᵢ and n are exact
+    * longs — order-free, hash-portable. The SUFFICIENT STATISTICS are the
+    * output (cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1)/scale² is a trivial
+    * driver-side presentation step): emitting integers keeps every value
+    * engine-exact, and Σxᵢxⱼ ≤ n·scale² stays in range far beyond 10⁹
+    * rows, where the n·Σxᵢxⱼ − ΣxᵢΣxⱼ numerator would overflow.
+    *
+    * Scale shape: d(d+1)/2 + d longs per partition to the driver; the
+    * data itself never shuffles and is read once. Output: (i, j, sxy,
+    * sx_i, sx_j, n) for 0-based i <= j. */
+  def covarianceMatrix(
+      corpus: DataFrame,
+      vecCol: String,
+      scale: Long = 1024L): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val quant = graft.functions.Vectors.fixedPointQuant(scale)
+    val dims = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    require(dims > 0, "covarianceMatrix: empty corpus or null vectors")
+    val vecs = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(quant(col(vecCol))).as[Seq[Long]].rdd
+    val d = dims
+    val nPairs = d * (d + 1) / 2
+    val (sxy, sx, n) = vecs.treeAggregate(
+      (new Array[Long](nPairs), new Array[Long](d), 0L))(
+      seqOp = { case ((sxy, sx, n), v) =>
+        var idx = 0
+        var i = 0
+        while (i < d) {
+          sx(i) += v(i)
+          var j = i
+          while (j < d) { sxy(idx) += v(i) * v(j); idx += 1; j += 1 }
+          i += 1
+        }
+        (sxy, sx, n + 1)
+      },
+      combOp = { case ((a1, b1, n1), (a2, b2, n2)) =>
+        var x = 0
+        while (x < nPairs) { a1(x) += a2(x); x += 1 }
+        var y = 0
+        while (y < d) { b1(y) += b2(y); y += 1 }
+        (a1, b1, n1 + n2)
+      })
+    val rows = {
+      var idx = 0
+      for (i <- 0 until d; j <- i until d) yield {
+        val r = (i, j, sxy(idx), sx(i), sx(j), n)
+        idx += 1
+        r
+      }
+    }
+    corpus.sparkSession.createDataFrame(rows)
+      .toDF("i", "j", "sxy", "sx_i", "sx_j", "n")
+  }
 }

@@ -474,6 +474,28 @@ class PipelineSpec extends SparkSpecBase {
       disjointTrain, probe, "doc_id", "text", 3, 0.3)).isEmpty)
   }
 
+  test("covarianceMatrix: sufficient statistics match hand computation; malformed rows dropped") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(5.0f, 6.0f)),
+      (4L, Seq(9.0f)) // wrong dimension: dropped, not crashed
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.covarianceMatrix(vecs, "embedding", scale = 2L)
+      .collect().map(x => ((x.getInt(0), x.getInt(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // quantized at scale 2: x = (2,6,10), y = (4,8,12)
+    assert(r((0, 0)) === ((4L + 36L + 100L, 18L, 18L, 3L)))
+    assert(r((0, 1)) === ((8L + 48L + 120L, 18L, 24L, 3L)))
+    assert(r((1, 1)) === ((16L + 64L + 144L, 24L, 24L, 3L)))
+    assert(r.size === 3)
+    // and the derived sample covariance agrees with the float formula:
+    // cov(x,y) on (1,3,5)/(2,4,6) = 4; fixed-point at scale 2 → 16/scale²
+    val (sxy, sxi, sxj, n) = r((0, 1))
+    val cov = (sxy.toDouble - sxi.toDouble * sxj / n) / (n - 1) / (2.0 * 2.0)
+    assert(math.abs(cov - 4.0) < 1e-9)
+  }
+
   test("sourceTokenDrift: fixed-point KL matches hand computation; identical dists at 0") {
     val docs = Seq(
       ("A", "x x y"), ("B", "x y y y")).toDF("source", "text")
