@@ -282,6 +282,16 @@ final case class KSeries(
   def countValues: DataFrame = stats((count(v), "countValues"))
   def countKeys: DataFrame = stats((count(lit(1)), "countKeys"))
 
+  /** HyperLogLog++ distinct-value count — the sketch twin of an exact
+    * `count(DISTINCT v)`, which shuffles every distinct value; the sketch
+    * is a fixed few-KB register array merged map-side, the only shape that
+    * counts distincts over 100 TB in one narrow pass. `rsd` is the target
+    * relative standard deviation (default 5%); parity tests must use the
+    * exact form — sketch estimates are engine-specific (see
+    * ApproxDistinctSpec for the bounded-error guarantee). */
+  def approxCountValues(rsd: Double = 0.05): DataFrame =
+    stats((approx_count_distinct(v, rsd), "countDistinct"))
+
   /** Series.*By — group by a key projection, aggregate values
     * (reference src/SeriesModule.fs:68-98). One shuffle on the projected key
     * with map-side partial aggregation — optimal. */

@@ -180,4 +180,18 @@ class KSeriesSpec extends SparkSpecBase {
     // and the exact side is the true interpolated quantile
     assert(exactMed === (n - 1) / 2.0)
   }
+
+  test("HLL distinct sketch stays within a few rsd of the exact count") {
+    // 30k rows over exactly 4000 distinct values
+    val nDistinct = 4000
+    val in = KSeries(seriesDf((0 until 30000).map(i =>
+      (i.toLong, Double.box((i % nDistinct).toDouble))): _*))
+    val rsd = 0.02
+    val est = in.approxCountValues(rsd).head.getLong(0)
+    val relErr = math.abs(est.toDouble - nDistinct) / nDistinct
+    assert(relErr <= 4 * rsd, s"HLL estimate $est vs $nDistinct (relErr $relErr)")
+    // the exact twin is what parity tests must use
+    assert(in.df.agg(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("v"))).head.getLong(0) === nDistinct)
+  }
 }
