@@ -523,16 +523,24 @@ object Dedup {
     *
     * Scale shape: windows never materialize as text off the scan — the
     * projection computes md5(slice) map-side (codegen builtins: slice /
-    * concat_ws / md5) and ONLY (hash, doc_id) ids shuffle: one hash agg
-    * for span multiplicity, one equi-join back, one per-doc agg. The
+    * concat_ws / md5) — and the span shuffle is CMS-PRUNED like
+    * [[graft.functions.Text.heavyHitterTokens]]: pass 1 treeAggregates a
+    * model-sized count-min sketch over the span hashes (no shuffle); only
+    * spans the sketch counts at >= 2 TOTAL occurrences can possibly occur
+    * in >= 2 documents (CMS never underestimates), so only candidates
+    * enter the multiplicity agg + join-back — at corpus scale the
+    * overwhelmingly-unique span mass never shuffles at all. Per-doc window
+    * totals come from a map-side-partial doc agg of the projection. The
     * suffix array of the original is a single-machine construction; this
     * trades its arbitrary-length matches for fixed-n windows to get a
-    * plan whose only state is a vocabulary-of-spans-sized agg. */
+    * plan whose only state is a sketch + a duplicate-span-sized agg. */
   def exactSubstringSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99): DataFrame = {
     require(n >= 2, s"span window $n must be >= 2")
     val spans = docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("w"))
@@ -542,16 +550,23 @@ object Dedup {
         col("w"))
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("w"), col("pos"), lit(n)))).as("h"))
-    val dup = spans.groupBy(col("h"))
+    // pass 1: sketch total span occurrences (narrow; sketch to the driver)
+    val cms = spans.stat.countMinSketch("h", eps, confidence, seed = 42)
+    val bc = docs.sparkSession.sparkContext.broadcast(cms)
+    val isCandidate = udf { (h: String) => bc.value.estimateCount(h) >= 2L }
+    val candidates = spans.where(isCandidate(col("h")))
+    // per-doc totals: map-side-partial agg, never the raw span shuffle
+    val totals = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dup = candidates.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
       .select(col("h"), lit(1L).as("__dup"))
-    spans.join(dup, Seq("h"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
-      .select(col("doc_id"), col("n_windows"), col("n_dup"),
-        expr("n_dup * 1000000L DIV n_windows").as("dup_ppm"))
+    val dupPerDoc = candidates.join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__ndup"))
+    totals.join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000L DIV n_windows"))
   }
 
   /** [[ngramContaminationLarge]] with a Bloom-filter pre-pass — the
