@@ -39,4 +39,42 @@ class StreamsSpec extends SparkSpecBase {
     assert(got === batch)
     assert(got.nonEmpty)
   }
+
+  test("sessionCounts: gap-based sessions merge and split exactly; open sessions unemitted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sessions_spec").toString
+    val base = 1700000000000L
+    // user 1: three events 10 min apart (one session), then a 2 h jump
+    // (new session); user 2: a lone event. A final far-future marker event
+    // (user 9) pushes the watermark past every real session's end.
+    val rows = Seq(
+      (1L, base, 1.0), (1L, base + 600000L, 2.0), (1L, base + 1200000L, 3.0),
+      (1L, base + 1200000L + 7200000L, 4.0),
+      (2L, base, 5.0),
+      (9L, base + 100L * 3600000L, 0.0))
+    val events = rows.map { case (u, ts, v) =>
+      (new java.sql.Timestamp(ts), "e", v, u)
+    }.toDF("ts", "event_type", "value", "user_id")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/_out")
+    val part = new java.io.File(s"$dir/_out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val got = Streams.sessionCounts(spark, dir, "30 minutes")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val gapUs = 1800000000L // 30 min in micros
+    def us(ms: Long) = ms * 1000L
+    val expected = Set(
+      // user 1 session 1: events at +0, +10, +20 min; end = last + gap
+      (1L, us(base), us(base + 1200000L) + gapUs, 3L, 6.0),
+      // user 1 session 2: the lone event after the 2 h jump
+      (1L, us(base + 8400000L), us(base + 8400000L) + gapUs, 1L, 4.0),
+      // user 2: lone event
+      (2L, us(base), us(base) + gapUs, 1L, 5.0),
+      // user 9's marker is itself a session, far from the watermark cut
+      (9L, us(base + 360000000000L / 1000L), us(base + 360000000000L / 1000L) + gapUs, 1L, 0.0))
+    // the marker session end (+100h) is NOT <= max(ts) - 1h: unemitted
+    val expectedEmitted = expected.filterNot(_._1 == 9L)
+    assert(got === expectedEmitted)
+  }
 }
