@@ -1041,6 +1041,22 @@ object SparkEntry {
         "doc_id", "text", n = 3, minOverlap = 0.5)
     }),
 
+    // ---- curation at scale: DELTA exact dedup (ingest shape) — dedup an
+    //      incoming batch within itself, then LEFT ANTI join its
+    //      fingerprints against the corpus; the batch mixes fresh docs,
+    //      corpus copies (must drop) and internal copies (must collapse) ----
+    "q146_delta_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 4 =!= 0)
+      val incoming = docs.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      Dedup.exactDelta(corpus, incoming, "doc_id", "text")
+    }),
+
     // ---- embedding analytics at scale: fixed-point covariance sufficient
     //      statistics in ONE narrow treeAggregate pass (PCA precursor) —
     //      d(d+1)/2 longs to the driver, data never shuffles; integer
@@ -2082,6 +2098,17 @@ object SparkEntry {
         |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
         |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    "q146_delta_dedup" ->
+      """WITH inc0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 8 = 1
+        |  UNION ALL SELECT doc_id + 40000, text FROM documents WHERE doc_id % 8 = 0),
+        |fpb AS (SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |        min(doc_id) AS keep_id FROM inc0 GROUP BY 1),
+        |cor AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |        FROM documents WHERE doc_id % 4 != 0)
+        |SELECT keep_id, fp FROM fpb WHERE fp NOT IN (SELECT fp FROM cor)""".stripMargin,
 
     "q145_embed_covariance" ->
       """WITH q AS (SELECT vec_id,

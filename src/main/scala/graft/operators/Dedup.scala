@@ -26,6 +26,27 @@ object Dedup {
     docs.groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** DELTA exact dedup — the production ingest shape: dedup an incoming
+    * batch against an already-deduped corpus without ever re-reading the
+    * corpus text (only its fingerprint column moves). Two steps, both
+    * fingerprint-keyed: (1) within-batch exact dedup (keep the smallest
+    * id per fingerprint); (2) LEFT ANTI join against the corpus
+    * fingerprints — the Spark-native "NOT IN" that at scale is one
+    * shuffle (or broadcast, when the BATCH side's fingerprints fit — the
+    * common case: Catalyst/AQE picks, both sides are key-only). Returns
+    * the incoming rows that survive: (keep_id, fp). */
+  def exactDelta(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val corpusFp = corpus.select(Text.fingerprint(col(textCol)).as("fp"))
+    incoming.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("keep_id"), col("fp"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash-LSH banding, verified with
     * exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold. */

@@ -474,6 +474,21 @@ class PipelineSpec extends SparkSpecBase {
       disjointTrain, probe, "doc_id", "text", 3, 0.3)).isEmpty)
   }
 
+  test("exactDelta: corpus collisions dropped, batch-internal dups collapse to min id") {
+    val corpus = Seq((1L, "Alpha, Beta!"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta"),      // normalizes to a corpus fingerprint: dropped
+      (11L, "epsilon zeta"),    // fresh: kept
+      (12L, "EPSILON zeta!!"),  // dup of 11 within the batch: collapses
+      (13L, "eta theta")        // fresh: kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDelta(corpus, incoming, "doc_id", "text")
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 13L))
+    assert(out.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "corpus exclusion should plan as a left anti join")
+  }
+
   test("covarianceMatrix: sufficient statistics match hand computation; malformed rows dropped") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f)),
