@@ -1041,6 +1041,16 @@ object SparkEntry {
         "doc_id", "text", n = 3, minOverlap = 0.5)
     }),
 
+    // ---- curation at scale: DELTA near-dup (ingest shape) — incoming
+    //      batch's portable-LSH buckets join the corpus's (never a corpus
+    //      self-join); exact-Jaccard verified, whole pipeline hash-checked ----
+    "q147_delta_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshDelta(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }),
+
     // ---- curation at scale: DELTA exact dedup (ingest shape) — dedup an
     //      incoming batch within itself, then LEFT ANTI join its
     //      fingerprints against the corpus; the batch mixes fresh docs,
@@ -2098,6 +2108,28 @@ object SparkEntry {
         |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
         |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    "q147_delta_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS incoming_id, b.doc_id AS corpus_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl)
+        |SELECT c.incoming_id, c.corpus_id,
+        |round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        |FROM cand c JOIN sets a ON c.incoming_id = a.doc_id JOIN sets b ON c.corpus_id = b.doc_id
+        |WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""".stripMargin,
 
     "q146_delta_dedup" ->
       """WITH inc0 AS (

@@ -215,6 +215,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** DELTA MinHash-LSH near-dup — the ingest-time companion of
+    * [[exactDelta]]: flag incoming docs whose portable LSH band buckets
+    * collide with the corpus's, verified by exact Jaccard. Each side is
+    * hashed INDEPENDENTLY with [[minhashLshPortable]]'s md5 family, so at
+    * production scale the corpus bucket table is computed once (persisted,
+    * bucketed on the band key) and a new batch hashes only itself — the
+    * candidate join is batch-buckets × corpus-buckets, never the corpus
+    * self-join. Returns (incoming_id, corpus_id, jaccard) with exact
+    * jaccard >= threshold. */
+  def minhashLshDelta(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), Vectors.shinglesFast(shingleN)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .localCheckpoint(true)
+    def bucketsOf(base: DataFrame) = base
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+    val cBase = prep(corpus)
+    val iBase = prep(incoming)
+    val cand = bucketsOf(iBase).withColumnRenamed("id", "incoming_id")
+      .join(bucketsOf(cBase).withColumnRenamed("id", "corpus_id"), Seq("band", "bk"))
+      .select(col("incoming_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(iBase.select(col("id").as("incoming_id"), col("shs").as("tok_i")), Seq("incoming_id"))
+      .join(cBase.select(col("id").as("corpus_id"), col("shs").as("tok_c")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("tok_i"), col("tok_c"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("tok_i")) + size(col("tok_c")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: fingerprint every doc, generate candidates by
     * exact-match on pigeonhole block-combination keys (Manku-Jain-Sarma
     * WWW'07: `maxHamming + 3` blocks, every 3-block subset as a key — a pair

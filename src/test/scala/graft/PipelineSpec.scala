@@ -474,6 +474,18 @@ class PipelineSpec extends SparkSpecBase {
       disjointTrain, probe, "doc_id", "text", 3, 0.3)).isEmpty)
   }
 
+  test("minhashLshDelta: incoming near-dup of corpus flagged; fresh doc silent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus text about spark plans")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (11L, "unrelated fresh incoming document body entirely new")).toDF("doc_id", "text")
+    val r = Dedup.minhashLshDelta(corpus, incoming, "doc_id", "text", threshold = 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r === Set((10L, 1L)))
+  }
+
   test("exactDelta: corpus collisions dropped, batch-internal dups collapse to min id") {
     val corpus = Seq((1L, "Alpha, Beta!"), (2L, "gamma delta")).toDF("doc_id", "text")
     val incoming = Seq(
