@@ -1041,6 +1041,21 @@ object SparkEntry {
         "doc_id", "text", n = 3, minOverlap = 0.5)
     }),
 
+    // ---- retrieval at scale: Okapi BM25 index-time term weights (top-3
+    //      per doc) — tf checkpointed once, df/length stats derived from
+    //      it, per-doc ranking windows; Lucene-style positive idf ----
+    "q148_bm25" -> ((s, dir) => {
+      Text.bm25TopTerms(t(s, dir, "documents").where(col("doc_id") < 100),
+        "doc_id", "text", kTop = 3)
+    }),
+
+    // ---- retrieval at scale: inverted index (term → df + ascending
+    //      posting list) — the structure BM25 walks; posting lists join
+    //      as portable comma strings; partition-by-term is the layout ----
+    "q149_inverted_index" -> ((s, dir) => {
+      Text.invertedIndex(t(s, dir, "documents"), "doc_id", "text", minDf = 3L)
+    }),
+
     // ---- curation at scale: DELTA near-dup (ingest shape) — incoming
     //      batch's portable-LSH buckets join the corpus's (never a corpus
     //      self-join); exact-Jaccard verified, whole pipeline hash-checked ----
@@ -2108,6 +2123,31 @@ object SparkEntry {
         |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
         |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    "q148_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |      ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS score
+        |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st),
+        |r AS (SELECT doc_id, term, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, term, round(score, 6) AS score FROM r WHERE rank <= 3""".stripMargin,
+
+    "q149_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |             FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tok)
+        |SELECT term, count(*) AS df,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM dt GROUP BY term HAVING count(*) >= 3""".stripMargin,
 
     "q147_delta_neardup" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -282,6 +282,18 @@ final case class KSeries(
   def countValues: DataFrame = stats((count(v), "countValues"))
   def countKeys: DataFrame = stats((count(lit(1)), "countKeys"))
 
+  /** Structural equality with another series — same (key, value) multiset
+    * (ports the reference's series equality tests, Series.fs "Series with
+    * the same/different data are (not) considered equal"). Distributed:
+    * (k, v, multiplicity) set-difference both ways, no collect; null
+    * values compare equal to null (groupBy semantics), matching the
+    * reference's missing==missing. */
+  def seriesEquals(other: KSeries): Boolean = {
+    val a = df.select(k.as("k"), v.as("v")).groupBy("k", "v").count()
+    val b = other.df.select(other.k.as("k"), other.v.as("v")).groupBy("k", "v").count()
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+  }
+
   /** HyperLogLog++ distinct-value count — the sketch twin of an exact
     * `count(DISTINCT v)`, which shuffles every distinct value; the sketch
     * is a fixed few-KB register array merged map-side, the only shape that

@@ -280,6 +280,72 @@ object Text {
           x => x.getField("t2")), " ")).as("text_md5"))
   }
 
+  /** Okapi BM25 index-time term weights, top `kTop` per document — the
+    * retrieval-side sibling of [[tfidfTopTerms]] (same plan: one explode +
+    * (doc, term) agg checkpointed once; document frequency and the corpus
+    * length stats derive from it; ranking windows partition by doc).
+    * Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)) keeps scores
+    * positive; k1/b are the standard 1.2/0.75. Scores round to 6 dp on
+    * both engines (the q115 convention). */
+  def bm25TopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      kTop: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val bcastBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val dfreqSide =
+      if (bcastBytes > 0 && dfreq.count() * 64L <= bcastBytes) broadcast(dfreq) else dfreq
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // dl is doc-count-sized — never broadcast it; the doc-keyed equi-join
+    // shuffles and stays skew-safe at corpus scale
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(dfreqSide, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kTop)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(col("score"), 6).as("score"))
+  }
+
+  /** Inverted index: term → (document frequency, ascending posting list) —
+    * the structure BM25 retrieval walks. One explode + distinct + term agg
+    * (map-side partial); the posting list materializes as a
+    * comma-joined ascending id string (engine-portable representation:
+    * array columns print differently across engines). `minDf` drops
+    * hapax-style terms whose postings dominate index size at corpus scale;
+    * at 100 TB the natural layout partitions/buckets this output BY TERM,
+    * which a retrieval join then co-locates with query terms. */
+  def invertedIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 1L): org.apache.spark.sql.DataFrame = {
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+      .where(col("df") >= minDf)
+  }
+
   /** Per-source token-distribution drift: KL(P_source ‖ P_corpus) in
     * micro-nats per token — the dataset-mixing diagnostic that tells you
     * which source's unigram distribution diverges from the blended corpus

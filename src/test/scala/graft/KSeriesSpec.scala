@@ -181,6 +181,20 @@ class KSeriesSpec extends SparkSpecBase {
     assert(exactMed === (n - 1) / 2.0)
   }
 
+  test("seriesEquals: same data equal, different data not (Series.fs equality tests)") {
+    val a = KSeries(seriesDf((1L, Double.box(1.0)), (2L, Double.box(2.0)), (3L, null)))
+    val b = KSeries(seriesDf((3L, null), (1L, Double.box(1.0)), (2L, Double.box(2.0))))
+    val c = KSeries(seriesDf((1L, Double.box(1.0)), (2L, Double.box(2.5)), (3L, null)))
+    val d = KSeries(seriesDf((1L, Double.box(1.0)), (2L, Double.box(2.0))))
+    assert(a.seriesEquals(b), "order-independent equality (missing == missing)")
+    assert(!a.seriesEquals(c), "different values")
+    assert(!a.seriesEquals(d), "different key sets")
+    // multiset semantics: a duplicated (k, v) row is NOT equal to a single one
+    val dup = KSeries(seriesDf((1L, Double.box(1.0)), (1L, Double.box(1.0))))
+    val single = KSeries(seriesDf((1L, Double.box(1.0))))
+    assert(!dup.seriesEquals(single))
+  }
+
   test("HLL distinct sketch stays within a few rsd of the exact count") {
     // 30k rows over exactly 4000 distinct values
     val nDistinct = 4000

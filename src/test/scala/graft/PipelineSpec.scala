@@ -474,6 +474,36 @@ class PipelineSpec extends SparkSpecBase {
       disjointTrain, probe, "doc_id", "text", 3, 0.3)).isEmpty)
   }
 
+  test("bm25TopTerms: rare discriminative term outranks ubiquitous term") {
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common common filler filler"),
+      (3L, "common filler other words")).toDF("doc_id", "text")
+    val r = Text.bm25TopTerms(docs, "doc_id", "text", kTop = 2)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getString(2))).toMap
+    // 'common' is in every doc (idf floor); 'zebra' df=1 dominates doc 1
+    assert(r((1L, 1L)) === "zebra")
+    // and scores are monotone in rank (rank 1 >= rank 2 for every doc)
+    val scores = Text.bm25TopTerms(docs, "doc_id", "text", kTop = 2)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(3))).toMap
+    for (d <- 1L to 3L) assert(scores((d, 1L)) >= scores((d, 2L)))
+  }
+
+  test("invertedIndex: ascending postings, df threshold, within-doc dups collapse") {
+    val docs = Seq(
+      (30L, "apple banana apple"),
+      (10L, "banana cherry"),
+      (20L, "banana date")).toDF("doc_id", "text")
+    val r = Text.invertedIndex(docs, "doc_id", "text", minDf = 2L)
+      .collect().map(x => (x.getString(0), (x.getLong(1), x.getString(2)))).toMap
+    assert(r === Map("banana" -> ((3L, "10,20,30"))))
+    // minDf=1 keeps the singletons, and apple's double occurrence is ONE posting
+    val all = Text.invertedIndex(docs, "doc_id", "text", minDf = 1L)
+      .collect().map(x => (x.getString(0), x.getString(2))).toMap
+    assert(all("apple") === "30")
+    assert(all("cherry") === "10")
+  }
+
   test("minhashLshDelta: incoming near-dup of corpus flagged; fresh doc silent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
