@@ -1056,6 +1056,18 @@ object SparkEntry {
       Text.invertedIndex(t(s, dir, "documents"), "doc_id", "text", minDf = 3L)
     }),
 
+    // ---- retrieval at scale: end-to-end BM25 SEARCH — a query set (first
+    //      3 tokens of docs 0-4) scored against the whole corpus, top-5
+    //      docs per query; per-term micro-point contributions integer-sum
+    //      so ranking is engine-exact ----
+    "q150_bm25_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("qtext"))
+      Text.bm25Search(docs, "doc_id", "text", queries, "query_id", "qtext", kTop = 5)
+    }),
+
     // ---- curation at scale: DELTA near-dup (ingest shape) — incoming
     //      batch's portable-LSH buckets join the corpus's (never a corpus
     //      self-join); exact-Jaccard verified, whole pipeline hash-checked ----
@@ -2123,6 +2135,29 @@ object SparkEntry {
         |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
         |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    "q150_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:3])) AS term
+        |       FROM d WHERE doc_id < 5),
+        |s AS (SELECT qt.query_id, tf.doc_id,
+        |      CAST(round((ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+        |        * 1000000) AS BIGINT) AS score_u
+        |      FROM qt JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |      JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |g AS (SELECT query_id, doc_id, CAST(sum(score_u) AS BIGINT) AS score_u
+        |      FROM s GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_u,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY score_u DESC, doc_id) AS rank
+        |      FROM g)
+        |SELECT query_id, rank, doc_id, score_u FROM r WHERE rank <= 5""".stripMargin,
 
     "q148_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w

@@ -325,6 +325,56 @@ object Text {
         col("term"), round(col("score"), 6).as("score"))
   }
 
+  /** End-to-end BM25 retrieval: score a QUERY SET against the corpus and
+    * return the top-`kTop` documents per query — the search twin of
+    * [[bm25TopTerms]] (same derived tf/df/length statistics). Per-term
+    * contributions are rounded ONCE to integer micro-points and
+    * integer-summed per (query, doc) — float group-sums are order-
+    * dependent in the last ulp across engines, integer sums are not — so
+    * the ranking and scores are hash-exact. The query side is
+    * query-terms-sized (broadcasts); the term-keyed join against tf is
+    * the inverted-index probe shape ([[invertedIndex]] partitioned by
+    * term is its materialized form). Output: (query_id, rank, doc_id,
+    * score_u) with rank ties broken by doc_id. */
+  def bm25Search(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      kTop: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val scored = qt.join(tf, "term") // query side is tiny: AQE broadcasts it
+      .join(dl, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_term",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("score_u", round(col("score_term") * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_u")).as("score_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kTop)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score_u"))
+  }
+
   /** Inverted index: term → (document frequency, ascending posting list) —
     * the structure BM25 retrieval walks. One explode + distinct + term agg
     * (map-side partial); the posting list materializes as a

@@ -489,6 +489,20 @@ class PipelineSpec extends SparkSpecBase {
     for (d <- 1L to 3L) assert(scores((d, 1L)) >= scores((d, 2L)))
   }
 
+  test("bm25Search: exact-match doc ranks first; disjoint query returns nothing") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rules"),
+      (2L, "spark shuffle partitions config"),
+      (3L, "duckdb vectorized execution engine")).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, "catalyst optimizer"),
+      (200L, "nothing matches here")).toDF("query_id", "qtext")
+    val r = Text.bm25Search(docs, "doc_id", "text", queries, "query_id", "qtext", kTop = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // query 100: doc 1 holds both query terms → rank 1; no other doc has any
+    assert(r === Seq((100L, 1L, 1L)))
+  }
+
   test("invertedIndex: ascending postings, df threshold, within-doc dups collapse") {
     val docs = Seq(
       (30L, "apple banana apple"),
