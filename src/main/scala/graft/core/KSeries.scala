@@ -289,9 +289,16 @@ final case class KSeries(
     * values compare equal to null (groupBy semantics), matching the
     * reference's missing==missing. */
   def seriesEquals(other: KSeries): Boolean = {
-    val a = df.select(k.as("k"), v.as("v")).groupBy("k", "v").count()
-    val b = other.df.select(other.k.as("k"), other.v.as("v")).groupBy("k", "v").count()
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val a = df.select(k.as("k"), v.as("v")).groupBy("k", "v")
+      .agg(count(lit(1)).as("n_a"))
+    val b = other.df.select(other.k.as("k"), other.v.as("v")).groupBy("k", "v")
+      .agg(count(lit(1)).as("n_b"))
+    // ONE job: null-safe full-outer join of the two grouped multisets;
+    // any unmatched or count-mismatched row disproves equality (two
+    // exceptAll passes would re-aggregate both inputs twice)
+    a.join(b, a("k") <=> b("k") && a("v") <=> b("v"), "full_outer")
+      .where(coalesce(col("n_a"), lit(-1L)) =!= coalesce(col("n_b"), lit(-2L)))
+      .isEmpty
   }
 
   /** HyperLogLog++ distinct-value count — the sketch twin of an exact

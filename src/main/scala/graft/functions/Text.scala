@@ -164,17 +164,12 @@ object Text {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    // vocabulary-sized on most corpora — but not guaranteed, so gate the
-    // explicit broadcast (the checkpointed side has no stats for AQE to
-    // size the join from) on the materialized row count: checkpointed, so
-    // the count is a cheap local scan. Above the session's broadcast
-    // threshold (~64 bytes/term row estimate) fall back to the shuffle
-    // equi-join rather than OOM the driver on a pathological vocabulary.
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true)
-    val bcastBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-    val dfreqSide =
-      if (bcastBytes > 0 && dfreq.count() * 64L <= bcastBytes) broadcast(dfreq) else dfreq
+    // vocabulary-sized on most corpora — but not guaranteed, so the
+    // broadcast is gated on the materialized row count (gatedBroadcast):
+    // above the session threshold fall back to the shuffle equi-join
+    // rather than OOM the driver on a pathological vocabulary.
+    val dfreqSide = gatedBroadcast(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(dfreqSide, "term")
       .crossJoin(broadcast(nDocs))
@@ -280,13 +275,58 @@ object Text {
           x => x.getField("t2")), " ")).as("text_md5"))
   }
 
+  /** Broadcast `small` only when its MATERIALIZED row count fits the
+    * session's broadcast threshold (callers pass checkpointed frames, so
+    * the count is a cheap local scan and AQE has no stats to decide from);
+    * above it, return the frame untouched for a shuffle join. The single
+    * definition keeps every vocabulary-sized join in this file on the same
+    * safety valve. */
+  private def gatedBroadcast(
+      small: org.apache.spark.sql.DataFrame,
+      bytesPerRow: Long = 64L): org.apache.spark.sql.DataFrame = {
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      small.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    if (threshold > 0 && small.count() * bytesPerRow <= threshold) broadcast(small) else small
+  }
+
+  /** Shared BM25 statistics: the (doc, term) tf agg checkpointed ONCE, the
+    * per-doc lengths and document frequencies derived from it (never a
+    * second tokenize pass), corpus stats as a 1-row frame. Both BM25 entry
+    * points build on this. */
+  private case class TermStats(
+      tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      dfreqSide: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+
+  private def termStats(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): TermStats = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    TermStats(tf, dl, gatedBroadcast(dfreq), stats)
+  }
+
+  /** The Okapi BM25 score of one (doc, term) row, over the joined
+    * [[termStats]] columns. Lucene-style idf = ln(1 + (N - df + 0.5) /
+    * (df + 0.5)) keeps scores positive. */
+  private def bm25Score(k1: Double, b: Double): Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+
   /** Okapi BM25 index-time term weights, top `kTop` per document — the
     * retrieval-side sibling of [[tfidfTopTerms]] (same plan: one explode +
     * (doc, term) agg checkpointed once; document frequency and the corpus
     * length stats derive from it; ranking windows partition by doc).
-    * Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)) keeps scores
-    * positive; k1/b are the standard 1.2/0.75. Scores round to 6 dp on
-    * both engines (the q115 convention). */
+    * k1/b are the standard 1.2/0.75. Scores round to 6 dp on both engines
+    * (the q115 convention). */
   def bm25TopTerms(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -295,28 +335,14 @@ object Text {
       k1: Double = 1.2,
       b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true)
-    val bcastBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-    val dfreqSide =
-      if (bcastBytes > 0 && dfreq.count() * 64L <= bcastBytes) broadcast(dfreq) else dfreq
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val ts = termStats(docs, idCol, textCol)
     // dl is doc-count-sized — never broadcast it; the doc-keyed equi-join
     // shuffles and stays skew-safe at corpus scale
-    val scored = tf
-      .join(dl, "doc_id")
-      .join(dfreqSide, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("score",
-        col("idf") * col("tf") * (lit(k1) + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = ts.tf
+      .join(ts.dl, "doc_id")
+      .join(ts.dfreqSide, "term")
+      .crossJoin(broadcast(ts.stats))
+      .withColumn("score", bm25Score(k1, b))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -347,24 +373,14 @@ object Text {
       k1: Double = 1.2,
       b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val ts = termStats(docs, idCol, textCol)
     val qt = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(tokens(col(qTextCol)))).as("term"))
-    val scored = qt.join(tf, "term") // query side is tiny: AQE broadcasts it
-      .join(dl, "doc_id")
-      .join(dfreq, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("score_term",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * (lit(k1) + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-      .withColumn("score_u", round(col("score_term") * lit(1e6)).cast("long"))
+    val scored = qt.join(ts.tf, "term") // query side is tiny: AQE broadcasts it
+      .join(ts.dl, "doc_id")
+      .join(ts.dfreqSide, "term")
+      .crossJoin(broadcast(ts.stats))
+      .withColumn("score_u", round(bm25Score(k1, b) * lit(1e6)).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_u")).as("score_u"))
     val w = Window.partitionBy(col("query_id"))
@@ -452,19 +468,19 @@ object Text {
       maxMeanWlenU: Long = 10000000L,
       minStopHits: Long = 2L): org.apache.spark.sql.DataFrame = {
     val w = tokens(col(textCol))
-    val nWords = size(w).cast("long")
-    // total word chars = length(trim) - (n_words - 1) single-space seps
-    val meanWlenU = expr(
-      s"((length(trim($textCol)) - (size(split(trim($textCol), ' ')) - 1)) * 1000000L) " +
-        s"DIV size(split(trim($textCol), ' '))")
     // stop hits via array_remove (codegen) — no HOF lambda, no explode
     val kept = stopwords.foldLeft(w) { (arr, s) => array_remove(arr, s) }
-    val stopHits = (size(w) - size(kept)).cast("long")
+    // total word chars = length(trim) - (n_words - 1) single-space seps;
+    // the integer DIV runs over internal aliases (never raw-interpolated
+    // user column names into SQL text), and both counts derive from the
+    // ONE tokens() definition so they cannot drift apart
     docs.select(
         col(idCol).as("doc_id"),
-        nWords.as("n_words"),
-        meanWlenU.as("mean_wlen_u"),
-        stopHits.as("stop_hits"))
+        size(w).cast("long").as("n_words"),
+        (length(trim(col(textCol))).cast("long") - (size(w) - 1)).as("__tc"),
+        (size(w) - size(kept)).cast("long").as("stop_hits"))
+      .withColumn("mean_wlen_u", expr("__tc * 1000000L DIV n_words"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_u"), col("stop_hits"))
       .withColumn("pass",
         when(col("n_words").between(minWords, maxWords) &&
              col("mean_wlen_u").between(minMeanWlenU, maxMeanWlenU) &&

@@ -283,6 +283,21 @@ object Vectors {
   def parseHex64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (hx: String) => java.lang.Long.parseUnsignedLong(hx, 16) }
 
+  /** Dominant (majority) dimension of a vector column — one map-side-
+    * partial size agg, NOT "whatever row a partition scanned first": a
+    * leading malformed row must not silently select the wrong dimension
+    * and drop the entire valid corpus (first-row inference is also
+    * partition-order dependent, i.e. nondeterministic across layouts).
+    * Ties break toward the smaller dimension (deterministic). */
+  def dominantDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.where(org.apache.spark.sql.functions.col(vecCol).isNotNull)
+      .groupBy(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(vecCol)).as("__d"))
+      .count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("__d").asc)
+      .take(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Fixed-point quantizer: floor(v[d] · scale) as longs — the ONE
     * quantization rule the portable-ANN SQL oracles replay (q123/q124/
     * q125 use `floor(x::DOUBLE * scale)`); keep Scala and SQL in lockstep

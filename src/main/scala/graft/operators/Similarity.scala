@@ -168,9 +168,7 @@ object Similarity {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     // null / wrong-dimension vectors are DROPPED (the kernels index q(d)
     // for d < centroid dim — a malformed row must not abort the job)
-    val dims = corpus.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
+    val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
     // read rounds+2 times (training passes + final bucketing) — materialize
     val qdf = corpus
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
@@ -276,9 +274,7 @@ object Similarity {
       codes: Int = 16,
       rounds: Int = 2): DataFrame = {
     import corpus.sparkSession.implicits._
-    val dims = corpus.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
+    val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
@@ -660,9 +656,7 @@ object Similarity {
       scale: Long = 1024L): DataFrame = {
     import corpus.sparkSession.implicits._
     val quant = graft.functions.Vectors.fixedPointQuant(scale)
-    val dims = corpus.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
+    val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
     require(dims > 0, "covarianceMatrix: empty corpus or null vectors")
     val vecs = corpus
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
