@@ -1129,6 +1129,13 @@ object SparkEntry {
         .select(col("k"), col("v").as("prev_chars"))
     }),
 
+    // ---- streaming: stream-STATIC dimension join — per-micro-batch
+    //      re-planned static side, no watermark state (the ingest
+    //      enrichment shape); totals by each user's home event type ----
+    "q151_stream_static_join" -> ((s, dir) => {
+      Streams.enrichedTypeTotals(s, dir)
+    }),
+
     // ---- streaming: gap-based SESSION windows (append mode, watermark-
     //      finalized) vs a batch gaps-and-islands oracle — completes the
     //      window family (tumbling/sliding/session); micro timestamps
@@ -2441,6 +2448,13 @@ object SparkEntry {
 
     // append-mode finalization rule: a window lands in the file sink iff
     // the final watermark (max event time - delay) passed its end
+    "q151_stream_static_join" ->
+      """WITH home AS (SELECT user_id, min(event_type) || '_' || (user_id % 5) AS home_type
+        |              FROM events GROUP BY 1)
+        |SELECT home_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events JOIN home USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
     "q143_stream_sessions" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |e AS (SELECT user_id, ts, value,

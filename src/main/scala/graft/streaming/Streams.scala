@@ -260,6 +260,26 @@ object Streams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
 
+  /** Stream-STATIC enrichment join — the dimension-lookup shape of a
+    * production ingest (every event joined against a slowly-changing
+    * reference table). Unlike stream-stream joins there is NO watermark
+    * state: Spark re-plans the static side per micro-batch and the join
+    * broadcasts or shuffles exactly like a batch join (at scale: keep the
+    * dim broadcast-sized or pre-bucket it on the join key). The static
+    * dim here derives from the same events table (each user's
+    * lexicographically-first event type), so the batch oracle replays it
+    * verbatim. */
+  def enrichedTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, dir) { events =>
+      val staticDim = events.sparkSession.read
+        .parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .agg(concat(min(col("event_type")), lit("_"), col("user_id") % 5).as("home_type"))
+      events.join(staticDim, "user_id")
+        .groupBy(col("home_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    }
+
   /** Gap-based SESSION windows per user — the streaming form of
     * windowWhile's "new window when the key jumps" semantics: a session
     * holds an event iff it lands strictly before the previous event's ts +
