@@ -1056,6 +1056,16 @@ object SparkEntry {
       Text.invertedIndex(t(s, dir, "documents"), "doc_id", "text", minDf = 3L)
     }),
 
+    // ---- §2.6: rolling MEDIAN — a non-algebraic (holistic) aggregate
+    //      through the same generic windowInto builder the algebraic aggs
+    //      use (the reference aggregates arbitrary stats over windows);
+    //      exact interpolated percentile == DuckDB quantile_cont ----
+    "q152_rolling_median" -> ((s, dir) => {
+      Windowing.windowInto(daily(s, dir), 7, Boundary.AtBeginning)(
+          c => percentile(c, lit(0.5)))
+        .select(col("k"), round(col("v"), 4).as("med7"))
+    }),
+
     // ---- retrieval at scale: end-to-end BM25 SEARCH — a query set (first
     //      3 tokens of docs 0-4) scored against the whole corpus, top-5
     //      docs per query; per-term micro-point contributions integer-sum
@@ -2142,6 +2152,12 @@ object SparkEntry {
         |       AS BIGINT)) AS BIGINT) // CAST(max(n_s) AS BIGINT) AS kl_micro_per_tok
         |FROM st JOIN corpus USING (t) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY 1""".stripMargin,
+
+    "q152_rolling_median" ->
+      s"""$dailySql
+         |SELECT k, round(quantile_cont(v, 0.5) OVER
+         |  (ORDER BY k ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+         |FROM daily""".stripMargin,
 
     "q150_bm25_search" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -121,4 +121,31 @@ class PropertySpec extends SparkSpecBase {
       assert(got === expect, s"case $i")
     }
   }
+
+  test("stitched RANGE window equals the sequential model on random FRACTIONAL keys") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", DoubleType), StructField("v", DoubleType)))
+    val keyGen: Gen[List[Double]] = for {
+      n <- Gen.choose(20, 120)
+      ks <- Gen.listOfN(n, Gen.choose(0.0, 60.0))
+    } yield ks.distinct
+    for (i <- 1 to cases) {
+      val keys = sample(keyGen, 1300 + i)
+      val dist = sample(Gen.choose(2L, 15L), 1400 + i)
+      val rows = keys.map(k => Row(k, math.floor(k * 10)))
+      val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val stitched = OrderedScan
+        .slidingRangeAgg(df, "k", "v", dist, sum, "v", buckets = 5)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+      // sequential model: frame = rows whose long-cast key is within
+      // (p - dist, p] of the row's long-cast key — the windowDistInto contract
+      val model = keys.map { k =>
+        val p = k.toLong
+        k -> keys.filter(o => o.toLong > p - dist && o.toLong <= p)
+          .map(o => math.floor(o * 10)).sum
+      }.toMap
+      assert(stitched === model, s"case $i dist=$dist n=${keys.size}")
+    }
+  }
 }
