@@ -560,6 +560,67 @@ object SparkEntry {
     * Aggregators, TSV source, unstack/stack. */
   def extendedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- dataset prep at scale: deterministic global shuffle → balanced
+    //      training shards — md5-order position via the distributed
+    //      OrderedScan stitch (never a global single-task window), exact
+    //      integer split into 8 shards ----
+    "q153_shard_assign" -> ((s, dir) => {
+      Sampling.shardAssign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8,
+        buckets = 16)
+        .select(col("doc_id"), col("__k").as("k"), col("pos"), col("shard"))
+    }),
+
+    // ---- curation at scale: PARAGRAPH-level dedup with document
+    //      reconstruction (MassiveText recipe) — keep-first on the global
+    //      paragraph hash, reassemble surviving paragraphs per doc;
+    //      paragraphs here are 10-word windows (synthetic text has no
+    //      newlines; real corpora pass split(text, '\n\n')) ----
+    "q154_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.paragraphDedup(docs, "doc_id",
+        Text.chunkArray(10, 0)(col("text")))
+    }),
+
+    // ---- model-based curation at scale: multinomial Naive Bayes trained
+    //      on the even-id split (source = class), applied to the odd-id
+    //      split; fixed-point micro-nat log-probs make train→score→argmax
+    //      hash-exact cross-engine ----
+    "q155_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.naiveBayesPredict(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", "source")
+    }),
+
+    // ---- curation at scale: SEMANTIC dedup (SemDeDup) — cluster-bounded
+    //      within-cluster cosine pruning, fully fixed-point (integer
+    //      argmin assignment, cross-multiplied threshold test in
+    //      decimal128) — the density-following alternative to banded LSH ----
+    "q156_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, thrNum = 4, thrDen = 10)
+    }),
+
+    // ---- skew at scale: two-phase SALTED AGGREGATION — the hot group key
+    //      spreads over 8 salt sub-keys in phase 1, phase 2 merges the
+    //      algebraic partials; output identical to the plain groupBy ----
+    "q157_salted_agg" -> ((s, dir) => {
+      Skew.saltedAgg(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+        "l_returnflag",
+        Seq(
+          "sum_qty" -> ("sum", "l_quantity"),
+          "n_rows" -> ("count", ""),
+          "min_price" -> ("min", "l_extendedprice"),
+          "max_price" -> ("max", "l_extendedprice")),
+        salts = 8)
+        .select(col("l_returnflag"), round(col("sum_qty"), 4).as("sum_qty"),
+          col("n_rows"), round(col("min_price"), 4).as("min_price"),
+          round(col("max_price"), 4).as("max_price"))
+    }),
+
     // ---- §2.3 takeLast n (last N by key order) ----
     "q55_take_last" -> ((s, dir) => {
       daily(s, dir).df.orderBy(col("k").desc).limit(15)
@@ -1998,6 +2059,101 @@ object SparkEntry {
   )
 
   private def extendedOracleSql: Map[String, String] = Map(
+    "q153_shard_assign" ->
+      """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |r AS (SELECT doc_id, k, row_number() OVER (ORDER BY k) - 1 AS pos,
+        |        count(*) OVER () AS n FROM d)
+        |SELECT doc_id, k, pos, (pos * 8) // n AS shard FROM r""".stripMargin,
+
+    "q154_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, i AS pos, array_to_string(w[i*10+1 : i*10+10], ' ') AS para
+        |      FROM d, unnest(range(0, greatest(1, CAST(ceil(len(w) / 10.0) AS BIGINT))))
+        |        AS t(i)),
+        |k AS (SELECT doc_id, pos, para,
+        |        CASE WHEN row_number() OVER (PARTITION BY md5(para)
+        |                                     ORDER BY doc_id, pos) = 1
+        |             THEN 1 ELSE 0 END AS keep
+        |      FROM p)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep = 1), '')
+        |    AS clean_text,
+        |  count(*) AS n_paras, CAST(sum(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q155_naive_bayes" ->
+      """WITH tr AS (SELECT doc_id, source AS cls, string_split(trim(text), ' ') AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |cnt AS (SELECT cls, t, count(*) AS ct
+        |        FROM (SELECT cls, unnest(w) AS t FROM tr) GROUP BY 1, 2),
+        |tot AS (SELECT cls, CAST(sum(ct) AS BIGINT) AS tot_c FROM cnt GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT t) AS v FROM cnt),
+        |ntr AS (SELECT count(DISTINCT doc_id) AS n_train FROM tr),
+        |ncls AS (SELECT cls, count(DISTINCT doc_id) AS n_docs_c FROM tr GROUP BY 1),
+        |cs AS (SELECT ncls.cls,
+        |         CAST(round(ln(ncls.n_docs_c::DOUBLE / ntr.n_train) * 1000000)
+        |           AS BIGINT) AS prior_u,
+        |         CAST(round(ln(1.0 / (tot.tot_c + voc.v)) * 1000000)
+        |           AS BIGINT) AS default_u,
+        |         tot.tot_c, voc.v
+        |       FROM ncls JOIN tot ON ncls.cls = tot.cls CROSS JOIN voc CROSS JOIN ntr),
+        |m AS (SELECT cnt.cls, cnt.t,
+        |        CAST(round(ln((cnt.ct + 1.0) / (cs.tot_c + cs.v)) * 1000000)
+        |          AS BIGINT) AS lp_u
+        |      FROM cnt JOIN cs ON cnt.cls = cs.cls),
+        |dt AS (SELECT doc_id, t, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS t FROM te) GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, cs.cls,
+        |         CAST(sum(dt.tf * coalesce(m.lp_u, cs.default_u)) AS BIGINT)
+        |           + max(cs.prior_u) AS score_u
+        |       FROM dt CROSS JOIN cs
+        |       LEFT JOIN m ON m.cls = cs.cls AND m.t = dt.t
+        |       GROUP BY 1, 2)
+        |SELECT doc_id, cls AS pred, score_u
+        |FROM (SELECT doc_id, cls, score_u,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, cls)
+        |          AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
+
+    "q156_semantic_dedup" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |      FROM q ORDER BY vec_id LIMIT 8),
+        |tok AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM q),
+        |ctok AS (SELECT cid, unnest(ce) AS cx, generate_subscripts(ce, 1) AS i FROM c),
+        |dist AS (SELECT t.vec_id, c.cid,
+        |           CAST(sum((t.x - c.cx) * (t.x - c.cx)) AS BIGINT) AS d
+        |         FROM tok t JOIN ctok c ON t.i = c.i GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid AS cluster FROM
+        |          (SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |           FROM dist)
+        |        WHERE rn = 1),
+        |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nn FROM tok GROUP BY 1),
+        |pr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |dp AS (SELECT pr.cluster, pr.id_a, pr.id_b,
+        |         CAST(sum(ta.x * tb.x) AS BIGINT) AS dotv
+        |       FROM pr JOIN tok ta ON ta.vec_id = pr.id_a
+        |                JOIN tok tb ON tb.vec_id = pr.id_b AND ta.i = tb.i
+        |       GROUP BY 1, 2, 3)
+        |SELECT dp.cluster, dp.id_a, dp.id_b, dp.dotv
+        |FROM dp JOIN nrm na ON na.vec_id = dp.id_a
+        |        JOIN nrm nb ON nb.vec_id = dp.id_b
+        |WHERE dp.dotv > 0
+        |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
+        |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q157_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |count(*) AS n_rows, round(min(l_extendedprice), 4) AS min_price,
+        |round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q93_csv_culture" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
         |FROM customer GROUP BY 1""".stripMargin,

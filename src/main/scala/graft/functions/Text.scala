@@ -111,10 +111,18 @@ object Text {
       idCol: String,
       textCol: String,
       maxTokens: Int,
-      overlap: Int): org.apache.spark.sql.DataFrame = {
+      overlap: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(chunkArray(maxTokens, overlap)(col(textCol))).as(Seq("chunk_idx", "chunk")))
+
+  /** The chunk kernel of [[chunkTokens]] as a reusable array expression:
+    * token windows [i·stride, i·stride+maxTokens) re-joined with spaces.
+    * With overlap 0 this is the fixed-word-window "paragraph" splitter the
+    * synthetic corpus needs (no newlines to split on). */
+  def chunkArray(maxTokens: Int, overlap: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(overlap >= 0 && overlap < maxTokens, s"need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
-    val kernel = udf { (text: String) =>
+    udf { (text: String) =>
       val ws = if (text == null) Array.empty[String] else text.trim.split(" ", -1)
       val n = ws.length
       val nChunks =
@@ -125,8 +133,6 @@ object Text {
         ws.slice(start, math.min(start + maxTokens, n)).mkString(" ")
       }
     }
-    docs.select(col(idCol).as("doc_id"),
-      posexplode(kernel(col(textCol))).as(Seq("chunk_idx", "chunk")))
   }
 
   /** GPT-2-style pre-tokenizer pattern (simplified to the portable regex
@@ -209,6 +215,70 @@ object Text {
       .agg(count(lit(1)).as("n_tok"), sum(col("nll_micro")).as("nll_total"))
       .select(col("doc_id"), col("n_tok"),
         round(col("nll_total") / lit(1e6) / col("n_tok"), 4).as("avg_nll"))
+  }
+
+  /** Multinomial NAIVE BAYES text classifier, trained AND applied on the
+    * cluster — the model-based quality/domain filter of curation pipelines
+    * (fasttext-shaped: bag-of-words × per-class log-probabilities), here
+    * with add-one smoothing and the whole pipeline in FIXED POINT so
+    * train→score→argmax is hash-verifiable cross-engine.
+    *
+    * Train: ONE (class, term) count agg over the exploded train split; class
+    * token totals, vocabulary size, document priors all derive from it.
+    * Per-(term,class) log-prob ln((ct+1)/(tot_c+V)) is rounded ONCE to long
+    * micro-nats — integer sums downstream are order-free (the q119
+    * convention), so scores are engine-exact. Terms unseen in a class (or in
+    * training entirely) score the smoothed floor ln(1/(tot_c+V)).
+    *
+    * Score: (doc, term, tf) agg → cross join the #classes-row class-stats
+    * table (broadcast) → LEFT join the observed model on (class, term) —
+    * vocabulary-sized, so the broadcast is size-gated with a shuffle-join
+    * fallback — → per-(doc, class) integer sum + prior → argmax via a
+    * doc-partitioned window (parallel across docs; ties → lowest class).
+    * Output: (doc_id, pred, score_u). */
+  def naiveBayesPredict(
+      train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      classCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = train
+      .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("cls"), col("t")).agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true) // tot_c, vocab AND the model derive from it
+    val tot = cnt.groupBy(col("cls")).agg(sum(col("ct")).as("tot_c"))
+    val vocab = cnt.agg(countDistinct(col("t")).as("v"))
+    val nTrain = train.agg(countDistinct(col(idCol)).as("n_train"))
+    val nCls = train.groupBy(col(classCol).as("cls"))
+      .agg(countDistinct(col(idCol)).as("n_docs_c"))
+    val classStats = nCls.join(tot, "cls")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTrain))
+      .withColumn("prior_u",
+        round(log(col("n_docs_c").cast("double") / col("n_train")) * lit(1e6)).cast("long"))
+      .withColumn("default_u",
+        round(log(lit(1.0) / (col("tot_c") + col("v"))) * lit(1e6)).cast("long"))
+      .select(col("cls"), col("prior_u"), col("default_u"), col("tot_c"), col("v"))
+      .localCheckpoint(true) // #classes rows; read by two joins below
+    val model = gatedBroadcast(
+      cnt.join(classStats.select(col("cls"), col("tot_c"), col("v")), "cls")
+        .withColumn("lp_u",
+          round(log((col("ct") + lit(1.0)) / (col("tot_c") + col("v"))) * lit(1e6)).cast("long"))
+        .select(col("cls"), col("t"), col("lp_u"))
+        .localCheckpoint(true))
+    val dt = test
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val scored = dt
+      .crossJoin(broadcast(classStats.select(col("cls"), col("prior_u"), col("default_u"))))
+      .join(model, Seq("cls", "t"), "left")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg((sum(col("tf") * coalesce(col("lp_u"), col("default_u")))
+        + max(col("prior_u"))).as("score_u"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("cls").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred"), col("score_u"))
   }
 
   /** Heavy-hitter tokens via count-min sketch pruning with EXACT

@@ -47,6 +47,50 @@ object Dedup {
       .select(col("keep_id"), col("fp"))
   }
 
+  /** PARAGRAPH-level exact dedup with document reconstruction — the
+    * MassiveText/C4 recipe: duplicated passages (boilerplate headers,
+    * license blocks, navigation chrome) are removed from every document
+    * except the FIRST one that contains them, then each document is
+    * reassembled from its surviving paragraphs in order. Whole-doc dedup
+    * ([[exact]]) misses these; the span census ([[exactSubstringSpans]])
+    * only measures them — this op rewrites the corpus.
+    *
+    * `paras` yields a document's paragraph array; real corpora pass
+    * `split(col(textCol), "\n\n")` — the synthetic tables have no newlines,
+    * so callers chunk on fixed word windows instead. "First occurrence" is
+    * the globally smallest (doc_id, pos) per normalized paragraph hash —
+    * deterministic and engine-portable.
+    *
+    * Distributed shape: posexplode (narrow fan-out) → ONE hash-shuffle on
+    * the paragraph md5 (keep-first via min(struct)) — a hot paragraph
+    * (shared boilerplate) costs one partial-aggregated key, never a window
+    * partition — → hash-join back on the md5 → per-doc reassembly agg
+    * (key-parallel across documents). Nothing global, nothing driver-side.
+    * Output: (doc_id, clean_text, n_paras, n_kept) — clean_text "" when
+    * every paragraph of the doc appeared earlier in the corpus. */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      paras: org.apache.spark.sql.Column): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"), posexplode(paras))
+      .select(col("doc_id"), col("pos"), col("col").as("para"),
+        md5(col("para")).as("h"))
+    val first = exploded.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    exploded.join(first, "h")
+      .withColumn("__keep",
+        (col("doc_id") === col("__first.doc_id") && col("pos") === col("__first.pos"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep") === 1,
+            struct(col("pos"), col("para"))))),
+          x => x.getField("para")), " ").as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        sum(col("__keep")).as("n_kept"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash-LSH banding, verified with
     * exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold. */
@@ -337,6 +381,84 @@ object Dedup {
       }
     }.toDF("id_a", "id_b", "c")
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** SEMANTIC dedup, cluster-bounded (SemDeDup, Abbas et al. 2023): assign
+    * every embedding to its nearest centroid, then compare pairs only
+    * WITHIN a cluster — the O(Σ|c|²) middle ground between the exact O(n²)
+    * baseline ([[embeddingNearDup]]) and banded LSH
+    * ([[rpLshNearDupPortable]]): candidate generation follows the data's
+    * own density rather than random hyperplanes, which is why production
+    * semantic-dedup pipelines cluster first.
+    *
+    * Everything is FIXED POINT so the whole pipeline (quantize → assign →
+    * pair → cosine test) is hash-verifiable cross-engine: vectors quantize
+    * to floor(x·scale) longs; assignment is an exact integer argmin of
+    * squared distance (ties → lowest centroid id); the cosine threshold
+    * test cross-multiplies — dot² · thrDen² ≥ ‖a‖²·‖b‖² · thrNum² in
+    * decimal(38,0) (DuckDB HUGEINT) — so no square root, no float division,
+    * no rounding anywhere.
+    *
+    * Centroids here are the `k` lowest-id vectors (deterministic,
+    * model-sized collect — the SQL oracle replays them); production trains
+    * them with the integer-Lloyd pass of `Similarity.ivfKnnPortable`
+    * (q124) and passes more clusters. Plan shape: narrow quantize+assign
+    * projection (broadcast seeds) → ids+vectors self-join on cluster (ONE
+    * shuffle; a mega-cluster bounds its own tasks — split it by raising k
+    * or salting the hot cluster) → codegen-friendly HOF dot products.
+    * Returns (cluster, id_a, id_b, dotv), id_a < id_b, cosine ≥
+    * thrNum/thrDen. */
+  def semanticDedup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      thrNum: Int = 99,
+      thrDen: Int = 100,
+      scale: Long = 1024L,
+      dim: Int = 64): DataFrame = {
+    require(k > 0 && thrNum > 0 && thrDen >= thrNum,
+      s"need k > 0 and 0 < thrNum <= thrDen, got k=$k, $thrNum/$thrDen")
+    val q = vecs
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        Vectors.fixedPointQuant(scale)(col(vecCol)).as("e"))
+    val seeds: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val bc = vecs.sparkSession.sparkContext.broadcast(seeds)
+    val assign = udf { (e: Seq[Long]) =>
+      val cs = bc.value
+      val ev = e.toArray
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0L
+        var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val t = ev(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+        c += 1
+      }
+      best
+    }
+    val assigned = q
+      .withColumn("cluster", assign(col("e")))
+      .withColumn("nn", aggregate(col("e"), lit(0L), (acc, x) => acc + x * x))
+      .localCheckpoint(true) // both sides of the cluster self-join
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("e").as("ea"), col("nn").as("na"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("e").as("eb"), col("nn").as("nb"))
+    a.join(b, Seq("cluster")).where(col("id_a") < col("id_b"))
+      .withColumn("dotv",
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .where(col("dotv") > 0 &&
+        col("dotv").cast("decimal(38,0)") * col("dotv") * lit(thrDen.toLong * thrDen) >=
+        col("na").cast("decimal(38,0)") * col("nb") * lit(thrNum.toLong * thrNum))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("id_a"), col("id_b"), col("dotv"))
   }
 
   /** Embedding-cosine near-dup at scale: random-hyperplane signatures,

@@ -125,6 +125,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic global shuffle + balanced shard assignment — the
+    * training-shard writer shape: order the corpus by `md5(id)` (an
+    * engine-portable, content-independent permutation, so adjacent source
+    * documents land in different shards) and split that order into
+    * `nShards` contiguous, size-balanced ranges (shard sizes differ by at
+    * most 1). Position comes from [[OrderedScan.rowNumber]] — the
+    * distributed two-level stitch, never a global single-task window —
+    * and the total count joins as a 1-row broadcast. Downstream,
+    * `df.write.partitionBy("shard")` materializes the shards; epoch
+    * re-shuffles are just a different salt concatenated into the hash.
+    * Output: original columns + (__k md5 key, pos 0-based, shard). */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      buckets: Int = 64): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    require(!df.columns.contains("__k"), "__k is reserved by shardAssign")
+    val keyed = df.withColumn("__k", md5(col(idCol).cast("string")))
+    val pos = OrderedScan.rowNumber(keyed, "__k", "pos", buckets)
+    val total = keyed.agg(count(lit(1)).as("__n"))
+    pos.crossJoin(broadcast(total))
+      // (pos * nShards) DIV total: exact integer split — shard boundaries
+      // land where the fraction pos/total crosses i/nShards, so sizes are
+      // floor/ceil(total/nShards) with no accumulation error
+      .withColumn("shard", expr(s"(pos * $nShards) DIV __n"))
+      .drop("__n")
+  }
+
   /** Keep rows whose `valueCol` lies within their OWN group's exact
     * [lo, hi] quantiles — per-source outlier trimming (too-short / too-long
     * documents are low-quality with high probability). Two passes: a

@@ -586,4 +586,99 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(x => (x.getString(0), x.getLong(2))).toMap
     assert(r2 === Map("A" -> 0L, "B" -> 0L))
   }
+
+  test("shardAssign: balanced contiguous shards over the md5 order, nothing lost") {
+    import graft.operators.Sampling
+    val df = (0L until 100L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val r = Sampling.shardAssign(df, "id", nShards = 7, buckets = 4).collect()
+    assert(r.length === 100)
+    val byShard = r.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length).toMap
+    assert(byShard.keySet === (0L until 7L).toSet)
+    // exact integer split: sizes are floor/ceil(100/7) = 14 or 15
+    assert(byShard.values.forall(n => n == 14 || n == 15))
+    // shards are contiguous ranges of the md5-ordered positions
+    val posByShard = r.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("pos")).sorted).toMap
+    (0L until 7L).foreach { s =>
+      val ps = posByShard(s)
+      assert(ps.last - ps.head === ps.length - 1, s"shard $s not contiguous")
+    }
+    // and the md5 order itself: pos sorts identically to the hex key
+    val byPos = r.sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("__k")).toSeq
+    assert(byPos === byPos.sorted)
+  }
+
+  test("paragraphDedup: keep-first across docs, reconstruction in order, empty survivors") {
+    // paragraphs pre-split (real corpora: split on \n\n)
+    val docs = Seq(
+      (1L, Seq("shared header", "unique one")),
+      (2L, Seq("shared header", "unique two", "unique one")),
+      (3L, Seq("shared header"))).toDF("doc_id", "paras")
+    val r = Dedup.paragraphDedup(docs, "doc_id", col("paras"))
+      .collect().map(x => (x.getLong(0),
+        (x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1 owns both its paragraphs (first occurrences)
+    assert(r(1L) === (("shared header unique one", 2L, 2L)))
+    // doc 2 loses the header AND "unique one" (doc 1 got there first),
+    // keeps its own paragraph — order preserved
+    assert(r(2L) === (("unique two", 3L, 1L)))
+    // doc 3 loses everything → empty reconstruction, 0 kept
+    assert(r(3L) === (("", 1L, 0L)))
+  }
+
+  test("naiveBayesPredict: separable vocab classifies; smoothing handles unseen; tie → lowest class") {
+    val train = Seq(
+      (1L, "spark scala shuffle", "code"), (2L, "scala catalyst spark", "code"),
+      (3L, "sonnet rhyme verse", "poem"), (4L, "verse rhyme meter", "poem"))
+      .toDF("doc_id", "text", "source")
+    val test_ = Seq(
+      (10L, "spark shuffle scala"), // code vocabulary
+      (11L, "rhyme verse sonnet"), // poem vocabulary
+      (12L, "zzz qqq www")) // fully unseen → priors+defaults tie → lowest class
+      .toDF("doc_id", "text")
+    val r = Text.naiveBayesPredict(train, test_, "doc_id", "text", "source")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r === Map(10L -> "code", 11L -> "poem", 12L -> "code"))
+    // score sanity: hand-compute doc 10. V=8 distinct train terms, each class
+    // 6 tokens; P(term|code) = (2+1)/(6+8) for spark/scala (ct=2), (1+1)/14
+    // for shuffle; prior ln(2/4)
+    val s10 = Text.naiveBayesPredict(train, test_, "doc_id", "text", "source")
+      .where(col("doc_id") === 10L).collect().head.getLong(2)
+    def u(x: Double): Long = Math.round(Math.log(x) * 1e6)
+    val expect = u(3.0 / 14) + u(3.0 / 14) + u(2.0 / 14) + u(0.5)
+    assert(s10 === expect)
+  }
+
+  test("semanticDedup: identical vectors pair within their cluster, orthogonal don't") {
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    val near = e1.clone(); near(1) = 0.05f // cos(e1, near) ≈ 0.999
+    val vecs = Seq(
+      (0L, e1.toSeq), (1L, e2.toSeq), (2L, near.toSeq),
+      (3L, Seq.fill(64)(0.25f)) // far from both axes
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      k = 2, thrNum = 9, thrDen = 10)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    // 0 and 2 share the e1-side cluster and clear 0.9; nothing else does
+    assert(r === Set((0L, 2L)))
+  }
+
+  test("saltedAgg: identical to the plain groupBy across all four ops") {
+    import graft.operators.Skew
+    val df = (1 to 200).map(i => (s"k${i % 3}", i.toLong, i * 1.5))
+      .toDF("key", "n", "x")
+    val salted = Skew.saltedAgg(df, "key", Seq(
+      "sum_n" -> ("sum", "n"), "cnt" -> ("count", ""),
+      "min_x" -> ("min", "x"), "max_x" -> ("max", "x")), salts = 8)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val plain = df.groupBy(col("key")).agg(
+      sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"),
+      min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(salted === plain)
+    assert(salted.size === 3)
+  }
 }
