@@ -50,19 +50,19 @@ object Bench {
       name -> (if (runs > 1) Seq.fill(runs)(once()).sorted.apply(runs / 2) else once())
     }
     // ONE final SHORT line, sized for the driver's FIXED 2000-char tail
-    // window: round 2's full-name line (~4.4 KB) overflowed it, and at
-    // 146 queries even 3-dp seconds (~14 chars/query ≈ 2.05 KB with the
-    // sbt trailer) would clip again — so per-query timings are INTEGER
-    // MILLISECONDS ("qunit":"ms", ~11.5 chars/query ≈ 1.76 KB total,
-    // headroom to ~160 queries). The total stays in 3-dp seconds. The
-    // full-precision JSON is also self-written to BENCH_SELF.json in the
-    // repo, immune to the tail window entirely.
+    // window: round 2's full-name line (~4.4 KB) overflowed it; integer
+    // milliseconds ("qunit":"ms") fixed that through ~155 queries, and at
+    // 157 the "q" prefix and the sf path go too — keys are the bare query
+    // number ("153":1234, ~11 chars/query ≈ 1.73 KB total, headroom to
+    // ~175 queries). The total stays in 3-dp seconds. The full-precision
+    // full-name JSON is self-written to BENCH_SELF.json in the repo,
+    // immune to the tail window entirely.
     def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    val shortKeys = results.keys.map(_.takeWhile(_ != '_').drop(1)).toSeq
     require(shortKeys.distinct.size == shortKeys.size,
       "two query names share a qNN id — the shortened bench JSON would emit duplicate keys")
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000)
+      "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + math.round(v * 1000)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // only FULL runs may overwrite the tracked record — a filtered
@@ -75,7 +75,7 @@ object Bench {
         s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","queries":$qs}""")
     spark.stop()
   }
 }

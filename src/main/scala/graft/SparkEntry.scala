@@ -602,6 +602,31 @@ object SparkEntry {
         k = 8, thrNum = 4, thrDen = 10)
     }),
 
+    // ---- dataset prep at scale: the TRAINING-SEQUENCE boundary index —
+    //      docs concatenate in md5 order into 128-token sequences; each doc
+    //      maps to (seq_id, tok_start, tok_end); one distributed prefix sum
+    //      + integer DIV, hash-exact ----
+    "q158_sequence_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.sequenceIndex(docs, "doc_id", "n_tok", seqTokens = 128, buckets = 16)
+        .select(col("doc_id"), col("n_tok"), col("seq_id"),
+          col("tok_start"), col("tok_end"))
+    }),
+
+    // ---- curation at scale: per-source WINSORIZATION — outliers clamp to
+    //      their own group's exact [5%, 95%] quantiles instead of dropping
+    //      (row count preserved for downstream packing); census per source ----
+    "q159_winsorize" -> ((s, dir) => {
+      Sampling.winsorizeByGroup(
+        t(s, dir, "documents"), "source", "n_chars", 0.05, 0.95, "w_chars")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("w_chars")), 4).as("sum_w"),
+          round(min(col("w_chars")), 4).as("min_w"),
+          round(max(col("w_chars")), 4).as("max_w"))
+    }),
+
     // ---- skew at scale: two-phase SALTED AGGREGATION — the hot group key
     //      spreads over 8 salt sub-keys in phase 1, phase 2 merges the
     //      algebraic partials; output identical to the plain groupBy ----
@@ -2147,6 +2172,32 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q158_sequence_index" ->
+      """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |        CAST(sum(n_tok) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d),
+        |s AS (SELECT doc_id, n_tok, (cum - n_tok) // 128 AS seq_id,
+        |        cum - n_tok - ((cum - n_tok) // 128) * 128 AS tok_start
+        |      FROM r)
+        |SELECT doc_id, n_tok, seq_id, tok_start, tok_start + n_tok AS tok_end
+        |FROM s""".stripMargin,
+
+    "q159_winsorize" ->
+      """WITH q AS (SELECT source, quantile_cont(n_chars, 0.05) AS qlo,
+        |           quantile_cont(n_chars, 0.95) AS qhi
+        |           FROM documents GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |  round(sum(least(greatest(n_chars::DOUBLE, qlo), qhi)), 4) AS sum_w,
+        |  round(min(least(greatest(n_chars::DOUBLE, qlo), qhi)), 4) AS min_w,
+        |  round(max(least(greatest(n_chars::DOUBLE, qlo), qhi)), 4) AS max_w
+        |FROM documents d JOIN q ON d.source = q.source
+        |GROUP BY d.source""".stripMargin,
 
     "q157_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,

@@ -30,4 +30,40 @@ object Packing {
         floor((col("__cum") - col(tokCol)) / targetTokens).cast("long"))
       .drop("__cum")
   }
+
+  /** TRAINING-SEQUENCE boundary index — the artifact a pretraining
+    * dataloader actually consumes: documents concatenate in md5(id) order
+    * (the deterministic global shuffle of `Sampling.shardAssign`, so
+    * adjacent source docs scatter) into fixed `seqTokens`-token sequences,
+    * and each document is mapped to (seq_id, tok_start, tok_end) — its
+    * token span within its sequence. A document belongs to the sequence
+    * where it STARTS; the budget-crossing document's tok_end overhangs
+    * seqTokens (same contract as [[packByTokens]]: the loader truncates or
+    * lets the sequence run long — membership never splits, so the map
+    * stays one row per doc).
+    *
+    * Everything derives from ONE distributed prefix sum
+    * ([[OrderedScan.runningSum]]'s two-level stitch) + narrow integer
+    * arithmetic (DIV, no floats) — hash-exact on any engine and never a
+    * global single-task window. `tokCol` must be integral (LongType).
+    * Output: input columns + (seq_id, tok_start, tok_end). */
+  def sequenceIndex(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      seqTokens: Long,
+      buckets: Int = 64): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(!df.columns.contains("__k"), "__k is reserved by sequenceIndex")
+    val keyed = df.withColumn("__k", md5(col(idCol).cast("string")))
+    OrderedScan.runningSum(keyed, "__k", tokCol, "__cum", buckets)
+      // runningSum types the stitched sum double (carry add) — integrally
+      // valued for an integral tokCol, so the cast back is exact (< 2^53)
+      .withColumn("__cum", col("__cum").cast("long"))
+      .withColumn("seq_id", expr(s"(__cum - `$tokCol`) DIV $seqTokens"))
+      .withColumn("tok_start",
+        col("__cum") - col(tokCol) - col("seq_id") * seqTokens)
+      .withColumn("tok_end", col("tok_start") + col(tokCol))
+      .drop("__cum", "__k")
+  }
 }

@@ -174,4 +174,29 @@ object Sampling {
       .where(col(valueCol) >= col("__qlo") && col(valueCol) <= col("__qhi"))
       .drop("__qlo", "__qhi")
   }
+
+  /** WINSORIZE `valueCol` to its own group's exact [lo, hi] quantiles —
+    * the clamp-variant of [[filterByGroupQuantiles]]: outliers are pulled
+    * to the boundary instead of dropped (row count preserved — the choice
+    * when downstream weighting/packing must see every document). Same
+    * scale shape: one group-keyed exact-percentile agg (#groups rows,
+    * broadcast back), then a narrow least/greatest projection. Adds
+    * `outCol` (double — quantile boundaries interpolate); the original
+    * column is untouched. */
+  def winsorizeByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      outCol: String): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val q = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(lo)).as("__qlo"),
+      percentile(col(valueCol), lit(hi)).as("__qhi"))
+    df.join(broadcast(q), groupCol)
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast("double"), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
 }

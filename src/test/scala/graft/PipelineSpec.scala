@@ -664,6 +664,50 @@ class PipelineSpec extends SparkSpecBase {
     assert(r === Set((0L, 2L)))
   }
 
+  test("sequenceIndex: spans tile the token stream; budget-crossing doc overhangs") {
+    import graft.operators.Packing
+    val docs = (0L until 50L).map(i => (i, 10L + (i % 7))).toDF("id", "n_tok")
+    val r = Packing.sequenceIndex(docs, "id", "n_tok", seqTokens = 32, buckets = 4)
+      .collect().map(x => (x.getAs[Long]("id"),
+        (x.getAs[Long]("seq_id"), x.getAs[Long]("tok_start"), x.getAs[Long]("tok_end"))))
+      .toMap
+    assert(r.size === 50)
+    // reconstruct the md5 order and check the spans against a sequential model
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (0L until 50L).sortBy(hex)
+    var cum = 0L
+    ordered.foreach { id =>
+      val n = 10L + (id % 7)
+      val seq = cum / 32
+      assert(r(id) === ((seq, cum - seq * 32, cum - seq * 32 + n)),
+        s"doc $id at cum $cum")
+      cum += n
+    }
+    // every doc starts inside its sequence; only spans may overhang
+    assert(r.values.forall { case (_, s, e) => s >= 0 && s < 32 && e > s })
+    assert(r.values.exists { case (_, _, e) => e > 32 }, "expected an overhanging doc")
+  }
+
+  test("winsorizeByGroup clamps to the same bounds filterByGroupQuantiles keeps") {
+    import graft.operators.Sampling
+    val df = (1 to 40).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
+    val w = Sampling.winsorizeByGroup(df, "g", "v", 0.25, 0.75, "wv").collect()
+    assert(w.length === 40) // row count preserved
+    val bounds = df.groupBy(col("g")).agg(
+      percentile(col("v"), lit(0.25)).as("lo"),
+      percentile(col("v"), lit(0.75)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    w.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val (v, wv) = (r.getDouble(1), r.getAs[Double]("wv"))
+      assert(wv === math.min(math.max(v, lo), hi))
+    }
+    // interior values untouched, outliers pulled exactly to the boundary
+    assert(w.exists(r => r.getDouble(1) != r.getAs[Double]("wv")))
+  }
+
   test("saltedAgg: identical to the plain groupBy across all four ops") {
     import graft.operators.Skew
     val df = (1 to 200).map(i => (s"k${i % 3}", i.toLong, i * 1.5))
