@@ -444,16 +444,17 @@ object Dedup {
     }
     val assigned = q
       .withColumn("cluster", assign(col("e")))
-      .withColumn("nn", aggregate(col("e"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nn", expr("dot_i64(e, e)")) // codegen kernel (see DotI64)
       .localCheckpoint(true) // both sides of the cluster self-join
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("e").as("ea"), col("nn").as("na"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
       col("e").as("eb"), col("nn").as("nb"))
     a.join(b, Seq("cluster")).where(col("id_a") < col("id_b"))
-      .withColumn("dotv",
-        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+      // the pair scan is the O(Σ|c|²) hot loop — dot_i64 keeps it inside
+      // whole-stage codegen (a HOF zip_with+aggregate would allocate a
+      // 64-element array per pair)
+      .withColumn("dotv", expr("dot_i64(ea, eb)"))
       .where(col("dotv") > 0 &&
         col("dotv").cast("decimal(38,0)") * col("dotv") * lit(thrDen.toLong * thrDen) >=
         col("na").cast("decimal(38,0)") * col("nb") * lit(thrNum.toLong * thrNum))

@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Norm2F32].getName, "norm2_f32"),
       (args: Seq[Expression]) => Norm2F32(args(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_i64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotI64].getName, "dot_i64"),
+      (args: Seq[Expression]) => DotI64(args(0), args(1))))
   }
 }
 
