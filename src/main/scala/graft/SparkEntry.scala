@@ -602,6 +602,47 @@ object SparkEntry {
         k = 8, thrNum = 4, thrDen = 10)
     }),
 
+    // ---- curation at scale: DELTA semantic dedup (ingest shape) — the
+    //      incoming batch assigns to the corpus's frozen seed centroids and
+    //      compares within-cluster against corpus vectors only (never a
+    //      corpus self-join); fixed-point end to end ----
+    "q160_delta_semantic" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Dedup.semanticDedupDelta(
+        vecs.where(col("vec_id") % 2 === 0), vecs.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 8, thrNum = 4, thrDen = 10)
+    }),
+
+    // ---- dataset prep at scale: EPOCH-SALTED deterministic sampling —
+    //      each epoch draws an independent md5-keyspace subsample
+    //      (deterministic, growth-stable, engine-portable); census per
+    //      (epoch, source) over 3 epochs ----
+    "q161_epoch_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      (0 until 3).map { e =>
+        Sampling.epochSample(docs, "doc_id", e, 0.25)
+          .groupBy(lit(e.toLong).as("epoch"), col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // ---- tokenizer precursor at scale: VOCABULARY COVERAGE — top-500
+    //      vocab by frequency with the cumulative corpus-coverage curve;
+    //      the global (count desc, term) ranking rides the OrderedScan
+    //      stitch over ONE encoded lexicographic key (a 10⁸-term web
+    //      vocabulary would single-task a plain Window) ----
+    "q162_vocab_coverage" -> ((s, dir) => {
+      Text.vocabCoverage(t(s, dir, "documents"), "text", vocabSize = 500,
+        buckets = 16)
+    }),
+
+    // ---- phrase mining at scale: PMI bigram collocations (word2phrase) —
+    //      fixed-point micro-nat PMI, min-count 5, deterministic top-100;
+    //      unigram table joins back size-gated, totals broadcast ----
+    "q163_pmi_bigrams" -> ((s, dir) => {
+      Text.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5L, topK = 100)
+    }),
+
     // ---- dataset prep at scale: the TRAINING-SEQUENCE boundary index —
     //      docs concatenate in md5 order into 128-token sequences; each doc
     //      maps to (seq_id, tok_start, tok_end); one distributed prefix sum
@@ -2172,6 +2213,79 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q160_delta_semantic" ->
+      """WITH qa AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |cor AS (SELECT * FROM qa WHERE vec_id % 2 = 0),
+        |inc AS (SELECT * FROM qa WHERE vec_id % 2 = 1),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |      FROM cor ORDER BY vec_id LIMIT 8),
+        |tok AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM qa),
+        |ctok AS (SELECT cid, unnest(ce) AS cx, generate_subscripts(ce, 1) AS i FROM c),
+        |dist AS (SELECT t.vec_id, c.cid,
+        |           CAST(sum((t.x - c.cx) * (t.x - c.cx)) AS BIGINT) AS d
+        |         FROM tok t JOIN ctok c ON t.i = c.i GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid AS cluster FROM
+        |          (SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |           FROM dist)
+        |        WHERE rn = 1),
+        |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nn FROM tok GROUP BY 1),
+        |pr AS (SELECT a.cluster, a.vec_id AS inc_id, b.vec_id AS cor_id
+        |       FROM asg a JOIN asg b ON a.cluster = b.cluster
+        |       WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+        |dp AS (SELECT pr.cluster, pr.inc_id, pr.cor_id,
+        |         CAST(sum(ta.x * tb.x) AS BIGINT) AS dotv
+        |       FROM pr JOIN tok ta ON ta.vec_id = pr.inc_id
+        |                JOIN tok tb ON tb.vec_id = pr.cor_id AND ta.i = tb.i
+        |       GROUP BY 1, 2, 3)
+        |SELECT dp.cluster, dp.inc_id, dp.cor_id, dp.dotv
+        |FROM dp JOIN nrm na ON na.vec_id = dp.inc_id
+        |        JOIN nrm nb ON nb.vec_id = dp.cor_id
+        |WHERE dp.dotv > 0
+        |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
+        |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q161_epoch_mix" ->
+      """SELECT e.epoch, d.source, count(*) AS n_docs
+        |FROM documents d, unnest([0, 1, 2]) AS e(epoch)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)),
+        |             1, 2) < '40'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q162_vocab_coverage" ->
+      """WITH tokc AS (SELECT t, count(*) AS ct FROM
+        |    (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tokc),
+        |r AS (SELECT t, ct, row_number() OVER (ORDER BY ct DESC, t) AS rank,
+        |        CAST(sum(ct) OVER (ORDER BY ct DESC, t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM tokc)
+        |SELECT rank, t AS term, ct, (cum * 1000000) // tot.n AS cov_ppm
+        |FROM r CROSS JOIN tot WHERE rank <= 500""".stripMargin,
+
+    "q163_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        |toks AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY 1),
+        |n1 AS (SELECT count(*) AS n1 FROM toks),
+        |bg AS (SELECT array_to_string(ws[i:i+1], ' ') AS bg
+        |       FROM w, unnest(range(1, len(ws))) AS x(i) WHERE len(ws) >= 2),
+        |bi AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM bi),
+        |f AS (SELECT c2, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |      FROM bi WHERE c2 >= 5),
+        |p AS (SELECT f.w1, f.w2, f.c2,
+        |        CAST(round(ln((f.c2::DOUBLE / n2.n2) /
+        |          ((ux.c1::DOUBLE / n1.n1) * (uy.c1::DOUBLE / n1.n1))) * 1000000)
+        |          AS BIGINT) AS pmi_u
+        |      FROM f JOIN uni ux ON f.w1 = ux.t JOIN uni uy ON f.w2 = uy.t
+        |      CROSS JOIN n1 CROSS JOIN n2)
+        |SELECT w1, w2, c2, pmi_u FROM p
+        |ORDER BY pmi_u DESC, w1, w2 LIMIT 100""".stripMargin,
 
     "q158_sequence_index" ->
       """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,

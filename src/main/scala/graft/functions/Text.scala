@@ -217,6 +217,79 @@ object Text {
         round(col("nll_total") / lit(1e6) / col("n_tok"), 4).as("avg_nll"))
   }
 
+  /** VOCABULARY COVERAGE — the tokenizer-training precursor: rank the
+    * corpus vocabulary by frequency and report, for each of the top
+    * `vocabSize` terms, the cumulative fraction of all corpus tokens a
+    * vocabulary cut at that rank would cover (the OOV-rate curve read
+    * bottom-up). Output: (rank 1-based, term, ct, cov_ppm).
+    *
+    * The global ranking is the interesting part at 100 TB: a vocabulary is
+    * NOT guaranteed model-sized (web-scale corpora reach 10⁸⁺ distinct
+    * tokens), so an unpartitioned `Window ORDER BY count DESC` would
+    * single-task it. Instead the (count desc, term asc) order is encoded
+    * into ONE lexicographic key — zero-padded (10¹²−count) ++ ':' ++ term —
+    * and both the rank and the running token sum ride the
+    * `OrderedScan` distributed stitch over that key. Integer cumulative
+    * sums make cov_ppm hash-exact (cum·10⁶ fits a long through ~9×10¹²
+    * corpus tokens; beyond that, divide first or move to decimal128). */
+  def vocabCoverage(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    import graft.operators.OrderedScan
+    val counts = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      .withColumn("__ok",
+        concat(lpad((lit(1000000000000L) - col("ct")).cast("string"), 13, "0"),
+          lit(":"), col("t")))
+      .localCheckpoint(true) // ranked scan + total derive from one agg
+    val total = counts.agg(sum(col("ct")).as("__tot"))
+    val cum = OrderedScan.runningSum(counts, "__ok", "ct", "__cum", buckets)
+      .withColumn("__cum", col("__cum").cast("long")) // integral-valued (< 2^53)
+    OrderedScan.rowNumber(cum, "__ok", "__r0", buckets)
+      .where(col("__r0") < vocabSize)
+      .crossJoin(broadcast(total))
+      .select((col("__r0") + 1).as("rank"), col("t").as("term"), col("ct"),
+        expr("(__cum * 1000000) DIV __tot").as("cov_ppm"))
+  }
+
+  /** PMI BIGRAM COLLOCATIONS (word2phrase-style phrase mining): pointwise
+    * mutual information ln(p(xy) / (p(x)p(y))) of adjacent token pairs,
+    * in fixed-point micro-nats (rounded ONCE per bigram — the q119
+    * convention), minimum bigram count `minCount`, top `topK` by
+    * (pmi desc, bigram asc) — a deterministic total order, so the cut is
+    * engine-exact. Plan: one unigram agg + one bigram agg (both map-side
+    * partial); the unigram table joins back twice (vocabulary-sized —
+    * size-gated broadcast); corpus totals are 1-row broadcasts; the top-k
+    * is a reduce, never a global sort materialization. */
+  def pmiBigrams(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("t"))
+    val uni = gatedBroadcast(
+      toks.groupBy(col("t")).agg(count(lit(1)).as("c1")).localCheckpoint(true))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val biAll = docs.select(explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // the total and the thresholded set share it
+    val n2 = biAll.agg(sum(col("c2")).as("n2"))
+    biAll.where(col("c2") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("t").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi_u",
+        round(log((col("c2") / col("n2")) /
+          ((col("cx") / col("n1")) * (col("cy") / col("n1")))) * lit(1e6)).cast("long"))
+      .orderBy(col("pmi_u").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c2"), col("pmi_u"))
+  }
+
   /** Multinomial NAIVE BAYES text classifier, trained AND applied on the
     * cluster — the model-based quality/domain filter of curation pipelines
     * (fasttext-shaped: bag-of-words × per-class log-probabilities), here

@@ -462,6 +462,65 @@ object Dedup {
         col("id_a"), col("id_b"), col("dotv"))
   }
 
+  /** DELTA semantic dedup — the ingest shape of [[semanticDedup]]: the
+    * incoming batch is assigned to the CORPUS's frozen seed centroids and
+    * compared only against corpus vectors of the same cluster — never a
+    * corpus self-join, mirroring [[exactDelta]]/[[minhashLshDelta]]. The
+    * corpus side ships only (cluster, id, e, ‖e‖²); the batch side is
+    * usually broadcast-sized, and the join is a plain cluster equi-join
+    * either way. Same fixed-point pipeline as [[semanticDedup]] — hash-
+    * verifiable end to end. Returns (cluster, inc_id, cor_id, dotv). */
+  def semanticDedupDelta(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      thrNum: Int = 99,
+      thrDen: Int = 100,
+      scale: Long = 1024L,
+      dim: Int = 64): DataFrame = {
+    require(k > 0 && thrNum > 0 && thrDen >= thrNum,
+      s"need k > 0 and 0 < thrNum <= thrDen, got k=$k, $thrNum/$thrDen")
+    def quant(df: DataFrame): DataFrame = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        Vectors.fixedPointQuant(scale)(col(vecCol)).as("e"))
+    val cor = quant(corpus)
+    val inc = quant(incoming)
+    val seeds: Array[Array[Long]] = cor.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val bc = corpus.sparkSession.sparkContext.broadcast(seeds)
+    val assign = udf { (e: Seq[Long]) =>
+      val cs = bc.value
+      val ev = e.toArray
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0L
+        var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val t = ev(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    def side(df: DataFrame, idOut: String, eOut: String, nOut: String): DataFrame =
+      df.withColumn("cluster", assign(col("e")))
+        .withColumn(nOut, expr("dot_i64(e, e)"))
+        .select(col("cluster"), col("id").as(idOut), col("e").as(eOut), col(nOut))
+    side(inc, "inc_id", "ei", "ni")
+      .join(side(cor, "cor_id", "ec", "nc"), Seq("cluster"))
+      .withColumn("dotv", expr("dot_i64(ei, ec)"))
+      .where(col("dotv") > 0 &&
+        col("dotv").cast("decimal(38,0)") * col("dotv") * lit(thrDen.toLong * thrDen) >=
+        col("ni").cast("decimal(38,0)") * col("nc") * lit(thrNum.toLong * thrNum))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("inc_id"), col("cor_id"), col("dotv"))
+  }
+
   /** Embedding-cosine near-dup at scale: random-hyperplane signatures,
     * candidates = pairs agreeing exactly on at least one `bitsPerBand`-bit
     * signature band (1 shuffle on band keys), verified by exact cosine ≥

@@ -103,6 +103,19 @@ object Sampling {
       .drop("__prio")
   }
 
+  /** EPOCH-SALTED deterministic sampling — the multi-epoch mixing plan:
+    * epoch `e` keeps a row iff the first two hex chars of
+    * `md5(id || ':' || e)` clear the fraction threshold, so each epoch
+    * draws an INDEPENDENT (but fully deterministic and engine-portable)
+    * subsample: repeated epochs see different data, reruns and other
+    * engines see the same data, and membership stays stable as the corpus
+    * grows (same contract as [[deterministic]]). Pure narrow filter —
+    * pushdown-friendly, no state between epochs. */
+  def epochSample(df: DataFrame, idCol: String, epoch: Int, fraction: Double): DataFrame =
+    df.where(
+      substring(md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString))), 1, 2)
+        < lit(hexThreshold(fraction)))
+
   /** Cap each group's contribution at `cap` rows — the per-domain cap of
     * crawl curation (no single source may dominate the training mix).
     * Deterministic: rows rank within their group by `orderCols` (make the

@@ -708,6 +708,64 @@ class PipelineSpec extends SparkSpecBase {
     assert(w.exists(r => r.getDouble(1) != r.getAs[Double]("wv")))
   }
 
+  test("semanticDedupDelta: batch near-dup of corpus flagged; no corpus self-pairs; fresh silent") {
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    val near = e1.clone(); near(1) = 0.05f
+    val corpus = Seq((0L, e1.toSeq), (1L, e2.toSeq), (2L, e1.toSeq)) // 0 and 2 identical
+      .toDF("vec_id", "embedding")
+    val incoming = Seq((10L, near.toSeq), (11L, Seq.fill(64)(-0.25f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedupDelta(corpus, incoming, "vec_id", "embedding",
+      k = 2, thrNum = 9, thrDen = 10)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    // the batch near-dup pairs with BOTH identical corpus vectors — and the
+    // corpus-internal duplicate (0,2) is NOT emitted (delta contract)
+    assert(r === Set((10L, 0L), (10L, 2L)))
+  }
+
+  test("epochSample: deterministic per epoch, independent across epochs, growth-stable") {
+    import graft.operators.Sampling
+    val df = (0L until 400L).toDF("id")
+    def ids(e: Int, d: org.apache.spark.sql.DataFrame) =
+      Sampling.epochSample(d, "id", e, 0.25).collect().map(_.getLong(0)).toSet
+    val e0 = ids(0, df)
+    assert(e0 === ids(0, df)) // rerun-identical
+    val e1 = ids(1, df)
+    assert(e0 !== e1) // epochs draw different subsamples
+    assert(e0.size > 60 && e0.size < 140) // ~100 expected
+    // growth stability: membership of existing rows unchanged by new rows
+    val grown = (0L until 800L).toDF("id")
+    assert(ids(0, grown).filter(_ < 400L) === e0)
+  }
+
+  test("vocabCoverage: ranks, counts and ppm curve match the hand computation") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Text.vocabCoverage(docs, "text", vocabSize = 10, buckets = 2)
+      .collect().map(x => (x.getAs[Long]("rank"),
+        (x.getAs[String]("term"), x.getAs[Long]("ct"), x.getAs[Long]("cov_ppm"))))
+      .toMap
+    // counts: a=3, b=2, c=1; total 6; cum 3,5,6
+    assert(r === Map(
+      1L -> (("a", 3L, 500000L)),
+      2L -> (("b", 2L, 833333L)),
+      3L -> (("c", 1L, 1000000L))))
+  }
+
+  test("pmiBigrams: a true collocation outranks independent co-occurrence") {
+    // "new york" always adjacent; "the" is everywhere (independent filler)
+    val line = "new york the cat the dog"
+    val docs = (1 to 10).map(i => (i.toLong, line)).toDF("doc_id", "text")
+    val r = Text.pmiBigrams(docs, "text", minCount = 5L, topK = 5)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getAs[Long]("pmi_u")))
+    assert(r.head._1 === (("new", "york")))
+    // hand PMI for (new, york): p(xy)=10/50 bigrams, p(new)=p(york)=10/60 tokens
+    val expect = Math.round(Math.log((10.0 / 50) / ((10.0 / 60) * (10.0 / 60))) * 1e6)
+    assert(r.head._2 === expect)
+    // the independent pairs carry strictly lower PMI
+    assert(r.tail.forall(_._2 < expect))
+  }
+
   test("saltedAgg: identical to the plain groupBy across all four ops") {
     import graft.operators.Skew
     val df = (1 to 200).map(i => (s"k${i % 3}", i.toLong, i * 1.5))
