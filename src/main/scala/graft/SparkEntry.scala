@@ -655,6 +655,18 @@ object SparkEntry {
           col("tok_start"), col("tok_end"))
     }),
 
+    // ---- dataset prep at scale: materialized TRAINING SEQUENCES — each
+    //      128-token sequence's documents concatenated in stream order with
+    //      an <eos> separator (the artifact the tokenizer actually eats);
+    //      seq_id-keyed reassembly, order from tok_start offsets ----
+    "q164_sequence_texts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.sequenceTexts(docs, "doc_id", "text", "n_tok",
+        seqTokens = 128, buckets = 16)
+    }),
+
     // ---- curation at scale: per-source WINSORIZATION — outliers clamp to
     //      their own group's exact [5%, 95%] quantiles instead of dropping
     //      (row count preserved for downstream packing); census per source ----
@@ -2247,6 +2259,23 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q164_sequence_texts" ->
+      """WITH d AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok
+        |           FROM documents),
+        |d2 AS (SELECT * FROM d WHERE n_tok > 0),
+        |r AS (SELECT doc_id, text, n_tok,
+        |        CAST(sum(n_tok) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d2),
+        |s AS (SELECT text, n_tok, (cum - n_tok) // 128 AS seq_id,
+        |        cum - n_tok - ((cum - n_tok) // 128) * 128 AS tok_start
+        |      FROM r)
+        |SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  string_agg(text, ' <eos> ' ORDER BY tok_start, text) AS seq_text
+        |FROM s GROUP BY seq_id""".stripMargin,
 
     "q161_epoch_mix" ->
       """SELECT e.epoch, d.source, count(*) AS n_docs

@@ -66,4 +66,30 @@ object Packing {
       .withColumn("tok_end", col("tok_start") + col(tokCol))
       .drop("__cum", "__k")
   }
+
+  /** Materialize the packed TRAINING SEQUENCES themselves: the documents of
+    * each [[sequenceIndex]] sequence concatenated in stream order with an
+    * `eos` separator — (seq_id, n_docs, n_tokens, seq_text). The reassembly
+    * is a seq_id-keyed agg (parallel across sequences — each collects only
+    * its own ≥~seqTokens tokens of text); order within a sequence comes
+    * from the tok_start offsets, not any shuffle order, so the output is
+    * deterministic on any engine/layout. Zero-token documents are excluded
+    * (they have no position in the token stream). */
+  def sequenceTexts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokCol: String,
+      seqTokens: Long,
+      eos: String = "<eos>",
+      buckets: Int = 64): DataFrame = {
+    val idx = sequenceIndex(df.where(col(tokCol) > 0), idCol, tokCol, seqTokens, buckets)
+    idx.groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tok_start"), col(textCol)))),
+          x => x.getField(textCol)), s" $eos ").as("seq_text"))
+  }
 }

@@ -690,6 +690,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.values.exists { case (_, _, e) => e > 32 }, "expected an overhanging doc")
   }
 
+  test("sequenceTexts: docs concatenate in stream order with eos; token sums per sequence") {
+    import graft.operators.Packing
+    val docs = (0L until 12L).map(i => (i, s"doc$i body", 8L))
+      .toDF("id", "text", "n_tok")
+    val r = Packing.sequenceTexts(docs, "id", "text", "n_tok",
+      seqTokens = 16, eos = "<eos>", buckets = 3).collect()
+    // 12 docs × 8 tokens into 16-token sequences → exactly 2 docs each
+    assert(r.length === 6)
+    assert(r.forall(_.getAs[Long]("n_docs") === 2L))
+    assert(r.forall(_.getAs[Long]("n_tokens") === 16L))
+    assert(r.forall(_.getAs[String]("seq_text").split(" <eos> ").length === 2))
+    // order within a sequence = md5 stream order (tok_start 0 before 8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (0L until 12L).sortBy(hex).map(i => s"doc$i body")
+    val expect = ordered.grouped(2).map(_.mkString(" <eos> ")).toSet
+    assert(r.map(_.getAs[String]("seq_text")).toSet === expect)
+  }
+
   test("winsorizeByGroup clamps to the same bounds filterByGroupQuantiles keeps") {
     import graft.operators.Sampling
     val df = (1 to 40).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
