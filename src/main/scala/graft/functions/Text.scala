@@ -245,9 +245,8 @@ object Text {
           lit(":"), col("t")))
       .localCheckpoint(true) // ranked scan + total derive from one agg
     val total = counts.agg(sum(col("ct")).as("__tot"))
-    val cum = OrderedScan.runningSum(counts, "__ok", "ct", "__cum", buckets)
+    OrderedScan.rowNumberAndSum(counts, "__ok", "__r0", "ct", "__cum", buckets)
       .withColumn("__cum", col("__cum").cast("long")) // integral-valued (< 2^53)
-    OrderedScan.rowNumber(cum, "__ok", "__r0", buckets)
       .where(col("__r0") < vocabSize)
       .crossJoin(broadcast(total))
       .select((col("__r0") + 1).as("rank"), col("t").as("term"), col("ct"),

@@ -587,4 +587,36 @@ object OrderedScan {
       .select(df.columns.map(col) :+
         (col("__rn") + col("__offset")).as(ordCol): _*)
   }
+
+  /** [[rowNumber]] AND [[runningSum]] fused into ONE stitched pass: both
+    * derive from the same bucket shuffle and within-bucket window sort, and
+    * the per-bucket summary carries (count, total) together — callers that
+    * need a global rank plus a running aggregate (vocabulary coverage
+    * curves, quota cuts) pay one scan instead of two. Appends `ordCol`
+    * (0-based long) and `cumCol` (double, like runningSum). */
+  def rowNumberAndSum(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      cumCol: String,
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    val within = b
+      .withColumn("__rn", row_number().over(wIn).cast("long") - 1)
+      .withColumn("__cum",
+        sum(col(valueCol)).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+    val summary = within.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__total"))
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__noff", coalesce(sum(col("__n")).over(wCarry), lit(0L)))
+      .withColumn("__soff", coalesce(sum(col("__total")).over(wCarry), lit(0.0)))
+      .select(col("__bucket"), col("__noff"), col("__soff"))
+    within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+      .select(df.columns.map(col) :+
+        (col("__rn") + col("__noff")).as(ordCol) :+
+        (col("__cum") + col("__soff")).as(cumCol): _*)
+  }
 }

@@ -398,4 +398,21 @@ class OrderedScanSpec extends SparkSpecBase {
       else assert(math.abs(gv - y) <= 1e-12 * math.abs(y), s"k=$k got=$gv want=$y")
     }
   }
+
+  test("rowNumberAndSum: one fused pass equals rowNumber + runningSum") {
+    val df = (0 until 300).map(i => ((i * 37 % 1000).toLong, (i % 5 + 1).toLong))
+      .toDF("k", "w").distinct() // distinct keys for a deterministic order
+    val fused = OrderedScan.rowNumberAndSum(df, "k", "rn", "w", "cum", buckets = 8)
+      .collect().map(r => (r.getAs[Long]("k"),
+        (r.getAs[Long]("rn"), r.getAs[Double]("cum")))).toMap
+    val rn = OrderedScan.rowNumber(df, "k", "rn", buckets = 8)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("rn"))).toMap
+    val cum = OrderedScan.runningSum(df, "k", "w", "cum", buckets = 8)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("cum"))).toMap
+    assert(fused.view.mapValues(_._1).toMap === rn)
+    assert(fused.view.mapValues(_._2).toMap === cum)
+    // and the fused pass is internally consistent: cum at rank r = prefix sum
+    val ordered = fused.toSeq.sortBy(_._2._1)
+    assert(ordered.map(_._1) === ordered.map(_._1).sorted)
+  }
 }
