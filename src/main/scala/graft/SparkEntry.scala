@@ -655,6 +655,39 @@ object SparkEntry {
           col("tok_start"), col("tok_end"))
     }),
 
+    // ---- tokenizer training at scale: ONE BPE merge round (Sennrich) —
+    //      adjacent char-pair counts weighted by word frequency, computed
+    //      on the deduplicated WORD table (vocabulary-sized), never the
+    //      raw corpus; the top row is the merge the trainer would pick ----
+    "q165_bpe_merge_pairs" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words.where(length(col("w")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(50)
+    }),
+
+    // ---- curation at scale: SEMANTIC dedup APPLIED — SemDeDup pairs →
+    //      connected components → drop non-representatives; per-label
+    //      census of the survivors (the q120 composition over the
+    //      embedding graph) ----
+    "q166_semantic_apply" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val pairs = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 8, thrNum = 4, thrDen = 10)
+        .select(col("id_a"), col("id_b"))
+      val drop = Dedup.components(pairs)
+        .where(col("id") =!= col("cluster"))
+        .select(col("id").cast("long").as("vec_id"))
+      vecs.join(drop, Seq("vec_id"), "left_anti")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_after"))
+    }),
+
     // ---- dataset prep at scale: materialized TRAINING SEQUENCES — each
     //      128-token sequence's documents concatenated in stream order with
     //      an <eos> separator (the artifact the tokenizer actually eats);
@@ -2259,6 +2292,57 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q165_bpe_merge_pairs" ->
+      """WITH words AS (SELECT w, count(*) AS wc FROM
+        |    (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+        |      FROM words, unnest(range(1, length(w))) AS x(i)
+        |      WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "q166_semantic_apply" ->
+      """WITH RECURSIVE q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |      FROM q ORDER BY vec_id LIMIT 8),
+        |tok AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM q),
+        |ctok AS (SELECT cid, unnest(ce) AS cx, generate_subscripts(ce, 1) AS i FROM c),
+        |dist AS (SELECT t.vec_id, c.cid,
+        |           CAST(sum((t.x - c.cx) * (t.x - c.cx)) AS BIGINT) AS d
+        |         FROM tok t JOIN ctok c ON t.i = c.i GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid AS cluster FROM
+        |          (SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |           FROM dist)
+        |        WHERE rn = 1),
+        |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nn FROM tok GROUP BY 1),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |dp AS (SELECT pr.id_a, pr.id_b, CAST(sum(ta.x * tb.x) AS BIGINT) AS dotv
+        |       FROM pr JOIN tok ta ON ta.vec_id = pr.id_a
+        |                JOIN tok tb ON tb.vec_id = pr.id_b AND ta.i = tb.i
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT dp.id_a, dp.id_b
+        |          FROM dp JOIN nrm na ON na.vec_id = dp.id_a
+        |                  JOIN nrm nb ON nb.vec_id = dp.id_b
+        |          WHERE dp.dotv > 0
+        |            AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
+        |                >= CAST(na.nn AS HUGEINT) * nb.nn * 16),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE cluster <> id)
+        |SELECT e.label, count(*) AS n_after FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY e.label""".stripMargin,
 
     "q164_sequence_texts" ->
       """WITH d AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS k,

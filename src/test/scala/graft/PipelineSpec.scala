@@ -786,6 +786,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.tail.forall(_._2 < expect))
   }
 
+  test("bpe merge pairs: word-frequency-weighted char pairs rank the merge") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val words = docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = words.where(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // low×2 + lower×1: lo=3, ow=3, er=1, we=1 → ties break lexicographically
+    assert(pairs === Seq(("lo", 3L), ("ow", 3L), ("er", 1L), ("we", 1L)))
+  }
+
+  test("semantic dedup applied: components drop non-representatives, census survives") {
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val near = e1.clone(); near(1) = 0.05f
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    // seeds are the 2 lowest ids (e1, e2); the near-dup of e1 comes later
+    val vecs = Seq((0L, e1.toSeq), (1L, e2.toSeq), (2L, near.toSeq))
+      .toDF("vec_id", "embedding").withColumn("label", lit(7))
+    val pairs = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      k = 2, thrNum = 9, thrDen = 10).select(col("id_a"), col("id_b"))
+    val drop = Dedup.components(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").cast("long").as("vec_id"))
+    val survivors = vecs.join(drop, Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L, 1L)) // 2 collapses into 0's component
+  }
+
   test("saltedAgg: identical to the plain groupBy across all four ops") {
     import graft.operators.Skew
     val df = (1 to 200).map(i => (s"k${i % 3}", i.toLong, i * 1.5))
