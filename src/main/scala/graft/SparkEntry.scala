@@ -618,12 +618,17 @@ object SparkEntry {
     //      (deterministic, growth-stable, engine-portable); census per
     //      (epoch, source) over 3 epochs ----
     "q161_epoch_mix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      (0 until 3).map { e =>
-        Sampling.epochSample(docs, "doc_id", e, 0.25)
-          .groupBy(lit(e.toLong).as("epoch"), col("source"))
-          .agg(count(lit(1)).as("n_docs"))
-      }.reduce(_ unionAll _)
+      // the census reads the corpus ONCE and fans out the 3 epoch arms
+      // (explode of a 3-element array) rather than scanning per epoch;
+      // production per-epoch jobs call Sampling.epochSample — the same
+      // narrow md5 filter, one epoch at a time
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .where(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))), 1, 2) < lit("40"))
+        .groupBy(col("epoch"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // ---- tokenizer precursor at scale: VOCABULARY COVERAGE — top-500

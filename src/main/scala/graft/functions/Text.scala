@@ -240,9 +240,14 @@ object Text {
     import graft.operators.OrderedScan
     val counts = docs.select(explode(tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-      .withColumn("__ok",
+      // a count at/above the pad base would make (base - ct) negative and
+      // silently corrupt the lexicographic order — fail loudly instead
+      // (10¹² occurrences of ONE token ≈ petabytes of it; raise the base
+      // and width together if that day comes)
+      .withColumn("__ok", when(col("ct") < lit(1000000000000L),
         concat(lpad((lit(1000000000000L) - col("ct")).cast("string"), 13, "0"),
           lit(":"), col("t")))
+        .otherwise(raise_error(lit("vocabCoverage: token count exceeds the 10^12 key pad"))))
       .localCheckpoint(true) // ranked scan + total derive from one agg
     val total = counts.agg(sum(col("ct")).as("__tot"))
     OrderedScan.rowNumberAndSum(counts, "__ok", "__r0", "ct", "__cum", buckets)
@@ -307,7 +312,10 @@ object Text {
     * vocabulary-sized, so the broadcast is size-gated with a shuffle-join
     * fallback — → per-(doc, class) integer sum + prior → argmax via a
     * doc-partitioned window (parallel across docs; ties → lowest class).
-    * Output: (doc_id, pred, score_u). */
+    * Output: (doc_id, pred, score_u). Edge contracts: a class whose train
+    * docs are all token-free contributes no model rows and drops from
+    * scoring; a test doc with no tokens has no bag to score and is absent
+    * from the output. */
   def naiveBayesPredict(
       train: org.apache.spark.sql.DataFrame,
       test: org.apache.spark.sql.DataFrame,

@@ -38,9 +38,10 @@ object Skew {
   /** Two-phase SALTED AGGREGATION for skewed group keys: phase 1 aggregates
     * per (key, salt) — the hot key's rows spread over `salts` reduce tasks —
     * phase 2 merges the `salts` partials per key (a #keys×salts-row shuffle,
-    * trivial). Output is IDENTICAL to `df.groupBy(key).agg(...)` because
-    * every supported op is algebraic (sum/count re-merge with sum, min/max
-    * with min/max).
+    * trivial). Output equals `df.groupBy(key).agg(...)`: count/min/max and
+    * integral sums exactly; float sums up to re-association (neither form
+    * has a canonical order — parity tests round, per the oracle
+    * conventions).
     *
     * When it matters at 100 TB: Spark's hash aggregate already does map-side
     * partials for these built-ins, so a plain groupBy rarely skews — the
