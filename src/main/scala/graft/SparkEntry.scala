@@ -676,6 +676,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- keyword extraction at scale: TEXTRANK — fixed-point integer
+    //      PageRank over the term co-occurrence graph, 2 iterations; each
+    //      round is two key-parallel shuffles, the oracle replays the
+    //      ladder unrolled (the q124 integer-Lloyd pattern on a graph) ----
+    "q167_textrank" -> ((s, dir) => {
+      Text.textRankTerms(t(s, dir, "documents"), "text", iters = 2, topK = 20)
+    }),
+
     // ---- curation at scale: SEMANTIC dedup APPLIED — SemDeDup pairs →
     //      connected components → drop non-representatives; per-label
     //      census of the survivors (the q120 composition over the
@@ -2297,6 +2305,33 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q167_textrank" ->
+      """WITH w0 AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        |bg AS (SELECT array_to_string(ws[i:i+1], ' ') AS bg
+        |       FROM w0, unnest(range(1, len(ws))) AS x(i) WHERE len(ws) >= 2),
+        |bc AS (SELECT bg, count(*) AS w FROM bg GROUP BY 1),
+        |bu AS (SELECT string_split(bg, ' ')[1] AS u, string_split(bg, ' ')[2] AS v, w
+        |       FROM bc),
+        |e AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM
+        |        (SELECT u, v, w FROM bu UNION ALL SELECT v, u, w FROM bu)
+        |      GROUP BY 1, 2),
+        |ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |p AS (SELECT 1000000000000 // count(*) AS base FROM ow),
+        |r0 AS (SELECT u AS t, (SELECT base FROM p) AS r FROM ow),
+        |c1 AS (SELECT e.v AS t, CAST(sum((r0.r * e.w) // ow.wout) AS BIGINT) AS cin
+        |       FROM e JOIN ow ON e.u = ow.u JOIN r0 ON r0.t = e.u GROUP BY 1),
+        |r1 AS (SELECT r0.t,
+        |         ((SELECT base FROM p) * 15) // 100
+        |           + (85 * coalesce(c1.cin, 0)) // 100 AS r
+        |       FROM r0 LEFT JOIN c1 ON r0.t = c1.t),
+        |c2 AS (SELECT e.v AS t, CAST(sum((r1.r * e.w) // ow.wout) AS BIGINT) AS cin
+        |       FROM e JOIN ow ON e.u = ow.u JOIN r1 ON r1.t = e.u GROUP BY 1),
+        |r2 AS (SELECT r1.t,
+        |         ((SELECT base FROM p) * 15) // 100
+        |           + (85 * coalesce(c2.cin, 0)) // 100 AS r
+        |       FROM r1 LEFT JOIN c2 ON r1.t = c2.t)
+        |SELECT t AS term, r AS rank_u FROM r2 ORDER BY r DESC, t LIMIT 20""".stripMargin,
 
     "q165_bpe_merge_pairs" ->
       """WITH words AS (SELECT w, count(*) AS wc FROM

@@ -294,6 +294,63 @@ object Text {
       .select(col("w1"), col("w2"), col("c2"), col("pmi_u"))
   }
 
+  /** TEXTRANK keyword extraction (Mihalcea-Tarau 2004): PageRank over the
+    * term co-occurrence graph — nodes are terms, edges are adjacent-token
+    * pairs weighted by corpus count (both directions), rank follows
+    * r' = (1−d)/N + d·Σ_in r(u)·w(u,v)/W(u) with damping d = 85/100.
+    *
+    * Entirely in FIXED POINT integers: r₀ = 10¹² DIV N, every contribution
+    * is (r·w) DIV W then scaled 85/100 with integer DIVs in a fixed order —
+    * so each iteration is engine-exact and the whole ladder replays in an
+    * unrolled SQL oracle (the q124 integer-Lloyd pattern, on a graph).
+    * Truncation loses mass (ranks sum slightly under 10¹²) identically on
+    * every engine — fine for RANKING, which is what TextRank is for.
+    *
+    * Distributed shape: one bigram agg builds the edge list; each round is
+    * edges ⋈ ranks (u-keyed) → contribution agg (v-keyed) — two key-parallel
+    * shuffles per round, localCheckpoint between rounds to cut the lineage
+    * ladder (the components/Lloyd discipline). Terms appearing only in
+    * isolation (no bigram) have no edges and rank 0 — excluded, as in the
+    * paper. Output: top `topK` (term, rank_u) by (rank desc, term). */
+  def textRankTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      iters: Int = 2,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1 && topK >= 1, s"need iters/topK >= 1, got $iters/$topK")
+    val bi = docs.select(explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("w"))
+      .withColumn("u", split(col("bg"), " ").getItem(0))
+      .withColumn("v", split(col("bg"), " ").getItem(1))
+    val edges = bi.select(col("u"), col("v"), col("w"))
+      .unionAll(bi.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint(true)
+    val nodes = outW.select(col("u").as("t"))
+    val n = nodes.count() // model-sized scalar: the node count
+    val base = 1000000000000L / math.max(n, 1L)
+    var ranks = nodes.withColumn("r", lit(base)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outW, Seq("u"))
+        .join(ranks.select(col("t").as("u"), col("r")), Seq("u"))
+        // multiply BEFORE the integer division (r ≤ 10¹², w ≤ wout — no
+        // overflow below ~9·10⁶ peak edge weight) — the oracle mirrors
+        // this exact order
+        .select(col("v").as("t"), expr("(r * w) DIV wout").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("cin"))
+      ranks = nodes.join(contrib, Seq("t"), "left")
+        .select(col("t"),
+          (lit(base * 15L / 100L) +
+            expr("(85 * coalesce(cin, 0)) DIV 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("r").desc, col("t").asc).limit(topK)
+      .select(col("t").as("term"), col("r").as("rank_u"))
+  }
+
   /** Multinomial NAIVE BAYES text classifier, trained AND applied on the
     * cluster — the model-based quality/domain filter of curation pipelines
     * (fasttext-shaped: bag-of-words × per-class log-probabilities), here

@@ -786,6 +786,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.tail.forall(_._2 < expect))
   }
 
+  test("textRankTerms: integer PageRank matches a sequential reference; hub ranks first") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = Text.textRankTerms(docs, "text", iters = 4, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // sequential reference with the same integer ops
+    val edges = Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "a") -> 2L, ("c", "a") -> 1L)
+    val wout = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = wout.keySet
+    val base = 1000000000000L / nodes.size
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 4) {
+      val cin = nodes.map { v =>
+        v -> edges.collect { case ((u, v2), w) if v2 == v => (r(u) * w) / wout(u) }.sum
+      }.toMap
+      r = nodes.map(v => v -> (base * 15L / 100L + 85L * cin(v) / 100L)).toMap
+    }
+    val expect = r.toSeq.sortBy { case (t, rv) => (-rv, t) }
+    assert(got.toSeq === expect)
+    // 4 damped iterations settle the early oscillation: the hub ranks first
+    assert(got.head._1 === "a")
+  }
+
   test("bpe merge pairs: word-frequency-weighted char pairs rank the merge") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val words = docs.select(explode(Text.tokens(col("text"))).as("w"))
