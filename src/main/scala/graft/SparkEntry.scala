@@ -676,6 +676,19 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- §2.6 at scale: EXPANDING stats family — expanding mean from the
+    //      fused rank+running-sum stitch, expanding extrema from the
+    //      runningMinMax carry stitch; never a global single-task window ----
+    "q168_expanding_stats" -> ((s, dir) => {
+      val withCum = OrderedScan.rowNumberAndSum(
+        daily(s, dir).df, "k", "__rn", "v", "__cum", buckets = 16)
+      OrderedScan.runningMinMax(withCum, "k", "v", "__mn", "__mx", buckets = 16)
+        .select(col("k"),
+          round(col("__cum") / (col("__rn") + 1), 6).as("exp_mean"),
+          round(col("__mn"), 4).as("exp_min"),
+          round(col("__mx"), 4).as("exp_max"))
+    }),
+
     // ---- keyword extraction at scale: TEXTRANK — fixed-point integer
     //      PageRank over the term co-occurrence graph, 2 iterations; each
     //      round is two key-parallel shuffles, the oracle replays the
@@ -2305,6 +2318,15 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q168_expanding_stats" ->
+      s"""$dailySql
+         |SELECT k,
+         |  round(sum(v) OVER w / count(v) OVER w, 6) AS exp_mean,
+         |  round(min(v) OVER w, 4) AS exp_min,
+         |  round(max(v) OVER w, 4) AS exp_max
+         |FROM daily
+         |WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q167_textrank" ->
       """WITH w0 AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),

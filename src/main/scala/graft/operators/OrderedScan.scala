@@ -588,6 +588,39 @@ object OrderedScan {
         (col("__rn") + col("__offset")).as(ordCol): _*)
   }
 
+  /** Global running MIN and MAX of `valueCol` in key order, distributed —
+    * the expanding-extrema companion of [[runningSum]]: extrema within
+    * buckets, per-bucket (min, max) summary, running extrema over EARLIER
+    * buckets broadcast back as the carry (least/greatest skip the null
+    * carry of the first bucket). Null values are transparent (Spark window
+    * min/max skip them), so a missing-valued row reports the extrema of
+    * everything before it. Appends `minCol`/`maxCol`. */
+  def runningMinMax(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      minCol: String,
+      maxCol: String,
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = b
+      .withColumn("__mn", min(col(valueCol)).over(wIn))
+      .withColumn("__mx", max(col(valueCol)).over(wIn))
+    val summary = within.groupBy(col("__bucket"))
+      .agg(min(col(valueCol)).as("__bmn"), max(col(valueCol)).as("__bmx"))
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__cmn", min(col("__bmn")).over(wCarry))
+      .withColumn("__cmx", max(col("__bmx")).over(wCarry))
+      .select(col("__bucket"), col("__cmn"), col("__cmx"))
+    within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+      .select(df.columns.map(col) :+
+        least(col("__mn"), col("__cmn")).as(minCol) :+
+        greatest(col("__mx"), col("__cmx")).as(maxCol): _*)
+  }
+
   /** [[rowNumber]] AND [[runningSum]] fused into ONE stitched pass: both
     * derive from the same bucket shuffle and within-bucket window sort, and
     * the per-bucket summary carries (count, total) together — callers that

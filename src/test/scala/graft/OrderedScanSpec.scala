@@ -399,6 +399,24 @@ class OrderedScanSpec extends SparkSpecBase {
     }
   }
 
+  test("runningMinMax matches a sequential expanding-extrema scan; nulls transparent") {
+    val df = seriesDf(input: _*) // v present only at k % 7 == 0
+    val got = OrderedScan.runningMinMax(df, "k", "v", "mn", "mx", buckets = 8)
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .sortBy(_._1)
+    var mn = Option.empty[Double]
+    var mx = Option.empty[Double]
+    (0 until n).foreach { i =>
+      if (i % 7 == 0) {
+        mn = Some(math.min(mn.getOrElse(Double.MaxValue), i.toDouble))
+        mx = Some(math.max(mx.getOrElse(Double.MinValue), i.toDouble))
+      }
+      assert(got(i) === ((i.toLong, (mn, mx))), s"at k=$i")
+    }
+  }
+
   test("rowNumberAndSum: one fused pass equals rowNumber + runningSum") {
     val df = (0 until 300).map(i => ((i * 37 % 1000).toLong, (i % 5 + 1).toLong))
       .toDF("k", "w").distinct() // distinct keys for a deterministic order
