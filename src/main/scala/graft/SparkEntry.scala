@@ -676,6 +676,39 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- dataset prep at scale: BUDGET-CONSTRAINED quality selection —
+    //      take the best documents (fixed-point quality order, md5
+    //      tiebreak) until a global token budget; ONE fused rank+running-
+    //      sum stitch over the encoded order key, exclusive-prefix cut
+    //      (the budget-crossing doc stays, the packByTokens contract) ----
+    "q169_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"),
+        round(Text.qualityScore(col("text")) * 1e6).cast("long").as("qu"))
+        .where(col("n_tok") > 0) // token-free docs have no budget position
+      val keyed = docs.withColumn("__ok", concat(
+        lpad((lit(10000000L) - col("qu")).cast("string"), 8, "0"), lit(":"),
+        md5(col("doc_id").cast("string"))))
+      OrderedScan.rowNumberAndSum(keyed, "__ok", "__rn", "n_tok", "__cum",
+        buckets = 16)
+        .withColumn("__cum", col("__cum").cast("long"))
+        .where(col("__cum") - col("n_tok") < 6000)
+        .select(col("doc_id"), col("qu"), col("n_tok"), col("__cum").as("cum"))
+    }),
+
+    // ---- curation at scale: decontamination ATTRIBUTION — which eval
+    //      sets each train doc leaks (shingle equi-join, per-doc sorted
+    //      label list); the audit trail beside the drop list ----
+    "q170_decontam_attribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.where(col("doc_id") < 10)
+        .select(lit("evalA").as("label"), col("text"))
+        .unionAll(docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select(lit("evalB").as("label"), col("text")))
+      Dedup.contaminationAttribution(docs, probes, "doc_id", "text", "label",
+        n = 5, minHits = 3L)
+    }),
+
     // ---- §2.6 at scale: EXPANDING stats family — expanding mean from the
     //      fused rank+running-sum stitch, expanding extrema from the
     //      runningMinMax carry stitch; never a global single-task window ----
@@ -2318,6 +2351,39 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q169_budget_select" ->
+      s"""WITH $tokSql,
+         |q AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(round(round(least(n_tok/50.0, 1.0)*0.4 +
+         |    (CASE WHEN length(t)::DOUBLE/n_tok >= 3 AND length(t)::DOUBLE/n_tok <= 10
+         |          THEN 1.0 ELSE 0.5 END)*0.3 +
+         |    (len(list_distinct(ws))::DOUBLE/n_tok)*0.3, 6) * 1000000) AS BIGINT) AS qu
+         |  FROM toks WHERE n_tok > 0),
+         |r AS (SELECT doc_id, qu, n_tok,
+         |        CAST(sum(n_tok) OVER (ORDER BY qu DESC, md5(CAST(doc_id AS VARCHAR))
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM q)
+         |SELECT doc_id, qu, n_tok, cum FROM r WHERE cum - n_tok < 6000""".stripMargin,
+
+    "q170_decontam_attribution" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |tsh AS (SELECT doc_id, unnest(list_distinct(
+        |          list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))) AS sh
+        |        FROM d WHERE len(ws) >= 5),
+        |pl AS (SELECT CASE WHEN doc_id < 10 THEN 'evalA' ELSE 'evalB' END AS label, ws
+        |       FROM d WHERE doc_id < 20),
+        |psh AS (SELECT DISTINCT label, unnest(list_distinct(
+        |          list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))) AS sh
+        |        FROM pl WHERE len(ws) >= 5),
+        |hits AS (SELECT t.doc_id, p.label, count(*) AS h
+        |         FROM tsh t JOIN psh p ON t.sh = p.sh
+        |         GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT doc_id, string_agg(label, ',' ORDER BY label) AS sets,
+        |       count(*) AS n_sets
+        |FROM hits GROUP BY doc_id""".stripMargin,
 
     "q168_expanding_stats" ->
       s"""$dailySql

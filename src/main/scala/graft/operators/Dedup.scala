@@ -91,6 +91,38 @@ object Dedup {
         sum(col("__keep")).as("n_kept"))
   }
 
+  /** Decontamination ATTRIBUTION across multiple eval sets: for each train
+    * document, WHICH probe sets it shares at least `minHits` distinct
+    * word-`n`-gram shingles with — the audit trail a curation pipeline
+    * reports alongside the drop list (a doc contaminated by MMLU is a
+    * different incident than one contaminated by an internal eval).
+    * `probes` carries (labelCol, textCol) rows, one per probe document.
+    * Plan: distinct-shingle explode on both sides → ONE shingle equi-join
+    * (the [[ngramContaminationLarge]] shape — probe sets need not be
+    * broadcast-sized) → (doc, label) hit agg → per-doc sorted label list.
+    * Output: (doc_id, sets, n_sets), `sets` a comma-joined sorted label
+    * string (engine-portable). */
+  def contaminationAttribution(
+      train: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      n: Int = 5,
+      minHits: Long = 3L): DataFrame = {
+    val tSh = train.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+    val pSh = probes.select(col(labelCol).as("label"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    tSh.join(pSh, "sh")
+      .groupBy(col("doc_id"), col("label")).agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(",", sort_array(collect_list(col("label")))).as("sets"),
+        count(lit(1)).as("n_sets"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash-LSH banding, verified with
     * exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold. */

@@ -786,6 +786,40 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.tail.forall(_._2 < expect))
   }
 
+  test("contaminationAttribution: per-set hit floors, sorted label lists, clean docs absent") {
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (50 to 60).map(i => s"z$i").mkString(" ")
+    val train = Seq((1L, run), (2L, other), (3L, run + " " + other))
+      .toDF("doc_id", "text")
+    val probes = Seq(("evalA", run), ("evalB", other), ("evalB", run))
+      .toDF("label", "text")
+    val r = Dedup.contaminationAttribution(train, probes, "doc_id", "text", "label",
+      n = 5, minHits = 3L)
+      .collect().map(x => (x.getLong(0), (x.getString(1), x.getLong(2)))).toMap
+    // doc 1 shares the w-run with BOTH sets (evalB also carries it);
+    // doc 2 only with evalB; doc 3 with both
+    assert(r(1L) === (("evalA,evalB", 2L)))
+    assert(r(2L) === (("evalB", 1L)))
+    assert(r(3L) === (("evalA,evalB", 2L)))
+  }
+
+  test("budget cut keeps the quality prefix: exclusive-prefix rule, crossing doc stays") {
+    import graft.operators.OrderedScan
+    // quality proxy qu given directly; budget 25 over docs of 10 tokens
+    val docs = Seq((1L, 10L, 900000L), (2L, 10L, 800000L), (3L, 10L, 700000L),
+      (4L, 10L, 600000L)).toDF("doc_id", "n_tok", "qu")
+    val keyed = docs.withColumn("__ok", concat(
+      lpad((lit(10000000L) - col("qu")).cast("string"), 8, "0"), lit(":"),
+      md5(col("doc_id").cast("string"))))
+    val r = OrderedScan.rowNumberAndSum(keyed, "__ok", "__rn", "n_tok", "__cum", 2)
+      .withColumn("__cum", col("__cum").cast("long"))
+      .where(col("__cum") - col("n_tok") < 25)
+      .collect().map(_.getLong(0)).toSet
+    // quality order 1,2,3,4; cum 10,20,30,40; exclusive prefixes 0,10,20,30
+    // → docs 1-3 kept (doc 3 crosses the budget and stays), doc 4 cut
+    assert(r === Set(1L, 2L, 3L))
+  }
+
   test("textRankTerms: integer PageRank matches a sequential reference; hub ranks first") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val got = Text.textRankTerms(docs, "text", iters = 4, topK = 10)
