@@ -713,9 +713,8 @@ object SparkEntry {
     //      fused rank+running-sum stitch, expanding extrema from the
     //      runningMinMax carry stitch; never a global single-task window ----
     "q168_expanding_stats" -> ((s, dir) => {
-      val withCum = OrderedScan.rowNumberAndSum(
-        daily(s, dir).df, "k", "__rn", "v", "__cum", buckets = 16)
-      OrderedScan.runningMinMax(withCum, "k", "v", "__mn", "__mx", buckets = 16)
+      OrderedScan.runningStats(
+        daily(s, dir).df, "k", "__rn", "v", "__cum", "__mn", "__mx", buckets = 16)
         .select(col("k"),
           round(col("__cum") / (col("__rn") + 1), 6).as("exp_mean"),
           round(col("__mn"), 4).as("exp_min"),

@@ -621,6 +621,49 @@ object OrderedScan {
         greatest(col("__mx"), col("__cmx")).as(maxCol): _*)
   }
 
+  /** The full expanding-stats family in ONE stitched pass: global row
+    * number, running sum, running min and running max of `valueCol` in key
+    * order — one bucket shuffle, one within-bucket window sort, one
+    * (count, total, min, max) summary carried across buckets. The
+    * composition [[rowNumberAndSum]] ∘ [[runningMinMax]] computes the same
+    * columns with a second shuffle and window sort; expanding mean/extrema
+    * queries should take this fused form. Appends `ordCol` (0-based),
+    * `cumCol` (double), `minCol`, `maxCol`. */
+  def runningStats(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      cumCol: String,
+      minCol: String,
+      maxCol: String,
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    val wRows = wIn.rowsBetween(Window.unboundedPreceding, 0)
+    val within = b
+      .withColumn("__rn", row_number().over(wIn).cast("long") - 1)
+      .withColumn("__cum", sum(col(valueCol)).over(wRows))
+      .withColumn("__mn", min(col(valueCol)).over(wRows))
+      .withColumn("__mx", max(col(valueCol)).over(wRows))
+    val summary = within.groupBy(col("__bucket")).agg(
+      count(lit(1)).as("__n"), sum(col(valueCol)).as("__total"),
+      min(col(valueCol)).as("__bmn"), max(col(valueCol)).as("__bmx"))
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__noff", coalesce(sum(col("__n")).over(wCarry), lit(0L)))
+      .withColumn("__soff", coalesce(sum(col("__total")).over(wCarry), lit(0.0)))
+      .withColumn("__cmn", min(col("__bmn")).over(wCarry))
+      .withColumn("__cmx", max(col("__bmx")).over(wCarry))
+      .select(col("__bucket"), col("__noff"), col("__soff"), col("__cmn"), col("__cmx"))
+    within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+      .select(df.columns.map(col) :+
+        (col("__rn") + col("__noff")).as(ordCol) :+
+        (col("__cum") + col("__soff")).as(cumCol) :+
+        least(col("__mn"), col("__cmn")).as(minCol) :+
+        greatest(col("__mx"), col("__cmx")).as(maxCol): _*)
+  }
+
   /** [[rowNumber]] AND [[runningSum]] fused into ONE stitched pass: both
     * derive from the same bucket shuffle and within-bucket window sort, and
     * the per-bucket summary carries (count, total) together — callers that

@@ -417,6 +417,25 @@ class OrderedScanSpec extends SparkSpecBase {
     }
   }
 
+  test("runningStats: the 4-way fused pass equals its component stitches") {
+    val df = (0 until 300).map(i => ((i * 37 % 1000).toLong, (i % 9 - 4).toDouble))
+      .toDF("k", "v").distinct()
+    val fused = OrderedScan.runningStats(df, "k", "rn", "v", "cum", "mn", "mx", buckets = 8)
+      .collect().map(r => (r.getAs[Long]("k"),
+        (r.getAs[Long]("rn"), r.getAs[Double]("cum"),
+         r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap
+    val rns = OrderedScan.rowNumberAndSum(df, "k", "rn", "v", "cum", buckets = 8)
+      .collect().map(r => (r.getAs[Long]("k"),
+        (r.getAs[Long]("rn"), r.getAs[Double]("cum")))).toMap
+    val mm = OrderedScan.runningMinMax(df, "k", "v", "mn", "mx", buckets = 8)
+      .collect().map(r => (r.getAs[Long]("k"),
+        (r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap
+    fused.foreach { case (k, (rn, cum, mn, mx)) =>
+      assert((rn, cum) === rns(k), s"rank/sum at k=$k")
+      assert((mn, mx) === mm(k), s"extrema at k=$k")
+    }
+  }
+
   test("rowNumberAndSum: one fused pass equals rowNumber + runningSum") {
     val df = (0 until 300).map(i => ((i * 37 % 1000).toLong, (i % 5 + 1).toLong))
       .toDF("k", "w").distinct() // distinct keys for a deterministic order
