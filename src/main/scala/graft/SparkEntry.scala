@@ -689,6 +689,10 @@ object SparkEntry {
       val keyed = docs.withColumn("__ok", concat(
         lpad((lit(10000000L) - col("qu")).cast("string"), 8, "0"), lit(":"),
         md5(col("doc_id").cast("string"))))
+        // the quality projection (regex passes + distinct tokens) is
+        // expensive — materialize once; the stitch's sampler, window and
+        // summary branches would each re-evaluate it otherwise
+        .localCheckpoint(true)
       OrderedScan.rowNumberAndSum(keyed, "__ok", "__rn", "n_tok", "__cum",
         buckets = 16)
         .withColumn("__cum", col("__cum").cast("long"))
