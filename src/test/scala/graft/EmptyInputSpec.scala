@@ -74,6 +74,34 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
   }
 
+  test("round-7 curation ops on empty input (seed collects, stitches, graph ladders)") {
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(emptyVecs, "vec_id", "embedding").count() === 0)
+    assert(Dedup.semanticDedupDelta(emptyVecs, emptyVecs, "vec_id", "embedding").count() === 0)
+    val emptyParas = Seq.empty[(Long, Seq[String])].toDF("doc_id", "paras")
+    assert(Dedup.paragraphDedup(emptyParas, "doc_id", col("paras")).count() === 0)
+    assert(Dedup.contaminationAttribution(
+      emptyDocs, emptyDocs.withColumn("label", lit("a")),
+      "doc_id", "text", "label").count() === 0)
+    assert(Text.vocabCoverage(emptyDocs, "text", 10).count() === 0)
+    assert(Text.pmiBigrams(emptyDocs, "text", 1L, 10).count() === 0)
+    assert(Text.textRankTerms(emptyDocs, "text").count() === 0)
+    assert(Text.naiveBayesPredict(
+      emptyDocs.withColumn("source", lit("s")), emptyDocs,
+      "doc_id", "text", "source").count() === 0)
+    val emptyTok = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    assert(Packing.sequenceIndex(emptyTok, "doc_id", "n_tok", 128).count() === 0)
+    assert(Sampling.shardAssign(emptyDocs, "doc_id", 4).count() === 0)
+    assert(Sampling.epochSample(emptyDocs, "doc_id", 0, 0.5).count() === 0)
+    assert(Sampling.winsorizeByGroup(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", 0.1, 0.9, "w").count() === 0)
+    assert(Skew.saltedAgg(emptyDocs, "text",
+      Seq("n" -> ("count", "")), 4).count() === 0)
+    assert(OrderedScan.runningStats(
+      emptySeries.where(col("v").isNotNull), "k", "rn", "v", "cum", "mn", "mx")
+      .count() === 0)
+  }
+
   test("portable ANN ops drop null / wrong-dimension vectors instead of aborting") {
     val good: Seq[(Long, Seq[Float])] =
       (0L until 20L).map(i => (i, Seq.tabulate(8)(d => (i * 3 + d).toFloat / 10f)))
