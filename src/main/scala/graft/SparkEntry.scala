@@ -676,6 +676,20 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- dataset prep at scale: DELTA sequence index (ingest shape) —
+    //      append the odd-id batch to the even-id corpus stream; corpus
+    //      contributes ONE total-token aggregate, existing spans never
+    //      change, the batch continues the last partial sequence ----
+    "q171_sequence_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.sequenceIndexDelta(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "n_tok", seqTokens = 128, buckets = 16)
+        .select(col("doc_id"), col("n_tok"), col("seq_id"),
+          col("tok_start"), col("tok_end"))
+    }),
+
     // ---- dataset prep at scale: BUDGET-CONSTRAINED quality selection —
     //      take the best documents (fixed-point quality order, md5
     //      tiebreak) until a global token budget; ONE fused rank+running-
@@ -2354,6 +2368,25 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q171_sequence_delta" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok
+        |           FROM documents),
+        |tot AS (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS ct
+        |        FROM d WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, n_tok, md5(CAST(doc_id AS VARCHAR)) AS k
+        |      FROM d WHERE doc_id % 2 = 1),
+        |r AS (SELECT doc_id, n_tok,
+        |        CAST(sum(n_tok) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM b),
+        |s AS (SELECT doc_id, n_tok, cum - n_tok + tot.ct AS st FROM r CROSS JOIN tot)
+        |SELECT doc_id, n_tok, st // 128 AS seq_id,
+        |  st - (st // 128) * 128 AS tok_start,
+        |  st - (st // 128) * 128 + n_tok AS tok_end
+        |FROM s""".stripMargin,
 
     "q169_budget_select" ->
       s"""WITH $tokSql,

@@ -67,6 +67,37 @@ object Packing {
       .drop("__cum", "__k")
   }
 
+  /** DELTA sequence index — the ingest shape of [[sequenceIndex]]: append
+    * an incoming batch to an existing training stream WITHOUT repacking
+    * the corpus. The corpus contributes only its total token count (one
+    * aggregate, broadcast as a 1-row frame); the batch gets its own
+    * md5-order prefix sums offset by that total, so existing sequence ids
+    * and spans never change (append-only determinism — re-exported shards
+    * stay byte-identical) and the first batch doc continues the corpus's
+    * last partial sequence. Output: batch columns + (seq_id, tok_start,
+    * tok_end), same contract as [[sequenceIndex]]. */
+  def sequenceIndexDelta(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      tokCol: String,
+      seqTokens: Long,
+      buckets: Int = 64): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(!batch.columns.contains("__k"), "__k is reserved by sequenceIndexDelta")
+    val total = corpus.agg(
+      coalesce(sum(col(tokCol)), lit(0L)).cast("long").as("__corpus_tok"))
+    val keyed = batch.withColumn("__k", md5(col(idCol).cast("string")))
+    OrderedScan.runningSum(keyed, "__k", tokCol, "__cum", buckets)
+      .withColumn("__cum", col("__cum").cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("__start", col("__cum") - col(tokCol) + col("__corpus_tok"))
+      .withColumn("seq_id", expr(s"__start DIV $seqTokens"))
+      .withColumn("tok_start", col("__start") - col("seq_id") * seqTokens)
+      .withColumn("tok_end", col("tok_start") + col(tokCol))
+      .drop("__cum", "__k", "__start", "__corpus_tok")
+  }
+
   /** Materialize the packed TRAINING SEQUENCES themselves: the documents of
     * each [[sequenceIndex]] sequence concatenated in stream order with an
     * `eos` separator — (seq_id, n_docs, n_tokens, seq_text). The reassembly

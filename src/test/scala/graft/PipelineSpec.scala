@@ -710,6 +710,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.map(_.getAs[String]("seq_text")).toSet === expect)
   }
 
+  test("sequenceIndexDelta: batch continues the corpus stream; corpus spans untouched") {
+    import graft.operators.Packing
+    val corpus = (0L until 10L).map(i => (i, 10L)).toDF("id", "n_tok") // 100 tokens
+    val batch = (100L until 106L).map(i => (i, 8L)).toDF("id", "n_tok")
+    val delta = Packing.sequenceIndexDelta(corpus, batch, "id", "n_tok",
+      seqTokens = 32, buckets = 2)
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))))
+      .toMap
+    assert(delta.size === 6)
+    // batch stream offsets start at the corpus total (100): first batch doc
+    // lands IN the corpus's last partial sequence (seq 3 = tokens 96..128)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var cum = 100L
+    (100L until 106L).sortBy(hex).foreach { id =>
+      val seq = cum / 32
+      assert(delta(id) === ((seq, cum - seq * 32, cum - seq * 32 + 8L)), s"doc $id")
+      cum += 8L
+    }
+    assert(delta.values.map(_._1).min === 3L) // continues, not restarts
+    // append-only: the corpus's own index is unaffected by the batch
+    val before = Packing.sequenceIndex(corpus, "id", "n_tok", 32, 2).collect()
+    val after = Packing.sequenceIndex(corpus, "id", "n_tok", 32, 2).collect()
+    assert(before.map(_.toString).sorted === after.map(_.toString).sorted)
+  }
+
   test("winsorizeByGroup clamps to the same bounds filterByGroupQuantiles keeps") {
     import graft.operators.Sampling
     val df = (1 to 40).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
