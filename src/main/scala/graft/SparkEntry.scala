@@ -676,6 +676,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- reporting at scale: the DATASET DATASHEET — per-source data
+    //      card (docs, tokens, exact-dup ppm, mean quality, length
+    //      percentiles) in ONE grouped aggregate over one scan; the
+    //      artifact a curation run publishes next to the shards ----
+    "q172_data_card" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.qualityScore(col("text")).as("quality"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("fp")).as("n_unique"),
+          expr("((count(1) - count(DISTINCT fp)) * 1000000) DIV count(1)")
+            .as("dup_ppm"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+          percentile(col("n_chars"), lit(0.95)).as("p95_chars"))
+    }),
+
     // ---- dataset prep at scale: DELTA sequence index (ingest shape) —
     //      append the odd-id batch to the even-id corpus stream; corpus
     //      contributes ONE total-token aggregate, existing spans never
@@ -2368,6 +2390,24 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q172_data_card" ->
+      s"""WITH $tokSql,
+         |q AS (SELECT doc_id, source, n_chars, CAST(t.n_tok AS BIGINT) AS n_tok,
+         |  md5(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS fp,
+         |  round(least(t.n_tok/50.0, 1.0)*0.4 +
+         |    (CASE WHEN length(t.t)::DOUBLE/t.n_tok >= 3
+         |           AND length(t.t)::DOUBLE/t.n_tok <= 10
+         |          THEN 1.0 ELSE 0.5 END)*0.3 +
+         |    (len(list_distinct(t.ws))::DOUBLE/t.n_tok)*0.3, 6) AS quality
+         |  FROM toks t JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT fp) AS n_unique,
+         |  ((count(*) - count(DISTINCT fp)) * 1000000) // count(*) AS dup_ppm,
+         |  round(avg(quality), 6) AS avg_quality,
+         |  quantile_cont(n_chars, 0.5) AS p50_chars,
+         |  quantile_cont(n_chars, 0.95) AS p95_chars
+         |FROM q GROUP BY source""".stripMargin,
 
     "q171_sequence_delta" ->
       """WITH d AS (SELECT doc_id,

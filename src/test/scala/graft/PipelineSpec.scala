@@ -814,6 +814,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.tail.forall(_._2 < expect))
   }
 
+  test("data card arithmetic: dup ppm from exact fingerprints, token totals") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "ALPHA beta, gamma!", "s1"),
+      (3L, "unrelated words here now", "s1"), (4L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val card = docs.select(col("source"),
+      Text.tokenCount(col("text")).cast("long").as("n_tok"),
+      Text.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        expr("((count(1) - count(DISTINCT fp)) * 1000000) DIV count(1)").as("dup_ppm"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // docs 1 and 2 normalize to the same fingerprint: 1 dup of 3 → 333333 ppm
+    assert(card("s1") === ((3L, 10L, 2L, 333333L)))
+    assert(card("s2") === ((1L, 2L, 1L, 0L)))
+  }
+
   test("contaminationAttribution: per-set hit floors, sorted label lists, clean docs absent") {
     val run = (1 to 10).map(i => s"w$i").mkString(" ")
     val other = (50 to 60).map(i => s"z$i").mkString(" ")
