@@ -148,4 +148,57 @@ class PropertySpec extends SparkSpecBase {
       assert(stitched === model, s"case $i dist=$dist n=${keys.size}")
     }
   }
+
+  test("paragraphDedup invariants on random corpora: unique survivors, faithful reconstruction") {
+    import spark.implicits._
+    val corpusGen: Gen[List[(Long, List[String])]] = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+        Gen.oneOf("pa", "pb", "pc", "pd", "pe")).map(_.take(5)))
+    } yield docs.zipWithIndex.map { case (ps, i) => (i.toLong, ps) }
+    for (i <- 1 to cases) {
+      val corpus = sample(corpusGen, i + 500)
+      val df = corpus.toDF("doc_id", "paras")
+      val r = graft.operators.Dedup.paragraphDedup(df, "doc_id", col("paras"))
+        .collect().map(x => (x.getLong(0), (x.getString(1), x.getLong(2), x.getLong(3))))
+        .toMap
+      // model: global keep-first by (doc, pos)
+      val seen = scala.collection.mutable.Set[String]()
+      val model = corpus.map { case (id, ps) =>
+        val kept = ps.filter(p => seen.add(p))
+        id -> ((kept.mkString(" "), ps.length.toLong, kept.length.toLong))
+      }.toMap
+      assert(r === model, s"case $i")
+      // invariant: each distinct paragraph survives exactly once corpus-wide
+      val survivors = r.values.flatMap(_._1.split(" ")).filter(_.nonEmpty).toList
+      assert(survivors.distinct.sorted === survivors.sorted, s"case $i uniqueness")
+    }
+  }
+
+  test("sequenceIndex partitions the token stream exactly on random docs") {
+    import spark.implicits._
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 40L))
+    } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (i <- 1 to cases) {
+      val docs = sample(gen, i + 900)
+      val r = graft.operators.Packing.sequenceIndex(
+        docs.toDF("id", "n_tok"), "id", "n_tok", seqTokens = 64, buckets = 4)
+        .collect().map(x => (x.getAs[Long]("id"),
+          (x.getAs[Long]("seq_id"), x.getAs[Long]("tok_start"), x.getAs[Long]("tok_end"))))
+        .toMap
+      // global stream positions tile [0, total) with no gaps or overlaps
+      val spans = r.toList.map { case (_, (s, a, b)) => (s * 64 + a, s * 64 + b) }
+        .sortBy(_._1)
+      assert(spans.head._1 === 0L, s"case $i start")
+      spans.sliding(2).foreach {
+        case List((_, e1), (s2, _)) => assert(e1 === s2, s"case $i contiguity")
+        case _ =>
+      }
+      assert(spans.last._2 === docs.map(_._2).sum, s"case $i total")
+      // every doc starts strictly inside its sequence window
+      assert(r.values.forall { case (_, a, _) => a >= 0 && a < 64 }, s"case $i bounds")
+    }
+  }
 }
