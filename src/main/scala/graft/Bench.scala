@@ -27,7 +27,10 @@ object Bench {
     val noisy = Set("q68", "q13", "q66", "q125", "q97", "q89", "q107", "q05", "q27",
         // the multi-job iterative/streaming heavies swing 2-3x on scheduler
         // noise (q109 measured 8.5s single-shot vs 1.6s median-of-3)
-        "q109", "q43", "q120", "q108", "q113")
+        "q109", "q43", "q120", "q108", "q113",
+        // round-7 members of the same class: streaming machinery, iteration
+        // ladders (components/PageRank), multi-agg shingle joins
+        "q141", "q143", "q146", "q147", "q150", "q163", "q166", "q167")
       .map(id => SparkEntry.queries.keys.find(_.startsWith(id + "_")).getOrElse(id))
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY="q66,q89" times just those
     // qNN ids (comma-separated), N times each if SPARK_GRAFT_BENCH_REPS is
