@@ -676,6 +676,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- streaming capstone: INGESTION dedup — ordered micro-batches
+    //      anti-joined against the accumulating fingerprint sink
+    //      (exactly-once batchId overwrite); late-arriving duplicate
+    //      copies all drop; result == the batch dedup of the whole union ----
+    "q173_stream_ingest" -> ((s, dir) => {
+      Streams.ingestDedupDocs(s, dir)
+    }),
+
     // ---- reporting at scale: the DATASET DATASHEET — per-source data
     //      card (docs, tokens, exact-dup ppm, mean quality, length
     //      percentiles) in ONE grouped aggregate over one scan; the
@@ -2390,6 +2398,13 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q173_stream_ingest" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) AS keep_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM inc GROUP BY 2""".stripMargin,
 
     "q172_data_card" ->
       s"""WITH $tokSql,

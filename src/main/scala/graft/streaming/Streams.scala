@@ -332,4 +332,83 @@ object Streams {
       .agg(max(col("n_events")).as("n_events"),
         round(max_by(col("sum_value"), col("n_events")), 4).as("sum_value"))
   }
+
+  /** STREAMING INGESTION dedup — the full accumulation loop of a crawl
+    * pipeline: documents arrive in ordered micro-batches (one file per
+    * trigger); each batch exact-dedups WITHIN itself, LEFT ANTI joins its
+    * fingerprints against everything the sink has accumulated, and appends
+    * only the survivors under a batchId-keyed overwrite (the exactly-once
+    * recipe of [[foreachBatchTypeTotals]] — a replayed batch rewrites the
+    * same files). The corpus-so-far never re-shuffles: only its
+    * fingerprint column is read back per batch, exactly the
+    * `Dedup.exactDelta` contract driven by a stream.
+    *
+    * Because batches arrive in ascending doc_id ranges (mtime-ordered
+    * files, maxFilesPerTrigger=1), first-arrival-wins equals the global
+    * min-id dedup — so the accumulated sink is hash-comparable to a plain
+    * batch GROUP BY over the same union (the oracle). The staged stream
+    * interleaves duplicate copies (ids +10000) that arrive AFTER their
+    * originals and must all be dropped by the anti-join. */
+  def ingestDedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.unionAll(
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val srcDir = Files.createTempDirectory("graft_ingest_src")
+    val sinkDir = Files.createTempDirectory("graft_ingest_sink")
+    val chkDir = Files.createTempDirectory("graft_ingest_chk")
+    val stream = isolatedStreamSession(spark)
+    try {
+      // three ordered batch files: two ranges of originals, then the copies
+      val ranges: Seq[org.apache.spark.sql.Column] = Seq(
+        col("doc_id") < 250, col("doc_id") >= 250 && col("doc_id") < 10000,
+        col("doc_id") >= 10000)
+      ranges.zipWithIndex.foreach { case (pred, b) =>
+        val tmp = Files.createTempDirectory("graft_ingest_tmp")
+        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(f"b$b%02d.parquet")
+        Files.move(part, dst)
+        dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
+        rmTree(tmp)
+      }
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+      val src = stream.readStream
+        .schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chkDir.toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val newFp = batch
+            .groupBy(graft.functions.Text.fingerprint(col("text")).as("fp"))
+            .agg(min(col("doc_id")).as("keep_id"))
+          val seen = s.read.schema(sinkSchema).parquet(sinkDir.toString)
+            .select(col("fp"))
+          newFp.join(seen, Seq("fp"), "left_anti")
+            .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.read.schema(sinkSchema).parquet(sinkDir.toString)
+        .select(col("keep_id"), col("fp"))
+        .localCheckpoint(true)
+    } finally {
+      dropStagedIngestDir(srcDir)
+      rmTree(chkDir)
+      rmTree(sinkDir)
+    }
+  }
+
+  private def dropStagedIngestDir(srcDir: java.nio.file.Path): Unit = rmTree(srcDir)
 }
