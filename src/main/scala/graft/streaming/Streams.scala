@@ -392,7 +392,13 @@ object Streams {
           val newFp = batch
             .groupBy(graft.functions.Text.fingerprint(col("text")).as("fp"))
             .agg(min(col("doc_id")).as("keep_id"))
+          // exclude THIS batch's partition from the seen-set: on a replay
+          // after a failure the sink already holds batch=batchId, and
+          // treating its fingerprints as "seen" would anti-join the
+          // replayed rows to an empty overwrite (silent data loss) — the
+          // idempotent rewrite must see exactly the pre-batch state
           val seen = s.read.schema(sinkSchema).parquet(sinkDir.toString)
+            .where(col("batch") =!= batchId)
             .select(col("fp"))
           newFp.join(seen, Seq("fp"), "left_anti")
             .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
