@@ -676,6 +676,36 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- sources: ORC round-trip — write the dimension slice as ORC
+    //      (Spark's second columnar format, zlib-compressed), read it back
+    //      with an explicit schema; hash-checked against the parquet
+    //      oracle, certifying the format round-trip preserves values ----
+    "q174_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_warehouse/orc_rt_${math.abs(dir.hashCode)}"
+      val slice = t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      slice.write.mode("overwrite").orc(out)
+      s.read.schema(slice.schema).orc(out)
+    }),
+
+    // ---- sources: SCHEMA EVOLUTION — two parquet batches with different
+    //      schemas (a column added mid-stream, the crawl-ingest reality)
+    //      read back as one frame via mergeSchema; early rows surface the
+    //      missing column as NULL ----
+    "q175_schema_merge" -> ((s, dir) => {
+      val out = s"/tmp/graft_warehouse/schema_rt_${math.abs(dir.hashCode)}"
+      val nation = t(s, dir, "nation")
+      nation.select(col("n_nationkey"), col("n_name"))
+        .where(col("n_nationkey") < 13)
+        .write.mode("overwrite").parquet(s"$out/p1")
+      nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .where(col("n_nationkey") >= 13)
+        .write.mode("overwrite").parquet(s"$out/p2")
+      s.read.option("mergeSchema", "true").option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // ---- streaming capstone: INGESTION dedup — ordered micro-batches
     //      anti-joined against the accumulating fingerprint sink
     //      (exactly-once batchId overwrite); late-arriving duplicate
@@ -2398,6 +2428,14 @@ object SparkEntry {
         |WHERE dp.dotv > 0
         |  AND CAST(dp.dotv AS HUGEINT) * dp.dotv * 100
         |      >= CAST(na.nn AS HUGEINT) * nb.nn * 16""".stripMargin,
+
+    "q174_orc_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "q175_schema_merge" ->
+      """SELECT n_nationkey, n_name,
+        |CASE WHEN n_nationkey >= 13 THEN n_regionkey ELSE NULL END AS n_regionkey
+        |FROM nation""".stripMargin,
 
     "q173_stream_ingest" ->
       """WITH inc AS (SELECT doc_id, text FROM documents
