@@ -676,6 +676,19 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- sources: COMPACTED write — the small-files answer: the orders
+    //      slice rewrites as exactly ceil(rows/5000) range-partitioned
+    //      files (contiguous key ranges → footer-stat file skipping);
+    //      read-back hash-checked, file-count law in CompactionSpec ----
+    "q176_compacted_write" -> ((s, dir) => {
+      val out = s"/tmp/graft_warehouse/compact_rt_${math.abs(dir.hashCode)}"
+      val slice = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+      graft.sources.Compaction.writeRowBounded(slice, out, "o_orderkey", 5000L)
+      s.read.schema(slice.schema).parquet(out)
+    }),
+
     // ---- sources: ORC round-trip — write the dimension slice as ORC
     //      (Spark's second columnar format, zlib-compressed), read it back
     //      with an explicit schema; hash-checked against the parquet
@@ -2431,6 +2444,9 @@ object SparkEntry {
 
     "q174_orc_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
+
+    "q176_compacted_write" ->
+      "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",
 
     "q175_schema_merge" ->
       """SELECT n_nationkey, n_name,

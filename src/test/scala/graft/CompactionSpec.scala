@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Compaction
+
+/** Compacted sized-file writer: exact file counts, contiguous disjoint key
+  * ranges per file (the footer-stat skipping contract), lossless content. */
+class CompactionSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def listParquet(path: String): Seq[java.io.File] =
+    new java.io.File(path).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
+  test("writeRowBounded: exact file count, disjoint contiguous ranges, lossless") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "payload")
+    val n = Compaction.writeRowBounded(df, out, "k", 300L)
+    assert(n === 4) // ceil(1000/300)
+    val files = listParquet(out)
+    assert(files.size === 4)
+    // each file covers a contiguous key range, ranges are disjoint
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k")), count(lit(1))).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2, "ranges overlap")
+      case _ =>
+    }
+    assert(ranges.map(_._3).sum === 1000L)
+    // lossless round-trip
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+      === (0L until 1000L).toArray)
+    // a single under-full input still writes one file
+    val tiny = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    assert(Compaction.writeRowBounded(df.limit(5), tiny, "k", 300L) === 1)
+    assert(listParquet(tiny).size === 1)
+  }
+}
