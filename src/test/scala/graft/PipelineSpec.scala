@@ -10,6 +10,24 @@ class PipelineSpec extends SparkSpecBase {
 
   import spark.implicits._
 
+  test("null text is inert across the text family (no NPE, no phantom rows)") {
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // Column expressions propagate null; explode of a null array drops the row
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .collect().map(_.getLong(0)).toSet
+    assert(tok === Set(1L))
+    assert(docs.select(Text.fingerprint(col("text"))).collect()(1).isNullAt(0))
+    // the chunk kernel treats null as empty text (one empty chunk)
+    val chunks = Text.chunkTokens(docs, "doc_id", "text", 4, 0)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(chunks.toSet === Set((1L, "alpha beta"), (2L, "")))
+    // corpus ops ignore the null row entirely
+    assert(Text.vocabCoverage(docs, "text", 10)
+      .collect().map(_.getAs[String]("term")).toSet === Set("alpha", "beta"))
+    assert(Text.pmiBigrams(docs, "text", 1L, 10).count() === 1) // alpha->beta only
+  }
+
   test("tokenCount / tokens edge cases") {
     val df = Seq("a b c", "  x  ", "", "solo").toDF("t")
       .select(Text.tokenCount(col("t")).as("n"))
