@@ -676,6 +676,36 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- dataset prep at scale: PER-SOURCE sequence index — when streams
+    //      are packed per domain, the prefix sum is a window PARTITIONED
+    //      by source (key-parallel, no stitch needed — the partitioned
+    //      complement of q158's global stream) ----
+    "q177_group_sequence_index" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", expr("(__cum - n_tok) DIV 128"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("seq_id"),
+          (col("__cum") - col("n_tok") - col("seq_id") * 128).as("tok_start"))
+    }),
+
+    // ---- reporting at scale: equal-width HISTOGRAM per source — the
+    //      length-distribution panel of the data card; one grouped agg,
+    //      integer bucket arithmetic ----
+    "q178_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(min(col("n_chars")).as("__lo"), max(col("n_chars")).as("__hi"))
+      docs.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(expr("((n_chars - __lo) * 10) DIV (__hi - __lo + 1)"), lit(9L)))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- sources: COMPACTED write — the small-files answer: the orders
     //      slice rewrites as exactly ceil(rows/5000) range-partitioned
     //      files (contiguous key ranges → footer-stat file skipping);
@@ -2447,6 +2477,27 @@ object SparkEntry {
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",
+
+    "q177_group_sequence_index" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT doc_id, source, n_tok, (cum - n_tok) // 128 AS seq_id,
+        |  cum - n_tok - ((cum - n_tok) // 128) * 128 AS tok_start
+        |FROM r""".stripMargin,
+
+    "q178_histogram" ->
+      """WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+        |SELECT source, least(((n_chars - b.lo) * 10) // (b.hi - b.lo + 1), 9) AS bin,
+        |       count(*) AS n
+        |FROM documents CROSS JOIN b
+        |GROUP BY 1, 2""".stripMargin,
 
     "q175_schema_merge" ->
       """SELECT n_nationkey, n_name,
