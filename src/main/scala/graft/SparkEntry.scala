@@ -676,6 +676,27 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- curation capstone: MULTI-SIGNAL dedup — the union of the TEXT
+    //      similarity graph (portable minhash pairs) and the EMBEDDING
+    //      similarity graph (SemDeDup pairs, vec_id ≡ doc_id) feeds ONE
+    //      connected-components pass; an entity is dropped if EITHER
+    //      signal links it to an earlier one (the image-text pair-curation
+    //      shape); survivor census by lang ----
+    "q179_multisignal_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val semPairs = Dedup.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, thrNum = 4, thrDen = 10)
+        .select(col("id_a"), col("id_b"))
+      val drop = Dedup.components(textPairs.unionAll(semPairs).distinct())
+        .where(col("id") =!= col("cluster"))
+        .select(col("id").cast("long").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+    }),
+
     // ---- dataset prep at scale: PER-SOURCE sequence index — when streams
     //      are packed per domain, the prefix sum is a window PARTITIONED
     //      by source (key-parallel, no stitch needed — the partitioned
@@ -2477,6 +2498,68 @@ object SparkEntry {
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",
+
+    "q179_multisignal_dedup" ->
+      """WITH RECURSIVE wd AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |                     FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM wd WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |tp AS (SELECT c.id_a, c.id_b
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id
+        |       WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |         / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5),
+        |qv AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        |       FROM qv ORDER BY vec_id LIMIT 8),
+        |tokv AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM qv),
+        |ctokv AS (SELECT cid, unnest(ce) AS cx, generate_subscripts(ce, 1) AS i FROM cc),
+        |dist AS (SELECT t.vec_id, c.cid,
+        |           CAST(sum((t.x - c.cx) * (t.x - c.cx)) AS BIGINT) AS d
+        |         FROM tokv t JOIN ctokv c ON t.i = c.i GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid AS cluster FROM
+        |          (SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |           FROM dist)
+        |        WHERE rn = 1),
+        |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nn FROM tokv GROUP BY 1),
+        |prv AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |dpv AS (SELECT prv.id_a, prv.id_b, CAST(sum(ta.x * tb.x) AS BIGINT) AS dotv
+        |        FROM prv JOIN tokv ta ON ta.vec_id = prv.id_a
+        |                 JOIN tokv tb ON tb.vec_id = prv.id_b AND ta.i = tb.i
+        |        GROUP BY 1, 2),
+        |sp AS (SELECT dpv.id_a, dpv.id_b
+        |       FROM dpv JOIN nrm na ON na.vec_id = dpv.id_a
+        |                JOIN nrm nb ON nb.vec_id = dpv.id_b
+        |       WHERE dpv.dotv > 0
+        |         AND CAST(dpv.dotv AS HUGEINT) * dpv.dotv * 100
+        |             >= CAST(na.nn AS HUGEINT) * nb.nn * 16),
+        |up AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM sp),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM up
+        |          UNION SELECT id_b, id_a FROM up),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE cluster <> id)
+        |SELECT d.lang, count(*) AS n_after FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY d.lang""".stripMargin,
 
     "q177_group_sequence_index" ->
       """WITH d AS (SELECT doc_id, source,
