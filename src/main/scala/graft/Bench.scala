@@ -30,7 +30,7 @@ object Bench {
         "q109", "q43", "q120", "q108", "q113",
         // round-7 members of the same class: streaming machinery, iteration
         // ladders (components/PageRank), multi-agg shingle joins
-        "q141", "q143", "q146", "q147", "q150", "q163", "q166", "q167")
+        "q141", "q143", "q146", "q147", "q150", "q163", "q166", "q167", "q179")
       .map(id => SparkEntry.queries.keys.find(_.startsWith(id + "_")).getOrElse(id))
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY="q66,q89" times just those
     // qNN ids (comma-separated), N times each if SPARK_GRAFT_BENCH_REPS is
