@@ -455,25 +455,7 @@ object Dedup {
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).cast("long").as("id"),
         Vectors.fixedPointQuant(scale)(col(vecCol)).as("e"))
-    val seeds: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
-      .collect().map(_.getSeq[Long](1).toArray)
-    val bc = vecs.sparkSession.sparkContext.broadcast(seeds)
-    val assign = udf { (e: Seq[Long]) =>
-      val cs = bc.value
-      val ev = e.toArray
-      var best = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0L
-        var i = 0
-        val cv = cs(c)
-        while (i < cv.length) { val t = ev(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
-        c += 1
-      }
-      best
-    }
+    val assign = seedAssign(vecs, q, k)
     val assigned = q
       .withColumn("cluster", assign(col("e")))
       .withColumn("nn", expr("dot_i64(e, e)")) // codegen kernel (see DotI64)
@@ -492,6 +474,36 @@ object Dedup {
         col("na").cast("decimal(38,0)") * col("nb") * lit(thrNum.toLong * thrNum))
       .select(col("cluster").cast("long").as("cluster"),
         col("id_a"), col("id_b"), col("dotv"))
+  }
+
+  /** Shared centroid assignment of the SemDeDup family: seeds are the `k`
+    * lowest-id quantized vectors of `seedSrc` (deterministic, model-sized
+    * collect, broadcast), assignment is an exact integer argmin of squared
+    * distance with ties to the lowest centroid index — the rule the SQL
+    * oracles replay via `row_number() OVER (ORDER BY d, cid)`. */
+  private def seedAssign(
+      session: DataFrame,
+      seedSrc: DataFrame,
+      k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val seeds: Array[Array[Long]] = seedSrc.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val bc = session.sparkSession.sparkContext.broadcast(seeds)
+    udf { (e: Seq[Long]) =>
+      val cs = bc.value
+      val ev = e.toArray
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0L
+        var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val t = ev(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+        c += 1
+      }
+      best
+    }
   }
 
   /** DELTA semantic dedup — the ingest shape of [[semanticDedup]]: the
@@ -520,25 +532,7 @@ object Dedup {
         Vectors.fixedPointQuant(scale)(col(vecCol)).as("e"))
     val cor = quant(corpus)
     val inc = quant(incoming)
-    val seeds: Array[Array[Long]] = cor.orderBy(col("id")).limit(k)
-      .collect().map(_.getSeq[Long](1).toArray)
-    val bc = corpus.sparkSession.sparkContext.broadcast(seeds)
-    val assign = udf { (e: Seq[Long]) =>
-      val cs = bc.value
-      val ev = e.toArray
-      var best = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0L
-        var i = 0
-        val cv = cs(c)
-        while (i < cv.length) { val t = ev(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+    val assign = seedAssign(corpus, cor, k)
     def side(df: DataFrame, idOut: String, eOut: String, nOut: String): DataFrame =
       df.withColumn("cluster", assign(col("e")))
         .withColumn(nOut, expr("dot_i64(e, e)"))
