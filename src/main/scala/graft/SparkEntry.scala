@@ -676,6 +676,39 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- operations at scale: JOIN-KEY SKEW report — the pre-flight
+    //      profiler before a big shuffle join: top heavy keys + each key's
+    //      share in ppm (decides broadcast/salt/AQE-skew strategy);
+    //      one map-side-partial agg + a deterministic top-k reduce ----
+    "q180_skew_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(li.agg(count(lit(1)).as("__tot"))))
+        .withColumn("share_ppm", expr("(n * 1000000) DIV __tot"))
+        .orderBy(col("n").desc, col("key").asc).limit(20)
+        .select(col("key"), col("n"), col("share_ppm"))
+    }),
+
+    // ---- operations at scale: COLUMN STATISTICS (the ANALYZE TABLE
+    //      shape that feeds cost-based optimization): per-column distinct/
+    //      null counts and min/max, ONE pass over the scan — stats many
+    //      engines persist next to the data ----
+    "q181_column_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def statsOf(c: String): Column = struct(
+        lit(c).as("col_name"),
+        countDistinct(col(c)).as("n_distinct"),
+        sum(col(c).isNull.cast("long")).as("n_null"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+      li.agg(statsOf("l_orderkey").as("a"), statsOf("l_suppkey").as("b"),
+          statsOf("l_returnflag").as("c"), statsOf("l_quantity").as("d"))
+        .select(explode(array(col("a"), col("b"), col("c"), col("d"))).as("s"))
+        .select(col("s.col_name"), col("s.n_distinct"), col("s.n_null"),
+          col("s.min_s"), col("s.max_s"))
+    }),
+
     // ---- curation capstone: MULTI-SIGNAL dedup — the union of the TEXT
     //      similarity graph (portable minhash pairs) and the EMBEDDING
     //      similarity graph (SemDeDup pairs, vec_id ≡ doc_id) feeds ONE
@@ -2498,6 +2531,31 @@ object SparkEntry {
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",
+
+    "q180_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM lineitem)
+        |SELECT key, n, (n * 1000000) // t.tot AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
+
+    "q181_column_stats" ->
+      """SELECT 'l_orderkey' AS col_name, count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', count(DISTINCT l_suppkey),
+        |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(DISTINCT l_quantity),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR) FROM lineitem""".stripMargin,
 
     "q179_multisignal_dedup" ->
       """WITH RECURSIVE wd AS (SELECT doc_id, string_split(trim(text), ' ') AS w
