@@ -676,6 +676,25 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
     }),
 
+    // ---- operations at scale: TARGETED DELETE (right-to-be-forgotten) —
+    //      purge one user cohort from a Hive-partitioned layout; only
+    //      partitions containing matches rewrite (dynamic overwrite),
+    //      the rest stay byte-identical; census of the survivors ----
+    "q182_targeted_delete" -> ((s, dir) => {
+      val path = s"/tmp/graft_warehouse/graft_events_delete_${math.abs(dir.hashCode).toString.take(6)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // fresh: the op mutates it
+      Partitioned.ensurePartitionedDir(
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        path, "event_date")
+      Partitioned.targetedDelete(s, path, "event_date",
+        pmod(col("user_id"), lit(100)) === 7)
+      s.read.parquet(path)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ---- operations at scale: JOIN-KEY SKEW report — the pre-flight
     //      profiler before a big shuffle join: top heavy keys + each key's
     //      share in ppm (decides broadcast/salt/AQE-skew strategy);
@@ -2531,6 +2550,12 @@ object SparkEntry {
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",
+
+    "q182_targeted_delete" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 100 != 7
+        |GROUP BY 1""".stripMargin,
 
     "q180_skew_report" ->
       """WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n

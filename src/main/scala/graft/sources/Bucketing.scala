@@ -62,4 +62,40 @@ object Partitioned {
     if (!fs.exists(p))
       df.write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
+
+  /** TARGETED DELETE over a Hive-partitioned layout — the
+    * right-to-be-forgotten rewrite: only partitions that actually CONTAIN
+    * matching rows are rewritten (dynamic partition overwrite); untouched
+    * partitions keep their files byte-identical, so at 100 TB a
+    * single-user purge rewrites that user's few partitions, not the
+    * table. Partitions whose every row matches produce no output under
+    * dynamic overwrite and are removed explicitly. Returns the affected
+    * partition values (model-sized — one value per partition). */
+  def targetedDelete(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      deletePred: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(path)
+    val affected: Seq[String] = all.where(deletePred)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affected.nonEmpty) {
+      val survivors = all
+        .where(col(partCol).cast("string").isin(affected: _*) && !deletePred)
+        .localCheckpoint(true) // read must not observe the dirs mid-rewrite
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+      val surviving = survivors.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(surviving).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+      }
+    }
+    affected
+  }
 }

@@ -40,4 +40,31 @@ class CompactionSpec extends SparkSpecBase {
     assert(Compaction.writeRowBounded(df.limit(5), tiny, "k", 300L) === 1)
     assert(listParquet(tiny).size === 1)
   }
+
+  test("targetedDelete rewrites only affected partitions; full partitions vanish") {
+    import graft.sources.Partitioned
+    val out = java.nio.file.Files.createTempDirectory("graft_tdel").toString
+    // p=a holds users 1,7; p=b only user 2 (untouched); p=c only user 7 (fully deleted)
+    val df = Seq((1L, "a"), (7L, "a"), (2L, "b"), (7L, "c"), (9L, "a"))
+      .toDF("user", "p")
+    df.write.mode("overwrite").partitionBy("p").parquet(out)
+    def listing(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$out/p=$part")
+      if (!d.exists) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = listing("b")
+    val affected = Partitioned.targetedDelete(
+      spark, out, "p", col("user") === 7L)
+    assert(affected === Seq("a", "c"))
+    // the untouched partition keeps its exact files (names AND mtimes)
+    assert(listing("b") === bBefore)
+    // the fully-deleted partition's directory is gone
+    assert(listing("c") === Map.empty)
+    // surviving data is exactly the non-matching rows
+    val left = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user"), r.getAs[String]("p"))).toSet
+    assert(left === Set((1L, "a"), (9L, "a"), (2L, "b")))
+  }
 }
