@@ -695,6 +695,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ---- curation at scale: LEAKAGE-SAFE train/eval split — near-dup
+    //      components (portable-minhash graph) propagate ONE md5-keyspace
+    //      coin from the component representative, so near-duplicates can
+    //      never straddle the split; per-document assignment verified
+    //      value-by-value against the recursive-CTE oracle ----
+    "q183_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs, evalFraction = 0.125)
+        .select(col("doc_id"), col("rep_id").cast("long").as("rep_id"),
+          col("split"))
+    }),
+
     // ---- operations at scale: JOIN-KEY SKEW report — the pre-flight
     //      profiler before a big shuffle join: top heavy keys + each key's
     //      share in ppm (decides broadcast/salt/AQE-skew strategy);
@@ -2556,6 +2571,38 @@ object SparkEntry {
         |count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 100 != 7
         |GROUP BY 1""".stripMargin,
+
+    "q183_leakage_split" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id)
+        |SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS rep_id,
+        |CASE WHEN substr(md5(CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)), 1, 2) < '20'
+        |     THEN 'eval' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
 
     "q180_skew_report" ->
       """WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n

@@ -116,6 +116,41 @@ object Sampling {
       substring(md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString))), 1, 2)
         < lit(hexThreshold(fraction)))
 
+  /** LEAKAGE-SAFE train/eval split — the guard a plain per-document split
+    * misses: when two NEAR-DUPLICATE documents land on opposite sides, the
+    * eval set has leaked into training and the benchmark is contaminated
+    * by construction. Every document inherits its similarity-COMPONENT's
+    * representative (min id over the near-dup graph via
+    * [[Dedup.components]]; documents in no pair represent themselves) and
+    * the md5-keyspace coin is tossed on that representative — an entire
+    * component always lands on ONE side, whichever similarity signal
+    * (text minhash, SimHash, embedding) produced `pairs`.
+    *
+    * Scale shape: the components ladder (O(log diameter) key-parallel
+    * rounds over the PAIR graph — tiny next to the corpus) plus one
+    * left-outer equi-join of the corpus against the component table; the
+    * split itself is a narrow projection. Membership is engine-portable
+    * and stable under corpus growth (same md5 contract as
+    * [[deterministic]]) — adding documents never flips an existing
+    * document's side unless new pairs join it to a smaller-id component.
+    * Output: `df` + (`rep_id`, `split` ∈ train|eval). */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      evalFraction: Double): DataFrame = {
+    require(!df.columns.contains("rep_id") && !df.columns.contains("split"),
+      "rep_id/split are reserved by leakageSafeSplit")
+    val comp = Dedup.components(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    df.join(comp, Seq(idCol), "left_outer")
+      .withColumn("rep_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("split",
+        when(keyOf(col("rep_id")) < lit(hexThreshold(evalFraction)), lit("eval"))
+          .otherwise(lit("train")))
+  }
+
   /** Cap each group's contribution at `cap` rows — the per-domain cap of
     * crawl curation (no single source may dominate the training mix).
     * Deterministic: rows rank within their group by `orderCols` (make the

@@ -805,6 +805,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(ids(0, grown).filter(_ < 400L) === e0)
   }
 
+  test("leakageSafeSplit: paired docs share a side, singletons split by own md5") {
+    import graft.operators.Sampling
+    val docs = (0L until 200L).toDF("doc_id")
+    // chain 3-4-5 forms one component; 7-8 another; rest singletons
+    val pairs = Seq((3L, 4L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Sampling.leakageSafeSplit(docs, "doc_id", pairs, evalFraction = 0.25)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("rep_id"), x.getAs[String]("split"))).toMap
+    assert(r.size === 200) // left-outer: no docs lost or duplicated
+    // every component member inherits the min-id representative's side
+    assert(Seq(3L, 4L, 5L).map(r(_)) === Seq.fill(3)((3L, r(3L)._2)))
+    assert(Seq(7L, 8L).map(r(_)) === Seq.fill(2)((7L, r(7L)._2)))
+    // singletons: rep is self, side from own md5 — matches deterministic()
+    val evalIds = Sampling.deterministic(docs, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    r.filterNot(kv => Seq(3L, 4L, 5L, 7L, 8L).contains(kv._1)).foreach {
+      case (id, (rep, split)) =>
+        assert(rep === id)
+        assert(split === (if (evalIds(id)) "eval" else "train"))
+    }
+    // both splits non-empty at this fraction on 200 ids
+    assert(r.values.map(_._2).toSet === Set("train", "eval"))
+  }
+
   test("vocabCoverage: ranks, counts and ppm curve match the hand computation") {
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     val r = Text.vocabCoverage(docs, "text", vocabSize = 10, buckets = 2)
