@@ -695,6 +695,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ---- dataset mixing at scale: WATER-FILLING budget allocation — the
+    //      max-min-fair per-source token plan (small sources keep all,
+    //      big ones capped at one level); exact integer closed form over
+    //      the stitched rank+prefix scan, Σalloc = budget exactly ----
+    "q184_water_fill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(sum(Text.tokenCount(col("text"))).cast("long").as("tokens"))
+      Sampling.waterFillBudget(counts, "source", "tokens",
+        budgetNum = 6, budgetDen = 10, buckets = 4)
+    }),
+
     // ---- curation at scale: LEAKAGE-SAFE train/eval split — near-dup
     //      components (portable-minhash graph) propagate ONE md5-keyspace
     //      coin from the component representative, so near-duplicates can
@@ -2571,6 +2583,26 @@ object SparkEntry {
         |count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 100 != 7
         |GROUP BY 1""".stripMargin,
+
+    "q184_water_fill" ->
+      s"""WITH $tokSql,
+        |c AS (SELECT d.source, CAST(sum(t.n_tok) AS BIGINT) AS tokens
+        |      FROM documents d JOIN toks t USING (doc_id) GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(tokens) AS BIGINT) AS tot,
+        |      (CAST(sum(tokens) AS BIGINT) * 6) // 10 AS b FROM c),
+        |r AS (SELECT c.*, row_number() OVER (ORDER BY tokens, source) AS pos,
+        |      CAST(sum(tokens) OVER (ORDER BY tokens, source
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |f AS (SELECT r.*, g.n, g.b,
+        |      (cum + (g.n - pos) * tokens <= g.b) AS fully FROM r CROSS JOIN g),
+        |k AS (SELECT coalesce(max(CASE WHEN fully THEN pos END), 0) AS kk,
+        |      CAST(coalesce(max(CASE WHEN fully THEN cum END), 0) AS BIGINT) AS pk FROM f)
+        |SELECT source, tokens,
+        |CAST(CASE WHEN pos <= kk THEN tokens
+        |     ELSE (b - pk) // (n - kk)
+        |          + (CASE WHEN pos - kk <= (b - pk) % (n - kk) THEN 1 ELSE 0 END)
+        |END AS BIGINT) AS alloc
+        |FROM f CROSS JOIN k""".stripMargin,
 
     "q183_leakage_split" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

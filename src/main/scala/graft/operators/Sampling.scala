@@ -151,6 +151,62 @@ object Sampling {
           .otherwise(lit("train")))
   }
 
+  /** WATER-FILLING budget allocation — the dataset-mixing planner: given
+    * per-source amounts (token counts) and a total budget of
+    * `num/den × Σamount`, allocate `min(amount, L)` to every source where
+    * the water level L is the largest value the budget funds; sources
+    * below the level keep everything (a small source is never upsampled),
+    * the rest are capped equally — the max-min-fair cut that stops a
+    * mega-crawl from drowning the mix. All arithmetic is INTEGER (level =
+    * div, remainder spread one unit at a time in ascending (amount, key)
+    * order), so the plan is engine-exact, and `Σalloc = budget` exactly.
+    *
+    * Scale shape: the closed form needs each source's rank and prefix sum
+    * in ascending-amount order — [[OrderedScan.rowNumberAndSum]] over a
+    * fixed-width lexicographic encoding (a 10^7-domain registry never
+    * single-tasks a global window); the budget, the last fully-funded
+    * rank K and its prefix P_K are three 1-row broadcasts. A source is
+    * fully funded iff prefix + (n−rank)×amount ≤ budget (prefix-closed
+    * because amounts ascend, so max(rank) is THE cut). */
+  def waterFillBudget(
+      counts: DataFrame,
+      keyCol: String,
+      amtCol: String,
+      budgetNum: Long,
+      budgetDen: Long,
+      buckets: Int = 64): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction $budgetNum/$budgetDen must be a non-negative ratio")
+    val base = 1000000000000L // 10^12 — same lexicographic pad guard as vocabCoverage
+    val enc = counts
+      .withColumn("__ok",
+        when(col(amtCol).cast("long").between(0, base - 1),
+          concat(lpad(col(amtCol).cast("long").cast("string"), 13, "0"),
+            lit(":"), col(keyCol).cast("string")))
+          .otherwise(raise_error(
+            lit("waterFillBudget: amount outside [0, 10^12) breaks the key pad"))))
+      .localCheckpoint(true) // ranked scan and the global agg share one plan
+    val ranked = graft.operators.OrderedScan
+      .rowNumberAndSum(enc, "__ok", "__pos0", amtCol, "__cum", buckets)
+      .withColumn("__cum", col("__cum").cast("long")) // integral-valued sums
+      .withColumn("__pos", col("__pos0") + 1)
+    val g = enc.agg(count(lit(1)).as("__n"), sum(col(amtCol)).cast("long").as("__tot"))
+      .withColumn("__B", expr(s"(__tot * $budgetNum) DIV $budgetDen"))
+    val withG = ranked.crossJoin(broadcast(g))
+      .withColumn("__fully",
+        col("__cum") + (col("__n") - col("__pos")) * col(amtCol).cast("long") <= col("__B"))
+    val kAgg = withG.agg(
+      coalesce(max(when(col("__fully"), col("__pos"))), lit(0L)).as("__K"),
+      coalesce(max(when(col("__fully"), col("__cum"))), lit(0L)).as("__PK"))
+    withG.crossJoin(broadcast(kAgg))
+      .withColumn("alloc",
+        when(col("__pos") <= col("__K"), col(amtCol).cast("long"))
+          .otherwise(expr("(__B - __PK) DIV (__n - __K)") +
+            when(col("__pos") - col("__K") <= expr("(__B - __PK) % (__n - __K)"), lit(1L))
+              .otherwise(lit(0L))))
+      .select(col(keyCol), col(amtCol), col("alloc"))
+  }
+
   /** Cap each group's contribution at `cap` rows — the per-domain cap of
     * crawl curation (no single source may dominate the training mix).
     * Deterministic: rows rank within their group by `orderCols` (make the

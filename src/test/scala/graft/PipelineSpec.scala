@@ -805,6 +805,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(ids(0, grown).filter(_ < 400L) === e0)
   }
 
+  test("waterFillBudget: hand-computed levels, exact budget, full-funding case") {
+    import graft.operators.Sampling
+    // amounts 10,20,30,100; total 160; budget 6/10 → 96
+    // ascending: K=2 fully funded (10+20 + 2*20=70 ≤ 96; adding 30: 60+30=90 ≤ 96
+    // → K=3? check: P3=60, (4-3)*30 → 60+30=90 ≤ 96 so 30 IS fully funded;
+    // remaining m=1, R=96-60=36, but alloc=min is capped by formula L=36 → 36
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 100L))
+      .toDF("src", "amt")
+    val r = Sampling.waterFillBudget(counts, "src", "amt", 6, 10, buckets = 2)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(r === Map("a" -> 10L, "b" -> 20L, "c" -> 30L, "d" -> 36L))
+    assert(r.values.sum === 96L) // Σalloc = budget exactly
+    // remainder spread: amounts 5,7,7; budget 1/2 → 9; K=0 (5*3=15>9? 5+2*5=15>9);
+    // L=9/3=3, rem 0 → all get 3
+    val c2 = Seq(("x", 5L), ("y", 7L), ("z", 7L)).toDF("src", "amt")
+    val r2 = Sampling.waterFillBudget(c2, "src", "amt", 1, 2, buckets = 2)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(r2 === Map("x" -> 3L, "y" -> 3L, "z" -> 3L))
+    // budget ≥ total: everyone keeps everything, no division evaluated
+    val r3 = Sampling.waterFillBudget(c2, "src", "amt", 3, 1, buckets = 2)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(r3 === Map("x" -> 5L, "y" -> 7L, "z" -> 7L))
+  }
+
   test("leakageSafeSplit: paired docs share a side, singletons split by own md5") {
     import graft.operators.Sampling
     val docs = (0L until 200L).toDF("doc_id")
