@@ -695,6 +695,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ---- operations at scale: targeted MERGE/upsert over a partitioned
+    //      layout — the incremental-corpus refresh: value updates, key
+    //      MOVES across partitions (date+1) and brand-new inserts in one
+    //      batch; only touched partitions rewrite; census verified
+    //      against the SQL merge semantics (fixed-point value sums) ----
+    "q185_partition_upsert" -> ((s, dir) => {
+      val path = s"/tmp/graft_warehouse/graft_events_upsert_${math.abs(dir.hashCode).toString.take(6)}"
+      val fsP = new org.apache.hadoop.fs.Path(path)
+      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsP, true) // fresh: the op mutates it
+      Partitioned.ensurePartitionedDir(
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        path, "event_date")
+      val cur = s.read.parquet(path)
+      val upd = cur.where(pmod(col("user_id"), lit(100)) === 7)
+        .withColumn("event_date", date_add(col("event_date"), 1))
+        .withColumn("value", col("value") + 1000)
+      val ins = cur.where(pmod(col("user_id"), lit(100)) === 13)
+        .withColumn("event_id", col("event_id") + lit(100000000L))
+      Partitioned.targetedUpsert(s, path, "event_date", "event_id",
+        upd.unionByName(ins))
+      s.read.parquet(path)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 64).cast("long")).as("v64"))
+    }),
+
     // ---- dataset mixing at scale: WATER-FILLING budget allocation — the
     //      max-min-fair per-source token plan (small sources keep all,
     //      big ones capped at one level); exact integer closed form over
@@ -2583,6 +2610,22 @@ object SparkEntry {
         |count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 100 != 7
         |GROUP BY 1""".stripMargin,
+
+    "q185_partition_upsert" ->
+      """WITH base AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+        |              value FROM events),
+        |upd AS (SELECT event_id, event_date + 1 AS event_date,
+        |        value + 1000 AS value FROM base WHERE user_id % 100 = 7),
+        |ins AS (SELECT event_id + 100000000 AS event_id, event_date, value
+        |        FROM base WHERE user_id % 100 = 13),
+        |au AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |final AS (SELECT * FROM au
+        |          UNION ALL
+        |          SELECT event_id, event_date, value FROM base
+        |          WHERE event_id NOT IN (SELECT event_id FROM au))
+        |SELECT event_date, count(*) AS n,
+        |CAST(sum(CAST(floor(value * 64) AS BIGINT)) AS BIGINT) AS v64
+        |FROM final GROUP BY 1""".stripMargin,
 
     "q184_water_fill" ->
       s"""WITH $tokSql,

@@ -98,4 +98,52 @@ object Partitioned {
     }
     affected
   }
+
+  /** TARGETED UPSERT (MERGE) over a Hive-partitioned layout — the
+    * incremental-corpus refresh: final state = updates ∪ (existing minus
+    * updated keys), but only partitions that RECEIVE an update row or
+    * currently HOLD an updated key are rewritten (dynamic partition
+    * overwrite) — including key MOVES, where an update changes a row's
+    * partition value and both the old and new partition rewrite. Untouched
+    * partitions keep their files byte-identical, so a daily refresh over a
+    * date-partitioned 100 TB corpus rewrites the touched days, not the
+    * table. A source partition left empty by moves is removed explicitly
+    * (dynamic overwrite never writes there). `updates` must carry the
+    * layout's full schema including `partCol`; `idCol` is the merge key.
+    * Returns the affected partition values (model-sized). */
+  def targetedUpsert(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      idCol: String,
+      updates: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(path)
+    val updKeys = updates.select(col(idCol)).distinct().localCheckpoint(true)
+    val destParts = updates.select(col(partCol).cast("string"))
+    val srcParts = all.join(updKeys, Seq(idCol)).select(col(partCol).cast("string"))
+    val affected: Seq[String] = destParts.union(srcParts).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affected.nonEmpty) {
+      val survivors = all
+        .where(col(partCol).cast("string").isin(affected: _*))
+        .join(updKeys, Seq(idCol), "left_anti")
+      // partition column reads back LAST — align the update batch by name,
+      // and materialize before the write so no input is read mid-rewrite
+      val merged = survivors.select(all.columns.map(col): _*)
+        .unionByName(updates.select(all.columns.map(col): _*))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+      val surviving = merged.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(surviving).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+      }
+    }
+    affected
+  }
 }

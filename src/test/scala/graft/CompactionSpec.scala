@@ -67,4 +67,40 @@ class CompactionSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("user"), r.getAs[String]("p"))).toSet
     assert(left === Set((1L, "a"), (9L, "a"), (2L, "b")))
   }
+
+  test("targetedUpsert: update-in-place, key move, insert; untouched partition keeps files") {
+    import graft.sources.Partitioned
+    val out = java.nio.file.Files.createTempDirectory("graft_tups").toString
+    // p=a: ids 1,2 — id 1 updates in place, id 2 MOVES to p=c (a rewrites, c rewrites)
+    // p=b: id 3 — untouched; p=d: id 4 — fully vacated by a move to p=a
+    val df = Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"), (4L, 40.0, "d"))
+      .toDF("id", "v", "p")
+    df.write.mode("overwrite").partitionBy("p").parquet(out)
+    def listing(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$out/p=$part")
+      if (!d.exists) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = listing("b")
+    val updates = Seq(
+      (1L, 11.0, "a"), // in-place value update
+      (2L, 22.0, "c"), // move a→c (c is a brand-new partition)
+      (4L, 44.0, "a"), // move d→a, vacating d entirely
+      (9L, 99.0, "e")  // pure insert into a new partition
+    ).toDF("id", "v", "p")
+    val affected = Partitioned.targetedUpsert(spark, out, "p", "id", updates)
+    assert(affected === Seq("a", "c", "d", "e"))
+    assert(listing("b") === bBefore) // untouched: names AND mtimes identical
+    assert(listing("d") === Map.empty) // vacated source partition removed
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"), r.getAs[String]("p"))).toSet
+    assert(got === Set((1L, 11.0, "a"), (2L, 22.0, "c"), (3L, 30.0, "b"),
+      (4L, 44.0, "a"), (9L, 99.0, "e")))
+    // idempotent replay: same batch again changes nothing
+    Partitioned.targetedUpsert(spark, out, "p", "id", updates)
+    val again = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"), r.getAs[String]("p"))).toSet
+    assert(again === got)
+  }
 }
