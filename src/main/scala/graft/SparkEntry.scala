@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.functions.{CustomAggs, Text, Vectors => V}
+import graft.functions.{CustomAggs, Sketches, Text, Vectors => V}
 import graft.operators._
 import graft.sources.{Bucketing, Csv, Partitioned}
 import graft.streaming.Streams
@@ -693,6 +693,19 @@ object SparkEntry {
       s.read.parquet(path)
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- operations at scale: mergeable-sketch distinct census — per-
+    //      shard HLL sketches (the storable incremental-profile blob)
+    //      union into per-source vocabulary estimates; output is the
+    //      EXACT count + an in-query 5% error certificate, so the hash
+    //      match proves the sketch arm stayed in bounds (q135 pattern) ----
+    "q186_hll_census" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("source"), col("doc_id"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      Sketches.distinctCensusHll(toks, "source", "tok",
+        pmod(col("doc_id"), lit(8)))
     }),
 
     // ---- operations at scale: targeted MERGE/upsert over a partitioned
@@ -2610,6 +2623,13 @@ object SparkEntry {
         |count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 100 != 7
         |GROUP BY 1""".stripMargin,
+
+    "q186_hll_census" ->
+      """WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |             FROM documents)
+        |SELECT source, count(DISTINCT tok) AS n_distinct,
+        |CAST(1 AS BIGINT) AS within
+        |FROM tok GROUP BY 1""".stripMargin,
 
     "q185_partition_upsert" ->
       """WITH base AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,

@@ -805,6 +805,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(ids(0, grown).filter(_ < 400L) === e0)
   }
 
+  test("distinctCensusHll: sharded-merged estimate equals one-shot, bound holds") {
+    import graft.functions.Sketches
+    // 2 groups × known distinct counts; values repeat across shards so the
+    // union must dedup across shard sketches, not just concatenate
+    val df = (0L until 4000L).map(i => (if (i % 2 == 0) "a" else "b", i % 700, i % 8))
+      .toDF("g", "v", "shard")
+    val r = Sketches.distinctCensusHll(df, "g", "v", col("shard"))
+      .collect().map(x => x.getString(0) -> (x.getAs[Long]("n_distinct"), x.getAs[Long]("within")))
+      .toMap
+    // evens 0..698 step2 → 350 distinct for a; odds → 350 for b
+    assert(r("a")._1 === 350L && r("b")._1 === 350L)
+    assert(r.values.forall(_._2 === 1L)) // HLL within 5% at lgK=12
+    // mergeability: union of per-shard sketches == the single global sketch
+    val sharded = df.groupBy(col("g"), col("shard"))
+      .agg(hll_sketch_agg(col("v")).as("sk"))
+      .groupBy(col("g")).agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val oneShot = df.groupBy(col("g")).agg(hll_sketch_estimate(hll_sketch_agg(col("v"))).as("est"))
+    val both = sharded.join(oneShot.withColumnRenamed("est", "est1"), Seq("g")).collect()
+    both.foreach(x => assert(x.getAs[Long]("est") === x.getAs[Long]("est1")))
+  }
+
   test("waterFillBudget: hand-computed levels, exact budget, full-funding case") {
     import graft.operators.Sampling
     // amounts 10,20,30,100; total 160; budget 6/10 → 96
