@@ -722,10 +722,16 @@ object SparkEntry {
         t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
         path, "event_date")
       val cur = s.read.parquet(path)
-      val upd = cur.where(pmod(col("user_id"), lit(100)) === 7)
+      // the update batch clusters in the 5 earliest days (the realistic
+      // late-data refresh) — so the rewrite must touch ~6 of the ~31
+      // partitions and leave the rest byte-identical, which is the point
+      val cutoff = cur.agg(date_add(min(col("event_date")), 5).as("__cut"))
+      val recent = cur.crossJoin(broadcast(cutoff))
+        .where(col("event_date") < col("__cut")).drop("__cut")
+      val upd = recent.where(pmod(col("user_id"), lit(100)) === 7)
         .withColumn("event_date", date_add(col("event_date"), 1))
         .withColumn("value", col("value") + 1000)
-      val ins = cur.where(pmod(col("user_id"), lit(100)) === 13)
+      val ins = recent.where(pmod(col("user_id"), lit(100)) === 13)
         .withColumn("event_id", col("event_id") + lit(100000000L))
       Partitioned.targetedUpsert(s, path, "event_date", "event_id",
         upd.unionByName(ins))
@@ -2634,10 +2640,12 @@ object SparkEntry {
     "q185_partition_upsert" ->
       """WITH base AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
         |              value FROM events),
+        |recent AS (SELECT * FROM base
+        |           WHERE event_date < (SELECT min(event_date) + 5 FROM base)),
         |upd AS (SELECT event_id, event_date + 1 AS event_date,
-        |        value + 1000 AS value FROM base WHERE user_id % 100 = 7),
+        |        value + 1000 AS value FROM recent WHERE user_id % 100 = 7),
         |ins AS (SELECT event_id + 100000000 AS event_id, event_date, value
-        |        FROM base WHERE user_id % 100 = 13),
+        |        FROM recent WHERE user_id % 100 = 13),
         |au AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
         |final AS (SELECT * FROM au
         |          UNION ALL

@@ -102,6 +102,29 @@ class EmptyInputSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("split / mixing / sketch ops on empty or degenerate input") {
+    import graft.functions.Sketches
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // empty pair graph: every doc is a singleton, split = own-md5 side
+    val docs = (0L until 50L).toDF("doc_id")
+    val r = Sampling.leakageSafeSplit(docs, "doc_id", emptyPairs, 0.25)
+    assert(r.count() === 50)
+    assert(r.where(col("rep_id") =!= col("doc_id")).count() === 0)
+    // fully empty corpus AND empty pairs
+    assert(Sampling.leakageSafeSplit(emptyDocs.select("doc_id"), "doc_id",
+      emptyPairs, 0.25).count() === 0)
+    // water-fill: empty counts → empty; single source → min(amount, budget)
+    val emptyCounts = Seq.empty[(String, Long)].toDF("src", "amt")
+    assert(Sampling.waterFillBudget(emptyCounts, "src", "amt", 1, 2).count() === 0)
+    val one = Seq(("only", 100L)).toDF("src", "amt")
+    val oneOut = Sampling.waterFillBudget(one, "src", "amt", 1, 2, buckets = 2)
+      .collect().map(x => (x.getString(0), x.getAs[Long]("alloc")))
+    assert(oneOut.toSeq === Seq(("only", 50L)))
+    // HLL census: empty input → empty output (no sketch of nothing)
+    val emptyTok = Seq.empty[(String, String, Long)].toDF("g", "v", "shard")
+    assert(Sketches.distinctCensusHll(emptyTok, "g", "v", col("shard")).count() === 0)
+  }
+
   test("portable ANN ops drop null / wrong-dimension vectors instead of aborting") {
     val good: Seq[(Long, Seq[Float])] =
       (0L until 20L).map(i => (i, Seq.tabulate(8)(d => (i * 3 + d).toFloat / 10f)))
