@@ -201,4 +201,36 @@ class PropertySpec extends SparkSpecBase {
       assert(r.values.forall { case (_, a, _) => a >= 0 && a < 64 }, s"case $i bounds")
     }
   }
+
+  test("waterFillBudget laws on random amounts: feasible, exact, max-min-fair") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val gen: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 25)
+      amts <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    } yield amts.zipWithIndex.map { case (a, i) => (f"s$i%03d", a) }
+    for (i <- 1 to cases) {
+      val rows = sample(gen, i + 7700)
+      val total = rows.map(_._2).sum
+      val r = Sampling.waterFillBudget(rows.toDF("src", "amt"), "src", "amt",
+        budgetNum = (i % 4) + 1, budgetDen = 4, buckets = 3)
+        .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+      val budget = total * ((i % 4) + 1) / 4
+      assert(r.keySet === rows.map(_._1).toSet, s"case $i keys")
+      // never allocate more than owned, never negative
+      rows.foreach { case (s, a) => assert(r(s) >= 0 && r(s) <= a, s"case $i cap $s") }
+      // Σalloc = min(budget, total) exactly
+      assert(r.values.sum === math.min(budget, total), s"case $i exact")
+      // max-min fairness: any capped source's alloc differs ≤1 from every
+      // other capped source (one water level, remainder spread one unit)
+      val capped: List[Long] = rows.collect { case (s, a) if r(s) < a => r(s) }
+      if (capped.nonEmpty)
+        assert(capped.max - capped.min <= 1L, s"case $i single level")
+      // monotone in budget: a bigger budget never shrinks anyone
+      val r2 = Sampling.waterFillBudget(rows.toDF("src", "amt"), "src", "amt",
+        budgetNum = (i % 4) + 2, budgetDen = 4, buckets = 3)
+        .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+      rows.foreach { case (s, _) => assert(r2(s) >= r(s), s"case $i monotone $s") }
+    }
+  }
 }
