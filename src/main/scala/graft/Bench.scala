@@ -14,7 +14,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only the LAST 2000 chars of stdout
+    // and a WARN (e.g. WindowExec on a tiny carry window) landing between
+    // the last query and the metric line eats ~170 chars of the budget the
+    // metric JSON needs (observed in the round-6 tail)
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: pay session/codegen/file-listing init once, not inside the
     // first timed query; pre-create q82's bucketed tables (setup, not work)
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
