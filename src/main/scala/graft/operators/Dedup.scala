@@ -627,9 +627,13 @@ object Dedup {
         .groupBy(edges("a").as("nid")).agg(min(col("label")).as("nl"))
       // materialized: it feeds BOTH sides of the jump join below — without
       // this the neighbor-min join subtree would execute twice per round
+      // the round's START label rides along as __old, so the convergence
+      // check below is a projection filter on the already-checkpointed
+      // round output — NOT an extra id-keyed shuffle join per round
       val propagated = labels.join(neighborMin, labels("id") === col("nid"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
       // pointer jumping: label(x) ← min(label(x), label(label(x))) — doubles
       // the propagation horizon per round, so convergence is O(log diameter)
@@ -639,11 +643,11 @@ object Dedup {
         .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
           col("a.label") === col("pid"), "left_outer")
         .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("plabel"), col("a.label"))).as("label"))
+          least(col("a.label"), coalesce(col("plabel"), col("a.label"))).as("label"),
+          col("a.__old").as("__old"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.where(col("label") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
       i += 1
     }
     require(converged,
