@@ -43,7 +43,10 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
     val exact = df.groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("n_distinct"))
-    exact.join(merged, Seq(groupCol))
+    // null-SAFE equi-join: both arms aggregate a NULL group (SQL GROUP BY
+    // keeps it) — a plain inner join would silently drop that whole group
+    exact.join(merged, exact(groupCol) <=> merged(groupCol))
+      .drop(merged(groupCol))
       .withColumn("within",
         (abs(col("__est") - col("n_distinct")) * lit(1000000L) <=
           col("n_distinct") * lit(relErrPpm)).cast("long"))

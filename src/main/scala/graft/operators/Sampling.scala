@@ -139,8 +139,8 @@ object Sampling {
       idCol: String,
       pairs: DataFrame,
       evalFraction: Double): DataFrame = {
-    require(!df.columns.contains("rep_id") && !df.columns.contains("split"),
-      "rep_id/split are reserved by leakageSafeSplit")
+    require(Seq("rep_id", "split", "cluster").forall(!df.columns.contains(_)),
+      "rep_id/split/cluster are reserved by leakageSafeSplit")
     val comp = Dedup.components(pairs)
       .select(col("id").as(idCol), col("cluster"))
     df.join(comp, Seq(idCol), "left_outer")
@@ -190,11 +190,23 @@ object Sampling {
       .rowNumberAndSum(enc, "__ok", "__pos0", amtCol, "__cum", buckets)
       .withColumn("__cum", col("__cum").cast("long")) // integral-valued sums
       .withColumn("__pos", col("__pos0") + 1)
+    // the stitch's prefix sums ride a double accumulator and __tot×num must
+    // not wrap a long — totals past 2^53 (or num×tot past 2^63) would lose
+    // integer exactness SILENTLY, so fail loudly (same philosophy as the
+    // per-amount pad guard; pre-scale amounts to coarser units instead)
+    val totLimit = math.min(1L << 53, Long.MaxValue / math.max(budgetNum, 1L))
     val g = enc.agg(count(lit(1)).as("__n"), sum(col(amtCol)).cast("long").as("__tot"))
-      .withColumn("__B", expr(s"(__tot * $budgetNum) DIV $budgetDen"))
+      .withColumn("__B",
+        when(coalesce(col("__tot"), lit(0L)) < lit(totLimit),
+          expr(s"(__tot * $budgetNum) DIV $budgetDen"))
+          .otherwise(raise_error(lit(
+            s"waterFillBudget: total amount exceeds $totLimit — allocate in coarser units"))))
+    // feeds BOTH the 1-row kAgg broadcast and the output projection — without
+    // this the whole ranked stitch (bucket shuffle + sort + carry) runs twice
     val withG = ranked.crossJoin(broadcast(g))
       .withColumn("__fully",
         col("__cum") + (col("__n") - col("__pos")) * col(amtCol).cast("long") <= col("__B"))
+      .localCheckpoint(true)
     val kAgg = withG.agg(
       coalesce(max(when(col("__fully"), col("__pos"))), lit(0L)).as("__K"),
       coalesce(max(when(col("__fully"), col("__cum"))), lit(0L)).as("__PK"))

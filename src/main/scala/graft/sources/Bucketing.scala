@@ -71,6 +71,43 @@ object Partitioned {
     * table. Partitions whose every row matches produce no output under
     * dynamic overwrite and are removed explicitly. Returns the affected
     * partition values (model-sized — one value per partition). */
+  /** Distinct partition values of `df.partCol` as strings, sorted. NULL
+    * partition values are refused loudly: Hive's
+    * `__HIVE_DEFAULT_PARTITION__` escape is not modeled here and a null
+    * would otherwise NPE in the sort (or miss its directory on delete). */
+  private def partValues(
+      df: DataFrame, partCol: String, what: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val vs = df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(!vs.contains(null),
+      s"$what contains a NULL $partCol partition value — null partitions " +
+        "(__HIVE_DEFAULT_PARTITION__) are not supported by targeted rewrites")
+    vs.sorted.toSeq
+  }
+
+  /** Shared rewrite tail of [[targetedDelete]]/[[targetedUpsert]]: dynamic-
+    * overwrite `out` into `path`, then remove affected partitions that kept
+    * no rows (dynamic overwrite never writes an empty partition). `out`
+    * must already be materialized (localCheckpoint) — the write re-reads
+    * the directories it replaces. */
+  private def overwriteAndPrune(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      out: DataFrame,
+      affected: Seq[String]): Unit = {
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    val surviving = partValues(out, partCol, "rewrite output").toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(surviving).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+    }
+  }
+
   def targetedDelete(
       spark: SparkSession,
       path: String,
@@ -78,23 +115,12 @@ object Partitioned {
       deletePred: org.apache.spark.sql.Column): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet(path)
-    val affected: Seq[String] = all.where(deletePred)
-      .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val affected = partValues(all.where(deletePred), partCol, "delete match set")
     if (affected.nonEmpty) {
       val survivors = all
         .where(col(partCol).cast("string").isin(affected: _*) && !deletePred)
         .localCheckpoint(true) // read must not observe the dirs mid-rewrite
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(path)
-      val surviving = survivors.select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affected.filterNot(surviving).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
-      }
+      overwriteAndPrune(spark, path, partCol, survivors, affected)
     }
     affected
   }
@@ -122,8 +148,8 @@ object Partitioned {
     val updKeys = updates.select(col(idCol)).distinct().localCheckpoint(true)
     val destParts = updates.select(col(partCol).cast("string"))
     val srcParts = all.join(updKeys, Seq(idCol)).select(col(partCol).cast("string"))
-    val affected: Seq[String] = destParts.union(srcParts).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val affected = partValues(destParts.union(srcParts).toDF(partCol),
+      partCol, "update batch / moved-key set")
     if (affected.nonEmpty) {
       val survivors = all
         .where(col(partCol).cast("string").isin(affected: _*))
@@ -133,16 +159,7 @@ object Partitioned {
       val merged = survivors.select(all.columns.map(col): _*)
         .unionByName(updates.select(all.columns.map(col): _*))
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(path)
-      val surviving = merged.select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affected.filterNot(surviving).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
-      }
+      overwriteAndPrune(spark, path, partCol, merged, affected)
     }
     affected
   }
