@@ -877,6 +877,27 @@ object SparkEntry {
       s.read.schema(slice.schema).orc(out)
     }),
 
+    // ---- sources: XML round-trip (native in Spark 4 — spark-xml merged
+    //      upstream): free-text through writer escaping (&, <, quotes) and
+    //      back; the oracle hash-compares the TEXT column raw, so any
+    //      escaping corruption flips the hash. XML cannot represent an
+    //      empty element distinctly from null — canonicalize back to ''
+    //      on read (the one documented lossy corner of the format) ----
+    "q187_xml_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_warehouse/xml_rt_${math.abs(dir.hashCode)}"
+      val slice = t(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), col("text"))
+      slice.write.mode("overwrite")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .format("xml").save(out)
+      s.read.schema(slice.schema)
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(out)
+        .withColumn("text", coalesce(col("text"), lit("")))
+    }),
+
     // ---- sources: SCHEMA EVOLUTION — two parquet batches with different
     //      schemas (a column added mid-stream, the crawl-ingest reality)
     //      read back as one frame via mergeSchema; early rows surface the
@@ -2620,6 +2641,9 @@ object SparkEntry {
 
     "q174_orc_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
+
+    "q187_xml_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents WHERE doc_id < 200",
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",

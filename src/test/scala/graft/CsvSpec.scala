@@ -61,4 +61,25 @@ class CsvSpec extends SparkSpecBase {
     assert(df.schema("x").dataType === DoubleType)
     assert(df.count() === 500)
   }
+
+  test("XML round-trip preserves hostile text exactly (escaping, whitespace, unicode)") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "a & b < c > d"),            // entity escaping
+      (2L, "\"quoted\" & 'apos'"),      // quote flavors
+      (3L, "  leading and trailing  "), // surrounding whitespace
+      (4L, "emoji 😀 and café"), // supplementary plane + accents
+      (5L, "<doc>nested tags</doc>"),   // text that LOOKS like markup
+      (6L, "]]> cdata terminator"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_rt").toString + "/out"
+    hostile.write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc").format("xml").save(dir)
+    val back = spark.read.schema(hostile.schema)
+      .option("rowTag", "doc").option("ignoreSurroundingSpaces", "false")
+      .format("xml").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = hostile.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === want)
+  }
 }
