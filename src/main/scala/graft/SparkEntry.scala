@@ -877,6 +877,27 @@ object SparkEntry {
       s.read.schema(slice.schema).orc(out)
     }),
 
+    // ---- sources: BINARY-FILE ingestion — the raw multimodal lake shape
+    //      (one file per media item): payloads written file-per-doc by the
+    //      EXECUTORS, listed+read back via format("binaryFile"), item id
+    //      recovered from the path; byte fidelity certified by md5 vs the
+    //      text oracle (payload = utf-8 bytes of the text, so DuckDB can
+    //      replay the hash without reading any file) ----
+    "q188_binaryfile_ingest" -> ((s, dir) => {
+      val path = s"/tmp/graft_warehouse/media_files_${math.abs(dir.hashCode).toString.take(6)}"
+      val fsP = new org.apache.hadoop.fs.Path(path)
+      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsP, true)
+      val media = Multimodal.packMedia(
+        t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text")
+      Multimodal.writeMediaFiles(media, path)
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+    }),
+
     // ---- sources: XML round-trip (native in Spark 4 — spark-xml merged
     //      upstream): free-text through writer escaping (&, <, quotes) and
     //      back; the oracle hash-compares the TEXT column raw, so any
@@ -2644,6 +2665,11 @@ object SparkEntry {
 
     "q187_xml_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents WHERE doc_id < 200",
+
+    "q188_binaryfile_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 200""".stripMargin,
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",

@@ -118,6 +118,33 @@ object Multimodal {
     }
   }
 
+  /** Materialize a media table as ONE FILE PER ITEM (`doc_<id>.bin`) — the
+    * on-disk shape real multimodal lakes ingest from (a crawl delivers
+    * millions of image/audio files, not parquet). The write runs
+    * `foreachPartition` on the EXECUTORS via the Hadoop FS API — the
+    * driver never touches a payload, so the writer scales with the
+    * cluster exactly like any other sink. Pair with
+    * `spark.read.format("binaryFile")` to ingest such a directory back
+    * into a binary-column table (q188); at real scale set
+    * `pathGlobFilter`/`recursiveFileLookup` and lean on the parallel file
+    * listing — binaryFile caps file size at
+    * `spark.sql.sources.binaryFile.maxLength` (int max) per file. */
+  def writeMediaFiles(media: DataFrame, dir: String): Unit = {
+    media.select(col("doc_id"), col("payload"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        // executor-side handles: a fresh Configuration resolves the same
+        // default FS the driver's path implies (file:// locally, the
+        // cluster FS on a real deployment)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(s"$dir/doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
+
   /** STUB FEATURE-EXTRACT — payload → dense embedding (deterministic
     * hash-projection stand-in for a vision/audio encoder). Output feeds the
     * Similarity/Dedup ANN operators unchanged — the multimodal→embedding
