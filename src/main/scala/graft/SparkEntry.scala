@@ -877,6 +877,36 @@ object SparkEntry {
       s.read.schema(slice.schema).orc(out)
     }),
 
+    // ---- sources: CORRUPT-TOLERANT JSONL ingestion — crawl feeds carry
+    //      malformed lines; PERMISSIVE mode + columnNameOfCorruptRecord
+    //      must neither die NOR silently drop them. Fixture: docs < 190
+    //      serialize cleanly, docs 190-199 become truncated JSON; the
+    //      per-lang census counts good vs quarantined rows and the good
+    //      rows' checksum proves no cross-contamination ----
+    "q189_corrupt_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_jsonl_bad_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      docs.select(
+        when(col("doc_id") < 190,
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          // truncated record: drop the closing brace and the tail fields —
+          // structurally invalid JSON, the classic interrupted-writer line
+          .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"")))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType), StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(tmp)
+        .groupBy(coalesce(col("lang"), lit("__corrupt")).as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_bad").isNull, col("n_chars")).otherwise(0L)).as("chars_good"))
+    }),
+
     // ---- sources: BINARY-FILE ingestion — the raw multimodal lake shape
     //      (one file per media item): payloads written file-per-doc by the
     //      EXECUTORS, listed+read back via format("binaryFile"), item id
@@ -2670,6 +2700,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |md5(text) AS payload_md5
         |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q189_corrupt_ingest" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_good
+        |FROM documents WHERE doc_id < 190 GROUP BY 1
+        |UNION ALL
+        |SELECT '__corrupt', count(*), 0 FROM documents
+        |WHERE doc_id >= 190 AND doc_id < 200""".stripMargin,
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",
