@@ -65,11 +65,13 @@ object Bench {
     // full-name JSON is self-written to BENCH_SELF.json in the repo,
     // immune to the tail window entirely.
     def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val shortKeys = results.keys.map(_.takeWhile(_ != '_').drop(1)).toSeq
+    val shortKeys = results.keys.map(_.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')).toSeq
     require(shortKeys.distinct.size == shortKeys.size,
       "two query names share a qNN id — the shortened bench JSON would emit duplicate keys")
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + math.round(v * 1000)
+      // "q01_..." → key "1": the leading zero spends tail-window bytes on
+      // nothing (both parse as query 1)
+      "\"" + k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0') + "\":" + math.round(v * 1000)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // only FULL runs may overwrite the tracked record — a filtered
