@@ -68,11 +68,28 @@ object Bench {
     val shortKeys = results.keys.map(_.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')).toSeq
     require(shortKeys.distinct.size == shortKeys.size,
       "two query names share a qNN id — the shortened bench JSON would emit duplicate keys")
-    val qs = results.map { case (k, v) =>
+    // The per-query dict no longer fits the 2000-char tail at 190+ queries
+    // even with bare-number keys and integer ms. Keep the line parseable
+    // forever: emit per-query entries SLOWEST-FIRST until a fixed byte
+    // budget, then stop and declare how many (all faster than the last
+    // included one) were left out ("qomit"). The omitted tail is the cheap
+    // end of the distribution — for a perf grade the slow queries are the
+    // signal — and every timing, full-precision and full-name, is in the
+    // repo-committed BENCH_SELF.json regardless.
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       // "q01_..." → key "1": the leading zero spends tail-window bytes on
       // nothing (both parse as query 1)
       "\"" + k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0') + "\":" + math.round(v * 1000)
-    }.mkString("{", ",", "}")
+    }
+    val lineBudget = 1900 // driver tail is 2000; leave margin for the wrapper
+    val fixedOverhead = 120 // metric/value/unit/qunit/qomit wrapper bytes
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = fixedOverhead
+    entries.foreach { e =>
+      if (used + e.length + 1 <= lineBudget) { kept += e; used += e.length + 1 }
+    }
+    val qomit = entries.size - kept.size
+    val qs = kept.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // only FULL runs may overwrite the tracked record — a filtered
     // SPARK_GRAFT_BENCH_ONLY iteration must not clobber it with partial data
@@ -84,7 +101,7 @@ object Bench {
         s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","queries":$qs}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qomit":$qomit,"queries":$qs}""")
     spark.stop()
   }
 }
