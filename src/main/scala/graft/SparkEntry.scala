@@ -877,6 +877,74 @@ object SparkEntry {
       s.read.schema(slice.schema).orc(out)
     }),
 
+    // ---- analytics: per-group OLS — slope/intercept/r² of price-cents on
+    //      quantity per returnflag, from ONE map-side-combinable pass over
+    //      exact integer sufficient statistics (no iteration; the shuffle
+    //      carries 5 longs per group) ----
+    "q190_group_ols" -> ((s, dir) => {
+      Stats.olsByGroup(t(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity"), // integral by construction (verified 0 fractional)
+        // integer DOLLARS, not cents: y² sums in cents would brush the
+        // int64 ceiling at sf0.1 and cross it at sf1 (ANSI sum throws)
+        round(col("l_extendedprice")))
+    }),
+
+    // ---- graph: triangle census on the near-dup graph (Suri-
+    //      Vassilvitskii degree-ordered orientation — wedge fan-out capped
+    //      at O(√E) per node, so the biggest dup cluster can't explode the
+    //      shuffle); a triangle = three mutually-similar docs ----
+    "q191_triangle_census" -> ((s, dir) => {
+      val edges = Dedup.tokenJaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 400), "doc_id", "text", 0.9)
+      Graphs.triangleCounts(edges, "id_a", "id_b")
+    }),
+
+    // ---- entity resolution: fuzzy match on the DISTINCT-value domain
+    //      (vocabulary-sized, like BPE-on-the-word-table) — Levenshtein ≤ 2
+    //      pairs of part names with the row-multiplicity weight the merge
+    //      would touch; length-bound candidate pruning ----
+    "q192_fuzzy_entity" -> ((s, dir) => {
+      Dedup.fuzzyBlockedPairs(t(s, dir, "part"), "p_name", maxDist = 2)
+    }),
+
+    // ---- time series: autocorrelation of the daily order-revenue series
+    //      at lags 1..7 — lag alignment via a self-JOIN on (day, day−l),
+    //      never a global window, so the series length is unbounded;
+    //      exact integer-dollar sufficient statistics ----
+    "q193_acf" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice")).cast("long")).as("v"))
+      Stats.acf(daily, "d", col("v"), maxLag = 7,
+        (k, l) => date_sub(k, l))
+    }),
+
+    // ---- operations: SNAPSHOT DIFF between two table versions — per-key
+    //      added/removed/changed/unchanged census; payloads md5'd map-side
+    //      so the full-outer align shuffles (key, 32B), never the wide row
+    //      twice. Fixture v2 = deterministic updates (user%100=7, value
+    //      +1000) + deletes (=13) + inserts (=21, shifted ids) ----
+    "q194_snapshot_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "events")
+      val isU = pmod(col("user_id"), lit(100))
+      val v2 = v1.where(isU =!= 13)
+        .withColumn("value",
+          when(isU === 7, col("value") + 1000.0).otherwise(col("value")))
+        .unionByName(v1.where(isU === 21)
+          .withColumn("event_id", col("event_id") + lit(100000000L)))
+      Diff.snapshotDiff(v1, v2, "event_id")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- time series: running-max DRAWDOWN per event_type (the finance
+    //      classic on the reference's home turf) — cummax minus value over
+    //      the (ts, event_id)-ordered scan, fixed-point 1/64ths; per-type
+    //      max drawdown / peak count / high-water mark ----
+    "q195_drawdown" -> ((s, dir) => {
+      Stats.drawdownSummary(t(s, dir, "events"), "event_type",
+        unix_micros(col("ts")), col("event_id"), floor(col("value") * 64))
+    }),
+
     // ---- sources: CORRUPT-TOLERANT JSONL ingestion — crawl feeds carry
     //      malformed lines; PERMISSIVE mode + columnNameOfCorruptRecord
     //      must neither die NOR silently drop them. Fixture: docs < 190
@@ -2707,6 +2775,95 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__corrupt', count(*), 0 FROM documents
         |WHERE doc_id >= 190 AND doc_id < 200""".stripMargin,
+
+    "q190_group_ols" ->
+      """WITH q AS (SELECT l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy FROM q GROUP BY 1),
+        |c AS (SELECT l_returnflag, n,
+        |  n::DOUBLE * sxy - sx::DOUBLE * sy AS cxy,
+        |  n::DOUBLE * sxx - sx::DOUBLE * sx AS cxx,
+        |  n::DOUBLE * syy - sy::DOUBLE * sy AS cyy,
+        |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM a)
+        |SELECT l_returnflag, n, round(cxy / cxx, 6) AS slope,
+        |  round((syd - (cxy / cxx) * sxd) / n::DOUBLE, 6) AS intercept,
+        |  round((cxy * cxy) / (cxx * cyy), 6) AS r2 FROM c""".stripMargin,
+
+    "q191_triangle_census" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text),' ')) AS tok
+        |           FROM documents WHERE doc_id < 400),
+        |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb FROM t a, t b
+        |      WHERE a.doc_id < b.doc_id
+        |      AND len(list_intersect(a.tok, b.tok))::DOUBLE
+        |        / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.9),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |        (SELECT ea AS v FROM e UNION ALL SELECT eb FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.ea ELSE e.eb END AS u,
+        |             CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.eb ELSE e.ea END AS w
+        |      FROM e JOIN deg da ON da.v = e.ea JOIN deg db ON db.v = e.eb),
+        |tri AS (SELECT o1.u, o1.w AS v, o2.w FROM o o1
+        |        JOIN o o2 ON o2.u = o1.w
+        |        JOIN o o3 ON o3.u = o1.u AND o3.w = o2.w),
+        |nodes AS (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |          UNION ALL SELECT w FROM tri)
+        |SELECT node, count(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin,
+
+    "q192_fuzzy_entity" ->
+      """WITH n AS (SELECT p_name AS v, count(*) AS c FROM part GROUP BY 1)
+        |SELECT a.v AS name_a, b.v AS name_b,
+        |  levenshtein(a.v, b.v) AS dist, a.c * b.c AS n_pairs
+        |FROM n a, n b
+        |WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 2""".stripMargin,
+
+    "q193_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |pairs AS (SELECT l.lag, p.v AS x, c.v AS y
+        |  FROM daily c CROSS JOIN unnest([1,2,3,4,5,6,7]) AS l(lag)
+        |  JOIN daily p ON p.d = c.d - l.lag),
+        |a AS (SELECT lag, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy FROM pairs GROUP BY 1)
+        |SELECT lag, n, round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |  / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+        |       * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS r FROM a""".stripMargin,
+
+    "q194_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN user_id % 100 = 7 THEN value + 1000.0 ELSE value END AS value,
+        |    props FROM events WHERE user_id % 100 <> 13
+        |  UNION ALL
+        |  SELECT event_id + 100000000, ts, user_id, event_type, value, props
+        |  FROM events WHERE user_id % 100 = 21),
+        |j AS (SELECT CASE
+        |    WHEN a.event_id IS NULL THEN 'added'
+        |    WHEN b.event_id IS NULL THEN 'removed'
+        |    WHEN a.ts IS DISTINCT FROM b.ts OR a.user_id IS DISTINCT FROM b.user_id
+        |      OR a.event_type IS DISTINCT FROM b.event_type
+        |      OR a.value IS DISTINCT FROM b.value
+        |      OR a.props IS DISTINCT FROM b.props THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM events a FULL OUTER JOIN v2 b ON a.event_id = b.event_id)
+        |SELECT status, count(*) AS n FROM j GROUP BY 1""".stripMargin,
+
+    "q195_drawdown" ->
+      """WITH s AS (SELECT event_type, epoch_us(ts) AS o, event_id,
+        |  CAST(floor(value * 64) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |  max(v) OVER (PARTITION BY event_type ORDER BY o, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS hwm FROM s)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(max(hwm - v) AS BIGINT) AS max_drawdown,
+        |  CAST(sum(CASE WHEN hwm = v THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+        |  CAST(max(v) AS BIGINT) AS high_water
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q176_compacted_write" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice FROM orders",

@@ -887,4 +887,37 @@ object Dedup {
       .where(col("overlap") >= minOverlap)
       .select(col("train_id"), col("probe_id"), round(col("overlap"), 6).as("overlap"))
   }
+
+  /** Fuzzy entity resolution over a string attribute: pairs of DISTINCT
+    * values within Levenshtein distance `maxDist`, weighted by how many
+    * rows carry each value. The pairing runs on the distinct-VALUE domain
+    * (vocabulary-sized — the BPE-on-the-word-table trick from
+    * [[graft.functions.Text]]), never the row domain: a 10¹¹-row table
+    * with 10⁵ distinct names pairs 10⁵ values, and the row multiplicities
+    * come along as counts.
+    *
+    * Candidate pruning uses the length bound (lev(a,b) ≤ d ⟹
+    * |len a − len b| ≤ d) as the join condition — on the tiny distinct
+    * domain Spark picks a broadcast nested-loop, which is the right plan;
+    * for a large domain, block on `substring(value, 1, p)` ∪ length bands
+    * first. Output: (name_a, name_b, dist, n_pairs) with name_a < name_b,
+    * n_pairs = rows(a)·rows(b) — the cross-match volume an entity-merge
+    * would touch. */
+  def fuzzyBlockedPairs(
+      df: DataFrame,
+      valueCol: String,
+      maxDist: Int): DataFrame = {
+    val dom = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // both sides of the pair join
+    val a = dom.select(col("v").as("name_a"), col("c").as("ca"))
+    val b = dom.select(col("v").as("name_b"), col("c").as("cb"))
+    a.join(b,
+        col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        (col("ca") * col("cb")).as("n_pairs"))
+  }
 }

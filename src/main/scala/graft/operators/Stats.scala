@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical modeling over groups and ordered series, built on EXACT
+  * integer sufficient statistics so results hash-match a SQL oracle
+  * cross-engine (see the oracle parity conventions: integer sums are
+  * order-free; one identical double expression over identical integers is
+  * IEEE-deterministic).
+  *
+  * Reference surface: FSharp.DataFrame ships `Series.mean/sdv` and window
+  * `Aggregate` (reference `src/Series.fs` statistics block) but no model
+  * fitting; per-group OLS, autocorrelation and drawdown are the additive
+  * analytics a data-engineering user reaches for next, expressed
+  * Spark-first (one hash-aggregate pass; no iteration, no collect).
+  */
+object Stats {
+
+  /** Per-group simple linear regression y = a·x + b from ONE aggregation
+    * pass. `xInt`/`yInt` must be integer-valued columns (caller quantizes —
+    * e.g. cents); the five sufficient sums are exact longs, combined in
+    * double precision ONLY at the end (cast-then-combine, so an engine
+    * whose integer sums overflow differently can never disagree).
+    *
+    * At 100 TB this is the textbook map-side-combinable shape: Catalyst
+    * partial-aggregates the five sums per partition, the shuffle carries
+    * #groups×5 longs, and no second pass exists (contrast Lloyd-style
+    * iteration). Output: group, n, slope/intercept/r2 (round 6).
+    */
+  def olsByGroup(df: DataFrame, groupCol: String, xInt: Column, yInt: Column): DataFrame = {
+    val agg = df
+      .select(col(groupCol), xInt.cast("long").as("__x"), yInt.cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    // doubles from exact longs; numerators/denominators in double to dodge
+    // int64 overflow (n·sxy can exceed 2^63 long before the double loses
+    // the digits that survive round-6)
+    val nD = col("n").cast("double")
+    val cxy = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val cxx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val cyy = nD * col("syy") - col("sy").cast("double") * col("sy")
+    val slope = cxy / cxx
+    agg.select(
+      col(groupCol),
+      col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx")) / nD, 6).as("intercept"),
+      round((cxy * cxy) / (cxx * cyy), 6).as("r2"))
+  }
+
+  /** Sample autocorrelation of an ordered integer series at lags 1..`maxLag`:
+    * Pearson r between (s_t, s_{t-l}) over the overlapping pairs, from the
+    * same exact-integer sufficient statistics as [[olsByGroup]].
+    *
+    * The lag alignment is a self-JOIN on the key (key, key−l), not a
+    * global-window `lag()`: the join shuffles on the key and scales to an
+    * arbitrarily long series, where a single unpartitioned window would
+    * serialize (reference `Series.Pairwise`/`Shift` are the lag-1 special
+    * case, reference `src/Series.fs`). `keyShift` maps (key, l) → the key
+    * expected `l` steps EARLIER (e.g. `date_sub(k, l)` for a daily series).
+    */
+  def acf(
+      series: DataFrame,
+      keyCol: String,
+      valInt: Column,
+      maxLag: Int,
+      keyShift: (Column, Column) => Column): DataFrame = {
+    val s = series.select(col(keyCol).as("__k"), valInt.cast("long").as("__v"))
+    val cur = s
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("__kprev", keyShift(col("__k"), col("lag")))
+    val prev = s.select(col("__k").as("__kprev"), col("__v").as("__vprev"))
+    val agg = cur.join(prev, "__kprev")
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__vprev")).as("sx"),
+        sum(col("__v")).as("sy"),
+        sum(col("__vprev") * col("__v")).as("sxy"),
+        sum(col("__vprev") * col("__vprev")).as("sxx"),
+        sum(col("__v") * col("__v")).as("syy"))
+    val nD = col("n").cast("double")
+    val cxy = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val cxx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val cyy = nD * col("syy") - col("sy").cast("double") * col("sy")
+    agg.select(col("lag"), col("n"), round(cxy / sqrt(cxx * cyy), 6).as("r"))
+  }
+
+  /** Running-max drawdown per key — the finance classic over an ordered
+    * integer series: cummax(v) − v, plus the per-key summary (max drawdown,
+    * peak count, final high-water mark). Ordering ties broken by
+    * `tiebreak` so the prefix sets — and therefore every row's running
+    * max — are deterministic cross-engine.
+    *
+    * Partitioned by `partCol`: each key's scan is an independent window
+    * (the natural training-shard/date-partition layout at scale); for ONE
+    * global series use [[OrderedScan.runningStats]]'s stitched form
+    * instead of an unpartitioned window. */
+  def drawdownSummary(
+      df: DataFrame,
+      partCol: String,
+      orderCol: Column,
+      tiebreak: Column,
+      valInt: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col("__o"), col("__t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(partCol), orderCol.as("__o"), tiebreak.as("__t"), valInt.cast("long").as("__v"))
+      .withColumn("__hwm", max(col("__v")).over(w))
+      .groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("__hwm") - col("__v")).as("max_drawdown"),
+        sum(when(col("__hwm") === col("__v"), 1L).otherwise(0L)).as("n_peaks"),
+        max(col("__v")).as("high_water"))
+  }
+}
