@@ -2219,7 +2219,72 @@ object SparkEntry {
         "stack(3, 'F', F, 'O', O, 'P', P) as (o_orderstatus, total)")
         .where(col("total").isNotNull)
         .select(col("month"), col("o_orderstatus"), round(col("total"), 4).as("total"))
-    })
+    }),
+
+    // ---- events: ordered 3-step funnel (view → click → purchase) over
+    //      the first 72 h of the log (start = a 1-row broadcast min, so
+    //      the slice is SF-relative, not a hardcoded date) — ONE shuffle
+    //      on user_id, step times chained by codegen'd filter/array_min
+    //      HOFs; the oracle replays the k-join form ----
+    "q196_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val lo = ev.agg(min(col("ts")).as("__lo"))
+      val sliced = ev.crossJoin(broadcast(lo))
+        .where(col("ts") < col("__lo") + expr("INTERVAL 72 HOURS"))
+      Events.funnel(sliced, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // ---- events: weekly cohort retention triangle — cohort = Monday week
+    //      of first event; two entity-keyed hash aggs + one entity-keyed
+    //      equi-join over the (entity, week) projection, never the raw
+    //      log; exact integer day-diff DIV 7 offsets ----
+    "q197_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- stats: two-sample Kolmogorov-Smirnov drift between the doc-
+    //      length distributions of sources src0-9 vs src10-19 — exact
+    //      integer D (suprema at sample points ⇒ |r1·n2 − r2·n1|),
+    //      cumulatives ride ONE fused two-column OrderedScan stitch over
+    //      the value-distinct domain (no global window) ----
+    "q198_ks_drift" -> ((s, dir) =>
+      Stats.ksDrift(t(s, dir, "documents"), col("n_chars"),
+        length(col("source")) === 4, length(col("source")) =!= 4)),
+
+    // ---- dedup: token-set CONTAINMENT pairs (doc-in-doc, the shape
+    //      Jaccard misses) — inverted-index candidates on rare tokens
+    //      (df cap scales with corpus size: max(100, ndocs/5)), exact
+    //      array_intersect verify, integer ppm threshold ----
+    "q199_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cap = math.max(100L, docs.count() / 5)
+      Dedup.containmentPairs(docs, "doc_id", "text", 600000L, maxDf = cap)
+    }),
+
+    // ---- events: first-order Markov transition matrix of event types —
+    //      entity-partitioned lag (key-parallel, (ts, event_id) tie-break)
+    //      into a |types|²-keyed agg; fixed-point row-conditional p_ppm ----
+    "q200_markov" -> ((s, dir) =>
+      Events.markovTransitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // ---- dedup: sorted-neighborhood blocking (merge/purge) — rank the
+    //      distinct p_name domain via the OrderedScan stitch, equi-join on
+    //      rank bands (window 10), Levenshtein ≤ 2 — the O(domain·w)
+    //      windowed complement of q192's length-banded cross ----
+    "q201_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "part"), "p_name",
+        window = 10, maxDist = 2)),
+
+    // ---- events: last-touch attribution — each purchase credited to the
+    //      latest prior view/click within 7 days via the union+window
+    //      as-of form (ONE entity-partitioned window, last_value
+    //      ignoreNulls; no join against the raw log); exact-cents revenue
+    //      and exact-µs horizon/delay arithmetic ----
+    "q202_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", "value",
+        Seq("view", "click"), "purchase", horizonSec = 604800L))
   )
 
   // ----------------------------------------------------------------------
@@ -4343,6 +4408,105 @@ object SparkEntry {
         |              ORDER BY mf.m DESC LIMIT 1), 6) AS F,
         |round(df.O / (SELECT mf.O FROM mf WHERE mf.m <= df.k AND mf.O IS NOT NULL
         |              ORDER BY mf.m DESC LIMIT 1), 6) AS O
-        |FROM df""".stripMargin
+        |FROM df""".stripMargin,
+
+    "q196_funnel" ->
+      """WITH e AS (SELECT * FROM events
+        |  WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 72 HOURS),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT count(*) FROM s2) AS c2, (SELECT count(*) FROM s3) AS c3)
+        |SELECT 1 AS step, 'view' AS step_name, c1 AS entities,
+        |  c1 * 1000000 // c1 AS conv_ppm FROM c
+        |UNION ALL SELECT 2, 'click', c2, c2 * 1000000 // c1 FROM c
+        |UNION ALL SELECT 3, 'purchase', c3, c3 * 1000000 // c1 FROM c""".stripMargin,
+
+    "q197_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT f.cohort_week,
+        |  CAST(a.wk - f.cohort_week AS BIGINT) // 7 AS week_offset,
+        |  count(*) AS entities
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q198_ks_drift" ->
+      """WITH d AS (SELECT n_chars AS v,
+        |  CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS a FROM documents),
+        |pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS c1,
+        |  CAST(sum(1 - a) AS BIGINT) AS c2 FROM d GROUP BY 1),
+        |c AS (SELECT v, CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS r1,
+        |  CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS r2 FROM pv),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |  CAST(sum(c2) AS BIGINT) AS n2 FROM pv)
+        |SELECT t.n1, t.n2, max(abs(r1 * t.n2 - r2 * t.n1)) AS d_num,
+        |  max(abs(r1 * t.n2 - r2 * t.n1)) * 1000000 // (t.n1 * t.n2) AS ks_ppm
+        |FROM c, t GROUP BY t.n1, t.n2""".stripMargin,
+
+    "q199_containment" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_distinct(string_split(trim(text), ' ')) AS tok FROM documents),
+        |tk AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+        |ex AS (SELECT doc_id, unnest(tok) AS t FROM tk),
+        |rare AS (SELECT t FROM ex GROUP BY t HAVING count(*) BETWEEN 2 AND
+        |  greatest(100, (SELECT count(*) FROM documents) // 5)),
+        |re AS (SELECT ex.doc_id, ex.t FROM ex JOIN rare USING (t)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM re a JOIN re b USING (t) WHERE a.doc_id < b.doc_id),
+        |p AS (SELECT id_a, id_b, ta.tok AS ta, tb.tok AS tb FROM cand
+        |  JOIN tk ta ON ta.doc_id = cand.id_a
+        |  JOIN tk tb ON tb.doc_id = cand.id_b),
+        |m AS (SELECT id_a, id_b, CAST(len(ta) AS BIGINT) AS n_a,
+        |  CAST(len(tb) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter FROM p)
+        |SELECT id_a, id_b, n_a, n_b, inter,
+        |  inter * 1000000 // least(n_a, n_b) AS cont_ppm FROM m
+        |WHERE inter * 1000000 // least(n_a, n_b) >= 600000""".stripMargin,
+
+    "q200_markov" ->
+      """WITH p AS (SELECT user_id, event_type, lag(event_type) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |c AS (SELECT prev AS prev_type, event_type AS next_type,
+        |  count(*) AS transitions FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, transitions,
+        |  transitions * 1000000 //
+        |    CAST(sum(transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_ppm
+        |FROM c""".stripMargin,
+
+    "q201_sorted_neighborhood" ->
+      """WITH n AS (SELECT p_name AS v, count(*) AS c FROM part GROUP BY 1),
+        |r AS (SELECT v, c, row_number() OVER (ORDER BY v) - 1 AS r FROM n)
+        |SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist,
+        |  a.c * b.c AS n_pairs
+        |FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= 10
+        |WHERE levenshtein(a.v, b.v) <= 2""".stripMargin,
+
+    "q202_attribution" ->
+      """WITH rel AS (SELECT user_id, ts, event_id, event_type, value
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN
+        |    struct_pack(ts := ts, tp := event_type) END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM rel),
+        |p AS (SELECT *, epoch_us(ts) - epoch_us(touch.ts) AS delay_us
+        |  FROM w WHERE event_type = 'purchase'),
+        |a AS (SELECT CASE WHEN touch IS NOT NULL AND delay_us <= 604800000000
+        |    THEN touch.tp ELSE '(none)' END AS touch_type, value, delay_us
+        |  FROM p)
+        |SELECT touch_type, count(*) AS conversions,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  CAST(sum(CASE WHEN touch_type <> '(none)' THEN delay_us // 1000000
+        |    ELSE 0 END) AS BIGINT) AS delay_s_total
+        |FROM a GROUP BY 1""".stripMargin
   )
 }

@@ -920,4 +920,94 @@ object Dedup {
       .select(col("name_a"), col("name_b"), col("dist"),
         (col("ca") * col("cb")).as("n_pairs"))
   }
+
+  /** Token-set CONTAINMENT pairs — the doc-in-doc detector Jaccard misses:
+    * a short document fully quoted inside a long one has tiny Jaccard
+    * (union is large) but containment |A∩B| / min(|A|,|B|) ≈ 1. Output:
+    * (id_a, id_b, n_a, n_b, inter, cont_ppm) for pairs at cont_ppm ≥
+    * threshold — counts and the fixed-point ratio are exact integers
+    * (integer DIV), so the result hash-matches a SQL oracle.
+    *
+    * Unlike the brute-force O(n²) cross of [[tokenJaccardPairs]], pairs
+    * come from an INVERTED-INDEX equi-join: explode distinct tokens, drop
+    * tokens with document frequency > `maxDf` (a high-df token pairs
+    * everything with everything — the candidate blow-up at corpus scale —
+    * while every contained doc of ≥ minRareShared tokens still shares a
+    * rare one unless it consists entirely of stop-tokens, the documented
+    * recall trade), self-join on the token, distinct the candidate id
+    * pairs, then verify EXACT containment on the pair's full token arrays
+    * (array_intersect, codegen). Shuffles are keyed on token then pair id
+    * — never a cartesian. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPpm: Long,
+      maxDf: Long = 100L): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        array_distinct(Text.tokens(col(textCol))).as("tok"))
+      .where(size(col("tok")) > 0)
+      .localCheckpoint(true) // reused: explode side + both verify sides
+    val ex = tok.select(col("id"), explode(col("tok")).as("t"))
+    val rare = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2L, maxDf))
+      .select(col("t"))
+    val rareEx = ex.join(rare, Seq("t"))
+    val cand = rareEx.select(col("t"), col("id").as("id_a"))
+      .join(rareEx.select(col("t"), col("id").as("id_b")), Seq("t"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(tok.select(col("id").as("id_a"), col("tok").as("__ta")), Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("tok").as("__tb")), Seq("id_b"))
+      .withColumn("n_a", size(col("__ta")).cast("long"))
+      .withColumn("n_b", size(col("__tb")).cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("cont_ppm",
+        expr("inter * 1000000L DIV least(n_a, n_b)"))
+      .where(col("cont_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("inter"), col("cont_ppm"))
+  }
+
+  /** Sorted-neighborhood blocking (Hernández-Stolfo merge/purge) — the
+    * windowed complement of [[fuzzyBlockedPairs]]: rank the DISTINCT
+    * value domain in lexical order and compare only values within
+    * `window` rank positions, so candidates are O(|domain|·window)
+    * instead of the length-banded cross — the classic trade when typos
+    * rarely change a sort key's prefix (misses pairs differing in the
+    * FIRST character; run again on reversed keys to recover those).
+    * Output matches fuzzyBlockedPairs: (name_a, name_b, dist, n_pairs)
+    * at Levenshtein ≤ maxDist, name_a < name_b (lexical = rank order).
+    *
+    * The global rank rides the OrderedScan bucket stitch (no global
+    * window); neighbor pairing is an EQUI-join on the rank band
+    * (band = rank DIV window; the left side fans out to its own and the
+    * next band, covering every pair within `window` positions exactly
+    * once), then the rank-distance and edit-distance filters run
+    * band-locally. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      valueCol: String,
+      window: Int,
+      maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val dom = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val ranked = OrderedScan.rowNumber(dom, "v", "r")
+      .localCheckpoint(true) // both sides of the band join
+    val a = ranked.select(col("v").as("name_a"), col("c").as("ca"),
+        col("r").as("ra"),
+        explode(array(expr(s"r DIV $window"), expr(s"r DIV $window + 1")))
+          .as("__band"))
+    val b = ranked.select(col("v").as("name_b"), col("c").as("cb"),
+        col("r").as("rb"), expr(s"r DIV $window").as("__band"))
+    a.join(b, Seq("__band"))
+      .where(col("rb") > col("ra") && col("rb") - col("ra") <= window)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        (col("ca") * col("cb")).as("n_pairs"))
+  }
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over an (entity, timestamp, type, value) log —
+  * ordered funnels, cohort retention, transition matrices and marketing
+  * attribution. The reference frame library stops at sessionization-style
+  * windowing (reference `src/Series.fs` Aggregate/windowWhile); these are
+  * the additive product-analytics shapes its users build on top, expressed
+  * Spark-first: everything is key-parallel per entity (one hash shuffle on
+  * the entity key, never a global sort), counts and fixed-point ppm ratios
+  * are exact integers, so every result hash-matches a SQL oracle.
+  */
+object Events {
+
+  /** Ordered k-step funnel: for each entity, step 1 is its earliest
+    * `steps(0)` event; step i is the earliest `steps(i-1)` event STRICTLY
+    * after the step-(i-1) time. Output: one row per step — (step 1-based,
+    * step_name, entities reached, conv_ppm vs step 1, integer DIV).
+    *
+    * ONE shuffle on the entity key: the groupBy collects, per entity, the
+    * step-1 minimum plus one timestamp array PER LATER STEP (only that
+    * step's events — the map side projects everything else to null, which
+    * `collect_list` drops), then a chain of codegen'd higher-order
+    * `filter`/`array_min` picks each "earliest after t_{i-1}" without a
+    * second pass. Per-entity state is bounded by that entity's per-step
+    * event count — the standard per-user-bounded assumption of funnel
+    * analytics (cap upstream if an entity can be adversarially hot; the
+    * equivalent k-join form the oracle uses trades k extra shuffles of the
+    * full log for O(1) state and stays the fallback). A null step time
+    * poisons every later comparison to null, so unreached prefixes
+    * propagate — no entity can reach step i without step i-1. */
+  def funnel(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    val firstAgg =
+      min(when(col(typeCol) === steps.head, col(tsCol))).as("__t1")
+    val listAggs = steps.tail.zipWithIndex.map { case (s, i) =>
+      collect_list(when(col(typeCol) === s, col(tsCol))).as(s"__l${i + 2}")
+    }
+    val perEntity = events.groupBy(col(entityCol))
+      .agg(firstAgg, listAggs: _*)
+    // chain: __t{i} = min of step-i times strictly after __t{i-1}
+    val withTimes = steps.tail.zipWithIndex.foldLeft(perEntity) {
+      case (df, (_, i)) =>
+        val k = i + 2
+        df.withColumn(s"__t$k",
+          array_min(filter(col(s"__l$k"), x => x > col(s"__t${k - 1}"))))
+    }
+    val countCols = steps.indices.map(i =>
+      sum(when(col(s"__t${i + 1}").isNotNull, 1L).otherwise(0L))
+        .as(s"__c${i + 1}"))
+    val reached = withTimes.agg(countCols.head, countCols.tail: _*)
+    val stepRows = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+        col(s"__c${i + 1}").as("entities"))
+    }: _*)
+    reached.select(explode(stepRows).as("r"), col("__c1"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.entities").as("entities"),
+        expr("r.entities * 1000000L DIV __c1").as("conv_ppm"))
+  }
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of the
+    * entity's FIRST event; an entity is retained at offset w if it has any
+    * event in cohort_week + w weeks. Output (cohort_week DATE, week_offset,
+    * entities), one row per non-empty cell of the retention triangle.
+    *
+    * Two hash aggregates and one equi-join, all keyed on the entity id:
+    * first-event per entity (map-side-combinable min), the distinct
+    * (entity, active-week) projection, and the join that tags each active
+    * week with its cohort — then a final (cohort, offset) count. The join
+    * carries one row per entity-week (bounded by the calendar), never the
+    * raw log. Offsets are exact integer day-diffs DIV 7, so engines can't
+    * disagree on week arithmetic. */
+  def cohortRetention(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String): DataFrame = {
+    val firstEvent = events.groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(entityCol),
+        to_date(date_trunc("week", col("__first"))).as("__cohort"))
+    val activeWeeks = events
+      .select(col(entityCol),
+        to_date(date_trunc("week", col(tsCol))).as("__week"))
+      .distinct()
+    activeWeeks.join(firstEvent, Seq(entityCol))
+      .select(col("__cohort"),
+        expr("CAST(datediff(__week, __cohort) AS BIGINT) DIV 7")
+          .as("week_offset"),
+        col(entityCol))
+      .groupBy(col("__cohort").as("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("entities"))
+      .select(col("cohort_week"), col("week_offset"), col("entities"))
+  }
+
+  /** First-order Markov transition matrix of event types per entity:
+    * count of (prev_type -> next_type) over each entity's time-ordered
+    * event sequence, with a fixed-point row-conditional probability
+    * (p_ppm = count·1e6 DIV out-degree of prev_type, integer DIV).
+    *
+    * The lag rides an entity-PARTITIONED window — key-parallel, state is
+    * one row, no global sort anywhere (the partitioned complement of the
+    * OrderedScan stitch, same routing as the per-user diff family). Ties
+    * in `tsCol` break on `idCol` so the sequence — and therefore the hash
+    * — is deterministic cross-engine. The transition agg is
+    * map-side-combinable on a (|types|², tiny) key space. */
+  def markovTransitions(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(entityCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+    val counts = pairs.groupBy(col("__prev").as("prev_type"),
+        col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+    counts
+      .withColumn("p_ppm",
+        expr("transitions * 1000000L DIV sum(transitions) OVER " +
+          "(PARTITION BY prev_type)"))
+      .select(col("prev_type"), col("next_type"), col("transitions"),
+        col("p_ppm"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * LATEST touch event (any type in `touchTypes`) of the same entity
+    * strictly before it and within `horizonSec`; conversions with no such
+    * touch credit "(none)". Output per touch type: conversions, revenue
+    * in exact cents (fixed-point BIGINT of the conversion's `valueCol`),
+    * and the summed touch→conversion delay in whole seconds (integer DIV
+    * of the µs difference).
+    *
+    * This is the grouped as-of join expressed as the union+window form of
+    * [[AsOf.join]]: touches and conversions interleave in ONE
+    * entity-partitioned window ordered by (ts, id) — key-parallel, one
+    * shuffle of the filtered log, state = one struct per row
+    * (`last_value` with ignoreNulls skips conversion rows), no join
+    * against the raw log at all. The horizon check compares exact µs
+    * longs, so boundary events land identically cross-engine. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      valueCol: String,
+      touchTypes: Seq[String],
+      conversionType: String,
+      horizonSec: Long): DataFrame = {
+    val relevant = events
+      .where(col(typeCol).isin(touchTypes :+ conversionType: _*))
+      .select(col(entityCol), col(tsCol), col(idCol), col(typeCol),
+        col(valueCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touchStruct = when(col(typeCol) =!= conversionType,
+      struct(col(tsCol).as("ts"), col(typeCol).as("tp")))
+    val attributed = relevant
+      .withColumn("__touch", last(touchStruct, ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType)
+      .withColumn("__delay_us",
+        unix_micros(col(tsCol)) - unix_micros(col("__touch.ts")))
+      .withColumn("touch_type",
+        when(col("__touch").isNotNull &&
+            col("__delay_us") <= horizonSec * 1000000L, col("__touch.tp"))
+          .otherwise(lit("(none)")))
+    attributed.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(expr(s"CAST(round($valueCol * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+        sum(when(col("touch_type") =!= "(none)",
+            expr("__delay_us DIV 1000000")).otherwise(lit(0L)))
+          .as("delay_s_total"))
+      .select(col("touch_type"), col("conversions"), col("revenue_cents"),
+        col("delay_s_total"))
+  }
+}

@@ -189,6 +189,40 @@ object OrderedScan {
         (col("__cum") + col("__offset")).as(cumCol): _*)
   }
 
+  /** [[runningSum]] generalized to SEVERAL exact-LONG columns in ONE
+    * stitched pass: each (valueCol -> outCol) pair gets its global
+    * running sum, all riding the same bucket shuffle, within-bucket
+    * window sort and per-bucket carry broadcast — callers that need two
+    * aligned cumulatives (two-sample ECDFs, paired quota scans) pay one
+    * scan instead of two, and integer sums keep the result hash-exact
+    * cross-engine (no double accumulation anywhere). */
+  def runningSumsLong(
+      df: DataFrame,
+      keyCol: String,
+      sums: Seq[(String, String)],
+      buckets: Int = 64): DataFrame = {
+    val b = withRangeBucket(df, keyCol, buckets)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = sums.zipWithIndex.foldLeft(b) { case (d, ((v, _), i)) =>
+      d.withColumn(s"__cum$i", sum(col(v).cast("long")).over(wIn))
+    }
+    val summary = b.groupBy(col("__bucket")).agg(
+      sums.head._1 match { case v => sum(col(v).cast("long")).as("__tot0") },
+      sums.tail.zipWithIndex.map { case ((v, _), i) =>
+        sum(col(v).cast("long")).as(s"__tot${i + 1}")
+      }: _*)
+    val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sums.indices.foldLeft(summary) { case (d, i) =>
+      d.withColumn(s"__off$i",
+        coalesce(sum(col(s"__tot$i")).over(wCarry), lit(0L)))
+    }.select(col("__bucket") +: sums.indices.map(i => col(s"__off$i")): _*)
+    within.join(broadcast(carry), Seq("__bucket"), "left_outer")
+      .select(df.columns.map(col) ++ sums.zipWithIndex.map {
+        case ((_, out), i) => (col(s"__cum$i") + col(s"__off$i")).as(out)
+      }: _*)
+  }
+
   /** Global backward fill — [[forwardFill]] mirrored (desc within buckets,
     * carry-in from later buckets). */
   def backwardFill(

@@ -121,4 +121,50 @@ object Stats {
         sum(when(col("__hwm") === col("__v"), 1L).otherwise(0L)).as("n_peaks"),
         max(col("__v")).as("high_water"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov distance between the distributions of
+    * an integer metric under two cohorts — the distribution-drift gate a
+    * training pipeline runs when a new source lands (the KL drift of
+    * `Text.sourceTokenDrift` needs binning; KS is binning-free). Output:
+    * ONE row (n1, n2, d_num BIGINT, ks_ppm) where the KS statistic
+    * D = d_num / (n1·n2) and ks_ppm is its fixed-point integer DIV — all
+    * EXACT integer arithmetic (D's candidate suprema occur at sample
+    * points, and at value v, |F1−F2|·n1·n2 = |r1·n2 − r2·n1| with r the
+    * cumulative counts), so the hash can't drift cross-engine.
+    *
+    * Scale shape: the log collapses to one row per DISTINCT metric value
+    * FIRST (map-side-combinable conditional counts; domain is
+    * value-distinct-sized, like a vocabulary), then the two cumulative
+    * counts ride ONE OrderedScan bucket-stitch pass over the value order —
+    * no global window, no sort of the raw log. Bounds: holds through
+    * n1, n2 ≤ ~3e9 each (d_num ≤ n1·n2 ≤ 9e18; ks_ppm multiplies d_num
+    * by 1e6 only after the DIV by... — computed as d_num·1e6 DIV n1n2,
+    * so keep n1·n2 ≤ 9.2e12, i.e. ~3e6 rows per side; above that drop
+    * the ppm column or rescale d_num first). */
+  def ksDrift(
+      df: DataFrame,
+      valueInt: Column,
+      inCohort1: Column,
+      inCohort2: Column): DataFrame = {
+    val perValue = df
+      .select(valueInt.cast("long").as("__v"),
+        inCohort1.as("__a"), inCohort2.as("__b"))
+      .where(col("__a") || col("__b"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__c2"))
+      // value-domain-sized; checkpoint so the raw log is scanned ONCE
+      // (totals + stitch both read this)
+      .localCheckpoint(true)
+    val cum = OrderedScan.runningSumsLong(
+      perValue, "__v", Seq("__c1" -> "__r1", "__c2" -> "__r2"))
+    val totals = perValue.agg(
+      sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"))
+    cum.crossJoin(broadcast(totals))
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(abs(col("__r1") * col("n2") - col("__r2") * col("n1")))
+          .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("d_num * 1000000L DIV (n1 * n2)").as("ks_ppm"))
+  }
 }
