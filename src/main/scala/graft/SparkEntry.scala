@@ -2284,7 +2284,47 @@ object SparkEntry {
     "q202_attribution" -> ((s, dir) =>
       Events.lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
         "event_id", "event_type", "value",
-        Seq("view", "click"), "purchase", horizonSec = 604800L))
+        Seq("view", "click"), "purchase", horizonSec = 604800L)),
+
+    // ---- streaming: the q196 funnel as a PER-ENTITY STATE MACHINE —
+    //      mapGroupsWithState with O(1) (stage, last-µs) state (vs the
+    //      batch form's per-step lists); greedy ascending scan ≡
+    //      chained-min, so the same k-join oracle certifies the stream ----
+    "q203_stream_funnel" -> ((s, dir) =>
+      Streams.funnelStages(s, dir, Seq("view", "click", "purchase"),
+        horizonSec = 259200L)),
+
+    // ---- stats: Benford first-digit audit of order totals — 9-key
+    //      map-side agg, literal expectation table (ppm constants, so no
+    //      cross-engine libm dependence), integer deviation ----
+    "q204_benford" -> ((s, dir) =>
+      Stats.benfordDeviation(t(s, dir, "orders"), col("o_totalprice"))),
+
+    // ---- events: top journey prefixes — each user's first 3 event types
+    //      in (ts, id) order as a path string; entity-partitioned rank,
+    //      deterministic sort_array collect, |types|³-bounded count agg ----
+    "q205_paths" -> ((s, dir) =>
+      Events.pathCounts(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", k = 3)),
+
+    // ---- events: survival/retention curve — lifespan = whole weeks
+    //      first→last event; dense offsets via per-entity sequence
+    //      fan-out (bounded by entities × calendar weeks); exact
+    //      integer Kaplan-Meier under no censoring ----
+    "q206_survival" -> ((s, dir) =>
+      Events.survivalCurve(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- stats: two-arm A/B lift — arms by user parity, conversion =
+    //      any purchase in the first 72 h (broadcast-min window); exact
+    //      integer counts/ppm + ONE shared-double z-score (round 6) ----
+    "q207_ab_lift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val lo = ev.agg(min(col("ts")).as("__lo"))
+      Stats.abLift(ev.crossJoin(broadcast(lo)), "user_id",
+        inArm1 = col("user_id") % 2 === 0,
+        converted = col("event_type") === "purchase" &&
+          col("ts") < col("__lo") + expr("INTERVAL 72 HOURS"))
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -4507,6 +4547,73 @@ object SparkEntry {
         |    AS revenue_cents,
         |  CAST(sum(CASE WHEN touch_type <> '(none)' THEN delay_us // 1000000
         |    ELSE 0 END) AS BIGINT) AS delay_s_total
-        |FROM a GROUP BY 1""".stripMargin
+        |FROM a GROUP BY 1""".stripMargin,
+
+    "q203_stream_funnel" ->
+      """WITH e AS (SELECT * FROM events
+        |  WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 72 HOURS),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT count(*) FROM s2) AS c2, (SELECT count(*) FROM s3) AS c3)
+        |SELECT 1 AS step, 'view' AS step_name, c1 AS entities,
+        |  c1 * 1000000 // c1 AS conv_ppm FROM c
+        |UNION ALL SELECT 2, 'click', c2, c2 * 1000000 // c1 FROM c
+        |UNION ALL SELECT 3, 'purchase', c3, c3 * 1000000 // c1 FROM c""".stripMargin,
+
+    "q204_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757))
+        |SELECT g.digit, g.n, g.n * 1000000 // t.total AS obs_ppm,
+        |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |  abs(g.n * 1000000 // t.total - e.exp_ppm) AS dev_ppm
+        |FROM g, t, e WHERE e.digit = g.digit""".stripMargin,
+
+    "q205_paths" ->
+      """WITH r AS (SELECT user_id, event_type, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n FROM p GROUP BY 1""".stripMargin,
+
+    "q206_survival" ->
+      """WITH l AS (SELECT user_id, CAST(max(CAST(ts AS DATE)) -
+        |    min(CAST(ts AS DATE)) AS BIGINT) // 7 AS life
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT unnest(generate_series(0, life)) AS week_offset FROM l),
+        |t AS (SELECT count(*) AS total FROM l)
+        |SELECT week_offset, count(*) AS survivors,
+        |  count(*) * 1000000 // t.total AS survival_ppm
+        |FROM e, t GROUP BY week_offset, t.total""".stripMargin,
+
+    "q207_ab_lift" ->
+      """WITH b AS (SELECT min(ts) + INTERVAL 72 HOURS AS hi FROM events),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS arm1,
+        |  max(CASE WHEN event_type = 'purchase' AND ts < b.hi
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events, b GROUP BY 1),
+        |a AS (SELECT CAST(sum(arm1) AS BIGINT) AS n1,
+        |  CAST(sum(1 - arm1) AS BIGINT) AS n2,
+        |  CAST(sum(arm1 * conv) AS BIGINT) AS conv1,
+        |  CAST(sum((1 - arm1) * conv) AS BIGINT) AS conv2 FROM u)
+        |SELECT n1, conv1, n2, conv2,
+        |  conv1 * 1000000 // n1 AS p1_ppm, conv2 * 1000000 // n2 AS p2_ppm,
+        |  conv1 * 1000000 // n1 - conv2 * 1000000 // n2 AS diff_ppm,
+        |  round((conv1 / n1 - conv2 / n2) /
+        |    sqrt(((conv1 + conv2) / (n1 + n2)) *
+        |         (1 - (conv1 + conv2) / (n1 + n2)) *
+        |         (1.0 / n1 + 1.0 / n2)), 6) AS z
+        |FROM a""".stripMargin
   )
 }

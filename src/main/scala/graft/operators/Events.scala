@@ -55,7 +55,14 @@ object Events {
     val countCols = steps.indices.map(i =>
       sum(when(col(s"__t${i + 1}").isNotNull, 1L).otherwise(0L))
         .as(s"__c${i + 1}"))
-    val reached = withTimes.agg(countCols.head, countCols.tail: _*)
+    stageRows(withTimes.agg(countCols.head, countCols.tail: _*), steps)
+  }
+
+  /** Shared funnel output shape: a 1-row frame of per-step reach counts
+    * (`__c1..__ck`) exploded to (step, step_name, entities, conv_ppm)
+    * rows — used by the batch form above and the streaming state-machine
+    * form ([[graft.streaming.Streams.funnelStages]]). */
+  private[graft] def stageRows(reached: DataFrame, steps: Seq[String]): DataFrame = {
     val stepRows = array(steps.zipWithIndex.map { case (s, i) =>
       struct(lit(i + 1).as("step"), lit(s).as("step_name"),
         col(s"__c${i + 1}").as("entities"))
@@ -186,5 +193,66 @@ object Events {
           .as("delay_s_total"))
       .select(col("touch_type"), col("conversions"), col("revenue_cents"),
         col("delay_s_total"))
+  }
+
+  /** Top entity journey prefixes: each entity's first `k` event types in
+    * time order, joined as a `>`-separated path string, counted across
+    * entities — the "what do users do first" panel. Ties in `tsCol`
+    * break on `idCol` (deterministic cross-engine); entities with fewer
+    * than `k` events contribute their shorter prefix.
+    *
+    * The rank is an entity-partitioned window (key-parallel, no global
+    * sort); the prefix join collects at most `k` rows per entity
+    * (`sort_array` on (rank, type) structs makes the collect order
+    * deterministic — `collect_list` alone is not); the path count is a
+    * map-side-combinable agg on a |types|^k-bounded key space. */
+  def pathCounts(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(entityCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(col(entityCol))
+      .agg(sort_array(collect_list(struct(col("__rn").as("rn"),
+        col(typeCol).as("tp")))).as("__steps"))
+      .select(concat_ws(">", transform(col("__steps"), s => s("tp")))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Survival / retention curve: for each week offset w, how many
+    * entities have a LIFESPAN (whole weeks between first and last event,
+    * integer day-diff DIV 7) of at least w, plus the fixed-point
+    * survivor fraction. With every entity observed to its last event
+    * this IS the Kaplan-Meier estimator (no censoring: S(w) =
+    * survivors(w)/total exactly) — and everything stays integer, so the
+    * curve hash-matches a SQL oracle.
+    *
+    * One entity-keyed agg computes lifespans; each entity then fans out
+    * to its (0..lifespan) offsets — rows bounded by entities × calendar
+    * weeks, the dense-curve trade that keeps zero-death weeks present —
+    * and a tiny offset-keyed agg counts survivors. Total is a 1-row
+    * broadcast. */
+  def survivalCurve(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String): DataFrame = {
+    val life = events.groupBy(col(entityCol))
+      .agg(expr(s"CAST(datediff(max(CAST($tsCol AS DATE)), " +
+        s"min(CAST($tsCol AS DATE))) AS BIGINT) DIV 7").as("__life"))
+    val total = life.agg(count(lit(1)).as("__total"))
+    life.select(explode(sequence(lit(0L), col("__life"))).as("week_offset"))
+      .groupBy(col("week_offset"))
+      .agg(count(lit(1)).as("survivors"))
+      .crossJoin(broadcast(total))
+      .select(col("week_offset"), col("survivors"),
+        expr("survivors * 1000000L DIV __total").as("survival_ppm"))
   }
 }

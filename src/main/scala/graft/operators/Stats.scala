@@ -167,4 +167,79 @@ object Stats {
       .select(col("n1"), col("n2"), col("d_num"),
         expr("d_num * 1000000L DIV (n1 * n2)").as("ks_ppm"))
   }
+
+  /** Benford's-law expected first-digit frequencies as integer ppm —
+    * round(log10(1 + 1/d)·1e6) precomputed as LITERALS so both engines
+    * compare against identical constants (a runtime log10 would hang the
+    * hash on cross-engine libm agreement). */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * classic anomaly screen over financial-style magnitudes. Output per
+    * digit 1-9: observed count, observed ppm (integer DIV), expected
+    * Benford ppm (literal), absolute deviation ppm — all exact integers.
+    *
+    * ONE map-side-combinable agg on a 9-value key space (the digit is a
+    * codegen substring of the floored value); the total joins back as a
+    * 1-row broadcast and the expectation as a 9-row literal frame. Rows
+    * with value < 1 are excluded (no leading significant digit in the
+    * integer part — document the domain, don't guess). */
+  def benfordDeviation(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df
+      .select(value.cast("double").as("__v")).where(col("__v") >= 1.0)
+      .select(substring(col("__v").cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__total"))
+    val expected = benfordPpm.toDF("digit", "exp_ppm")
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L DIV __total").as("obs_ppm"),
+        col("exp_ppm"),
+        expr("abs(n * 1000000L DIV __total - exp_ppm)").as("dev_ppm"))
+  }
+
+  /** Two-arm A/B conversion lift: per-arm entity and converter counts,
+    * fixed-point conversion rates, the signed rate difference, and the
+    * two-proportion z-score. Counts and ppm rates are exact integers;
+    * z is ONE double expression over those identical integers (pooled
+    * p̂, round 6) — the oracle-parity recipe for the single float the
+    * statistic genuinely needs.
+    *
+    * `inArm1`/`converted` are row-level predicates; an entity converts
+    * if ANY of its rows converts (max-over-group, so the input can be
+    * the raw event log — one entity-keyed agg, then a 4-long reduction
+    * to the driver-free 1-row result). */
+  def abLift(
+      df: DataFrame,
+      entityCol: String,
+      inArm1: Column,
+      converted: Column): DataFrame = {
+    val perEntity = df
+      .select(col(entityCol), inArm1.as("__a"), converted.as("__c"))
+      .groupBy(col(entityCol))
+      .agg(max(when(col("__a"), 1L).otherwise(0L)).as("__arm1"),
+        max(when(col("__c"), 1L).otherwise(0L)).as("__conv"))
+    val agg = perEntity.agg(
+      sum(col("__arm1")).as("n1"),
+      sum(lit(1L) - col("__arm1")).as("n2"),
+      sum(col("__arm1") * col("__conv")).as("conv1"),
+      sum((lit(1L) - col("__arm1")) * col("__conv")).as("conv2"))
+    val p1 = col("conv1").cast("double") / col("n1").cast("double")
+    val p2 = col("conv2").cast("double") / col("n2").cast("double")
+    val pPool = (col("conv1") + col("conv2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val z = (p1 - p2) / sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    agg.select(col("n1"), col("conv1"), col("n2"), col("conv2"),
+      expr("conv1 * 1000000L DIV n1").as("p1_ppm"),
+      expr("conv2 * 1000000L DIV n2").as("p2_ppm"),
+      expr("conv1 * 1000000L DIV n1 - conv2 * 1000000L DIV n2").as("diff_ppm"),
+      round(z, 6).as("z"))
+  }
 }

@@ -333,6 +333,64 @@ object Streams {
         round(max_by(col("sum_value"), col("n_events")), 4).as("sum_value"))
   }
 
+  /** STREAMING funnel — the ordered k-step funnel of
+    * [[graft.operators.Events.funnel]] as a per-entity state machine:
+    * `mapGroupsWithState` holds (stage, last-step-µs) per entity — O(1)
+    * state, unlike the batch form's per-step time lists — and advances on
+    * each event of the next step's type strictly after the last step's
+    * time. An ascending greedy scan reproduces the chained-min semantics
+    * exactly (taking the EARLIEST step-i time maximizes later steps'
+    * candidate sets), so the emitted stages — and the hash — match the
+    * batch oracle. Within a micro-batch rows sort by (ts, type) (ids
+    * can't matter: advancement compares times only); ACROSS batches the
+    * file source feeds event-time-ordered input here — a production
+    * deployment with late data would buffer behind a watermark first
+    * (the [[tumblingFileSink]] pattern).
+    *
+    * The campaign window [start, start + horizonSec) is resolved
+    * batch-side from the table's min ts (a production stream configures
+    * absolute campaign bounds); output matches the batch funnel's
+    * (step, step_name, entities, conv_ppm) shape. */
+  def funnelStages(
+      spark: SparkSession,
+      dir: String,
+      steps: Seq[String],
+      horizonSec: Long): DataFrame = {
+    import spark.implicits._
+    val loUs = Tables(spark, dir, "events")
+      .agg(min(unix_micros(col("ts")))).head.getLong(0)
+    val hiUs = loUs + horizonSec * 1000000L
+    val updates = runToCompletion(spark, dir, outputMode = "update") { events =>
+      events
+        .withColumn("__us", unix_micros(col("ts")))
+        .where(col("__us") < lit(hiUs))
+        .select(col("user_id").cast("long").as("user_id"), col("__us"),
+          col("event_type"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Int, Long), (Long, Int)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (user, rows, state) =>
+            var (stage, lastUs) = state.getOption.getOrElse((0, Long.MinValue))
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, tp) =>
+              if (stage < steps.length && tp == steps(stage) && us > lastUs) {
+                stage += 1; lastUs = us
+              }
+            }
+            state.update((stage, lastUs))
+            (user, stage)
+        }
+        .toDF("user_id", "stage")
+    }
+    // one update row per batch per entity; the final state has max stage
+    val finalStage = updates.groupBy(col("user_id"))
+      .agg(max(col("stage")).as("stage"))
+    val countCols = steps.indices.map(i =>
+      sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"__c${i + 1}"))
+    graft.operators.Events.stageRows(
+      finalStage.agg(countCols.head, countCols.tail: _*), steps)
+  }
+
   /** STREAMING INGESTION dedup — the full accumulation loop of a crawl
     * pipeline: documents arrive in ordered micro-batches (one file per
     * trigger); each batch exact-dedups WITHIN itself, LEFT ANTI joins its

@@ -210,6 +210,76 @@ class EventsSpec extends SparkSpecBase {
     assert(out === Set(("aaaa", "aaab"), ("aaab", "aaac")))
   }
 
+  // -------------------------------------------------------- path counts
+
+  test("pathCounts: first-k prefixes, id tie-break, short entities kept") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq(
+      // u1: a,b,c,d -> a>b>c ; u2: only a,b -> a>b
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "d"),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 11:01:00"), 6L, "b"),
+      // u3: all three at the SAME instant -> id order decides a>b>c
+      (3L, t0, 8L, "b"), (3L, t0, 7L, "a"), (3L, t0, 9L, "c"))
+      .toDF("u", "t", "id", "e")
+    val out = Events.pathCounts(ev, "u", "t", "id", "e", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a>b>c" -> 2L, "a>b" -> 1L))
+  }
+
+  // ------------------------------------------------------ survival curve
+
+  test("survivalCurve: exact lifespan weeks, dense offsets, ppm") {
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-10 09:00:00"),
+      (1L, "2024-01-22 23:00:00"), // 21 days -> 3 whole weeks
+      (2L, "2024-01-01 00:00:00")) // single event -> lifespan 0
+      .map { case (u, t) => (u, ts(t)) }.toDF("u", "t")
+    val out = Events.survivalCurve(ev, "u", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0L -> ((2L, 1000000L)), 1L -> ((1L, 500000L)),
+      2L -> ((1L, 500000L)), 3L -> ((1L, 500000L))))
+  }
+
+  // ------------------------------------------------------------- benford
+
+  test("benfordDeviation: hand-computed digits, sub-1 values excluded") {
+    val df = Seq(1.5, 19.0, 23.0, 0.5, 9.0).toDF("v")
+    val out = Stats.benfordDeviation(df, col("v"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map(
+      1 -> ((2L, 500000L, 301030L, 198970L)),
+      2 -> ((1L, 250000L, 176091L, 73909L)),
+      9 -> ((1L, 250000L, 45757L, 204243L))))
+  }
+
+  test("benfordDeviation: expectation ppm constants sum to exactly 1e6") {
+    assert(Stats.benfordPpm.map(_._2).sum === 1000000L)
+  }
+
+  // ------------------------------------------------------------- A/B lift
+
+  test("abLift: hand-computed two-proportion z") {
+    // arm1 = even users {2,4}: 1 of 2 converts; arm2 {1,3}: 2 of 2
+    val df = Seq(
+      (1L, "buy"), (1L, "x"), (2L, "buy"), (3L, "buy"), (4L, "x"))
+      .toDF("u", "e")
+    val r = Stats.abLift(df, "u", col("u") % 2 === 0, col("e") === "buy")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 2L)))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((500000L, 1000000L, -500000L)))
+    // z = (0.5 - 1) / sqrt(0.75 * 0.25 * (0.5 + 0.5)) = -1.1547005...
+    assert(r.getDouble(7) === -1.154701)
+  }
+
   // ------------------------------------------- fused multi-column prefix
 
   test("runningSumsLong: fused pass matches two runningSum passes") {

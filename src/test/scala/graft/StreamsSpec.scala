@@ -77,4 +77,40 @@ class StreamsSpec extends SparkSpecBase {
     val expectedEmitted = expected.filterNot(_._1 == 9L)
     assert(got === expectedEmitted)
   }
+
+  test("funnelStages: state machine matches the batch funnel, horizon cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_spec").toString
+    val base = 1700000000000L
+    def at(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val rows = Seq(
+      // u1 completes in order inside the 1 h horizon
+      (1L, at(0), "view"), (1L, at(5), "click"), (1L, at(10), "buy"),
+      // u2 clicks BEFORE viewing — stops at step 1
+      (2L, at(1), "click"), (2L, at(2), "view"),
+      // u3's buy falls OUTSIDE the horizon — stops at step 2
+      (3L, at(0), "view"), (3L, at(3), "click"), (3L, at(90), "buy"))
+    val events = rows.map { case (u, ts, e) => (ts, e, 1.0, u) }
+      .toDF("ts", "event_type", "value", "user_id")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/_out")
+    val part = new java.io.File(s"$dir/_out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val steps = Seq("view", "click", "buy")
+    val got = Streams.funnelStages(spark, dir, steps, horizonSec = 3600L)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1 -> (("view", 3L, 1000000L)),
+      2 -> (("click", 2L, 666666L)),
+      3 -> (("buy", 1L, 333333L))))
+    // and the batch operator over the same slice agrees row-for-row
+    val batchSlice = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("ts") < new java.sql.Timestamp(base + 3600000L))
+    val batch = graft.operators.Events
+      .funnel(batchSlice, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(batch === got)
+  }
 }
