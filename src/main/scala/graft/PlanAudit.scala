@@ -37,15 +37,22 @@ object PlanAudit {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         val s = plan.toString
         def n(p: String) = p.r.findAllIn(s).size
+        // ReusedExchangeExec is a LEAF whose `child` field holds the
+        // original exchange subtree — without expanding it, a window fed
+        // by a deduplicated exchange looks like it sits over nothing and
+        // false-flags (hit by q209's shared daily-aggregate branch)
+        def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collect {
+            case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+            case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+            case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              hasAgg(r.child)
+          }.exists(identity)
         val globalWindows = plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty =>
-            val overAgg = w.child.collect {
-              case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
-              case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
-              case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
-            }.nonEmpty
-            overAgg
+            hasAgg(w.child)
         }
         val badWindow = globalWindows.contains(false)
         // BroadcastNestedLoopJoin has a broadcast (model-sized) side by

@@ -2324,7 +2324,53 @@ object SparkEntry {
         inArm1 = col("user_id") % 2 === 0,
         converted = col("event_type") === "purchase" &&
           col("ts") < col("__lo") + expr("INTERVAL 72 HOURS"))
-    })
+    }),
+
+    // ---- stats: Gini concentration of customer revenue — ascending rank
+    //      via the OrderedScan stitch (ties are value-equal ⇒ Σ rank·x is
+    //      order-free), decimal128 closed form, truncating DIV to ppm ----
+    "q208_gini" -> ((s, dir) =>
+      Stats.giniConcentration(t(s, dir, "orders"), "o_custkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))),
+
+    // ---- stats: CUSUM change-point over the daily event count series —
+    //      cross-multiplied integer statistic (n·prefix − rank·total),
+    //      earliest-key tie-break; calendar-bounded aggregate domain ----
+    "q209_cusum" -> ((s, dir) =>
+      Stats.cusumChangePoint(t(s, dir, "events"),
+        to_date(col("ts")).as("k"), lit(1L))),
+
+    // ---- stats: robust MAD outlier census per event type — exact
+    //      interpolated medians kept integer by the ×2/×4 doubling trick,
+    //      census threshold 2·dev2 > 3·mad4 all-integer ----
+    "q210_mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(t(s, dir, "events"), "event_type",
+        expr("CAST(round(value * 1000000) AS BIGINT)"), k = 3)),
+
+    // ---- text: pairwise source vocabulary Jaccard — distinct (source,
+    //      token) domain checkpointed once, token-keyed intersection join
+    //      (fan-out ≤ #sources²), broadcast size joins, integer ppm ----
+    "q211_vocab_overlap" -> ((s, dir) =>
+      graft.functions.Text.vocabOverlap(t(s, dir, "documents"),
+        "source", "text")),
+
+    // ---- events: view→purchase conversion-lag distribution — whole-second
+    //      integer delays, quarter-quantiles ×4 (binary-exact positions),
+    //      truncating mean; entity-keyed aggs + one equi-join ----
+    "q212_conversion_lag" -> ((s, dir) =>
+      Events.conversionLag(t(s, dir, "events"), "user_id", "ts",
+        fromType = "view", toType = "purchase", typeCol = "event_type")),
+
+    // ---- stats: 7-day rolling correlation between daily event count and
+    //      daily value sum per type — windowed integer sufficient sums over
+    //      the (type, day) aggregate, ONE rounded-double corr, exact
+    //      integer zero-variance guard ----
+    "q213_rolling_corr" -> ((s, dir) =>
+      Stats.rollingCorr(t(s, dir, "events"), "event_type",
+        to_date(col("ts")).as("k"), lit(1L),
+        // cents, not micro: daily Σy² must stay inside int64 (y ~ 4e6
+        // cents/day at sf0.1 → nw·syy ~ 7e14; micro would be 1e21)
+        expr("CAST(round(value * 100) AS BIGINT)"), win = 7))
   )
 
   // ----------------------------------------------------------------------
@@ -4614,6 +4660,97 @@ object SparkEntry {
         |    sqrt(((conv1 + conv2) / (n1 + n2)) *
         |         (1 - (conv1 + conv2) / (n1 + n2)) *
         |         (1.0 / n1 + 1.0 / n2)), 6) AS z
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q208_gini" ->
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rk FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total,
+        |  sum(CAST(rk AS HUGEINT) * v) AS ws FROM s)
+        |SELECT n, total,
+        |  CAST((2 * ws - (CAST(n AS HUGEINT) + 1) * total) * 1000000
+        |    // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
+
+    "q209_cusum" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS k, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total
+        |  FROM d),
+        |c AS (SELECT k, t.n, t.total,
+        |    abs(t.n * CAST(sum(x) OVER (ORDER BY k
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(row_number() OVER (ORDER BY k) AS BIGINT) * t.total) AS s
+        |  FROM d, t),
+        |m AS (SELECT CAST(max(s) AS BIGINT) AS max_stat FROM c)
+        |SELECT c.n, c.total, min(c.k) AS change_at, m.max_stat
+        |FROM c, m WHERE c.s = m.max_stat GROUP BY 1, 2, 4""".stripMargin,
+
+    "q210_mad_outliers" ->
+      """WITH b AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS x
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS med_x2
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT b.event_type, abs(2 * b.x - m.med_x2) AS d2
+        |  FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad_x4
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, m.med_x2, md.mad_x4,
+        |  CAST(sum(CASE WHEN 2 * d.d2 > 3 * md.mad_x4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS outliers
+        |FROM d JOIN md USING (event_type) JOIN m USING (event_type)
+        |GROUP BY 1, 3, 4""".stripMargin,
+
+    "q211_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source AS s, t FROM (
+        |    SELECT source, unnest(string_split(trim(text), ' ')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS sz FROM v GROUP BY 1),
+        |i AS (SELECT a.s AS src1, b.s AS src2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM v a JOIN v b ON a.t = b.t AND a.s < b.s GROUP BY 1, 2)
+        |SELECT i.src1, i.src2, i.inter, s1.sz AS sz1, s2.sz AS sz2,
+        |  i.inter * 1000000 // (s1.sz + s2.sz - i.inter) AS jaccard_ppm
+        |FROM i JOIN sz s1 ON i.src1 = s1.s JOIN sz s2 ON i.src2 = s2.s""".stripMargin,
+
+    "q212_conversion_lag" ->
+      """WITH b AS (SELECT user_id AS e, epoch_us(ts) AS us, event_type AS tp
+        |  FROM events),
+        |f AS (SELECT e, min(CASE WHEN tp = 'view' THEN us END) AS t1
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT b.e, f.t1, min(b.us) AS t2 FROM b JOIN f ON b.e = f.e
+        |  WHERE b.tp = 'purchase' AND f.t1 IS NOT NULL AND b.us > f.t1
+        |  GROUP BY 1, 2),
+        |d AS (SELECT (t2 - t1) // 1000000 AS dl FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(4 * quantile_cont(dl, 0.25) AS BIGINT) AS p25_sx4,
+        |  CAST(4 * quantile_cont(dl, 0.5) AS BIGINT) AS p50_sx4,
+        |  CAST(4 * quantile_cont(dl, 0.75) AS BIGINT) AS p75_sx4,
+        |  CAST(max(dl) AS BIGINT) AS max_s,
+        |  CAST(sum(dl) // count(*) AS BIGINT) AS mean_s
+        |FROM d""".stripMargin,
+
+    "q213_rolling_corr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS k,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, k,
+        |    CAST(count(*) OVER win AS BIGINT) AS nw,
+        |    CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER win AS BIGINT) AS syy
+        |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY k
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, k, nw,
+        |  CASE WHEN nw * sxx - sx * sx = 0 OR nw * syy - sy * sy = 0 THEN NULL
+        |    ELSE round(CAST(nw * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(nw * sxx - sx * sx AS DOUBLE)
+        |         * CAST(nw * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS corr
+        |FROM w""".stripMargin
   )
 }

@@ -722,4 +722,40 @@ object Text {
       regexp_count(t, lit(piiPhone)).cast("long").as("n_phone"),
       md5(red).as("red_md5"))
   }
+
+  /** Pairwise source vocabulary overlap: the Jaccard similarity of the
+    * DISTINCT token sets of every source pair — the corpus-comparison
+    * panel ("are these two crawls the same text?") at vocabulary cost,
+    * never document cost. Output per (src1 < src2) pair with a shared
+    * token: intersection size, both vocabulary sizes, integer-ppm
+    * Jaccard.
+    *
+    * The corpus collapses to distinct (source, token) ONCE (checkpointed
+    * — sizes and the pair join both read it); the intersection is a
+    * token-keyed equi-self-join whose per-token fan-out is bounded by
+    * #sources² (sources are a handful, tokens are the parallelism);
+    * per-source sizes join back broadcast (source-cardinality rows). */
+  def vocabOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val vocab = docs
+      .select(col(sourceCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = vocab.groupBy(col("__s")).agg(count(lit(1)).as("sz"))
+    val inter = vocab
+      .join(vocab.select(col("__s").as("__s2"), col("__t")), Seq("__t"))
+      .where(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("__s"), col("sz").as("sz1"))), Seq("__s"))
+      .join(broadcast(sizes.select(col("__s").as("__s2"), col("sz").as("sz2"))),
+        Seq("__s2"))
+      .select(col("__s").as("src1"), col("__s2").as("src2"), col("inter"),
+        col("sz1"), col("sz2"),
+        expr("inter * 1000000L DIV (sz1 + sz2 - inter)").as("jaccard_ppm"))
+  }
 }

@@ -255,4 +255,43 @@ object Events {
       .select(col("week_offset"), col("survivors"),
         expr("survivors * 1000000L DIV __total").as("survival_ppm"))
   }
+
+  /** Conversion-lag distribution: per entity, the delay from its FIRST
+    * `fromType` event to the first `toType` event strictly after it, then
+    * the population's n / quarter-quantiles / mean / max — the "how long
+    * does view→purchase take" panel. All integer: delays are whole
+    * seconds (µs diff DIV 1e6); p25/p50/p75 are exact interpolated
+    * quantiles ×4 (quantile positions at quarter fractions are
+    * binary-exact, so 4·q is an exact integer cross-engine); the mean is
+    * a truncating DIV.
+    *
+    * Two entity-keyed aggs + one entity equi-join (key-parallel); the
+    * final reduction is one row. Entities that never convert drop out
+    * (inner join + min-filter), matching the funnel's reached-set
+    * semantics. */
+  def conversionLag(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      fromType: String,
+      toType: String,
+      typeCol: String): DataFrame = {
+    val base = events.select(col(entityCol).as("__e"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__tp"))
+    val first = base.groupBy(col("__e"))
+      .agg(min(when(col("__tp") === fromType, col("__us"))).as("__t1"))
+      .where(col("__t1").isNotNull)
+    val conv = base.join(first, Seq("__e"))
+      .where(col("__tp") === toType && col("__us") > col("__t1"))
+      .groupBy(col("__e"), col("__t1"))
+      .agg(min(col("__us")).as("__t2"))
+      .select(expr("(__t2 - __t1) DIV 1000000").as("__d"))
+    conv.agg(
+      count(lit(1)).as("n"),
+      expr("CAST(4 * percentile(__d, 0.25) AS BIGINT)").as("p25_sx4"),
+      expr("CAST(4 * percentile(__d, 0.5) AS BIGINT)").as("p50_sx4"),
+      expr("CAST(4 * percentile(__d, 0.75) AS BIGINT)").as("p75_sx4"),
+      max(col("__d")).as("max_s"),
+      expr("sum(__d) DIV count(1)").as("mean_s"))
+  }
 }

@@ -242,4 +242,148 @@ object Stats {
       expr("conv1 * 1000000L DIV n1 - conv2 * 1000000L DIV n2").as("diff_ppm"),
       round(z, 6).as("z"))
   }
+
+  /** Gini coefficient of a non-negative integer quantity over units (the
+    * concentration audit: how skewed is revenue across customers, tokens
+    * across sources). Exact integer end-to-end: units aggregate to long
+    * totals, the ascending rank comes from the distributed
+    * [[OrderedScan.rowNumber]] stitch (ties carry equal values, so any
+    * tie order yields the same Σ rank·x), and the classic
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) evaluates in decimal(38,0)
+    * (Σ rank·x overflows int64 ~1e18 well below 100 TB unit counts) with
+    * one truncating DIV to ppm.
+    *
+    * Shape at scale: one unit-keyed agg, one bucket-range shuffle for the
+    * rank, a 3-value reduction. Nothing data-sized is driver-side. */
+  def giniConcentration(
+      df: DataFrame,
+      unitCol: String,
+      valueInt: Column): DataFrame = {
+    val unit = df.groupBy(col(unitCol))
+      .agg(sum(valueInt.cast("long")).as("__v"))
+    val ranked = graft.operators.OrderedScan.rowNumber(unit, "__v", "__rk")
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).as("total"),
+        sum((col("__rk") + 1).cast("decimal(38,0)") * col("__v")).as("__ws"))
+      .select(col("n"), col("total"),
+        expr("""CAST((2 * __ws - (CAST(n AS DECIMAL(38,0)) + 1) * total)
+                 * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)""")
+          .as("gini_ppm"))
+  }
+
+  /** CUSUM change-point detection over a keyed integer series (daily
+    * event counts): the offset k maximizing |n·prefix_k − rank_k·total| —
+    * the cumulative-sum statistic cross-multiplied by n so the running
+    * deviation from the global mean stays exact integer (no mean
+    * division). Ties take the EARLIEST key. Output: series length, total,
+    * the change-point key, and the max statistic.
+    *
+    * The series is an AGGREGATE domain (calendar-bounded — days, not
+    * rows), so the prefix windows ride a global window over ≤ a few
+    * thousand aggregated rows at any corpus size; the raw log collapses
+    * in one map-side-combinable agg. */
+  def cusumChangePoint(
+      df: DataFrame,
+      key: Column,
+      xInt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = df.select(key.as("k"), xInt.cast("long").as("__x"))
+      .groupBy(col("k")).agg(sum(col("__x")).as("__x"))
+    val totals = series.agg(
+      count(lit(1)).as("n"), sum(col("__x")).as("total"))
+    val w = Window.orderBy(col("k"))
+    val cum = series
+      .withColumn("__pre", sum(col("__x"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n"), col("total"),
+        abs(col("n") * col("__pre") - col("__rk") * col("total")).as("__s"))
+      // key-domain-sized (days, not rows); materialize once — the max and
+      // the argmax filter both read it, and without this the whole
+      // series pipeline (scan + agg + window) re-executes per branch
+      .localCheckpoint(true)
+    val mx = cum.agg(max(col("__s")).as("max_stat"))
+    cum.crossJoin(broadcast(mx))
+      .where(col("__s") === col("max_stat"))
+      .groupBy(col("n"), col("total"), col("max_stat"))
+      .agg(min(col("k")).as("change_at"))
+      .select(col("n"), col("total"), col("change_at"), col("max_stat"))
+  }
+
+  /** Robust per-group outlier census via median absolute deviation: per
+    * group, the exact interpolated median (×2 — midpoints of integers are
+    * halves, so doubling keeps every value integer), the MAD (×4, same
+    * trick applied twice), and the count of rows with |x − med| > k·MAD
+    * (compared as 2·dev2 > k·mad4, all integer). The z-score screen's
+    * heavy-tail-safe sibling; `valueInt` must be integer-quantized by the
+    * caller (e.g. micro-units).
+    *
+    * Three group-keyed passes (median → deviations → MAD + census) — the
+    * holistic median genuinely needs its input materialized per group,
+    * and each pass is group-parallel with model-sized join sides. */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueInt: Column,
+      k: Int = 3): DataFrame = {
+    val base = df.select(col(groupCol), valueInt.cast("long").as("__x"))
+    val med = base.groupBy(col(groupCol))
+      .agg(expr("CAST(2 * percentile(__x, 0.5) AS BIGINT)").as("med_x2"))
+    val dev = base.join(med, Seq(groupCol))
+      .withColumn("__d2", abs(lit(2L) * col("__x") - col("med_x2")))
+    val mad = dev.groupBy(col(groupCol), col("med_x2"))
+      .agg(expr("CAST(2 * percentile(__d2, 0.5) AS BIGINT)").as("mad_x4"))
+    dev.join(mad.drop("med_x2"), Seq(groupCol))
+      .groupBy(col(groupCol), col("med_x2"), col("mad_x4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lit(2L) * col("__d2") > lit(k.toLong) * col("mad_x4"), 1L)
+          .otherwise(0L)).as("outliers"))
+      .select(col(groupCol), col("n"), col("med_x2"), col("mad_x4"),
+        col("outliers"))
+  }
+
+  /** Rolling Pearson correlation between two integer series per group
+    * over a trailing `win`-row window of the (group, key)-aggregated
+    * series: windowed exact-integer sufficient sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²), then ONE double correlation expression (round 6) — zero
+    * variance in either window yields NULL on both engines (decided by an
+    * exact integer comparison, never by float == 0). The co-movement
+    * panel: does volume track value day-to-day?
+    *
+    * The raw log collapses in one map-side-combinable (group, key) agg;
+    * the rolling frame is a group-partitioned window over that aggregate
+    * (key-parallel; rows per group calendar-bounded). */
+  def rollingCorr(
+      df: DataFrame,
+      groupCol: String,
+      key: Column,
+      xInt: Column,
+      yInt: Column,
+      win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .select(col(groupCol), key.as("k"), xInt.cast("long").as("__x"),
+        yInt.cast("long").as("__y"))
+      .groupBy(col(groupCol), col("k"))
+      .agg(sum(col("__x")).as("__x"), sum(col("__y")).as("__y"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("k"))
+      .rowsBetween(-(win - 1), 0)
+    val sums = daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("__x")).over(w))
+      .withColumn("sy", sum(col("__y")).over(w))
+      .withColumn("sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("syy", sum(col("__y") * col("__y")).over(w))
+    val vx = col("nw") * col("sxx") - col("sx") * col("sx")
+    val vy = col("nw") * col("syy") - col("sy") * col("sy")
+    val corr = (col("nw") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      sqrt(vx.cast("double") * vy.cast("double"))
+    sums.select(col(groupCol), col("k"), col("nw"),
+      when(vx === 0L || vy === 0L, lit(null).cast("double"))
+        .otherwise(round(corr, 6)).as("corr"))
+  }
 }
