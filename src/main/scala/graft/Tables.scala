@@ -27,20 +27,27 @@ object Tables {
   def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     nanosFixed(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** Spark's TimestampType is µs; the events table is written as parquet
-    * INT64 TIMESTAMP(NANOS), which Spark 4 only reads under
-    * spark.sql.legacy.parquet.nanosAsLong=true (as a nanos LongType).
-    * Re-materialize those columns as proper timestamps (the synthetic data is
-    * µs-precision, so truncation is lossless). Column metadata isn't carried
-    * for this, so we key off the one known nanos column name. */
+  /** Spark's TimestampType is µs; the events table has been written by the
+    * generator either as parquet INT64 TIMESTAMP(NANOS) (Spark 4 reads it
+    * under spark.sql.legacy.parquet.nanosAsLong=true as a nanos LongType) or
+    * as timestamp[us] without timezone (read as TIMESTAMP_NTZ). Normalize
+    * both to plain TimestampType: watermarks, unix_micros and long-epoch
+    * casts downstream all require the instant-typed flavor. Sessions here
+    * run with spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast preserves
+    * the stored micros value exactly. Column metadata isn't carried for
+    * this, so we key off the one known column name. */
   private val nanosCols = Set("ts")
   private def nanosFixed(df: DataFrame): DataFrame = {
     val fix = df.schema.fields.filter(f =>
-      nanosCols(f.name) && f.dataType == LongType)
+      nanosCols(f.name) &&
+        (f.dataType == LongType || f.dataType == TimestampNTZType))
     // integral `div`, NOT `/`: SQL divide on longs returns double, which
     // loses precision above 2^53 (epoch-nanos ≈ 1.7e18)
     fix.foldLeft(df)((d, f) =>
-      d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
+      d.withColumn(f.name, f.dataType match {
+        case LongType => timestamp_micros(expr(s"${f.name} div 1000"))
+        case _        => col(f.name).cast(TimestampType)
+      }))
   }
 
   /** NaN→null on all floating-point columns (reference isNA semantics). */

@@ -51,15 +51,23 @@ object Streams {
     java.nio.file.Files.deleteIfExists(srcDir)
   }
 
-  /** events stream off the staged dir; ts is INT64 nanos in the parquet
-    * (read as long under nanosAsLong) → converted to a real timestamp. */
+  /** events stream off the staged dir; ts arrives either as INT64 nanos
+    * (read as long under nanosAsLong) or as timestamp[us] without timezone
+    * (TIMESTAMP_NTZ) depending on the generator vintage → normalized to a
+    * real (instant) timestamp; watermarks reject NTZ. Session timezone is
+    * UTC, so the NTZ cast preserves the stored micros exactly. */
   private def eventsStream(
       stream: SparkSession, batchSchema: org.apache.spark.sql.types.StructType,
       srcDir: java.nio.file.Path): DataFrame = {
     val raw = stream.readStream.schema(batchSchema).parquet(srcDir.toString)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming aggregation over the events table to completion and
