@@ -2370,7 +2370,65 @@ object SparkEntry {
         to_date(col("ts")).as("k"), lit(1L),
         // cents, not micro: daily Σy² must stay inside int64 (y ~ 4e6
         // cents/day at sf0.1 → nw·syy ~ 7e14; micro would be 1e21)
-        expr("CAST(round(value * 100) AS BIGINT)"), win = 7))
+        expr("CAST(round(value * 100) AS BIGINT)"), win = 7)),
+
+    // ---- stats: chi-square independence of source × language — per-cell
+    //      (O·N−R·C)²·10⁶ DIV (N·R·C) floor terms in decimal128 summed to
+    //      an exact chi2_ppm; Cramér's V as the ONE rounded double; all
+    //      post-shuffle work on the |sources|×|langs| cell table ----
+    "q214_chi_square" -> ((s, dir) =>
+      Stats.chiSquareIndependence(t(s, dir, "documents"),
+        col("source"), col("lang"))),
+
+    // ---- stats: ROC AUC via exact Mann-Whitney U with midrank ties —
+    //      does document length separate English from the rest? No per-row
+    //      ranks: score collapses to its value domain, the exclusive
+    //      cumulative count rides the OrderedScan stitch ----
+    "q215_auc" -> ((s, dir) =>
+      Stats.aucMannWhitney(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+
+    // ---- stats: Spearman rank correlation (chars vs tokens) — Pearson
+    //      over exact ×2 midranks from per-column value domains; two
+    //      domain-keyed joins, decimal128 sufficient sums, ONE rounded ρ ----
+    "q216_spearman" -> ((s, dir) =>
+      Stats.spearmanCorr(t(s, dir, "documents"),
+        col("n_chars"), Text.tokenCount(col("text")))),
+
+    // ---- retrieval: reciprocal-rank fusion of two document rankings
+    //      (longest-first vs most-tokens-first) — global ranks ride the
+    //      OrderedScan stitch over ONE encoded (desc metric, asc id) key;
+    //      integer 10⁶ DIV (60+r) contributions, TakeOrdered top-20 ----
+    "q217_rank_fusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // (BIG − metric)·SHIFT + id: ascending key order == (metric desc,
+      // id asc); metric < 10⁷ and id < 10⁸ keep the key inside int64
+      val enc = (m: Column) =>
+        (lit(10000000L) - m.cast("long")) * 100000000L + col("doc_id")
+      val ra = OrderedScan.rowNumber(
+          d.select(col("doc_id"), enc(col("n_chars")).as("__k")), "__k", "__r")
+        .select(col("doc_id"), (col("__r") + 1L).as("rank"))
+      val rb = OrderedScan.rowNumber(
+          d.select(col("doc_id"), enc(Text.tokenCount(col("text"))).as("__k")),
+          "__k", "__r")
+        .select(col("doc_id"), (col("__r") + 1L).as("rank"))
+      Similarity.rrfFuse(ra, rb, "doc_id", "rank", k = 60, topN = 20)
+    }),
+
+    // ---- curation: CCNet-style boilerplate line removal — lines (10-word
+    //      windows) present in > maxDf distinct docs drop from EVERY doc;
+    //      line-vocabulary df join + per-doc positional reassembly; the
+    //      frequency-threshold complement of q154's keep-first ----
+    "q218_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateLines(t(s, dir, "documents"), "doc_id",
+        Text.chunkArray(10, 0)(col("text")), maxDf = 2L)),
+
+    // ---- privacy: k-anonymity audit over (source, lang, length-bucket)
+    //      quasi-identifiers — ONE count agg to the QI domain, single
+    //      audit row: dataset k, groups/rows below k=10 ----
+    "q219_k_anonymity" -> ((s, dir) =>
+      Stats.kAnonymity(t(s, dir, "documents"),
+        Seq(col("source"), col("lang"), expr("n_chars DIV 100")), k = 10L))
   )
 
   // ----------------------------------------------------------------------
@@ -4751,6 +4809,121 @@ object SparkEntry {
         |      sqrt(CAST(nw * sxx - sx * sx AS DOUBLE)
         |         * CAST(nw * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    "q214_chi_square" ->
+      """WITH c AS (SELECT source AS r, lang AS cc, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |cm AS (SELECT cc, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT r) AS BIGINT) AS nr,
+        |  CAST(count(DISTINCT cc) AS BIGINT) AS nc FROM c),
+        |t2 AS (SELECT tt.n, tt.nr, tt.nc,
+        |    (CAST(coalesce(c.o, 0) AS HUGEINT) * tt.n - CAST(rt AS HUGEINT) * ct)
+        |  * (CAST(coalesce(c.o, 0) AS HUGEINT) * tt.n - CAST(rt AS HUGEINT) * ct)
+        |  * 1000000 // (CAST(tt.n AS HUGEINT) * rt * ct) AS term
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN c ON c.r = rm.r AND c.cc = cm.cc CROSS JOIN tt),
+        |a AS (SELECT n, nr, nc, CAST(sum(term) AS BIGINT) AS chi2_ppm
+        |  FROM t2 GROUP BY 1, 2, 3)
+        |SELECT n, nr AS n_rows, nc AS n_cols, (nr - 1) * (nc - 1) AS dof,
+        |  chi2_ppm,
+        |  round(sqrt((chi2_ppm / 1000000.0) / (n * least(nr - 1, nc - 1))), 6)
+        |    AS cramers_v
+        |FROM a""".stripMargin,
+
+    "q215_auc" ->
+      """WITH b AS (SELECT n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
+        |d AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(p) AS BIGINT) AS pos FROM b GROUP BY 1),
+        |c AS (SELECT s, cnt, pos,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS below
+        |  FROM d),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(CAST(pos AS HUGEINT) * (2 * below + cnt + 1)) AS HUGEINT) AS s2
+        |  FROM c)
+        |SELECT n, np AS n_pos, n - np AS n_neg,
+        |  CAST(s2 - CAST(np AS HUGEINT) * (np + 1) AS BIGINT) AS u2,
+        |  CASE WHEN np = 0 OR n - np = 0 THEN NULL
+        |    ELSE CAST((s2 - CAST(np AS HUGEINT) * (np + 1)) * 1000000
+        |      // (2 * CAST(np AS HUGEINT) * (n - np)) AS BIGINT) END AS auc_ppm
+        |FROM a""".stripMargin,
+
+    "q216_spearman" ->
+      """WITH b AS (SELECT n_chars AS x,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |    END AS y FROM documents),
+        |dx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |mx AS (SELECT x, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    + cnt + 1 AS mrx FROM dx),
+        |dy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |my AS (SELECT y, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    + cnt + 1 AS mry FROM dy),
+        |j AS (SELECT mx.mrx, my.mry FROM b
+        |  JOIN mx ON b.x = mx.x JOIN my ON b.y = my.y),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(mrx AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(mry AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(mrx AS HUGEINT) * mry) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(mrx AS HUGEINT) * mrx) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(mry AS HUGEINT) * mry) AS HUGEINT) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM a""".stripMargin,
+
+    "q217_rank_fusion" ->
+      """WITH ra AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r FROM documents),
+        |tk AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |    END AS n_tok FROM documents),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS r FROM tk),
+        |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |    ra.r AS rank_a, rb.r AS rank_b,
+        |    coalesce(1000000 // (60 + ra.r), 0)
+        |      + coalesce(1000000 // (60 + rb.r), 0) AS rrf_u
+        |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+        |SELECT doc_id, rank_a, rank_b, rrf_u FROM f
+        |ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q218_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, i AS pos, array_to_string(w[i*10+1 : i*10+10], ' ') AS para
+        |      FROM d, unnest(range(0, greatest(1, CAST(ceil(len(w) / 10.0) AS BIGINT))))
+        |        AS t(i)),
+        |f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS dfreq FROM p GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.pos, p.para,
+        |        CASE WHEN f.dfreq <= 2 THEN 1 ELSE 0 END AS keep
+        |      FROM p JOIN f ON md5(p.para) = f.h)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep = 1), '')
+        |    AS clean_text,
+        |  count(*) AS n_lines, CAST(sum(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q219_k_anonymity" ->
+      """WITH g AS (SELECT source, lang, n_chars // 100 AS lb,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(sz) AS BIGINT) AS k_min,
+        |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k
+        |FROM g""".stripMargin
   )
 }

@@ -91,6 +91,44 @@ object Dedup {
         sum(col("__keep")).as("n_kept"))
   }
 
+  /** CCNet/RefinedWeb-style BOILERPLATE line removal with document
+    * reconstruction: lines whose corpus-wide document frequency exceeds
+    * `maxDf` (navigation chrome, cookie banners, license footers — text
+    * that repeats across MANY documents) are dropped from EVERY document,
+    * and survivors reassemble in original position order. The
+    * frequency-threshold complement of [[paragraphDedup]] (keep-first):
+    * keep-first retains one copy of repeated content; boilerplate removal
+    * deletes ALL copies once the repetition count marks it as chrome.
+    *
+    * Plan: posexplode → ONE (line-hash)-keyed distinct-doc count (the
+    * line-vocabulary domain) → hash-keyed equi-join back (AQE sizes the
+    * join; the heavy-line table is vocabulary-sized, usually broadcast) →
+    * per-doc reassembly agg. The explode is recomputed on the reassembly
+    * side rather than checkpointed — it is a narrow map off the scan,
+    * cheaper than materializing a corpus-sized intermediate.
+    * Output: (doc_id, clean_text, n_lines, n_kept). */
+  def boilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      lines: org.apache.spark.sql.Column,
+      maxDf: Long): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"), posexplode(lines))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        md5(col("col")).as("h"))
+    val dfreq = exploded.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+    exploded.join(dfreq, "h")
+      .withColumn("__keep", (col("__df") <= maxDf).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep") === 1,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(col("__keep")).as("n_kept"))
+  }
+
   /** Decontamination ATTRIBUTION across multiple eval sets: for each train
     * document, WHICH probe sets it shares at least `minHits` distinct
     * word-`n`-gram shingles with — the audit trail a curation pipeline

@@ -694,4 +694,34 @@ object Similarity {
     corpus.sparkSession.createDataFrame(rows)
       .toDF("i", "j", "sxy", "sx_i", "sx_j", "n")
   }
+  /** Reciprocal-rank fusion (Cormack-Clarke-Buettcher) of two rankings of
+    * the same id space — the standard zero-tuning way to combine retrieval
+    * signals (BM25 + embedding ANN, recency + quality). Score is kept
+    * exact-integer: contribution = 10\u2076 DIV (k + rank), summed over the
+    * lists an id appears in (full-outer union semantics — ids missing from
+    * one list simply contribute nothing from it), so the fused ordering is
+    * engine-portable with no float accumulation. Output: topN by
+    * (rrf_u desc, id) — id, rank_a, rank_b, rrf_u.
+    *
+    * Each input carries (idCol, rankCol) with 1-based ranks, typically
+    * from [[graft.operators.OrderedScan.rowNumber]] so building the
+    * rankings never single-tasks; the fuse itself is one id-keyed
+    * full-outer equi-join plus a TakeOrdered(topN) — no global sort
+    * materializes. */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      topN: Int): DataFrame = {
+    val ca = a.select(col(idCol), col(rankCol).cast("long").as("__ra"))
+    val cb = b.select(col(idCol), col(rankCol).cast("long").as("__rb"))
+    ca.join(cb, Seq(idCol), "full_outer")
+      .select(col(idCol), col("__ra").as("rank_a"), col("__rb").as("rank_b"),
+        (coalesce(expr(s"1000000 DIV ($k + __ra)"), lit(0L)) +
+         coalesce(expr(s"1000000 DIV ($k + __rb)"), lit(0L))).as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col(idCol))
+      .limit(topN)
+  }
 }

@@ -386,4 +386,147 @@ object Stats {
       when(vx === 0L || vy === 0L, lit(null).cast("double"))
         .otherwise(round(corr, 6)).as("corr"))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (source × language: "is the language mix uniform across
+    * sources?"), plus Cramér's V effect size. The statistic is kept
+    * EXACT-integer by clearing denominators per cell:
+    * χ² = Σ (O·N − R·C)² / (N·R·C); each cell's term is computed in
+    * decimal128 and floor-DIV'd to ppm, so the reported `chi2_ppm` is a
+    * deterministic integer cross-engine (sum of per-cell floors — the
+    * same fixed-point convention as [[giniConcentration]]). Cramér's V is
+    * ONE double expression over those integers (round 6), the
+    * [[abLift]] z-score convention.
+    *
+    * Plan: ONE map-side-combinable count agg builds the contingency cells
+    * (checkpointed — the margins and the join both read it); row/column
+    * margins are cell-table aggregates broadcast back. Everything after
+    * the first shuffle runs on |rows|×|cols| rows, independent of corpus
+    * size. Counts must satisfy O·N < ~1e19 so (O·N−R·C)²·1e6 fits
+    * decimal(38,0) — true for any per-category count below ~3 billion. */
+  def chiSquareIndependence(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
+    val cells = df.select(rowCat.as("__r"), colCat.as("__c"))
+      .groupBy(col("__r"), col("__c")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    val rm = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
+    val cm = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      count_distinct(col("__r")).as("__nr"),
+      count_distinct(col("__c")).as("__nc"))
+    val term = expr(
+      """CAST((CAST(__o AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+        |     * (CAST(__o AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+        |     * 1000000
+        |     DIV (CAST(__n AS DECIMAL(38,0)) * __rt * __ct) AS DECIMAL(38,0))
+        |""".stripMargin)
+    // ZERO cells matter: a (row, col) pair with no observations still
+    // contributes R·C/N to χ² but has no row in `cells` — the margins
+    // cross-product restores the full r×c grid (margin tables are tiny)
+    val a = rm.crossJoin(cm)
+      .join(cells, Seq("__r", "__c"), "left_outer")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n"), max(col("__nr")).as("n_rows"),
+        max(col("__nc")).as("n_cols"), sum(term).as("__x2"))
+    a.select(col("n"), col("n_rows"), col("n_cols"),
+      ((col("n_rows") - 1L) * (col("n_cols") - 1L)).as("dof"),
+      col("__x2").cast("long").as("chi2_ppm"),
+      round(sqrt((col("__x2").cast("double") / 1e6) /
+        (col("n") * least(col("n_rows") - 1L, col("n_cols") - 1L)).cast("double")),
+        6).as("cramers_v"))
+  }
+
+  /** ROC AUC of an integer score separating a binary class, via the exact
+    * Mann-Whitney U statistic with midrank tie handling — the standard
+    * rank-sum identity AUC = U / (n⁺·n⁻). No per-row ranks exist anywhere:
+    * the score collapses to its VALUE DOMAIN (one map-side-combinable
+    * agg), the exclusive cumulative count rides the distributed
+    * [[OrderedScan.runningSumsLong]] stitch over that domain, and each
+    * value's positives contribute pos·(2·below + cnt + 1) — twice the
+    * midrank sum, so ties stay integer. `u2` = 2·U exactly;
+    * `auc_ppm` = U·10⁶ ÷ (n⁺·n⁻) floor-divided in decimal128.
+    *
+    * At 100 TB: the domain agg is the only corpus-sized shuffle; the
+    * stitch runs over distinct score values (bounded by quantization, not
+    * rows). NULL scores are excluded; a single-class input yields NULL. */
+  def aucMannWhitney(df: DataFrame, scoreInt: Column, positive: Column): DataFrame = {
+    val base = df.select(scoreInt.cast("long").as("__s"),
+      positive.cast("int").cast("long").as("__p"))
+      .where(col("__s").isNotNull && col("__p").isNotNull)
+    val dom = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__p")).as("__pos"))
+    val run = graft.operators.OrderedScan.runningSumsLong(
+      dom, "__s", Seq(("__cnt", "__cum")))
+    val below = col("__cum") - col("__cnt")
+    val a = run.agg(
+      sum(col("__cnt")).as("n"), sum(col("__pos")).as("n_pos"),
+      sum((col("__pos") * (lit(2L) * below + col("__cnt") + lit(1L)))
+        .cast("decimal(38,0)")).as("__s2"))
+    a.select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        (col("__s2") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1L))
+          .cast("decimal(38,0)").as("__u2"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        col("__u2").cast("long").as("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(__u2 * 1000000
+              | DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""".stripMargin))
+          .as("auc_ppm"))
+  }
+
+  /** Spearman rank correlation between two integer columns — Pearson on
+    * exact ×2 midranks. Each column's midranks come from its VALUE DOMAIN
+    * (distinct values + counts, one agg per side) with the exclusive
+    * cumulative count stitched by [[OrderedScan.runningSumsLong]]:
+    * midrank×2 = 2·below + cnt + 1, an integer even under ties. Rows then
+    * pick up their midranks through two value-keyed equi-joins, the five
+    * sufficient sums accumulate in decimal128 (rank ~ corpus size, so
+    * rank² sums pass int64 at ~1e9 rows), and ρ is ONE rounded double.
+    * Zero variance (a constant column) → NULL, integer-exact guard.
+    *
+    * Contrast [[rollingCorr]] (Pearson on raw values): Spearman is the
+    * drift-robust monotone-association panel — outlier-immune, scale-free. */
+  def spearmanCorr(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def midranks(vcol: String, out: String): DataFrame = {
+      val dom = base.groupBy(col(vcol)).agg(count(lit(1)).as("__cnt"))
+      graft.operators.OrderedScan.runningSumsLong(dom, vcol, Seq(("__cnt", "__cum")))
+        .select(col(vcol),
+          (lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L)).as(out))
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val j = base.join(midranks("__x", "__mrx"), "__x")
+      .join(midranks("__y", "__mry"), "__y")
+    val a = j.agg(count(lit(1)).as("n"),
+      sum(dec(col("__mrx"))).as("sx"), sum(dec(col("__mry"))).as("sy"),
+      sum(dec(col("__mrx")) * col("__mry")).as("sxy"),
+      sum(dec(col("__mrx")) * col("__mrx")).as("sxx"),
+      sum(dec(col("__mry")) * col("__mry")).as("syy"))
+    val n = dec(col("n"))
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    a.select(col("n"),
+      when(vx === dec(lit(0)) || vy === dec(lit(0)), lit(null).cast("double"))
+        .otherwise(round((n * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 6)).as("rho"))
+  }
+
+  /** k-anonymity audit over a set of quasi-identifier columns: group sizes
+    * of the QI projection, the minimum group size (the dataset's k), and
+    * the census of groups/rows below the required `k` — the re-identification
+    * exposure a privacy review reports before release. ONE
+    * map-side-combinable count agg (the QI cardinality bounds everything
+    * after); output is a single audit row. Complements [[Text.scrubPii]]
+    * (content-level) and `Text.redactRareTokens` (vocabulary-level): this
+    * is the RECORD-level privacy gate. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
+    val groups = df.groupBy(quasiIds: _*).agg(count(lit(1)).as("__sz"))
+    groups.agg(
+      sum(col("__sz")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("__sz")).as("k_min"),
+      sum(when(col("__sz") < k, lit(1L)).otherwise(lit(0L))).as("groups_below_k"),
+      sum(when(col("__sz") < k, col("__sz")).otherwise(lit(0L))).as("rows_below_k"))
+  }
 }
