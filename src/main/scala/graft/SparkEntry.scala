@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.functions.{CustomAggs, Sketches, Text, Vectors => V}
+import graft.functions.{Bloom, CustomAggs, Sketches, Text, Vectors => V}
 import graft.operators._
-import graft.sources.{Bucketing, Csv, Partitioned}
+import graft.sources.{Bucketing, Csv, Partitioned, ZOrder}
 import graft.streaming.Streams
 
 /** Driver contract: `queries` = one entry per implemented operator from
@@ -2428,7 +2428,63 @@ object SparkEntry {
     //      audit row: dataset k, groups/rows below k=10 ----
     "q219_k_anonymity" -> ((s, dir) =>
       Stats.kAnonymity(t(s, dir, "documents"),
-        Seq(col("source"), col("lang"), expr("n_chars DIV 100")), k = 10L))
+        Seq(col("source"), col("lang"), expr("n_chars DIV 100")), k = 10L)),
+
+    // ---- operations at scale: Bloom-filter semi-join pruning — the
+    //      runtime-filter pattern made explicit: the fact side drops
+    //      non-matching keys against a 128 KiB broadcast bitmap BEFORE
+    //      the join shuffle; pure codegen'd bit ops (no UDF, no driver
+    //      model), and conservatively transparent, so the oracle is the
+    //      PLAIN join — a hash match proves no row was wrongly pruned ----
+    "q220_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Bloom.prunedJoin(t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(trunc(col("o_orderdate"), "mm").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("rev_cents"))
+    }),
+
+    // ---- operations at scale: theta-sketch set ALGEBRA — pairwise
+    //      distinct-user intersections between event types from mergeable
+    //      per-shard sketches (HLL unions only; theta intersects), with
+    //      the q186 honesty certificate: output is the EXACT count plus
+    //      an in-query flag that the sketch estimate landed inside 10% ----
+    "q221_theta_intersect" -> ((s, dir) =>
+      Sketches.intersectCensusTheta(t(s, dir, "events"), "event_type", "user_id")
+        .orderBy(col("g1"), col("g2"))),
+
+    // ---- operations at scale: KLL mergeable quantile profile — exact ×4
+    //      quarter-quantiles of document length per source (binary-exact
+    //      interpolation, the q212 convention) + a certificate that each
+    //      merged-sketch estimate's EXACT RANK sits within 2× KLL's
+    //      normalized rank-error bound (KLL guarantees rank, not value) ----
+    "q222_kll_quantiles" -> ((s, dir) =>
+      Sketches.quantileCensusKll(t(s, dir, "documents"), "source", "n_chars",
+        Seq(0.25, 0.5, 0.75))),
+
+    // ---- operations at scale: Z-ORDER layout + 2-D rectangle scan — the
+    //      events copy is Morton-interleaved on (user_id, day), so BOTH
+    //      filter dimensions cluster per file and min/max stats prune most
+    //      files for the rectangle; result hash == the same query on the
+    //      raw table (layout is semantics-free); ZOrderSpec audits the
+    //      per-file bounding boxes vs a linear layout ----
+    "q223_zorder_scan" -> ((s, dir) => {
+      val path = s"/tmp/graft_warehouse/graft_events_zorder_${math.abs(dir.hashCode).toString.take(6)}"
+      ZOrder.ensureZOrdered(
+        t(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .withColumn("day", datediff(col("event_date"), lit("2024-01-01"))),
+        path, "user_id", "day", bits = 16, numFiles = 16)
+      s.read.parquet(path)
+        .where(col("user_id").between(3, 11) &&
+          col("event_date").between("2024-01-09", "2024-01-16"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v_cents"))
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -4924,6 +4980,51 @@ object SparkEntry {
         |  CAST(min(sz) AS BIGINT) AS k_min,
         |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
         |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // the bloom prune is transparent: the oracle is the PLAIN join
+    "q220_bloom_join" ->
+      """SELECT date_trunc('month', o.o_orderdate) AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q221_theta_intersect" ->
+      """WITH d AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
+        |    CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT DISTINCT g FROM d),
+        |p AS (SELECT a.g AS g1, b.g AS g2 FROM t a JOIN t b ON a.g < b.g),
+        |x AS (SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM d a JOIN d b ON a.v = b.v AND a.g < b.g GROUP BY 1, 2)
+        |SELECT p.g1, p.g2, coalesce(x.n_shared, 0) AS n_shared,
+        |  CAST(1 AS BIGINT) AS within
+        |FROM p LEFT JOIN x ON p.g1 = x.g1 AND p.g2 = x.g2
+        |ORDER BY p.g1, p.g2""".stripMargin,
+
+    "q222_kll_quantiles" ->
+      """WITH q AS (SELECT source,
+        |    CAST(quantile_cont(n_chars * 4, 0.25) AS BIGINT) AS q25,
+        |    CAST(quantile_cont(n_chars * 4, 0.50) AS BIGINT) AS q50,
+        |    CAST(quantile_cont(n_chars * 4, 0.75) AS BIGINT) AS q75
+        |  FROM documents GROUP BY 1)
+        |SELECT source, CAST(250 AS BIGINT) AS rank_permille, q25 AS q4,
+        |  CAST(1 AS BIGINT) AS within FROM q
+        |UNION ALL
+        |SELECT source, CAST(500 AS BIGINT), q50, CAST(1 AS BIGINT) FROM q
+        |UNION ALL
+        |SELECT source, CAST(750 AS BIGINT), q75, CAST(1 AS BIGINT) FROM q""".stripMargin,
+
+    // the z-order layout is semantics-free: the oracle queries the RAW table
+    "q223_zorder_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 11
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-16'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bloom, Sketches}
+import graft.sources.ZOrder
+
+/** Scale-operations pack: bloom semi-join pruning (q220), theta set
+  * algebra (q221), KLL quantile certificates (q222), z-order layout
+  * skipping (q223). */
+class ScaleOpsSpec extends SparkSpecBase {
+
+  import testImplicitsHolder._
+  private object testImplicitsHolder {
+    val s = spark
+    import s.implicits._
+    def longsDf(name: String, xs: Seq[Long]) = xs.toDF(name)
+    def pairsDf(xs: Seq[(String, Long)]) = xs.toDF("g", "v")
+  }
+
+  // ---- bloom ----
+
+  test("bloom: prune keeps every true match (no false negatives)") {
+    val build = testImplicitsHolder.longsDf("k", (0L until 500L).map(_ * 3))
+    val probe = testImplicitsHolder.longsDf("p", 0L until 3000L)
+    val mBits = 1 << 12
+    val bitmap = Bloom.buildBitmap(build, col("k"), mBits, 4)
+    val kept = Bloom.prune(probe, col("p"), bitmap, mBits, 4)
+      .select("p").collect().map(_.getLong(0)).toSet
+    val trueMatches = (0L until 500L).map(_ * 3).filter(_ < 3000L).toSet
+    assert(trueMatches.subsetOf(kept), "bloom dropped a true match")
+  }
+
+  test("bloom: prunedJoin result equals the plain join") {
+    val build = testImplicitsHolder.longsDf("k", Seq(2L, 5L, 8L, 11L, 14L))
+      .withColumn("tag", col("k") * 10)
+    val probe = testImplicitsHolder.longsDf("p", 0L until 100L)
+    val viaBloom = Bloom.prunedJoin(probe, "p", build, "k", mBits = 1 << 10, k = 3)
+      .select(col("p"), col("tag")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = probe.join(build, col("p") === col("k"))
+      .select(col("p"), col("tag")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom === plain)
+  }
+
+  test("bloom: prune actually filters (false-positive rate bounded)") {
+    val build = testImplicitsHolder.longsDf("k", (0L until 100L).map(_ * 37))
+    val probe = testImplicitsHolder.longsDf("p", 10000L until 20000L) // zero matches
+    val mBits = 1 << 14
+    val bitmap = Bloom.buildBitmap(build, col("k"), mBits, 4)
+    val kept = Bloom.prune(probe, col("p"), bitmap, mBits, 4).count()
+    // 100 keys in 16 Kib bits, k=4 → fp well under 1 %; allow 2 %
+    assert(kept <= 200, s"bloom passed $kept of 10000 non-matching rows")
+  }
+
+  // ---- theta ----
+
+  test("theta: exact intersection counts with certificate") {
+    // g1: 0..99, g2: 50..149, g3: 200..209 (disjoint from both)
+    val rows = (0L until 100L).map(("a", _)) ++
+      (50L until 150L).map(("b", _)) ++ (200L until 210L).map(("c", _))
+    val df = testImplicitsHolder.pairsDf(rows)
+    val out = Sketches.intersectCensusTheta(df, "g", "v")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "b"))._1 === 50L)
+    assert(out(("a", "c"))._1 === 0L)
+    assert(out(("b", "c"))._1 === 0L)
+    // tiny exact-mode sketches: estimates are exact → all certificates pass
+    assert(out.values.forall(_._2 === 1L))
+  }
+
+  test("theta: duplicates don't inflate the distinct intersection") {
+    val rows = Seq.fill(20)(("a", 7L)) ++ Seq.fill(30)(("b", 7L)) ++
+      Seq(("a", 8L), ("b", 9L))
+    val out = Sketches.intersectCensusTheta(
+      testImplicitsHolder.pairsDf(rows), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", "b", 1L)))
+  }
+
+  // ---- KLL ----
+
+  test("kll: exact x4 quarter-quantiles with passing certificates") {
+    // 1..101 per group: quartiles at exact positions (n-1)*r integral
+    val rows = (1L to 101L).map(("g1", _)) ++ (1001L to 1101L).map(("g2", _))
+    val out = Sketches.quantileCensusKll(
+      testImplicitsHolder.pairsDf(rows), "g", "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(("g1", 250L))._1 === 26L * 4)
+    assert(out(("g1", 500L))._1 === 51L * 4)
+    assert(out(("g1", 750L))._1 === 76L * 4)
+    assert(out(("g2", 500L))._1 === 1051L * 4)
+    assert(out.values.forall(_._2 === 1L), "a KLL certificate failed on exact-mode data")
+  }
+
+  test("kll: interpolated quantile stays x4-integer-exact") {
+    // n=4 values 10,20,30,40: q25 at pos 0.75 → 10+0.75*10 = 17.5 → x4 = 70
+    val out = Sketches.quantileCensusKll(
+      testImplicitsHolder.pairsDf(Seq(("g", 10L), ("g", 20L), ("g", 30L), ("g", 40L))),
+      "g", "v", Seq(0.25))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out(250L) === 70L)
+  }
+
+  // ---- z-order ----
+
+  test("zorder: zValue interleaves bits (known cases)") {
+    val df = testImplicitsHolder.pairsDf(Seq(("x", 0L)))
+      .select(
+        ZOrder.zValue(lit(0), lit(0), 8).as("z00"),
+        ZOrder.zValue(lit(1), lit(0), 8).as("z10"),
+        ZOrder.zValue(lit(0), lit(1), 8).as("z01"),
+        ZOrder.zValue(lit(3), lit(5), 8).as("z35"),
+        ZOrder.zValue(lit(255), lit(255), 8).as("zmax"))
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("z00") === 0L)
+    assert(r.getAs[Long]("z10") === 2L) // a's bit 0 → position 1
+    assert(r.getAs[Long]("z01") === 1L) // b's bit 0 → position 0
+    // a=3 (011), b=5 (101): interleave a1b1 a0b0 ... = bits (a0<<1|b0),(a1<<3|b1<<2),(b2<<4)
+    // a=011, b=101 → z = 1*16 + 0*8+0*4 + 2+1 = 10011b = 19... compute:
+    // bit0(b0=1)=1, bit1(a0=1)=2, bit2(b1=0)=0, bit3(a1=1)=8, bit4(b2=1)=16, bit5(a2=0)=0 → 27
+    assert(r.getAs[Long]("z35") === 27L)
+    assert(r.getAs[Long]("zmax") === 65535L)
+  }
+
+  test("zorder: clamping keeps ordering monotone at the cap") {
+    val over = testImplicitsHolder.pairsDf(Seq(("x", 0L)))
+      .select(ZOrder.zValue(lit(1L << 40), lit(0), 8).as("z"))
+      .collect()(0).getLong(0)
+    val atCap = testImplicitsHolder.pairsDf(Seq(("x", 0L)))
+      .select(ZOrder.zValue(lit(255), lit(0), 8).as("z"))
+      .collect()(0).getLong(0)
+    assert(over === atCap)
+  }
+
+  test("zorder: layout skips more files than a linear sort for 2-D rectangles") {
+    val s = spark
+    import s.implicits._
+    // 64x64 grid of (a, b) points, 10 files
+    val pts = (for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val zPath = "/tmp/graft_test_zorder_grid"
+    val linPath = "/tmp/graft_test_linear_grid"
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(zPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(linPath), true)
+    ZOrder.writeZOrdered(pts, zPath, "a", "b", bits = 6, numFiles = 16)
+    pts.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions(col("a"), col("b"))
+      .write.parquet(linPath)
+    def touched(path: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): Long =
+      ZOrder.fileBoxes(s, path, "a", "b")
+        .where(col("a_max") >= aLo && col("a_min") <= aHi &&
+          col("b_max") >= bLo && col("b_min") <= bHi)
+        .count()
+    // rectangle selective on B only: linear (sorted by a) must read ~all
+    // files; z-order reads the b-slice
+    val zTouched = touched(zPath, 0, 63, 8, 15)
+    val linTouched = touched(linPath, 0, 63, 8, 15)
+    assert(zTouched < linTouched,
+      s"z-order touched $zTouched files, linear $linTouched")
+    assert(zTouched <= 8, s"z-order touched $zTouched of 16 files")
+  }
+
+  test("zorder: written copy holds exactly the input rows") {
+    val s = spark
+    import s.implicits._
+    val pts = (0L until 100L).map(i => (i, i % 7)).toDF("a", "b")
+    val path = "/tmp/graft_test_zorder_rows"
+    new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    ZOrder.writeZOrdered(pts, path, "a", "b", bits = 7, numFiles = 4)
+    val back = s.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back === (0L until 100L).map(i => (i, i % 7)).toSet)
+    assert(!s.read.parquet(path).columns.contains("__z"))
+  }
+}
