@@ -2484,7 +2484,52 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v_cents"))
-    })
+    }),
+
+    // ---- graph: FIXED-POINT PageRank (3 power rounds, parts-per-10¹²,
+    //      truncating div everywhere → deterministic cross-engine) over a
+    //      closed doc graph: per-source doc_id chains ∪ a star edge to
+    //      each source's min doc (every node outdeg ≥ 1, no dangling
+    //      mass); the hubs (min docs) accumulate rank, certified by the
+    //      unrolled 3-round SQL oracle ----
+    "q224_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val chain = d.select(col("doc_id").as("src"), lead(col("doc_id"), 1).over(w).as("dst"))
+        .where(col("dst").isNotNull)
+      val star = d.select(col("doc_id").as("src"),
+        min(col("doc_id")).over(Window.partitionBy(col("source"))).as("dst"))
+      Graphs.pageRankFixedPoint(chain.unionByName(star), "src", "dst", rounds = 3)
+        .orderBy(col("pr_ppt").desc, col("id"))
+        .limit(15)
+        .select(col("id").as("doc_id"), col("pr_ppt"))
+    }),
+
+    // ---- operations at scale: incremental aggregate MAINTENANCE — the
+    //      materialized-view lifecycle: historical days reduce to an
+    //      algebraic (n, Σcents, Σcents²) state PARQUET once; the delta
+    //      (last 5 days) merges against the read-back state; exact
+    //      integers make incremental == full recompute, which is what
+    //      the oracle certifies ----
+    "q225_incremental_agg" -> ((s, dir) => {
+      val path = s"/tmp/graft_warehouse/graft_events_aggstate_${math.abs(dir.hashCode).toString.take(6)}"
+      val ev = t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      val cutoff = "2024-01-26"
+      Incremental.maintainedStats(s, path,
+        ev.where(col("event_date") < cutoff),
+        ev.where(col("event_date") >= cutoff),
+        col("event_type"), col("event_date"), col("cents"))
+        .withColumnRenamed("g", "event_type")
+    }),
+
+    // ---- text: pairwise KL drift between per-source unigram LMs —
+    //      add-one smoothing over the corpus vocabulary, one nano-rounded
+    //      double per present (pair, token), absent-both tokens in closed
+    //      form; the distribution-shift panel beside q211's set overlap ----
+    "q226_kl_drift" -> ((s, dir) =>
+      Text.klDrift(t(s, dir, "documents"), "source", "text"))
   )
 
   // ----------------------------------------------------------------------
@@ -5025,6 +5070,89 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 11
         |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-16'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // 3 unrolled fixed-point power rounds; all arithmetic integer `//`
+    "q224_pagerank" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |chain AS (SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS dst
+        |    FROM d) WHERE dst IS NOT NULL),
+        |star AS (SELECT doc_id AS src,
+        |    min(doc_id) OVER (PARTITION BY source) AS dst FROM d),
+        |e AS (SELECT * FROM chain UNION ALL SELECT * FROM star),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |p0 AS (SELECT id, 1000000000000 // nn.n AS p FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS id, CAST(sum(p0.p // deg.deg) AS BIGINT) AS con
+        |  FROM e JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT p0.id,
+        |    (15 * (1000000000000 // nn.n)) // 100
+        |      + (85 * coalesce(c1.con, 0)) // 100 AS p
+        |  FROM p0 CROSS JOIN nn LEFT JOIN c1 ON p0.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, CAST(sum(r1.p // deg.deg) AS BIGINT) AS con
+        |  FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT r1.id,
+        |    (15 * (1000000000000 // nn.n)) // 100
+        |      + (85 * coalesce(c2.con, 0)) // 100 AS p
+        |  FROM r1 CROSS JOIN nn LEFT JOIN c2 ON r1.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, CAST(sum(r2.p // deg.deg) AS BIGINT) AS con
+        |  FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT r2.id,
+        |    (15 * (1000000000000 // nn.n)) // 100
+        |      + (85 * coalesce(c3.con, 0)) // 100 AS p
+        |  FROM r2 CROSS JOIN nn LEFT JOIN c3 ON r2.id = c3.id)
+        |SELECT id AS doc_id, CAST(p AS BIGINT) AS pr_ppt FROM r3
+        |ORDER BY p DESC, id LIMIT 15""".stripMargin,
+
+    // incremental == full recompute (exact integer partials)
+    "q225_incremental_agg" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s_cents,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n, s_cents,
+        |  (s_cents * 100) // n AS mean_cc,
+        |  CAST((CAST(n AS HUGEINT) * ss - CAST(s_cents AS HUGEINT) * s_cents)
+        |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_cents2
+        |FROM a""".stripMargin,
+
+    "q226_kl_drift" ->
+      """WITH tok AS (SELECT source AS s, unnest(string_split(trim(text), ' ')) AS t
+        |  FROM documents),
+        |cnts AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |sz AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM cnts),
+        |pairs AS (SELECT a.s AS p, a.n AS np, b.s AS q, b.n AS nq, vv.v
+        |  FROM sz a CROSS JOIN sz b CROSS JOIN vv WHERE a.s <> b.s),
+        |ta AS (SELECT pr.p, pr.q, c.t, c.c AS ca FROM pairs pr
+        |  JOIN cnts c ON c.s = pr.p),
+        |tb AS (SELECT pr.p, pr.q, c.t, c.c AS cb FROM pairs pr
+        |  JOIN cnts c ON c.s = pr.q),
+        |u AS (SELECT coalesce(ta.p, tb.p) AS p, coalesce(ta.q, tb.q) AS q,
+        |    coalesce(ta.ca, 0) AS ca, coalesce(tb.cb, 0) AS cb
+        |  FROM ta FULL OUTER JOIN tb
+        |    ON ta.p = tb.p AND ta.q = tb.q AND ta.t = tb.t),
+        |terms AS (SELECT u.p, u.q,
+        |    CAST(round(((u.ca + 1) / CAST(pr.np + pr.v AS DOUBLE))
+        |      * ln(((u.ca + 1) / CAST(pr.np + pr.v AS DOUBLE))
+        |          / ((u.cb + 1) / CAST(pr.nq + pr.v AS DOUBLE))) * 1e9)
+        |      AS BIGINT) AS nano
+        |  FROM u JOIN pairs pr ON u.p = pr.p AND u.q = pr.q),
+        |agg AS (SELECT p, q, CAST(sum(nano) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS npresent
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT a.p AS src_p, a.q AS src_q,
+        |  a.s + (pr.v - a.npresent) *
+        |    CAST(round((1.0 / (pr.np + pr.v))
+        |      * ln((1.0 / (pr.np + pr.v)) / (1.0 / (pr.nq + pr.v))) * 1e9)
+        |      AS BIGINT) AS kl_nano
+        |FROM agg a JOIN pairs pr ON a.p = pr.p AND a.q = pr.q
+        |ORDER BY src_p, src_q""".stripMargin
   )
 }

@@ -758,4 +758,68 @@ object Text {
         col("sz1"), col("sz2"),
         expr("inter * 1000000L DIV (sz1 + sz2 - inter)").as("jaccard_ppm"))
   }
+
+  /** Pairwise KL DIVERGENCE between per-source unigram language models —
+    * the distribution-drift panel behind "did src A's vocabulary shift
+    * away from src B's": KL(p_a ‖ p_b) over the CORPUS vocabulary with
+    * add-one smoothing, p_s(t) = (c_s(t)+1)/(n_s+V).
+    *
+    * Portability discipline (the [[unigramNll]] convention): each term
+    * p_a·ln(p_a/p_b) is a deterministic double from exact integers,
+    * rounded ONCE to nano units; the per-pair sum is then an order-free
+    * integer. Tokens absent from BOTH sources all contribute the SAME
+    * smoothed constant, so their total is a closed form
+    * (V − |vocab_a ∪ vocab_b|) · term₀ — the pair×token join only ever
+    * materializes tokens present in at least one side.
+    *
+    * Scale shape: the corpus collapses once to (source, token, count)
+    * (checkpointed); the pair expansion is two joins keyed on the pair's
+    * sources + one full-outer align on (pair, token) — fan-out ≤
+    * sources² × vocab, sources being a handful. Output:
+    * (src_p, src_q, kl_nano) for every ordered pair, sorted. */
+  def klDrift(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__s"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val sizes = counts.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val vRow = counts.agg(count_distinct(col("__t")).as("__V"))
+    // ordered source pairs, with both totals and V riding along (tiny)
+    val pairs = sizes.select(col("__s").as("p"), col("__n").as("np"))
+      .crossJoin(sizes.select(col("__s").as("q"), col("__n").as("nq")))
+      .where(col("p") =!= col("q"))
+      .crossJoin(broadcast(vRow))
+      .localCheckpoint(true)
+    val ta = pairs.join(counts.select(col("__s").as("p"), col("__t"), col("__c").as("ca")),
+      Seq("p"))
+      .select(col("p"), col("q"), col("__t"), col("ca"))
+    val tb = pairs.join(counts.select(col("__s").as("q"), col("__t"), col("__c").as("cb")),
+      Seq("q"))
+      .select(col("p"), col("q"), col("__t"), col("cb"))
+    val u = ta.join(tb, Seq("p", "q", "__t"), "full_outer")
+      .select(col("p"), col("q"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    // per-term nano contribution; one rounded double per (pair, token)
+    val perPair = u.join(broadcast(pairs), Seq("p", "q"))
+      .withColumn("__term", round(
+        ((col("ca") + 1).cast("double") / (col("np") + col("__V"))) *
+          log(((col("ca") + 1).cast("double") / (col("np") + col("__V"))) /
+              ((col("cb") + 1).cast("double") / (col("nq") + col("__V")))) *
+          lit(1e9)).cast("long"))
+      .groupBy(col("p"), col("q"))
+      .agg(sum(col("__term")).as("__sum"), count(lit(1)).as("__npresent"))
+    perPair.join(broadcast(pairs), Seq("p", "q"))
+      .withColumn("__term0", round(
+        (lit(1.0) / (col("np") + col("__V"))) *
+          log((lit(1.0) / (col("np") + col("__V"))) /
+              (lit(1.0) / (col("nq") + col("__V")))) * lit(1e9)).cast("long"))
+      .select(col("p").as("src_p"), col("q").as("src_q"),
+        (col("__sum") + (col("__V") - col("__npresent")) * col("__term0"))
+          .as("kl_nano"))
+      .orderBy(col("src_p"), col("src_q"))
+  }
 }

@@ -50,4 +50,55 @@ object Graphs {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** FIXED-POINT PageRank over a directed edge list — `rounds` power
+    * iterations kept EXACT-integer so the result is deterministic
+    * cross-engine (and hence oracle-checkable, unlike float PR whose sum
+    * order drifts): scores live in parts-per-10¹², every division is a
+    * truncating `div`, and each round is
+    *
+    *   p'(v) = (15 · (10¹² div n)) div 100
+    *         + (85 · Σ_{u→v} (p(u) div outdeg(u))) div 100
+    *
+    * — the standard d=0.85 damping with the float ops replaced by integer
+    * ones (mass leaks a few units per division; acceptable and, crucially,
+    * IDENTICAL on every engine).
+    *
+    * PRECONDITION: every node has outdegree ≥ 1 (no dangling mass
+    * redistribution is modeled — close the graph first, e.g. with
+    * self-loops or hub edges, as q224's chain∪star construction does).
+    *
+    * Scale shape per round: one (p÷deg)-projection join on src (both sides
+    * node-keyed), one dst-keyed partial agg, one node-keyed left join —
+    * all standard shuffles on the node/edge domain; nothing driver-side.
+    * Returns (id, pr_ppt) for every node. */
+  def pageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds $rounds out of range 1..20")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    // __n rides every row (a 1-row broadcast) so the per-round base term
+    // needs no further joins
+    var p = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), expr("1000000000000L div __n").as("p"), col("__n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val contrib = e
+        .join(p.join(deg, "id").select(col("id").as("src"),
+          expr("p div __deg").as("__c")), "src")
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__con"))
+      p = p.join(contrib, p("id") === contrib("dst"), "left_outer")
+        .select(col("id"),
+          expr("(15L * (1000000000000L div __n)) div 100 + " +
+               "(85L * coalesce(__con, 0L)) div 100").as("p"),
+          col("__n"))
+        .localCheckpoint(true)
+    }
+    p.select(col("id"), col("p").as("pr_ppt"))
+  }
 }

@@ -164,6 +164,102 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(zTouched <= 8, s"z-order touched $zTouched of 16 files")
   }
 
+  // ---- fixed-point PageRank ----
+
+  test("pagerank: uniform cycle keeps equal ranks") {
+    val s = spark
+    import s.implicits._
+    // 4-cycle: every node outdeg 1, indeg 1 → rank stays uniform
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = graft.operators.Graphs.pageRankFixedPoint(e, "src", "dst", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.values.toSet.size === 1, s"cycle ranks diverged: $out")
+    // p0 = 25e10; each round p' = 15%·p0 + 85%·p (deg 1) — stays ~p0
+    assert(math.abs(out(1L) - 250000000000L) < 5L)
+  }
+
+  test("pagerank: a sink-hub star accumulates rank") {
+    val s = spark
+    import s.implicits._
+    // 1..5 all point at 9; 9 self-loops (outdeg ≥ 1 precondition)
+    val e = ((1L to 5L).map((_, 9L)) :+ ((9L, 9L))).toDF("src", "dst")
+    val out = graft.operators.Graphs.pageRankFixedPoint(e, "src", "dst", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(9L) > 4 * out(1L), s"hub did not accumulate: $out")
+    assert((1L to 5L).map(out).toSet.size === 1, "leaf ranks differ")
+  }
+
+  test("pagerank: deterministic across partitionings") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 40L).map(i => (i, (i % 40) + 1)) ++ Seq((7L, 13L), (13L, 7L))
+    val a = graft.operators.Graphs.pageRankFixedPoint(
+      edges.toDF("src", "dst").repartition(1), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.operators.Graphs.pageRankFixedPoint(
+      edges.toDF("src", "dst").repartition(13), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  // ---- incremental aggregate maintenance ----
+
+  test("incremental: merged state equals full recompute exactly") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 100L).map(i => ("g" + (i % 3), i % 10, i * 7 % 400))
+      .toDF("g", "u", "cents")
+    val hist = rows.where(col("u") < 7)
+    val delta = rows.where(col("u") >= 7)
+    val path = "/tmp/graft_test_aggstate"
+    new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val inc = graft.operators.Incremental.maintainedStats(s, path,
+      hist, delta, col("g"), col("u"), col("cents"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val full = graft.operators.Incremental.mergeFinalize(
+      graft.operators.Incremental.partials(rows, col("g"), col("u"), col("cents")),
+      graft.operators.Incremental.partials(rows.limit(0), col("g"), col("u"), col("cents")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(inc === full)
+  }
+
+  test("incremental: hand-checked moments") {
+    val s = spark
+    import s.implicits._
+    // one group, cents 10,20,30,40: n=4 sum=100 mean_cc=2500
+    // var = (4*3000 - 10000)/16 = 125
+    val rows = Seq(("g", 1L, 10L), ("g", 1L, 20L), ("g", 2L, 30L), ("g", 2L, 40L))
+      .toDF("g", "u", "cents")
+    val out = graft.operators.Incremental.mergeFinalize(
+      graft.operators.Incremental.partials(rows.where(col("u") === 1), col("g"), col("u"), col("cents")),
+      graft.operators.Incremental.partials(rows.where(col("u") === 2), col("g"), col("u"), col("cents")))
+      .collect()(0)
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(2) === 100L)
+    assert(out.getLong(3) === 2500L)
+    assert(out.getLong(4) === 125L)
+  }
+
+  // ---- KL drift ----
+
+  test("kl: identical sources have zero divergence; drift is asymmetric") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", "x x y z"), ("b", "x x y z"),          // identical distributions
+      ("c", "x x x x x x x x y")                     // skewed
+    ).toDF("source", "text")
+    val out = graft.functions.Text.klDrift(docs, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out(("a", "b")) === 0L, "identical LMs must have KL 0")
+    assert(out(("b", "a")) === 0L)
+    assert(out(("a", "c")) > 0L)
+    assert(out(("c", "a")) > 0L)
+    assert(out(("a", "c")) !== out(("c", "a")), "KL should be asymmetric here")
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
