@@ -2529,7 +2529,36 @@ object SparkEntry {
     //      double per present (pair, token), absent-both tokens in closed
     //      form; the distribution-shift panel beside q211's set overlap ----
     "q226_kl_drift" -> ((s, dir) =>
-      Text.klDrift(t(s, dir, "documents"), "source", "text"))
+      Text.klDrift(t(s, dir, "documents"), "source", "text")),
+
+    // ---- events: rolling DAU/WAU/MAU panel — exact sliding distinct
+    //      counts where per-day partials CANNOT decompose; the corpus
+    //      collapses once to the (user, day) domain, windows are a ≤30-way
+    //      fan-out of that domain against the broadcast day list ----
+    "q227_active_users" -> ((s, dir) =>
+      Events.activeUsers(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- streaming: stream-stream LEFT OUTER time-range join — null
+    //      rows emit only when the watermark PROVES no match is coming
+    //      (no-data batch finalization); purchases newer than the final
+    //      watermark stay open and never emit, and the batch oracle
+    //      applies the same cutoff (q122 convention) ----
+    "q228_stream_left_outer" -> ((s, dir) =>
+      Streams.leftOuterMatchCensus(s, dir)),
+
+    // ---- stats: per-language weighted median of document length,
+    //      weights = token counts — group-partitioned cumulative over the
+    //      value domain, 2·cum ≥ total keeps halves exact-integer ----
+    "q229_weighted_median" -> ((s, dir) =>
+      Stats.weightedMedian(t(s, dir, "documents"),
+        col("lang"), col("n_chars"), Text.tokenCount(col("text")))
+        .withColumnRenamed("g", "lang")),
+
+    // ---- text: per-source Shannon entropy of the unigram distribution —
+    //      nano-fixed-point terms, order-free integer sum; the vocabulary-
+    //      diversity canary beside q119's NLL quality score ----
+    "q230_token_entropy" -> ((s, dir) =>
+      Text.tokenEntropy(t(s, dir, "documents"), "source", "text"))
   )
 
   // ----------------------------------------------------------------------
@@ -5153,6 +5182,72 @@ object SparkEntry {
         |      * ln((1.0 / (pr.np + pr.v)) / (1.0 / (pr.nq + pr.v))) * 1e9)
         |      AS BIGINT) AS kl_nano
         |FROM agg a JOIN pairs pr ON a.p = pr.p AND a.q = pr.q
-        |ORDER BY src_p, src_q""".stripMargin
+        |ORDER BY src_p, src_q""".stripMargin,
+
+    "q227_active_users" ->
+      """WITH dom AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS day FROM dom)
+        |SELECT days.day,
+        |  CAST(count(DISTINCT CASE WHEN dom.d = days.day THEN dom.u END)
+        |    AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT CASE WHEN dom.d >= days.day - 6 THEN dom.u END)
+        |    AS BIGINT) AS wau7,
+        |  CAST(count(DISTINCT dom.u) AS BIGINT) AS mau30
+        |FROM days JOIN dom ON dom.d BETWEEN days.day - 29 AND days.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // watermark cutoff: unmatched purchases emit only once the final
+    // watermark (ms-truncated min-of-inputs max ts − 1 h) passes them
+    "q228_stream_left_outer" ->
+      """WITH p AS (SELECT user_id AS u, event_id AS eid, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS u, event_id AS eid, ts FROM events
+        |  WHERE event_type = 'view'),
+        |cut AS (SELECT to_timestamp(least(
+        |    (SELECT floor(epoch_ms(max(ts)) / 1000.0) FROM p),
+        |    (SELECT floor(epoch_ms(max(ts)) / 1000.0) FROM v)) - 3600)
+        |  AS c),
+        |m AS (SELECT p.u, p.eid, CAST(count(*) AS BIGINT) AS nm
+        |  FROM p JOIN v ON p.u = v.u
+        |    AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |  GROUP BY 1, 2),
+        |rows_ AS (
+        |  SELECT p.u, coalesce(m.nm, 0) AS nm,
+        |    CASE WHEN m.eid IS NULL AND p.ts < (SELECT c FROM cut)
+        |      THEN 1 ELSE 0 END AS unm
+        |  FROM p LEFT JOIN m ON p.u = m.u AND p.eid = m.eid
+        |  WHERE m.eid IS NOT NULL OR p.ts < (SELECT c FROM cut))
+        |SELECT u AS user_id, CAST(sum(nm) AS BIGINT) AS n_matched,
+        |  CAST(sum(unm) AS BIGINT) AS n_unmatched
+        |FROM rows_ GROUP BY 1""".stripMargin,
+
+    "q229_weighted_median" ->
+      """WITH b AS (SELECT lang, n_chars AS v,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+        |    END AS w FROM documents),
+        |d AS (SELECT lang, v, CAST(sum(w) AS BIGINT) AS w FROM b
+        |  WHERE w > 0 GROUP BY 1, 2),
+        |c AS (SELECT lang, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum
+        |  FROM d),
+        |t AS (SELECT lang, CAST(sum(w) AS BIGINT) AS w_total FROM d GROUP BY 1)
+        |SELECT c.lang, CAST(min(c.v) AS BIGINT) AS w_median, t.w_total
+        |FROM c JOIN t ON c.lang = t.lang
+        |WHERE c.cum * 2 >= t.w_total
+        |GROUP BY c.lang, t.w_total""".stripMargin,
+
+    "q230_token_entropy" ->
+      """WITH cnts AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source AS s, unnest(string_split(trim(text), ' ')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1, 2),
+        |sz AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY 1)
+        |SELECT cnts.s AS source, CAST(max(sz.n) AS BIGINT) AS n_tok,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CAST(round(-(cnts.c / CAST(sz.n AS DOUBLE))
+        |    * ln(cnts.c / CAST(sz.n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+        |    AS h_nano
+        |FROM cnts JOIN sz ON cnts.s = sz.s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -822,4 +822,31 @@ object Text {
           .as("kl_nano"))
       .orderBy(col("src_p"), col("src_q"))
   }
+
+  /** Shannon ENTROPY of each source's unigram token distribution (no
+    * smoothing — only observed tokens contribute), nano-fixed-point: one
+    * rounded double per (source, token), order-free integer sum (the
+    * [[unigramNll]] discipline). High entropy = diverse vocabulary; a
+    * collapsing H is the canary for template/boilerplate flooding.
+    * Output: (source, n_tok, vocab, h_nano) sorted by source. */
+  def tokenEntropy(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__s"), col("__t")).agg(count(lit(1)).as("__c"))
+    val sized = counts.join(
+      counts.groupBy(col("__s")).agg(sum(col("__c")).as("__n")), Seq("__s"))
+    sized
+      .withColumn("__term", round(
+        (col("__c").cast("double") / col("__n")) *
+          log(col("__c").cast("double") / col("__n")) * lit(-1e9)).cast("long"))
+      .groupBy(col("__s"))
+      .agg(max(col("__n")).as("n_tok"), count(lit(1)).as("vocab"),
+        sum(col("__term")).as("h_nano"))
+      .select(col("__s").as("source"), col("n_tok"), col("vocab"), col("h_nano"))
+      .orderBy(col("source"))
+  }
 }

@@ -294,4 +294,32 @@ object Events {
       max(col("__d")).as("max_s"),
       expr("sum(__d) DIV count(1)").as("mean_s"))
   }
+
+  /** Rolling ACTIVE-USER panel — DAU / 7-day WAU / 30-day MAU per
+    * calendar day, the engagement dashboard every event pipeline feeds.
+    * EXACT distinct counts, but never over the raw log: the corpus
+    * collapses ONCE to the distinct (user, day) domain (map-side
+    * combinable), and the rolling windows are a ≤30-way fan-out of that
+    * compact domain against the broadcast day list — at 100 TB the heavy
+    * input is touched once, everything after is |users|×|days| sized.
+    * Sliding-window distinct does NOT decompose into per-day partials
+    * (users repeat across days), which is why the fan-out join over the
+    * domain is the right shape — or at much larger day counts, the
+    * HLL-merge approximation ([[graft.functions.Sketches]]).
+    * Output: (day, dau, wau7, mau30) sorted by day. */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val dom = events.select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .where(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct().localCheckpoint(true)
+    val days = dom.select(col("__d").as("day")).distinct()
+    dom.join(broadcast(days),
+        col("__d").between(date_sub(col("day"), 29), col("day")))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("__d") === col("day"), col("__u"))).as("dau"),
+        countDistinct(when(col("__d") >= date_sub(col("day"), 6), col("__u")))
+          .as("wau7"),
+        countDistinct(col("__u")).as("mau30"))
+      .orderBy(col("day"))
+  }
 }

@@ -529,4 +529,31 @@ object Stats {
       sum(when(col("__sz") < k, lit(1L)).otherwise(lit(0L))).as("groups_below_k"),
       sum(when(col("__sz") < k, col("__sz")).otherwise(lit(0L))).as("rows_below_k"))
   }
+
+  /** Per-group WEIGHTED MEDIAN of an integer value with integer weights —
+    * the robust center under importance weighting (sampling weights, token
+    * counts): the smallest v whose cumulative weight reaches half the
+    * total, decided as `2·cum ≥ total` so halves stay exact-integer.
+    *
+    * The corpus collapses to the per-group VALUE DOMAIN first (one
+    * map-side-combinable agg); the cumulative rides a group-partitioned
+    * window over that domain (key-parallel — each group's distinct values
+    * are its own partition, no global stitch needed); totals join back
+    * group-keyed. Output: (g, w_median, w_total). */
+  def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
+      weightCol: Column): DataFrame = {
+    val dom = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"),
+        weightCol.cast("long").as("__w"))
+      .where(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
+      .groupBy(col("g"), col("__v")).agg(sum(col("__w")).as("__w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("__v"))
+    val cum = dom.withColumn("__cum", sum(col("__w")).over(win))
+    val tot = dom.groupBy(col("g")).agg(sum(col("__w")).as("w_total"))
+    cum.join(tot, Seq("g"))
+      .where(col("__cum") * 2 >= col("w_total"))
+      .groupBy(col("g"), col("w_total"))
+      .agg(min(col("__v")).as("w_median"))
+      .select(col("g"), col("w_median"), col("w_total"))
+  }
 }

@@ -251,6 +251,39 @@ object Streams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** Stream-stream LEFT OUTER time-range join — the semantics q108's
+    * inner join can't express: every purchase pairs with the same user's
+    * views in the preceding hour, and a purchase with NO such view still
+    * emits (null-padded) — but only once the WATERMARK has passed it, the
+    * point where the engine can PROVE no matching view is still coming.
+    * That proof obligation is the whole semantics: matches emit
+    * immediately; null rows emit on state eviction (Spark runs a no-data
+    * batch when the watermark advances, so bounded replay finalizes).
+    * Purchases newer than (max ts − delay) remain open and deliberately
+    * never emit — the batch oracle applies the same cutoff, the q122
+    * late-finalization convention.
+    *
+    * At scale: state is partitioned by user_id like any shuffle; the time
+    * bound + watermark cap each side's state at `delay` of history.
+    * Returns per-user (n_matched, n_unmatched) over the emitted rows. */
+  def leftOuterMatchCensus(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, dir, outputMode = "append") { events =>
+      val p = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withWatermark("ts", "1 hour").alias("p")
+      val v = events.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_eid"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour").alias("v")
+      p.join(v, expr(
+        "user_id = v_user AND v_ts >= ts - interval 1 hour AND v_ts <= ts"),
+        "left_outer")
+        .select(col("user_id"), col("event_id"), col("v_eid"))
+    }
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("v_eid").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("v_eid").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+
   /** Streaming-ingest dedup — the streaming twin of `Dedup.exact`: drop
     * duplicate content keys as they arrive, BEFORE they reach storage (the
     * shape of a training-data ingest pipe: dedup at the firehose, not in a

@@ -260,6 +260,63 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(out(("a", "c")) !== out(("c", "a")), "KL should be asymmetric here")
   }
 
+  // ---- active users ----
+
+  test("activeUsers: hand-computed rolling distinct counts") {
+    val s = spark
+    import s.implicits._
+    // user 1 active days 1,2,9; user 2 active day 2 only
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"),
+      (2L, "2024-01-02"), (1L, "2024-01-09"))
+      .toDF("user_id", "ds").withColumn("ts", to_timestamp(col("ds")))
+    val out = graft.operators.Events.activeUsers(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("2024-01-01") === ((1L, 1L, 1L)))
+    assert(out("2024-01-02") === ((2L, 2L, 2L)))
+    // day 9: dau {1}; wau7 covers 3..9 → {1}; mau30 covers all → {1,2}
+    assert(out("2024-01-09") === ((1L, 1L, 2L)))
+  }
+
+  // ---- weighted median ----
+
+  test("weightedMedian: weights shift the median; halves exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 10L, 6L),
+      ("h", 1L, 1L), ("h", 2L, 1L)).toDF("g", "v", "w")
+    val out = graft.operators.Stats.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // g: total 8, half 4 → cum at v=10 reaches 8 ≥ 4 first at v=10
+    assert(out("g") === ((10L, 8L)))
+    // h: total 2, 2·cum(1)=2 ≥ 2 → median 1 (lower of the tie)
+    assert(out("h") === ((1L, 2L)))
+  }
+
+  test("weightedMedian: unit weights reduce to lower median") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 4L).map(("g", _, 1L)).toDF("g", "v", "w")
+    val out = graft.operators.Stats.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect()(0)
+    assert(out.getLong(1) === 2L) // cum(2)·2 = 4 ≥ 4
+  }
+
+  // ---- token entropy ----
+
+  test("tokenEntropy: uniform beats skewed; single-token source is zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("u", "a b c d"), ("k", "a a a b"), ("z", "a a a a"))
+      .toDF("source", "text")
+    val out = graft.functions.Text.tokenEntropy(docs, "source", "text")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("z")._3 === 0L, "constant stream must have zero entropy")
+    assert(out("u")._3 > out("k")._3, "uniform must out-entropy skewed")
+    // uniform over 4: H = ln 4 ≈ 1.386294361e9 nano (4 × round(0.25·ln4·1e9))
+    assert(math.abs(out("u")._3 - 1386294361L) <= 2L)
+    assert(out("u")._1 === 4L && out("u")._2 === 4L)
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
