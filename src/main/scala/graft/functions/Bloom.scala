@@ -13,23 +13,24 @@ import org.apache.spark.sql.functions._
   * BloomFilter object, no UDF:
   *
   *  - BUILD: each dim key sets `k` bit positions `xxhash64(key, i)
-  *    mod m`; positions aggregate map-side into ≤ m/64 (word, bits) rows
-  *    via `bit_or`, then ONE model-sized row holds the dense bitmap array
-  *    (map lookup + sequence fill — absent words are 0).
-  *  - PROBE: the bitmap row cross-broadcasts to the fact side (a scalar
-  *    array, BroadcastNestedLoopJoin on a 1-row side); a fact row survives
-  *    only if ALL k probed bits are set (`element_at` + bitwise AND in one
-  *    codegen'd conjunction).
+  *    mod m`; positions aggregate map-side into a ≤ m/64-row
+  *    (word, bits) table via `bit_or` — the bitmap STAYS a table, never
+  *    a per-row array (a 1-row array column would be copied into every
+  *    probe row by the cross join — 128 KiB × |fact| of pure memcpy).
+  *  - PROBE: k BROADCAST HASH JOINS on the word index (the bitmap table
+  *    broadcasts once; each join attaches one long), then one codegen'd
+  *    conjunction of bit tests. A missing word (no build key hashed into
+  *    it) joins null → the row prunes.
   *  - The prune is CONSERVATIVE by construction (false positives pass and
   *    are removed by the real join that follows; false negatives are
   *    impossible), so the final join result is byte-identical with and
   *    without the filter — which is exactly what the oracle checks.
   *
-  * Sizing: m defaults to 1<<20 bits (16 Ki longs ≈ 128 KiB broadcast —
-  * sized by the DIM cardinality, independent of fact size); with k=4 that
-  * holds ~3 % false positives at ~100k build keys. At larger dim
-  * cardinalities pass a bigger `mBits`; past ~10 M keys prefer a plain
-  * shuffle join — the bloom pays off only while the bitmap broadcasts
+  * Sizing: m defaults to 1<<20 bits (a ≤16 Ki-row word table ≈ 128 KiB
+  * broadcast — sized by the DIM cardinality, independent of fact size);
+  * with k=4 that holds ~3 % false positives at ~100k build keys. At larger
+  * dim cardinalities pass a bigger `mBits`; past ~10 M keys prefer a plain
+  * shuffle join — the bloom pays off only while the word table broadcasts
   * cheaply.
   */
 object Bloom {
@@ -39,38 +40,41 @@ object Bloom {
   private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
     (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(mBits.toLong)))
 
-  /** Bitmap of the values of `key` in `build` as ONE row holding an
-    * `m/64`-long array column `__bloom`. `mBits` must be a power of two. */
-  def buildBitmap(build: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
+  private def checkArgs(mBits: Int, k: Int): Unit = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, s"mBits $mBits must be a power of 2")
     require(k >= 1 && k <= 8, s"k $k out of range 1..8")
-    val words = mBits / 64
-    // one row per (key, probe): duplicates need not be pre-deduped —
-    // bit_or absorbs them map-side, so the shuffle carries at most m/64
-    // word rows regardless of build-side row count
-    val bits = build.select(explode(array(positions(key, mBits, k): _*)).as("__p"))
-      .groupBy(expr("int(__p div 64)").as("__w"))
+  }
+
+  /** Bitmap of the values of `key` in `build` as a (word index, 64-bit
+    * word) table `(__bw, __bits)` with ≤ m/64 rows. `mBits` must be a
+    * power of two. Duplicate build keys need not be pre-deduped — bit_or
+    * absorbs them map-side, so the shuffle carries at most m/64 word rows
+    * regardless of build-side row count. */
+  def buildWordTable(build: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
+    checkArgs(mBits, k)
+    build.select(explode(array(positions(key, mBits, k): _*)).as("__p"))
+      .groupBy(expr("int(__p div 64)").as("__bw"))
       .agg(expr("bit_or(shiftleft(1L, int(__p % 64)))").as("__bits"))
-    // dense array: sequence over all word indexes, 0-filled where no row
-    bits.agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
-        .as("__m"))
-      .select(transform(sequence(lit(0), lit(words - 1)),
-        w => coalesce(element_at(col("__m"), w), lit(0L))).as("__bloom"))
   }
 
   /** Rows of `probe` whose `key` passes the bloom membership test — a
-    * superset of the true semi-join (false positives only). The bitmap
-    * row broadcasts; the k bit tests are one codegen'd conjunction over
-    * pre-projected position columns. */
-  def prune(probe: DataFrame, key: Column, bitmap: DataFrame,
+    * superset of the true semi-join (false positives only). k broadcast
+    * equi-joins on the word index + one codegen'd conjunction. */
+  def prune(probe: DataFrame, key: Column, words: DataFrame,
       mBits: Int, k: Int): DataFrame = {
-    val withPos = probe.crossJoin(broadcast(bitmap))
-      .withColumns((0 until k).map(i => s"__bp$i").zip(positions(key, mBits, k)).toMap)
+    checkArgs(mBits, k)
+    val withPos = probe.withColumns(
+      (0 until k).map(i => s"__bp$i").zip(positions(key, mBits, k)).toMap)
+    val joined = (0 until k).foldLeft(withPos) { (d, i) =>
+      d.join(
+        broadcast(words.select(col("__bw").as(s"__bw$i"), col("__bits").as(s"__bits$i"))),
+        expr(s"int(__bp$i div 64)") === col(s"__bw$i"), "left_outer")
+    }
     val pass = (0 until k).map { i =>
-      expr(s"(element_at(__bloom, int(__bp$i div 64) + 1) & " +
-        s"shiftleft(1L, int(__bp$i % 64))) != 0L")
+      expr(s"(coalesce(__bits$i, 0L) & shiftleft(1L, int(__bp$i % 64))) != 0L")
     }.reduce(_ && _)
-    withPos.where(pass).drop("__bloom" +: (0 until k).map(i => s"__bp$i"): _*)
+    joined.where(pass)
+      .drop((0 until k).flatMap(i => Seq(s"__bp$i", s"__bw$i", s"__bits$i")): _*)
   }
 
   /** The full verified pattern: bloom-prune `probe` on `probeKey` against
@@ -81,8 +85,8 @@ object Bloom {
   def prunedJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
-    val bitmap = buildBitmap(build, col(buildKey), mBits, k)
-    prune(probe, col(probeKey), bitmap, mBits, k)
+    val words = buildWordTable(build, col(buildKey), mBits, k)
+    prune(probe, col(probeKey), words, mBits, k)
       .join(build, col(probeKey) === build(buildKey))
   }
 }

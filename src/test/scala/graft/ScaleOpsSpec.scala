@@ -24,7 +24,7 @@ class ScaleOpsSpec extends SparkSpecBase {
     val build = testImplicitsHolder.longsDf("k", (0L until 500L).map(_ * 3))
     val probe = testImplicitsHolder.longsDf("p", 0L until 3000L)
     val mBits = 1 << 12
-    val bitmap = Bloom.buildBitmap(build, col("k"), mBits, 4)
+    val bitmap = Bloom.buildWordTable(build, col("k"), mBits, 4)
     val kept = Bloom.prune(probe, col("p"), bitmap, mBits, 4)
       .select("p").collect().map(_.getLong(0)).toSet
     val trueMatches = (0L until 500L).map(_ * 3).filter(_ < 3000L).toSet
@@ -46,7 +46,7 @@ class ScaleOpsSpec extends SparkSpecBase {
     val build = testImplicitsHolder.longsDf("k", (0L until 100L).map(_ * 37))
     val probe = testImplicitsHolder.longsDf("p", 10000L until 20000L) // zero matches
     val mBits = 1 << 14
-    val bitmap = Bloom.buildBitmap(build, col("k"), mBits, 4)
+    val bitmap = Bloom.buildWordTable(build, col("k"), mBits, 4)
     val kept = Bloom.prune(probe, col("p"), bitmap, mBits, 4).count()
     // 100 keys in 16 Kib bits, k=4 → fp well under 1 %; allow 2 %
     assert(kept <= 200, s"bloom passed $kept of 10000 non-matching rows")
