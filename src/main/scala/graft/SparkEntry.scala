@@ -2558,7 +2558,38 @@ object SparkEntry {
     //      nano-fixed-point terms, order-free integer sum; the vocabulary-
     //      diversity canary beside q119's NLL quality score ----
     "q230_token_entropy" -> ((s, dir) =>
-      Text.tokenEntropy(t(s, dir, "documents"), "source", "text"))
+      Text.tokenEntropy(t(s, dir, "documents"), "source", "text")),
+
+    // ---- dedup: Fellegi-Sunter record-linkage score histogram —
+    //      (nation, segment) blocking, three agreement fields with fixed
+    //      micro log-likelihood prior weights (exact-integer scores);
+    //      the merge/purge review distribution ----
+    "q231_linkage_scores" -> ((s, dir) =>
+      Dedup.linkageScoreHistogram(t(s, dir, "customer"), "c_custkey",
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        Seq(
+          // thousand-dollar balance bucket: m=.9/u=.1 → ±ln 9
+          (expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000"),
+            2197225L, -2197225L),
+          // customer-number suffix (last 2 digits): m=.95/u=.01
+          (expr("substr(c_name, -2, 2)"), 4553877L, -2985682L),
+          // balance sign: m=.98/u=.5
+          (col("c_acctbal") >= 0, 672944L, -3218876L)))),
+
+    // ---- stats: per-source EQUI-DEPTH histogram — exact ×4 quarter-
+    //      quantile edges, integer bucket membership over the value
+    //      domain; the CBO-histogram complement of q178's equal-width ----
+    "q232_equidepth_hist" -> ((s, dir) =>
+      Stats.equiDepthHistogram(t(s, dir, "documents"),
+        col("source"), col("n_chars"))
+        .withColumnRenamed("g", "source")),
+
+    // ---- streaming: at-least-once ingest dedup with BOUNDED state —
+    //      dropDuplicatesWithinWatermark over a redelivered source (two
+    //      links to the same file); duplicates share the event time so
+    //      they always land inside the delay; oracle = plain totals ----
+    "q233_stream_alo_dedup" -> ((s, dir) =>
+      Streams.atLeastOnceDedupTotals(s, dir))
   )
 
   // ----------------------------------------------------------------------
@@ -5248,6 +5279,44 @@ object SparkEntry {
         |  CAST(sum(CAST(round(-(cnts.c / CAST(sz.n AS DOUBLE))
         |    * ln(cnts.c / CAST(sz.n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
         |    AS h_nano
-        |FROM cnts JOIN sz ON cnts.s = sz.s GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cnts JOIN sz ON cnts.s = sz.s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q231_linkage_scores" ->
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS b0, c_mktsegment AS b1,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS f0,
+        |    substr(c_name, -2, 2) AS f1,
+        |    c_acctbal >= 0 AS f2
+        |  FROM customer)
+        |SELECT (CASE WHEN l.f0 IS NOT DISTINCT FROM r.f0
+        |          THEN 2197225 ELSE -2197225 END
+        |      + CASE WHEN l.f1 IS NOT DISTINCT FROM r.f1
+        |          THEN 4553877 ELSE -2985682 END
+        |      + CASE WHEN l.f2 IS NOT DISTINCT FROM r.f2
+        |          THEN 672944 ELSE -3218876 END) AS score_micro,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM c l JOIN c r ON l.b0 IS NOT DISTINCT FROM r.b0
+        |  AND l.b1 IS NOT DISTINCT FROM r.b1 AND l.id < r.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q232_equidepth_hist" ->
+      """WITH b AS (SELECT source, n_chars AS v FROM documents),
+        |e AS (SELECT source,
+        |    CAST(quantile_cont(v * 4, 0.25) AS BIGINT) AS e1,
+        |    CAST(quantile_cont(v * 4, 0.50) AS BIGINT) AS e2,
+        |    CAST(quantile_cont(v * 4, 0.75) AS BIGINT) AS e3
+        |  FROM b GROUP BY 1)
+        |SELECT b.source,
+        |  1 + (CASE WHEN b.v * 4 > e.e1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN b.v * 4 > e.e2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN b.v * 4 > e.e3 THEN 1 ELSE 0 END) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM b JOIN e ON b.source = e.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the stream deduplicates the redelivered copies → plain totals
+    "q233_stream_alo_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

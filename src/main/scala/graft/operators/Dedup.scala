@@ -129,6 +129,42 @@ object Dedup {
         sum(col("__keep")).as("n_kept"))
   }
 
+  /** FELLEGI–SUNTER record-linkage scoring (the 1969 probabilistic
+    * matching framework behind every merge/purge engine): candidate pairs
+    * from equality BLOCKING, per-field agreement/disagreement
+    * log-likelihood weights (micro-fixed-point literals — ln(m/u) and
+    * ln((1−m)/(1−u)) under fixed prior m/u rates, so the score is an
+    * exact integer), summed into a pair score. Output is the score
+    * HISTOGRAM (score_micro, n_pairs) — the distribution a linkage review
+    * thresholds on; compact and fully deterministic.
+    *
+    * Field equality is null-safe (`<=>`): a null field disagrees with a
+    * value and agrees with another null — document fields accordingly.
+    * Scale shape: one self-equi-join on the block key (candidates bounded
+    * by Σ blockSize², the classic blocking contract — pick keys that cap
+    * block size), then a map-side-combinable count agg on the integer
+    * score. */
+  def linkageScoreHistogram(
+      df: DataFrame,
+      idCol: String,
+      blockKeys: Seq[org.apache.spark.sql.Column],
+      fields: Seq[(org.apache.spark.sql.Column, Long, Long)]): DataFrame = {
+    val base = df.select(
+      (col(idCol).as("__id") +:
+        blockKeys.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }) ++
+        fields.zipWithIndex.map { case ((c, _, _), i) => c.as(s"__f$i") }: _*)
+    val joinCond = blockKeys.indices
+      .map(i => col(s"l.__b$i") <=> col(s"r.__b$i"))
+      .reduce(_ && _) && (col("l.__id") < col("r.__id"))
+    val score = fields.zipWithIndex.map { case ((_, wa, wd), i) =>
+      when(col(s"l.__f$i") <=> col(s"r.__f$i"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    base.as("l").join(base.as("r"), joinCond)
+      .select(score.as("score_micro"))
+      .groupBy(col("score_micro")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("score_micro"))
+  }
+
   /** Decontamination ATTRIBUTION across multiple eval sets: for each train
     * document, WHICH probe sets it shares at least `minHits` distinct
     * word-`n`-gram shingles with — the audit trail a curation pipeline

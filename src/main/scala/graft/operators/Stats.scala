@@ -556,4 +556,30 @@ object Stats {
       .agg(min(col("__v")).as("w_median"))
       .select(col("g"), col("w_median"), col("w_total"))
   }
+
+  /** Per-group EQUI-DEPTH histogram (4 buckets) — the quantile-bucketed
+    * histogram a cost-based optimizer persists (equal-width q178's
+    * complement: constant POPULATION per bucket, not constant width).
+    * Bucket edges are the exact ×4 quarter-quantiles (binary-exact
+    * interpolation, the q212 convention), bucket membership is integer
+    * comparison v×4 vs edge (upper-inclusive), so the whole census is
+    * engine-exact. One holistic quantile agg per group + one pass over
+    * the VALUE DOMAIN (not raw rows) for the counts.
+    * Output: (g, bucket 1..4, n_rows) sorted. */
+  def equiDepthHistogram(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val dom = base.groupBy(col("g"), col("__v")).agg(count(lit(1)).as("__cnt"))
+    val edges = base.groupBy(col("g")).agg(
+      percentile(col("__v") * 4, lit(0.25)).cast("long").as("__e1"),
+      percentile(col("__v") * 4, lit(0.50)).cast("long").as("__e2"),
+      percentile(col("__v") * 4, lit(0.75)).cast("long").as("__e3"))
+    dom.join(edges, Seq("g"))
+      .withColumn("bucket", lit(1L) +
+        (col("__v") * 4 > col("__e1")).cast("long") +
+        (col("__v") * 4 > col("__e2")).cast("long") +
+        (col("__v") * 4 > col("__e3")).cast("long"))
+      .groupBy(col("g"), col("bucket")).agg(sum(col("__cnt")).as("n_rows"))
+      .orderBy(col("g"), col("bucket"))
+  }
 }

@@ -284,6 +284,43 @@ object Streams {
       .agg(sum(when(col("v_eid").isNotNull, 1L).otherwise(0L)).as("n_matched"),
         sum(when(col("v_eid").isNull, 1L).otherwise(0L)).as("n_unmatched"))
 
+  /** AT-LEAST-ONCE ingest dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark`: the staged source holds TWO links to
+    * the same events file (an upstream redelivery, the at-least-once
+    * firehose contract), and the stream drops the replayed copies by
+    * event_id while the watermark lets state age out (duplicates carry the
+    * SAME event time, so they always land inside the delay window —
+    * exactly the guarantee this operator is specified for, where q173's
+    * unbounded `dropDuplicates` would retain state forever). The batch
+    * oracle is plain DISTINCT-by-id totals. */
+  def atLeastOnceDedupTotals(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_alo")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"), target)
+    java.nio.file.Files.createSymbolicLink(srcDir.resolve("events_redelivery.parquet"), target)
+    val stream = isolatedStreamSession(spark)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    try {
+      val q = eventsStream(stream, batchSchema, srcDir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_type"), col("value"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val chk = stream.table(name).localCheckpoint(true)
+      spark.createDataFrame(chk.rdd, chk.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v_cents"))
+    } finally {
+      stream.catalog.dropTempView(name)
+      rmTree(srcDir)
+    }
+  }
+
   /** Streaming-ingest dedup — the streaming twin of `Dedup.exact`: drop
     * duplicate content keys as they arrive, BEFORE they reach storage (the
     * shape of a training-data ingest pipe: dedup at the firehose, not in a

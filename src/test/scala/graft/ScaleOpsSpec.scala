@@ -317,6 +317,44 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(out("u")._1 === 4L && out("u")._2 === 4L)
   }
 
+  // ---- record linkage ----
+
+  test("linkage: hand-scored pairs, null-safe agreement, blocking bound") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "b", "x", Some(10L)), (2L, "b", "x", Some(10L)), // agree on f
+      (3L, "b", "y", Some(20L)),                            // other block
+      (4L, "b", "x", None), (5L, "b", "x", None)            // null <=> null agrees
+    ).toDF("id", "blk", "blk2", "f")
+    val out = graft.operators.Dedup.linkageScoreHistogram(df, "id",
+      Seq(col("blk"), col("blk2")), Seq((col("f"), 100L, -50L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // block (b,x) has ids {1,2,4,5}: pairs 12(+100), 14(-50), 15(-50),
+    // 24(-50), 25(-50), 45(+100 — null agrees null)
+    assert(out === Map(100L -> 2L, -50L -> 4L))
+  }
+
+  // ---- equi-depth histogram ----
+
+  test("equiDepth: 1..8 uniform splits 2/2/2/2; ties pack lower buckets") {
+    val s = spark
+    import s.implicits._
+    val out = graft.operators.Stats.equiDepthHistogram(
+      (1L to 8L).map(("g", _)).toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // edges ×4: q25 = 2.75×4=11, q50 = 4.5×4=18, q75 = 6.25×4=25
+    // buckets: {1,2}, {3,4}, {5,6}, {7,8}
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    val tied = graft.operators.Stats.equiDepthHistogram(
+      (Seq.fill(6)(5L) ++ Seq(9L, 10L)).map(("g", _)).toDF("g", "v"),
+      col("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // 6×5,9,10: edges all around 5 → the tie mass lands in bucket 1
+    assert(tied(1L) === 6L)
+    assert(tied.values.sum === 8L)
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
