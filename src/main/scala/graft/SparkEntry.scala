@@ -2589,7 +2589,26 @@ object SparkEntry {
     //      links to the same file); duplicates share the event time so
     //      they always land inside the delay; oracle = plain totals ----
     "q233_stream_alo_dedup" -> ((s, dir) =>
-      Streams.atLeastOnceDedupTotals(s, dir))
+      Streams.atLeastOnceDedupTotals(s, dir)),
+
+    // ---- operations at scale: referential-integrity audit — orphans,
+    //      childless parents, null FKs and join-fanning duplicate keys
+    //      for two FK edges in one report; children collapse to their FK
+    //      value domain before any anti-join ----
+    "q234_fk_audit" -> ((s, dir) =>
+      Diff.fkAudit("orders.custkey",
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
+        .unionByName(Diff.fkAudit("lineitem.orderkey",
+          t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+        .orderBy(col("fk"))),
+
+    // ---- stats: per-source mean GLOBAL percent rank of document length
+    //      — the length-bias calibration panel; min-rank ppm from the
+    //      stitched global value domain, never a per-row window ----
+    "q235_pr_calibration" -> ((s, dir) =>
+      Stats.percentRankCalibration(t(s, dir, "documents"),
+        col("source"), col("n_chars"))
+        .withColumnRenamed("g", "source"))
   )
 
   // ----------------------------------------------------------------------
@@ -5317,6 +5336,57 @@ object SparkEntry {
     "q233_stream_alo_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q234_fk_audit" ->
+      """WITH a1 AS (
+        |  SELECT 'orders.custkey' AS fk,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_child,
+        |    (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL) AS n_parent,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk,
+        |    (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey)) AS n_orphan_child,
+        |    (SELECT count(*) FROM customer c WHERE c_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey)) AS n_childless_parent,
+        |    (SELECT coalesce(sum(n), 0) FROM (
+        |       SELECT count(*) AS n FROM customer WHERE c_custkey IS NOT NULL
+        |       GROUP BY c_custkey HAVING count(*) > 1)) AS n_dup_parent_rows),
+        |a2 AS (
+        |  SELECT 'lineitem.orderkey' AS fk,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_child,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL) AS n_parent,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_fk,
+        |    (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_child,
+        |    (SELECT count(*) FROM orders o WHERE o_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parent,
+        |    (SELECT coalesce(sum(n), 0) FROM (
+        |       SELECT count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+        |       GROUP BY o_orderkey HAVING count(*) > 1)) AS n_dup_parent_rows)
+        |SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_parent AS BIGINT) AS n_parent,
+        |  CAST(n_null_fk AS BIGINT) AS n_null_fk,
+        |  CAST(n_orphan_child AS BIGINT) AS n_orphan_child,
+        |  CAST(n_childless_parent AS BIGINT) AS n_childless_parent,
+        |  CAST(n_dup_parent_rows AS BIGINT) AS n_dup_parent_rows
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) ORDER BY fk""".stripMargin,
+
+    "q235_pr_calibration" ->
+      """WITH b AS (SELECT source AS g, n_chars AS v FROM documents),
+        |gd AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |r AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS below FROM gd),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |p AS (SELECT v, (below * 1000000) // (n.n - 1) AS pr
+        |  FROM r CROSS JOIN n),
+        |s AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2)
+        |SELECT s.g AS source, CAST(sum(s.c) AS BIGINT) AS n_docs,
+        |  CAST(sum(s.c * p.pr) // sum(s.c) AS BIGINT) AS mean_pr_ppm
+        |FROM s JOIN p ON s.v = p.v GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -582,4 +582,34 @@ object Stats {
       .groupBy(col("g"), col("bucket")).agg(sum(col("__cnt")).as("n_rows"))
       .orderBy(col("g"), col("bucket"))
   }
+
+  /** Per-group mean GLOBAL percent rank — the calibration panel behind
+    * "is source X length-biased": every row's percent_rank against the
+    * WHOLE corpus (min-rank tie convention, `below·10⁶ DIV (n−1)` — the
+    * SQL `percent_rank()` value, floored to ppm so it stays
+    * exact-integer), averaged per group with a truncating div. A group
+    * sampling uniformly scores ~500000; above = long-biased.
+    *
+    * No per-row window anywhere: ranks come from the global VALUE DOMAIN
+    * (one agg + the [[OrderedScan.runningSumsLong]] stitch over distinct
+    * values), rows pick them up through a (group, value)-domain join.
+    * Output: (g, n_docs, mean_pr_ppm) sorted. */
+  def percentRankCalibration(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val gdom = base.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val run = graft.operators.OrderedScan.runningSumsLong(
+      gdom, "__v", Seq(("__cnt", "__cum")))
+    val nRow = run.agg(sum(col("__cnt")).as("__n"))
+    val pr = run.crossJoin(broadcast(nRow))
+      .select(col("__v"),
+        expr("((__cum - __cnt) * 1000000L) div (__n - 1)").as("__pr"))
+    val sdom = base.groupBy(col("g"), col("__v")).agg(count(lit(1)).as("__sc"))
+    sdom.join(pr, Seq("__v"))
+      .groupBy(col("g"))
+      .agg(sum(col("__sc")).as("n_docs"),
+        expr("sum(__sc * __pr) div sum(__sc)").as("mean_pr_ppm"))
+      .orderBy(col("g"))
+  }
 }

@@ -355,6 +355,42 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(tied.values.sum === 8L)
   }
 
+  // ---- FK audit ----
+
+  test("fkAudit: orphans, childless parents, nulls, dup keys") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 3L).toDF("pk") // 3 duplicated, childless
+    val r = graft.operators.Diff.fkAudit("t", child, "fk", parent, "pk")
+      .collect()(0)
+    assert(r.getString(0) === "t")
+    assert(r.getLong(1) === 4L) // non-null child rows
+    assert(r.getLong(2) === 4L) // parent rows
+    assert(r.getLong(3) === 1L) // null fk
+    assert(r.getLong(4) === 1L) // orphan (99)
+    assert(r.getLong(5) === 2L) // childless parent rows (3 twice)
+    assert(r.getLong(6) === 2L) // dup parent rows
+  }
+
+  // ---- percent-rank calibration ----
+
+  test("percentRankCalibration: uniform group centers at ~500000 ppm") {
+    val s = spark
+    import s.implicits._
+    // low: values 1..10, high: 11..20, all: 1..20 by parity
+    val rows = (1L to 10L).map(("low", _)) ++ (11L to 20L).map(("high", _))
+    val out = graft.operators.Stats.percentRankCalibration(
+      rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // n=20, n-1=19: low ranks 0..9 → mean = (Σ i·1e6 div 19)/10
+    val prs = (0L until 20L).map(i => i * 1000000L / 19L)
+    assert(out("low") === ((10L, prs.take(10).sum / 10)))
+    assert(out("high") === ((10L, prs.drop(10).sum / 10)))
+    assert(out("low")._2 < 300000L && out("high")._2 > 700000L)
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
