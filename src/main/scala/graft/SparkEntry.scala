@@ -2608,7 +2608,22 @@ object SparkEntry {
     "q235_pr_calibration" -> ((s, dir) =>
       Stats.percentRankCalibration(t(s, dir, "documents"),
         col("source"), col("n_chars"))
-        .withColumnRenamed("g", "source"))
+        .withColumnRenamed("g", "source")),
+
+    // ---- events: association rules over user behavior baskets —
+    //      exact-integer support/confidence/lift ppm from the distinct
+    //      (user, type) domain; the independence-baseline panel Markov
+    //      row-conditionals (q200) don't give ----
+    "q236_assoc_rules" -> ((s, dir) =>
+      Events.associationRules(t(s, dir, "events"), "user_id", "event_type")),
+
+    // ---- events: per-(type, day) time-weighted average value — cents ×
+    //      µs-gap weights in decimal128, (group, day)-partitioned lag
+    //      window, one truncating div; the hold-until-next TWAP ----
+    "q237_twap" -> ((s, dir) =>
+      Events.twap(t(s, dir, "events"), col("event_type"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumnRenamed("g", "event_type"))
   )
 
   // ----------------------------------------------------------------------
@@ -5387,6 +5402,37 @@ object SparkEntry {
         |s AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2)
         |SELECT s.g AS source, CAST(sum(s.c) AS BIGINT) AS n_docs,
         |  CAST(sum(s.c * p.pr) // sum(s.c) AS BIGINT) AS mean_pr_ppm
-        |FROM s JOIN p ON s.v = p.v GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s JOIN p ON s.v = p.v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q236_assoc_rules" ->
+      """WITH dom AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |singles AS (SELECT i, CAST(count(*) AS BIGINT) AS n1 FROM dom GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n FROM dom),
+        |bp AS (SELECT a.i AS ante, b.i AS cons, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM dom a JOIN dom b ON a.e = b.e AND a.i <> b.i GROUP BY 1, 2)
+        |SELECT bp.ante, bp.cons, bp.n_both,
+        |  (n_both * 1000000) // nn.n AS support_ppm,
+        |  (n_both * 1000000) // sa.n1 AS confidence_ppm,
+        |  (n_both * nn.n * 1000000) // (sa.n1 * sb.n1) AS lift_ppm
+        |FROM bp JOIN singles sa ON bp.ante = sa.i
+        |  JOIN singles sb ON bp.cons = sb.i CROSS JOIN nn
+        |ORDER BY ante, cons""".stripMargin,
+
+    "q237_twap" ->
+      """WITH b AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |gp AS (SELECT g, day, c,
+        |    lead(us) OVER (PARTITION BY g, day ORDER BY us, c) - us AS gap
+        |  FROM b),
+        |f AS (SELECT * FROM gp WHERE gap IS NOT NULL),
+        |a AS (SELECT g, day, CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(CAST(c AS HUGEINT) * gap) AS HUGEINT) AS wsum,
+        |    CAST(sum(gap) AS BIGINT) AS tsum
+        |  FROM f GROUP BY 1, 2)
+        |SELECT g AS event_type, day, n_intervals,
+        |  CAST(wsum // tsum AS BIGINT) AS twap_cents
+        |FROM a WHERE tsum > 0 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -295,6 +295,69 @@ object Events {
       expr("sum(__d) DIV count(1)").as("mean_s"))
   }
 
+  /** ASSOCIATION RULES over per-entity behavior baskets (market-basket
+    * analysis, the Agrawal-Srikant apriori output for 1→1 rules): basket =
+    * the set of distinct event types an entity ever performed; for every
+    * ordered type pair A→B, exact-integer support / confidence / lift in
+    * ppm (lift > 10⁶ ⇔ positive association beyond independence — the
+    * panel Markov row-conditionals q200 don't give).
+    *
+    * The corpus collapses ONCE to the distinct (entity, type) domain;
+    * co-occurrence is an entity-keyed self-join with fan-out ≤ |types|²
+    * per entity; singles and the entity total are domain aggregates
+    * broadcast back. All divisions truncating — engine-exact.
+    * Output: (ante, cons, n_both, support_ppm, confidence_ppm, lift_ppm). */
+  def associationRules(events: DataFrame, entityCol: String,
+      itemCol: String): DataFrame = {
+    val dom = events.select(col(entityCol).as("__e"), col(itemCol).as("__i"))
+      .where(col("__e").isNotNull && col("__i").isNotNull)
+      .distinct().localCheckpoint(true)
+    val singles = dom.groupBy(col("__i")).agg(count(lit(1)).as("__n1"))
+    val nRow = dom.agg(count_distinct(col("__e")).as("__n"))
+    val both = dom.as("a")
+      .join(dom.as("b"), col("a.__e") === col("b.__e") &&
+        col("a.__i") =!= col("b.__i"))
+      .groupBy(col("a.__i").as("ante"), col("b.__i").as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(singles.select(col("__i").as("ante"), col("__n1").as("__na"))),
+        Seq("ante"))
+      .join(broadcast(singles.select(col("__i").as("cons"), col("__n1").as("__nb"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nRow))
+      .select(col("ante"), col("cons"), col("n_both"),
+        expr("(n_both * 1000000L) div __n").as("support_ppm"),
+        expr("(n_both * 1000000L) div __na").as("confidence_ppm"),
+        expr("(n_both * __n * 1000000L) div (__na * __nb)").as("lift_ppm"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  /** TIME-WEIGHTED average value (TWAP) per (group, day) — each
+    * observation holds until the next one, so its weight is the gap to
+    * the successor (the last observation of a day carries no interval and
+    * drops out; a 1-observation day yields no row). Exact integers: cents
+    * × µs gaps accumulate in decimal128, one truncating div at the end.
+    * The lag rides a (group, day)-partitioned window — key-parallel, no
+    * global ordering. Output: (g, day, n_intervals, twap_cents). */
+  def twap(events: DataFrame, groupCol: Column, tsCol: Column,
+      valueCents: Column): DataFrame = {
+    val base = events.select(groupCol.as("g"), to_date(tsCol).as("day"),
+      unix_micros(tsCol).as("__us"), valueCents.cast("long").as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("day")).orderBy(col("__us"), col("__c"))
+    val gapped = base
+      .withColumn("__gap", lead(col("__us"), 1).over(w) - col("__us"))
+      .where(col("__gap").isNotNull)
+    gapped.groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("__c") * col("__gap")).cast("decimal(38,0)")).as("__wsum"),
+        sum(col("__gap")).as("__tsum"))
+      .where(col("__tsum") > 0)
+      .select(col("g"), col("day"), col("n_intervals"),
+        expr("CAST(__wsum DIV __tsum AS BIGINT)").as("twap_cents"))
+      .orderBy(col("g"), col("day"))
+  }
+
   /** Rolling ACTIVE-USER panel — DAU / 7-day WAU / 30-day MAU per
     * calendar day, the engagement dashboard every event pipeline feeds.
     * EXACT distinct counts, but never over the raw log: the corpus

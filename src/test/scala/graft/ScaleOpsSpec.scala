@@ -391,6 +391,42 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(out("low")._2 < 300000L && out("high")._2 > 700000L)
   }
 
+  // ---- association rules ----
+
+  test("assocRules: hand-computed support/confidence/lift") {
+    val s = spark
+    import s.implicits._
+    // u1:{a,b}, u2:{a,b}, u3:{a}, u4:{b,c} → n=4
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c")).toDF("user_id", "event_type")
+    val out = graft.operators.Events.associationRules(ev, "user_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a→b: both=2, na=3, nb=3: support 500000, conf 666666, lift 888888
+    assert(out(("a", "b")) === ((2L, 500000L, 666666L, 888888L)))
+    // b→c: both=1, nb=3, nc=1: conf 333333, lift 4·1e6/3 = 1333333
+    assert(out(("b", "c")) === ((1L, 250000L, 333333L, 1333333L)))
+    // a→c never co-occur → absent
+    assert(!out.contains(("a", "c")))
+  }
+
+  // ---- TWAP ----
+
+  test("twap: gaps weight values; last observation drops; 1-obs day absent") {
+    val s = spark
+    import s.implicits._
+    // day 1: c=100 held 3 us, c=200 held 1 us, c=999 last (drops)
+    // → twap = (100·3 + 200·1) / 4 = 125
+    val ev = Seq(
+      ("g", 1000L, 100L), ("g", 1003L, 200L), ("g", 1004L, 999L),
+      ("h", 2000L, 50L) // single observation → no interval → no row
+    ).toDF("g", "us", "c")
+      .withColumn("ts", timestamp_micros(col("us") + expr("86400000000 * 19700")))
+    val out = graft.operators.Events.twap(ev, col("g"), col("ts"), col("c"))
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3))))
+    assert(out.toSeq === Seq(("g", (2L, 125L))))
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
