@@ -2623,7 +2623,25 @@ object SparkEntry {
     "q237_twap" -> ((s, dir) =>
       Events.twap(t(s, dir, "events"), col("event_type"), col("ts"),
         expr("CAST(round(value * 100) AS BIGINT)"))
-        .withColumnRenamed("g", "event_type"))
+        .withColumnRenamed("g", "event_type")),
+
+    // ---- plans: NATIVE jaro_winkler Catalyst expression (doGenCode →
+    //      one static call inside whole-stage codegen; third member of
+    //      the dot_f32/norm2_f32 family) — fuzzy part-name pairs within
+    //      noun blocks on the DISTINCT-name domain, hash-checked against
+    //      DuckDB's jaro_winkler_similarity at 6 dp ----
+    "q238_jaro_winkler" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name").as("name"),
+          split(col("p_name"), " ").getItem(1).as("noun"))
+        .distinct()
+      names.as("a").join(names.as("b"),
+          col("a.noun") === col("b.noun") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          round(expr("jaro_winkler(a.name, b.name)"), 6).as("jw6"))
+        .where(col("jw6") >= 0.5)
+        .orderBy(col("name_a"), col("name_b"))
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -5433,6 +5451,15 @@ object SparkEntry {
         |  FROM f GROUP BY 1, 2)
         |SELECT g AS event_type, day, n_intervals,
         |  CAST(wsum // tsum AS BIGINT) AS twap_cents
-        |FROM a WHERE tsum > 0 ORDER BY 1, 2""".stripMargin
+        |FROM a WHERE tsum > 0 ORDER BY 1, 2""".stripMargin,
+
+    "q238_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name,
+        |    split_part(p_name, ' ', 2) AS noun FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw6
+        |FROM n a JOIN n b ON a.noun = b.noun AND a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.5
+        |ORDER BY 1, 2""".stripMargin
   )
 }

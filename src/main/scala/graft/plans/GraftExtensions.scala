@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotI64].getName, "dot_i64"),
       (args: Seq[Expression]) => DotI64(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
   }
 }
 

@@ -427,6 +427,41 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(out.toSeq === Seq(("g", (2L, 125L))))
   }
 
+  // ---- native jaro_winkler expression ----
+
+  test("jaroWinkler: classic pairs, floor transpositions, edges") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("martha", "marhta"), ("dwayne", "duane"),
+      ("CRATE", "TRACE"), ("abcdef", "abczzz"), ("ab", "ba"),
+      ("a", "a"), ("", "abc"), ("blue gear", "old gear"))
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), expr("jaro_winkler(a, b)").as("jw"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(close(out(("martha", "marhta")), 0.9611111111111111))
+    assert(close(out(("dwayne", "duane")), 0.84))
+    // CRATE/TRACE: jaro 0.7333 > 0.7 but zero common prefix → unchanged
+    assert(close(out(("CRATE", "TRACE")), 0.7333333333333334))
+    // below the 0.7 boost threshold: prefix must NOT be applied
+    assert(close(out(("abcdef", "abczzz")), 0.6666666666666666))
+    assert(out(("ab", "ba")) === 0.0)
+    assert(out(("a", "a")) === 1.0)
+    assert(out(("", "abc")) === 0.0)
+    // odd raw transposition count → floor (strcmp95/DuckDB convention)
+    assert(close(out(("blue gear", "old gear")), 0.75))
+  }
+
+  test("jaroWinkler: null-safe and codegen path agree with eval") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some("martha"), Some("marhta")), (None, Some("x")))
+      .toDF("a", "b")
+    val rows = df.select(expr("jaro_winkler(a, b)").as("jw")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.9611111111111111) < 1e-9)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
