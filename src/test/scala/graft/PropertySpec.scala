@@ -233,4 +233,59 @@ class PropertySpec extends SparkSpecBase {
       rows.foreach { case (s, _) => assert(r2(s) >= r(s), s"case $i monotone $s") }
     }
   }
+
+  test("bloom prune never drops a true match (random sets)") {
+    val s = spark
+    import s.implicits._
+    for (i <- 1 to cases) {
+      val buildKeys = sample(Gen.listOfN(60,
+        Gen.choose(0L, 500L)), 7100 + i).distinct
+      val probeKeys = sample(Gen.listOfN(200,
+        Gen.choose(0L, 500L)), 7200 + i)
+      val words = graft.functions.Bloom.buildWordTable(
+        buildKeys.toDF("k"), col("k"), 1 << 10, 3)
+      val kept = graft.functions.Bloom.prune(
+        probeKeys.toDF("p"), col("p"), words, 1 << 10, 3)
+        .collect().map(_.getLong(0)).toSet
+      val trueMatches = probeKeys.toSet.intersect(buildKeys.toSet)
+      assert(trueMatches.subsetOf(kept), s"case $i lost a match")
+    }
+  }
+
+  test("weighted median matches the sequential model (random weights)") {
+    val s = spark
+    import s.implicits._
+    for (i <- 1 to cases) {
+      val rows = sample(Gen.listOfN(30, for {
+        v <- Gen.choose(0L, 20L); w <- Gen.choose(1L, 9L)
+      } yield (v, w)), 7300 + i)
+      val out = graft.operators.Stats.weightedMedian(
+        rows.map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w"),
+        col("g"), col("v"), col("w"))
+        .collect()(0).getLong(1)
+      // model: smallest v with 2·cumweight ≥ total over sorted values
+      val total = rows.map(_._2).sum
+      val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toList.sortBy(_._1)
+      val model = byV.scanLeft((0L, 0L)) { case ((_, c), (v, w)) => (v, c + w) }
+        .tail.collectFirst { case (v, c) if c * 2 >= total => v }.get
+      assert(out === model, s"case $i")
+    }
+  }
+
+  test("zValue preserves per-dimension ordering on aligned grids") {
+    val s = spark
+    import s.implicits._
+    for (i <- 1 to cases) {
+      // fixing one coordinate, z is strictly monotone in the other
+      val fixed = sample(Gen.choose(0L, 255L), 7400 + i)
+      val zs = (0L to 255L).map((fixed, _)).toDF("a", "b")
+        .select(graft.sources.ZOrder.zValue(col("a"), col("b"), 8).as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs.sliding(2).forall(p => p(0) < p(1)), s"case $i monotone in b")
+      val zs2 = (0L to 255L).map((_, fixed)).toDF("a", "b")
+        .select(graft.sources.ZOrder.zValue(col("a"), col("b"), 8).as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs2.sliding(2).forall(p => p(0) < p(1)), s"case $i monotone in a")
+    }
+  }
 }
