@@ -2641,6 +2641,27 @@ object SparkEntry {
           round(expr("jaro_winkler(a.name, b.name)"), 6).as("jw6"))
         .where(col("jw6") >= 0.5)
         .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // ---- multimodal: PACKFILE sharding (WebDataset pattern) — payloads
+    //      concatenate into one blob per shard + a byte-offset index in
+    //      ONE executor-side pass; fetch = index join + substr range
+    //      read; fidelity census proves every payload survives the
+    //      round-trip byte-exactly ----
+    "q239_packfile_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          col("text").cast("binary").as("payload"))
+        .repartition(8, col("doc_id"))
+      val (blobs, index) = Multimodal.packShards(docs, "doc_id", "payload")
+      Multimodal.unpack(blobs, index)
+        .join(docs.select(col("doc_id").as("id"), col("source"), col("text")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr("CAST(payload AS STRING)") === col("text"), 1L)
+            .otherwise(0L)).as("n_intact"))
+        .orderBy(col("source"))
     })
   )
 
@@ -5460,6 +5481,12 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw6
         |FROM n a JOIN n b ON a.noun = b.noun AND a.name < b.name
         |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.5
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // byte-exact round-trip: every doc must come back intact
+    "q239_packfile_shards" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_intact
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -145,6 +145,56 @@ object Multimodal {
       }
   }
 
+  /** PACKFILE sharding (the WebDataset/tar-shard pattern): concatenate
+    * many small payloads into ONE blob per shard plus a byte-offset
+    * INDEX — the lakehouse answer to the small-files problem for
+    * multimodal corpora (a billion 50 KiB images as a million 50 MiB
+    * shards; open-cost amortizes, range reads stay random-access).
+    *
+    * One pass per partition, all executor-side: each input partition
+    * becomes one shard row (shard_id, blob) and its index rows
+    * (id, shard_id, offset, len). Returns (blobs, index) DataFrames —
+    * persist both; fetch = index lookup + ONE `substr` range read on the
+    * shard blob (see [[unpack]]), never a per-item file open.
+    *
+    * Shard size = input partition size: `repartition(n)` upstream to hit
+    * the target (real deployments aim 100 MiB-ish; parquet binary cells
+    * cap at int max). */
+  def packShards(items: DataFrame, idCol: String, payloadCol: String)
+      : (DataFrame, DataFrame) = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val packed = items.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val buf = new java.io.ByteArrayOutputStream()
+        val idx = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        it.foreach { case (id, payload) =>
+          idx += ((id, pid, buf.size().toLong, payload.length.toLong))
+          buf.write(payload)
+        }
+        if (idx.isEmpty) Iterator.empty
+        else Iterator((pid, buf.toByteArray, idx.toSeq))
+      }
+      .toDF("shard_id", "blob", "idx")
+      .localCheckpoint(true) // one pass: blobs and index both read this
+    val blobs = packed.select(col("shard_id"), col("blob"))
+    val index = packed.select(explode(col("idx")).as("e"))
+      .select(col("e._1").as("id"), col("e._2").as("shard_id"),
+        col("e._3").as("offset"), col("e._4").as("len"))
+    (blobs, index)
+  }
+
+  /** Range-read items back out of packfile shards: index ⋈ blobs (the
+    * blob side has one row per shard — model-sized row count, payload
+    * bytes move once), then a codegen'd `substr` slice per item. */
+  def unpack(blobs: DataFrame, index: DataFrame): DataFrame =
+    index.join(blobs, "shard_id")
+      .select(col("id"),
+        expr("substring(blob, CAST(offset AS INT) + 1, CAST(len AS INT))")
+          .as("payload"))
+
   /** STUB FEATURE-EXTRACT — payload → dense embedding (deterministic
     * hash-projection stand-in for a vision/audio encoder). Output feeds the
     * Similarity/Dedup ANN operators unchanged — the multimodal→embedding

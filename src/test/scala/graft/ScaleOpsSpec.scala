@@ -462,6 +462,30 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(rows(1).isNullAt(0))
   }
 
+  // ---- packfile shards ----
+
+  test("packfile: byte-exact round trip, one blob per non-empty shard") {
+    val s = spark
+    import s.implicits._
+    val items = Seq((1L, "alpha"), (2L, ""), (3L, "gamma-γ"), (4L, "δδ"))
+      .toDF("id", "txt")
+      .withColumn("payload", col("txt").cast("binary"))
+      .repartition(2, col("id"))
+    val (blobs, index) = graft.operators.Multimodal.packShards(items, "id", "payload")
+    assert(blobs.count() <= 2)
+    assert(index.count() === 4)
+    val back = graft.operators.Multimodal.unpack(blobs, index)
+      .select(col("id"), expr("CAST(payload AS STRING)").as("txt"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back === Map(1L -> "alpha", 2L -> "", 3L -> "gamma-γ", 4L -> "δδ"))
+    // offsets tile the blob: per shard, sum of lens == blob length
+    val lens = index.groupBy(col("shard_id")).agg(sum(col("len")).as("l"))
+      .join(blobs, "shard_id")
+      .select(col("l"), length(col("blob")).cast("long").as("bl"))
+      .collect()
+    assert(lens.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
