@@ -2662,7 +2662,15 @@ object SparkEntry {
           sum(when(expr("CAST(payload AS STRING)") === col("text"), 1L)
             .otherwise(0L)).as("n_intact"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // ---- events: sessionized entry/bounce analysis — 30-minute gap
+    //      sessions via entity-partitioned windows (key-parallel), entry
+    //      = lexicographic-min (ts, type) per session, integer-ppm bounce
+    //      rate; the landing-quality panel ----
+    "q240_bounce_rates" -> ((s, dir) =>
+      Events.entryBounceRates(t(s, dir, "events"), "user_id",
+        col("ts"), col("event_type"), gapMinutes = 30))
   )
 
   // ----------------------------------------------------------------------
@@ -5487,6 +5495,29 @@ object SparkEntry {
     "q239_packfile_shards" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_intact
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q240_bounce_rates" ->
+      """WITH b AS (SELECT user_id AS e, epoch_us(ts) AS us, event_type AS tp
+        |  FROM events),
+        |s AS (SELECT e, us, tp,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY e ORDER BY us, tp)
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM b),
+        |sid AS (SELECT e, us, tp,
+        |    CAST(sum(brk) OVER (PARTITION BY e ORDER BY us, tp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM s),
+        |ps AS (SELECT e, sid,
+        |    (array_agg(tp ORDER BY us, tp))[1] AS entry,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM sid GROUP BY 1, 2),
+        |agg AS (SELECT entry AS entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        |  FROM ps GROUP BY 1)
+        |SELECT entry_type, n_sessions, n_bounces,
+        |  (n_bounces * 1000000) // n_sessions AS bounce_ppm
+        |FROM agg ORDER BY 1""".stripMargin
   )
 }

@@ -358,6 +358,43 @@ object Events {
       .orderBy(col("g"), col("day"))
   }
 
+  /** Sessionized ENTRY/BOUNCE analysis — gap-based sessions (a new
+    * session when the entity pauses longer than `gapMinutes`), then per
+    * ENTRY event type: how many sessions open with it and how many bounce
+    * (single-event sessions) — the landing-page quality panel.
+    *
+    * All windows are entity-partitioned (key-parallel; never a global
+    * sort): the session break is a lag over (µs, type), the session id a
+    * running sum of breaks, the entry the lexicographic-min (µs, type)
+    * struct per session (deterministic under timestamp ties). Bounce rate
+    * is integer ppm. Output: (entry_type, n_sessions, n_bounces,
+    * bounce_ppm) sorted. */
+  def entryBounceRates(events: DataFrame, entityCol: String, tsCol: Column,
+      typeCol: Column, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val base = events.select(col(entityCol).as("__e"),
+      unix_micros(tsCol).as("__us"), typeCol.as("__tp"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__e")).orderBy(col("__us"), col("__tp"))
+    val sess = base
+      .withColumn("__brk",
+        when(col("__us") - lag(col("__us"), 1).over(wOrd) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__e"))
+          .orderBy(col("__us"), col("__tp"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val perSession = sess.groupBy(col("__e"), col("__sid"))
+      .agg(min(struct(col("__us"), col("__tp"))).getField("__tp").as("entry"),
+        count(lit(1)).as("__n"))
+    perSession.groupBy(col("entry").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("(n_bounces * 1000000L) div n_sessions").as("bounce_ppm"))
+      .orderBy(col("entry_type"))
+  }
+
   /** Rolling ACTIVE-USER panel — DAU / 7-day WAU / 30-day MAU per
     * calendar day, the engagement dashboard every event pipeline feeds.
     * EXACT distinct counts, but never over the raw log: the corpus

@@ -486,6 +486,28 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(lens.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  // ---- bounce rates ----
+
+  test("bounceRates: gap splits sessions; entry and bounce census") {
+    val s = spark
+    import s.implicits._
+    val min = 60L * 1000000L
+    // u1: [a, b] within gap → 1 session entry a (no bounce);
+    //     then 40 min later [c] alone → bounce entry c
+    // u2: [b] → bounce entry b
+    val ev = Seq(
+      (1L, 0L * min, "a"), (1L, 10L * min, "b"), (1L, 50L * min, "c"),
+      (2L, 5L * min, "b"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.operators.Events.entryBounceRates(
+      ev, "user_id", col("ts"), col("event_type"), gapMinutes = 30)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((1L, 0L, 0L)))
+    assert(out("b") === ((1L, 1L, 1000000L)))
+    assert(out("c") === ((1L, 1L, 1000000L)))
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
