@@ -26,27 +26,41 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Bucketed-table names are per-sf-dir so mixed-SF sessions never collide. */
-  private def bucketedTableNames(dir: String): (String, String) = {
-    val h = math.abs(dir.hashCode).toString.take(6)
-    (s"graft_orders_b_$h", s"graft_customer_b_$h")
+  /** Cache-busting token for a source table: the parquet's length ^ mtime,
+    * folded into every derived-copy name below. Existence-keyed caches
+    * alone go STALE when the driver regenerates the testdata between
+    * rounds; content-keying the path makes a regenerated input land in a
+    * fresh copy automatically. */
+  private def tableToken(s: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    java.lang.Long.toHexString(st.getLen ^ st.getModificationTime)
   }
 
-  private def partitionedEventsPath(dir: String): String =
-    s"/tmp/graft_warehouse/graft_events_by_date_${math.abs(dir.hashCode).toString.take(6)}"
+  /** Bucketed-table names are per-sf-dir (and per-content) so mixed-SF
+    * sessions never collide and regenerated inputs never reuse stale
+    * buckets. */
+  private def bucketedTableNames(s: SparkSession, dir: String): (String, String) = {
+    val h = math.abs(dir.hashCode).toString.take(6)
+    (s"graft_orders_b_${h}_${tableToken(s, dir, "orders")}",
+      s"graft_customer_b_${h}_${tableToken(s, dir, "customer")}")
+  }
+
+  private def partitionedEventsPath(s: SparkSession, dir: String): String =
+    s"/tmp/graft_warehouse/graft_events_by_date_${math.abs(dir.hashCode).toString.take(6)}_${tableToken(s, dir, "events")}"
 
   /** One-time benchmark setup (NOT timed): pre-create the bucketed tables
     * q82 joins, so its timed section measures the exchange-free join rather
     * than two table writes. */
   def benchSetup(s: SparkSession, dir: String): Unit = {
-    val (ot, ct) = bucketedTableNames(dir)
+    val (ot, ct) = bucketedTableNames(s, dir)
     Bucketing.ensureBucketed(
       t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), ot, "custkey", 8)
     Bucketing.ensureBucketed(
       t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"), ct, "custkey", 8)
     Partitioned.ensurePartitionedDir(
       t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
-      partitionedEventsPath(dir), "event_date")
+      partitionedEventsPath(s, dir), "event_date")
   }
 
   /** Daily order totals — the ordered "time series" backing series ops. */
@@ -1431,7 +1445,7 @@ object SparkEntry {
     //      only the 3 matching day-directories (PartitionFilters on the
     //      scan; the other 27 days' files are never opened) ----
     "q144_partition_prune" -> ((s, dir) => {
-      val path = partitionedEventsPath(dir)
+      val path = partitionedEventsPath(s, dir)
       Partitioned.ensurePartitionedDir(
         t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
         path, "event_date")
@@ -1446,7 +1460,7 @@ object SparkEntry {
       // table writes are one-time setup (ensureBucketed skips when present —
       // Bench pre-creates via benchSetup so the timed section is the
       // exchange-free join only, which is the thing being measured)
-      val (ot, ct) = bucketedTableNames(dir)
+      val (ot, ct) = bucketedTableNames(s, dir)
       Bucketing.ensureBucketed(
         t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), ot, "custkey", 8)
       Bucketing.ensureBucketed(
@@ -2472,7 +2486,7 @@ object SparkEntry {
     //      raw table (layout is semantics-free); ZOrderSpec audits the
     //      per-file bounding boxes vs a linear layout ----
     "q223_zorder_scan" -> ((s, dir) => {
-      val path = s"/tmp/graft_warehouse/graft_events_zorder_${math.abs(dir.hashCode).toString.take(6)}"
+      val path = s"/tmp/graft_warehouse/graft_events_zorder_${math.abs(dir.hashCode).toString.take(6)}_${tableToken(s, dir, "events")}"
       ZOrder.ensureZOrdered(
         t(s, dir, "events")
           .withColumn("event_date", to_date(col("ts")))
@@ -2512,7 +2526,7 @@ object SparkEntry {
     //      integers make incremental == full recompute, which is what
     //      the oracle certifies ----
     "q225_incremental_agg" -> ((s, dir) => {
-      val path = s"/tmp/graft_warehouse/graft_events_aggstate_${math.abs(dir.hashCode).toString.take(6)}"
+      val path = s"/tmp/graft_warehouse/graft_events_aggstate_${math.abs(dir.hashCode).toString.take(6)}_${tableToken(s, dir, "events")}"
       val ev = t(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
