@@ -2684,7 +2684,35 @@ object SparkEntry {
     //      rate; the landing-quality panel ----
     "q240_bounce_rates" -> ((s, dir) =>
       Events.entryBounceRates(t(s, dir, "events"), "user_id",
-        col("ts"), col("event_type"), gapMinutes = 30))
+        col("ts"), col("event_type"), gapMinutes = 30)),
+
+    // ---- stats: one-pass pairwise covariance matrix over four lineitem
+    //      measures — all sufficient sums in ONE map-side-combinable agg
+    //      (never k² passes), exact-integer population covariance ----
+    "q241_cov_matrix" -> ((s, dir) =>
+      Stats.covarianceMatrix(t(s, dir, "lineitem"), Seq(
+        ("qty", col("l_quantity")),
+        ("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+        ("disc_pct", expr("CAST(round(l_discount * 100) AS BIGINT)")),
+        ("tax_pct", expr("CAST(round(l_tax * 100) AS BIGINT)"))))),
+
+    // ---- multi-granularity rollup via GROUPING SETS — day, (type, day),
+    //      ISO week and grand total in ONE pass (one shuffle with a
+    //      grouping-id expand, not four scans); the report-cube shape ----
+    "q242_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("wk", weekofyear(col("ts")).cast("long"))
+        .createOrReplaceTempView("graft_ev_gs")
+      s.sql(
+        """SELECT grouping_id(day, event_type, wk) AS gid,
+          |  event_type, day, wk,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+          |FROM graft_ev_gs
+          |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
+          |ORDER BY gid, event_type, day, wk""".stripMargin)
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -5510,6 +5538,56 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_intact
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q241_cov_matrix" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(qty AS HUGEINT)) AS HUGEINT) AS s_qty,
+        |    CAST(sum(CAST(price_c AS HUGEINT)) AS HUGEINT) AS s_price,
+        |    CAST(sum(CAST(disc_pct AS HUGEINT)) AS HUGEINT) AS s_disc,
+        |    CAST(sum(CAST(tax_pct AS HUGEINT)) AS HUGEINT) AS s_tax,
+        |    CAST(sum(CAST(qty AS HUGEINT) * qty) AS HUGEINT) AS p_qq,
+        |    CAST(sum(CAST(qty AS HUGEINT) * price_c) AS HUGEINT) AS p_qp,
+        |    CAST(sum(CAST(qty AS HUGEINT) * disc_pct) AS HUGEINT) AS p_qd,
+        |    CAST(sum(CAST(qty AS HUGEINT) * tax_pct) AS HUGEINT) AS p_qt,
+        |    CAST(sum(CAST(price_c AS HUGEINT) * price_c) AS HUGEINT) AS p_pp,
+        |    CAST(sum(CAST(price_c AS HUGEINT) * disc_pct) AS HUGEINT) AS p_pd,
+        |    CAST(sum(CAST(price_c AS HUGEINT) * tax_pct) AS HUGEINT) AS p_pt,
+        |    CAST(sum(CAST(disc_pct AS HUGEINT) * disc_pct) AS HUGEINT) AS p_dd,
+        |    CAST(sum(CAST(disc_pct AS HUGEINT) * tax_pct) AS HUGEINT) AS p_dt,
+        |    CAST(sum(CAST(tax_pct AS HUGEINT) * tax_pct) AS HUGEINT) AS p_tt
+        |  FROM b)
+        |SELECT col_i, col_j, CAST(n AS BIGINT) AS n,
+        |  CAST((n * p - si * sj) // (n * n) AS BIGINT) AS cov_q
+        |FROM (
+        |  SELECT 'qty' AS col_i, 'qty' AS col_j, n, p_qq AS p, s_qty AS si, s_qty AS sj FROM a
+        |  UNION ALL SELECT 'qty', 'price_c', n, p_qp, s_qty, s_price FROM a
+        |  UNION ALL SELECT 'qty', 'disc_pct', n, p_qd, s_qty, s_disc FROM a
+        |  UNION ALL SELECT 'qty', 'tax_pct', n, p_qt, s_qty, s_tax FROM a
+        |  UNION ALL SELECT 'price_c', 'price_c', n, p_pp, s_price, s_price FROM a
+        |  UNION ALL SELECT 'price_c', 'disc_pct', n, p_pd, s_price, s_disc FROM a
+        |  UNION ALL SELECT 'price_c', 'tax_pct', n, p_pt, s_price, s_tax FROM a
+        |  UNION ALL SELECT 'disc_pct', 'disc_pct', n, p_dd, s_disc, s_disc FROM a
+        |  UNION ALL SELECT 'disc_pct', 'tax_pct', n, p_dt, s_disc, s_tax FROM a
+        |  UNION ALL SELECT 'tax_pct', 'tax_pct', n, p_tt, s_tax, s_tax FROM a)
+        |ORDER BY col_i, col_j""".stripMargin,
+
+    "q242_grouping_sets" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(weekofyear(ts) AS BIGINT) AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT CAST(grouping(day, event_type, wk) AS BIGINT) AS gid,
+        |  event_type, day, wk,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS v_cents
+        |FROM b
+        |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
+        |ORDER BY gid, event_type, day, wk""".stripMargin,
 
     "q240_bounce_rates" ->
       """WITH b AS (SELECT user_id AS e, epoch_us(ts) AS us, event_type AS tp

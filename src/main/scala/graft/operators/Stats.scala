@@ -583,6 +583,37 @@ object Stats {
       .orderBy(col("g"), col("bucket"))
   }
 
+  /** One-pass pairwise COVARIANCE MATRIX over k integer columns — the
+    * feature-stats block a CBO or feature store persists: all k(k+1)/2
+    * covariances from ONE map-side-combinable aggregate of sufficient
+    * sums (n, Σxᵢ, Σxᵢxⱼ), never k² passes. Covariance is kept
+    * exact-integer: cov_q = (n·Σxy − Σx·Σy) DIV n² in decimal128 —
+    * population covariance, truncating div (cross-engine exact).
+    * Output: (col_i, col_j, n, cov_q) for i ≤ j, sorted. */
+  def covarianceMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val base = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+      .na.drop()
+    val names = cols.map(_._1)
+    val sums =
+      count(lit(1)).as("__n") +:
+      (names.map(n => sum(col(n).cast("decimal(38,0)")).as(s"__s_$n")) ++
+        (for { i <- names.indices; j <- i until names.size } yield
+          sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+            .as(s"__p_${names(i)}_${names(j)}")))
+    val agg = base.agg(sums.head, sums.tail: _*)
+    val pairs = for { i <- names.indices; j <- i until names.size } yield
+      struct(lit(names(i)).as("col_i"), lit(names(j)).as("col_j"),
+        col("__n").as("n"),
+        expr(s"""CAST((CAST(__n AS DECIMAL(38,0)) * __p_${names(i)}_${names(j)}
+                |      - __s_${names(i)} * __s_${names(j)})
+                |     DIV (CAST(__n AS DECIMAL(38,0)) * __n) AS BIGINT)""".stripMargin)
+          .as("cov_q"))
+    agg.select(explode(array(pairs: _*)).as("__e"))
+      .select(col("__e.col_i"), col("__e.col_j"), col("__e.n"), col("__e.cov_q"))
+      .orderBy(col("col_i"), col("col_j"))
+  }
+
   /** Per-group mean GLOBAL percent rank — the calibration panel behind
     * "is source X length-biased": every row's percent_rank against the
     * WHOLE corpus (min-rank tie convention, `below·10⁶ DIV (n−1)` — the

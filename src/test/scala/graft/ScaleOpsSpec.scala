@@ -508,6 +508,29 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(out("c") === ((1L, 1L, 1000000L)))
   }
 
+  // ---- covariance matrix ----
+
+  test("covarianceMatrix: hand case, symmetry-by-construction, null drop") {
+    val s = spark
+    import s.implicits._
+    // x = 1,2,3,4; y = 2,4,6,8 (y=2x): cov(x,x)=1.25, cov(x,y)=2.5, cov(y,y)=5
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)).toDF("x", "y")
+    val out = graft.operators.Stats.covarianceMatrix(df,
+      Seq(("x", col("x")), ("y", col("y"))))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(out(("x", "x")) === 1L)  // 1.25 truncates
+    assert(out(("x", "y")) === 2L)  // 2.5 truncates
+    assert(out(("y", "y")) === 5L)
+    assert(out.size === 3) // i <= j only
+    // a null in any column drops the whole row (complete-case)
+    val df2 = Seq((Some(1L), Some(2L)), (None, Some(9L)), (Some(3L), Some(6L)))
+      .toDF("x", "y")
+    val n = graft.operators.Stats.covarianceMatrix(df2,
+      Seq(("x", col("x")), ("y", col("y"))))
+      .collect()(0).getLong(2)
+    assert(n === 2L)
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
