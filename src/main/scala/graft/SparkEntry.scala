@@ -2696,6 +2696,13 @@ object SparkEntry {
         ("disc_pct", expr("CAST(round(l_discount * 100) AS BIGINT)")),
         ("tax_pct", expr("CAST(round(l_tax * 100) AS BIGINT)"))))),
 
+    // ---- events: bitmap-index day-intersection (retention) matrix —
+    //      packed 64-user words per day, word-keyed join + bit_count for
+    //      EXACT |A∩B| on every day pair; the bitmap-index trade vs the
+    //      distinct-domain self-join ----
+    "q243_bitmap_retention" -> ((s, dir) =>
+      Events.dayIntersectionMatrix(t(s, dir, "events"), "user_id", col("ts"))),
+
     // ---- multi-granularity rollup via GROUPING SETS — day, (type, day),
     //      ISO week and grand total in ONE pass (one shuffle with a
     //      grouping-id expand, not four scans); the report-cube shape ----
@@ -5588,6 +5595,17 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q243_bitmap_retention" ->
+      """WITH dom AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM dom GROUP BY 1),
+        |x AS (SELECT a.d AS da, b.d AS db, CAST(count(*) AS BIGINT) AS nb
+        |  FROM dom a JOIN dom b ON a.u = b.u AND a.d < b.d GROUP BY 1, 2)
+        |SELECT x.da AS day_a, x.db AS day_b, ca.c AS n_a, cb.c AS n_b,
+        |  x.nb AS n_both
+        |FROM x JOIN cnt ca ON x.da = ca.d JOIN cnt cb ON x.db = cb.d
+        |ORDER BY 1, 2""".stripMargin,
 
     "q240_bounce_rates" ->
       """WITH b AS (SELECT user_id AS e, epoch_us(ts) AS us, event_type AS tp

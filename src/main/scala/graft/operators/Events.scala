@@ -395,6 +395,44 @@ object Events {
       .orderBy(col("entry_type"))
   }
 
+  /** BITMAP-INDEX day-intersection matrix — |A∩B| for every day pair,
+    * EXACTLY, from packed user bitmaps: each (day, word) row holds 64
+    * users as one long (`bit_or` of shifted bits, map-side combinable),
+    * and an intersection is a word-keyed equi-join + `bit_count(a & b)`
+    * sum. Versus the distinct-domain self-join (the q227 shape), the
+    * bitmap form moves |days|·|users|/64 longs instead of |days|·|users|
+    * ids and turns each pair-day overlap into bitwise ops — the classic
+    * bitmap-index trade, exact as long as ids are integers (any density;
+    * absent ids simply never set a bit).
+    *
+    * Output: (day_a < day_b, n_a, n_b, n_both) for pairs with n_both > 0
+    * — the retention/return-visit matrix. */
+  def dayIntersectionMatrix(events: DataFrame, userCol: String,
+      tsCol: Column): DataFrame = {
+    val dom = events.select(to_date(tsCol).as("__d"), col(userCol).as("__u"))
+      .where(col("__d").isNotNull && col("__u").isNotNull)
+      .distinct()
+    val bits = dom
+      .groupBy(col("__d"), expr("int(__u div 64)").as("__w"))
+      .agg(expr("bit_or(shiftleft(1L, int(__u % 64)))").as("__b"))
+      .localCheckpoint(true) // three consumers: counts + both join sides
+    val counts = bits.groupBy(col("__d"))
+      .agg(sum(bit_count(col("__b"))).as("__n"))
+    val pairs = bits.as("a")
+      .join(bits.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__d") < col("b.__d"))
+      .groupBy(col("a.__d").as("day_a"), col("b.__d").as("day_b"))
+      .agg(sum(bit_count(col("a.__b").bitwiseAND(col("b.__b")))).as("n_both"))
+      .where(col("n_both") > 0)
+    pairs
+      .join(broadcast(counts.select(col("__d").as("day_a"), col("__n").as("n_a"))),
+        Seq("day_a"))
+      .join(broadcast(counts.select(col("__d").as("day_b"), col("__n").as("n_b"))),
+        Seq("day_b"))
+      .select(col("day_a"), col("day_b"), col("n_a"), col("n_b"), col("n_both"))
+      .orderBy(col("day_a"), col("day_b"))
+  }
+
   /** Rolling ACTIVE-USER panel — DAU / 7-day WAU / 30-day MAU per
     * calendar day, the engagement dashboard every event pipeline feeds.
     * EXACT distinct counts, but never over the raw log: the corpus

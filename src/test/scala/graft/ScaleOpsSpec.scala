@@ -531,6 +531,26 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(n === 2L)
   }
 
+  // ---- bitmap retention matrix ----
+
+  test("bitmapRetention: exact intersections across word boundaries") {
+    val s = spark
+    import s.implicits._
+    // day1: users {1, 64, 100}; day2: {64, 100, 200}; day3: {999}
+    val rows = Seq((1, 1L), (1, 64L), (1, 100L),
+      (2, 64L), (2, 100L), (2, 200L), (3, 999L))
+      .map { case (d, u) => (java.sql.Date.valueOf(f"2024-02-0$d"), u) }
+    val ev = rows.toDF("day", "user_id")
+      .withColumn("ts", col("day").cast("timestamp"))
+    val out = graft.operators.Events.dayIntersectionMatrix(ev, "user_id", col("ts"))
+      .collect().map(r => ((r.getDate(0).toString, r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 64 and 100 sit in different words than 1; intersection spans words
+    assert(out(("2024-02-01", "2024-02-02")) === ((3L, 3L, 2L)))
+    // day3 shares nobody → pair absent entirely
+    assert(out.size === 1)
+  }
+
   test("zorder: written copy holds exactly the input rows") {
     val s = spark
     import s.implicits._
