@@ -2703,6 +2703,17 @@ object SparkEntry {
     "q243_bitmap_retention" -> ((s, dir) =>
       Events.dayIntersectionMatrix(t(s, dir, "events"), "user_id", col("ts"))),
 
+    // ---- operations at scale: PERSISTED sketch state — per-(type, day)
+    //      HLL blobs written to parquet once, census answered by unioning
+    //      the read-back state (tonight's job appends a day, never
+    //      rescans); exact arm + 5% certificate (q186 honesty pattern) ----
+    "q244_hll_state" -> ((s, dir) => {
+      val path = s"/tmp/graft_warehouse/graft_hll_state_${math.abs(dir.hashCode).toString.take(6)}_${tableToken(s, dir, "events")}"
+      Sketches.persistedDistinctCensusHll(s, path,
+        t(s, dir, "events"), "event_type", to_date(col("ts")), "user_id")
+        .orderBy(col("event_type"))
+    }),
+
     // ---- multi-granularity rollup via GROUPING SETS — day, (type, day),
     //      ISO week and grand total in ONE pass (one shuffle with a
     //      grouping-id expand, not four scans); the report-cube shape ----
@@ -5595,6 +5606,11 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q244_hll_state" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |  CAST(1 AS BIGINT) AS within
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q243_bitmap_retention" ->
       """WITH dom AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u

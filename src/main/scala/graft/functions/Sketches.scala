@@ -54,6 +54,40 @@ object Sketches {
       .select(col(groupCol), col("n_distinct"), col("within"))
   }
 
+  /** PERSISTED sketch state — the full incremental-profile lifecycle that
+    * [[distinctCensusHll]] only simulates in-query: per-(group, unit) HLL
+    * blobs are WRITTEN to parquet once (the nightly job's output), and
+    * the census is answered by UNIONING the read-back blobs — tonight's
+    * run would append one more unit's sketches and never rescan history.
+    * Exact arm + certificate as in the q186 honesty pattern. */
+  def persistedDistinctCensusHll(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      df: DataFrame,
+      groupCol: String,
+      unitCol: Column,
+      valueCol: String,
+      relErrPpm: Long = 50000): DataFrame = {
+    require(relErrPpm > 0, s"relErrPpm $relErrPpm must be positive")
+    val p = new org.apache.hadoop.fs.Path(statePath + "/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      df.groupBy(col(groupCol), unitCol.as("__unit"))
+        .agg(hll_sketch_agg(col(valueCol)).as("__sk"))
+        .write.mode("overwrite").parquet(statePath)
+    val merged = spark.read.parquet(statePath)
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("n_distinct"))
+    exact.join(merged, exact(groupCol) <=> merged(groupCol))
+      .drop(merged(groupCol))
+      .withColumn("within",
+        (abs(col("__est") - col("n_distinct")) * lit(1000000L) <=
+          col("n_distinct") * lit(relErrPpm)).cast("long"))
+      .select(col(groupCol), col("n_distinct"), col("within"))
+  }
+
   // ------------------------------------------------------------------
   // Theta sketches — mergeable distinct SET ALGEBRA (HLL can only union;
   // theta intersects and differences, the ask behind "how many users did
