@@ -2714,6 +2714,37 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- similarity: label-centroid semantic-similarity matrix over
+    //      the embeddings table — per-label fixed-point SUM vectors
+    //      (round(v·10⁶) per element, order-free integer sums; cosine is
+    //      scale-invariant so no division ever happens), pairwise cosine
+    //      from decimal128 products, ONE rounded double per pair ----
+    "q245_label_centroids" -> ((s, dir) => {
+      // 1e4 quantization keeps dot² and na·nb inside decimal128; the
+      // output is signed SQUARED cosine in ppm — every step integer, so
+      // no cross-engine double-rounding boundary exists (a rounded-double
+      // cosine flipped a 6dp boundary by one ulp between engines)
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+        .groupBy(col("label"), col("dim")).agg(sum(col("q")).as("sq"))
+        .localCheckpoint(true)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      e.as("a").join(e.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(dec(col("a.sq")) * col("b.sq")).as("__dot"),
+          sum(dec(col("a.sq")) * col("a.sq")).as("__na"),
+          sum(dec(col("b.sq")) * col("b.sq")).as("__nb"))
+        .select(col("label_a"), col("label_b"),
+          when(col("__na") === 0 || col("__nb") === 0, lit(null).cast("long"))
+            .otherwise(signum(col("__dot").cast("double")).cast("long") *
+              expr("CAST((__dot * __dot * 1000000) DIV (__na * __nb) AS BIGINT)"))
+            .as("cos2_ppm"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // ---- multi-granularity rollup via GROUPING SETS — day, (type, day),
     //      ISO week and grand total in ONE pass (one shuffle with a
     //      grouping-id expand, not four scans); the report-cube shape ----
@@ -5606,6 +5637,24 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q245_label_centroids" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(CAST(a.sq AS HUGEINT) * b.sq) AS HUGEINT) AS dot,
+        |    CAST(sum(CAST(a.sq AS HUGEINT) * a.sq) AS HUGEINT) AS na,
+        |    CAST(sum(CAST(b.sq AS HUGEINT) * b.sq) AS HUGEINT) AS nb
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+        |      * CAST((dot * dot * 1000000) // (na * nb) AS BIGINT)
+        |  END AS cos2_ppm
+        |FROM p ORDER BY 1, 2""".stripMargin,
 
     "q244_hll_state" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
