@@ -78,6 +78,56 @@ class StreamsSpec extends SparkSpecBase {
     assert(got === expectedEmitted)
   }
 
+  test("atLeastOnceDedupTotals: redelivered copies collapse to single totals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_alo_spec").toString
+    val base = 1700000000000L
+    val events = (0 until 60).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 60000L),
+        if (i % 2 == 0) "a" else "b", (i % 5).toDouble, i.toLong % 3)
+    }.toDF("event_id", "ts", "event_type", "value", "user_id")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/_out")
+    val part = new java.io.File(s"$dir/_out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val got = Streams.atLeastOnceDedupTotals(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // despite the source being staged TWICE, totals equal single-copy ones
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === batch)
+  }
+
+  test("leftOuterMatchCensus: matches emit always, nulls only past the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lo_spec").toString
+    val base = 1700000000000L
+    def at(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val rows = Seq(
+      // u1: view then purchase 10 min later → matched pair
+      (1L, 1L, at(0), "view"), (2L, 1L, at(10), "purchase"),
+      // u2: purchase with NO view, early → null row once watermark passes
+      (3L, 2L, at(5), "purchase"),
+      // u3: purchase near the end of input → still open, never emits
+      (4L, 3L, at(170), "purchase"),
+      // marker view far ahead pins the final watermark to +180min - 1h
+      (5L, 9L, at(180), "view"))
+    val events = rows.map { case (id, u, ts, e) => (id, ts, e, 1.0, u) }
+      .toDF("event_id", "ts", "event_type", "value", "user_id")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/_out")
+    val part = new java.io.File(s"$dir/_out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val got = Streams.leftOuterMatchCensus(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((1L, 0L)))   // matched immediately
+    assert(got(2L) === ((0L, 1L)))   // unmatched, watermark passed it
+    assert(!got.contains(3L), "open purchase must not emit")
+  }
+
   test("funnelStages: state machine matches the batch funnel, horizon cuts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel_spec").toString
     val base = 1700000000000L
