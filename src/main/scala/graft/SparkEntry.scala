@@ -2745,6 +2745,28 @@ object SparkEntry {
         .orderBy(col("label_a"), col("label_b"))
     }),
 
+    // ---- stats: per-source INTERQUARTILE mean (midmean) of document
+    //      length — tails outside the exact ×4 [p25, p75] band are
+    //      EXCLUDED (q159's winsorize clamps them instead); quarter ranks
+    //      keep the interpolation binary-exact cross-engine (0.1-style
+    //      ranks would not be), membership is integer comparison on the
+    //      value domain, mean a truncating div ----
+    "q246_trimmed_mean" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("__v"))
+      val dom = base.groupBy(col("source"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+      val edges = base.groupBy(col("source")).agg(
+        percentile(col("__v") * 4, lit(0.25)).cast("long").as("__e10"),
+        percentile(col("__v") * 4, lit(0.75)).cast("long").as("__e90"))
+      dom.join(edges, Seq("source"))
+        .where(col("__v") * 4 >= col("__e10") && col("__v") * 4 <= col("__e90"))
+        .groupBy(col("source"))
+        .agg(sum(col("__cnt")).as("n_kept"),
+          expr("sum(__cnt * __v) div sum(__cnt)").as("trimmed_mean"))
+        .orderBy(col("source"))
+    }),
+
     // ---- multi-granularity rollup via GROUPING SETS — day, (type, day),
     //      ISO week and grand total in ONE pass (one shuffle with a
     //      grouping-id expand, not four scans); the report-cube shape ----
@@ -5637,6 +5659,18 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q246_trimmed_mean" ->
+      """WITH b AS (SELECT source, n_chars AS v FROM documents),
+        |e AS (SELECT source,
+        |    CAST(quantile_cont(v * 4, 0.25) AS BIGINT) AS e10,
+        |    CAST(quantile_cont(v * 4, 0.75) AS BIGINT) AS e90
+        |  FROM b GROUP BY 1),
+        |k AS (SELECT b.source, b.v FROM b JOIN e ON b.source = e.source
+        |  WHERE b.v * 4 >= e.e10 AND b.v * 4 <= e.e90)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(v) // count(*) AS BIGINT) AS trimmed_mean
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q245_label_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
