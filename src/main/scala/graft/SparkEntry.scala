@@ -2689,12 +2689,16 @@ object SparkEntry {
     // ---- stats: one-pass pairwise covariance matrix over four lineitem
     //      measures — all sufficient sums in ONE map-side-combinable agg
     //      (never k² passes), exact-integer population covariance ----
+    // cents via `CAST(x*100 + 0.5 AS BIGINT)`, not round(): Spark's round on
+    // DOUBLE detours through BigDecimal (~2x the whole 4-col scan cost,
+    // profiled at sf0.1); the +0.5-floor form is exact round-half-up for
+    // these nonnegative 2-decimal inputs and stays in codegen'd long math
     "q241_cov_matrix" -> ((s, dir) =>
       Stats.covarianceMatrix(t(s, dir, "lineitem"), Seq(
         ("qty", col("l_quantity")),
-        ("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
-        ("disc_pct", expr("CAST(round(l_discount * 100) AS BIGINT)")),
-        ("tax_pct", expr("CAST(round(l_tax * 100) AS BIGINT)"))))),
+        ("price_c", expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")),
+        ("disc_pct", expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")),
+        ("tax_pct", expr("CAST(l_tax * 100 + 0.5 AS BIGINT)"))))),
 
     // ---- events: bitmap-index day-intersection (retention) matrix —
     //      packed 64-user words per day, word-keyed join + bit_count for
@@ -2765,6 +2769,17 @@ object SparkEntry {
         .agg(sum(col("__cnt")).as("n_kept"),
           expr("sum(__cnt * __v) div sum(__cnt)").as("trimmed_mean"))
         .orderBy(col("source"))
+    }),
+
+    // ---- §2.3 endpoint accessors as named API (reference
+    //      src/SeriesModule.fs:199-202): firstKey/lastKey/firstValue/
+    //      lastValue/KeyRange in ONE partial-aggregable min/max +
+    //      min_by/max_by pass — no global sort, no positional scan ----
+    "q247_first_last" -> ((s, dir) => {
+      daily(s, dir).firstLast
+        .select(col("first_key"), col("last_key"),
+          round(col("first_value"), 4).as("first_value"),
+          round(col("last_value"), 4).as("last_value"))
     }),
 
     // ---- multi-granularity rollup via GROUPING SETS — day, (type, day),
@@ -5659,6 +5674,14 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q247_first_last" ->
+      (dailySql +
+        """
+          |SELECT min(k) AS first_key, max(k) AS last_key,
+          |  round(arg_min(v, k), 4) AS first_value,
+          |  round(arg_max(v, k), 4) AS last_value
+          |FROM daily""".stripMargin),
 
     "q246_trimmed_mean" ->
       """WITH b AS (SELECT source, n_chars AS v FROM documents),

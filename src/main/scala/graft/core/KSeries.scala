@@ -128,6 +128,32 @@ final case class KSeries(
   def startAt(lo: Column): KSeries = { requireOrdered("startAt"); result(df.where(k >= lo)) }
   def endAt(hi: Column): KSeries = { requireOrdered("endAt"); result(df.where(k <= hi)) }
 
+  // ---- endpoint accessors (reference src/SeriesModule.fs:199-202) ----
+
+  /** Series.firstKey/lastKey/firstValue/lastValue/KeyRange as ONE
+    * aggregate row (first_key, last_key, first_value, last_value) — the
+    * lazy-engine form: min/max + min_by/max_by in a single partial-
+    * aggregable pass, no global sort and no row shipped anywhere but the
+    * one merged agg row. Scalar accessors below run it as an action. */
+  def firstLast: DataFrame = {
+    requireOrdered("firstLast")
+    df.where(v.isNotNull).agg(
+      min(k).as("first_key"), max(k).as("last_key"),
+      min_by(v, k).as("first_value"), max_by(v, k).as("last_value"))
+  }
+
+  /** Series.KeyRange — (smallest, largest) key, missing rows included
+    * (the reference's KeyRange is an index property, not a value one). */
+  def keyRange: DataFrame = {
+    requireOrdered("keyRange")
+    df.agg(min(k).as("first_key"), max(k).as("last_key"))
+  }
+
+  /** Series.firstValue (value at the smallest key with a present value). */
+  def firstValue: Any = firstLast.collect()(0).get(2)
+  /** Series.lastValue (value at the largest key with a present value). */
+  def lastValue: Any = firstLast.collect()(0).get(3)
+
   // ---- alignment: zip / union / append (reference src/Series.fs:293-359) ----
 
   /** Series.Zip — align two series by key; values nullable on both sides

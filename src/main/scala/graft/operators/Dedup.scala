@@ -459,6 +459,18 @@ object Dedup {
     import vecs.sparkSession.implicits._
     val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
+    // Fail-fast size guard: this operator is the O(n²) EXACT baseline and
+    // collects the whole (id, vec) set to the driver. Unguarded, a 100x
+    // input silently OOMs the driver; bounded, it stays what it is — a
+    // verification baseline. Tunable for bigger driver heaps via
+    // spark.graft.exactNearDup.maxRows.
+    val maxRows = vecs.sparkSession.conf
+      .getOption("spark.graft.exactNearDup.maxRows").map(_.toLong).getOrElse(1000000L)
+    val n = base.count()
+    require(n <= maxRows,
+      s"embeddingNearDup is the exact O(n^2) baseline and collects all $n vectors " +
+      s"to the driver (limit $maxRows, conf spark.graft.exactNearDup.maxRows); " +
+      "use Dedup.embeddingNearDupLsh for production-scale near-dup")
     val all: Array[(Long, Array[Float], Double)] = base.collect()
       .map { case (id, v) =>
         val a = v.toArray

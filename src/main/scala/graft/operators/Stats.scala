@@ -595,13 +595,29 @@ object Stats {
     val base = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
       .na.drop()
     val names = cols.map(_._1)
-    val sums =
+    // Two-level sums: LONG partials over 4096-row chunks, widened to
+    // decimal(38,0) only in the (tiny) merge — decimal accumulation on every
+    // row costs ~4x long arithmetic for zero extra exactness here. Chunk ids
+    // come from monotonically_increasing_id DIV 4096 (partition id lives in
+    // the upper bits, so chunks never span partitions and the first groupBy
+    // map-side-combines to ~1 row per 4096 inputs before its shuffle).
+    // Safe range: |value| < 2^24 keeps any 4096-row Σxᵢxⱼ under 2^60 — the
+    // same single-product-fits-long contract the one-level form had, minus
+    // 12 bits of chunk headroom.
+    val chunked = base.withColumn("__chunk", shiftright(monotonically_increasing_id(), 12))
+    val partialSums =
       count(lit(1)).as("__n") +:
-      (names.map(n => sum(col(n).cast("decimal(38,0)")).as(s"__s_$n")) ++
+      (names.map(n => sum(col(n)).as(s"__s_$n")) ++
         (for { i <- names.indices; j <- i until names.size } yield
-          sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+          sum(col(names(i)) * col(names(j))).as(s"__p_${names(i)}_${names(j)}")))
+    val partial = chunked.groupBy(col("__chunk")).agg(partialSums.head, partialSums.tail: _*)
+    val mergeSums =
+      sum(col("__n")).as("__n") +:
+      (names.map(n => sum(col(s"__s_$n").cast("decimal(38,0)")).as(s"__s_$n")) ++
+        (for { i <- names.indices; j <- i until names.size } yield
+          sum(col(s"__p_${names(i)}_${names(j)}").cast("decimal(38,0)"))
             .as(s"__p_${names(i)}_${names(j)}")))
-    val agg = base.agg(sums.head, sums.tail: _*)
+    val agg = partial.agg(mergeSums.head, mergeSums.tail: _*)
     val pairs = for { i <- names.indices; j <- i until names.size } yield
       struct(lit(names(i)).as("col_i"), lit(names(j)).as("col_j"),
         col("__n").as("n"),

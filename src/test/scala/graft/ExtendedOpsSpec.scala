@@ -78,6 +78,35 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("embeddingNearDup guard: trips above spark.graft.exactNearDup.maxRows with a pointer to the LSH path") {
+    val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.exactNearDup.maxRows", "5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.9)
+      }
+      assert(e.getMessage.contains("embeddingNearDupLsh"))
+      // under the limit the operator still works
+      spark.conf.set("spark.graft.exactNearDup.maxRows", "100")
+      Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.99).collect()
+    } finally spark.conf.unset("spark.graft.exactNearDup.maxRows")
+  }
+
+  test("firstLast/keyRange/firstValue/lastValue (reference SeriesModule.fs:199-202)") {
+    val ser = s((3L, 30.0), (1L, 10.0), (2L, null), (5L, 50.0))
+    val fl = ser.firstLast.collect()(0)
+    assert((fl.getLong(0), fl.getLong(1)) === ((1L, 5L)))
+    assert((fl.getDouble(2), fl.getDouble(3)) === ((10.0, 50.0)))
+    val kr = ser.keyRange.collect()(0)
+    assert((kr.getLong(0), kr.getLong(1)) === ((1L, 5L))) // missing row at 2 still in range
+    assert(ser.firstValue === 10.0)
+    assert(ser.lastValue === 50.0)
+    // endpoint with a MISSING value: firstLast skips to the first present one
+    val lead = s((0L, null), (1L, 10.0))
+    assert(lead.firstLast.collect()(0).getLong(0) === 1L)
+  }
+
   test("orderCols sorts the column axis, key columns stay leftmost (reference FrameModule.fs:314-331)") {
     val df = Seq((1L, 2.0, 1.0, 3.0)).toDF("id", "b", "a", "c")
     val kf = KFrame(df, Seq("id"))
