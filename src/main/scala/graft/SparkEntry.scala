@@ -466,20 +466,23 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 0.9)
     }),
 
-    // ---- dedup: MinHash-LSH near-dup candidates (no SQL oracle: banding
-    //      is xxhash64-based; deterministic rows-only check) ----
+    // ---- dedup: MinHash-LSH near-dup candidates at PRODUCTION banding
+    //      width (32 hashes × 8 bands) — md5-portable hash family, so the
+    //      whole shingle→minhash→band→bucket-join→verify pipeline is
+    //      hash-verified against the SQL oracle; the compiled-xxhash fast
+    //      path keeps its spec coverage (PipelineSpec) ----
     "q42_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPortable(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 32, bands = 8, threshold = 0.4)
     }),
 
-    // ---- dedup: SimHash near-dup pairs (rows-only) ----
-    // NOTE row-count change vs round 1 (650 → 1463 at sf0.01): the old
-    // 16-bit-chunk blocking only guaranteed recall for Hamming ≤ 3 and
-    // silently found 44% of true pairs at maxHamming=8; the pigeonhole
-    // block-combo scheme is exact (1463 == brute-force all-pairs count).
+    // ---- dedup: SimHash near-dup pairs over the FULL corpus, md5-portable
+    //      bit votes — blocked candidates vs the oracle's brute-force
+    //      all-pairs scan = fingerprint math AND exact pigeonhole recall
+    //      certified cross-engine; the MurmurHash3 fast path keeps its
+    //      spec coverage (ExtendedOpsSpec exact-recall test) ----
     "q43_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
     }),
 
     // ---- similarity: exact brute-force cosine top-k ----
@@ -488,11 +491,14 @@ object SparkEntry {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding", 3)
     }),
 
-    // ---- similarity: IVF-bucketed ANN (approximate; rows-only) ----
+    // ---- similarity: IVF-bucketed ANN at a WIDER index shape than q124
+    //      (16 lists, 3 probes) — fixed-point k-means, so training and
+    //      probe both hash-verify against the SQL oracle; the float
+    //      ivfKnn production path keeps its spec coverage (PipelineSpec) ----
     "q45_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 3, centroidIds = Seq(100L, 200L, 300L, 400L), nprobe = 2)
+      Similarity.ivfKnnPortable(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 3, rounds = 2)
     }),
 
     // ---- embeddings: per-vector norms (HOF arithmetic on array cols) ----
@@ -1316,8 +1322,15 @@ object SparkEntry {
     }),
 
     // ---- dedup: embedding near-dup via random-hyperplane LSH (rows-only) ----
+    // ---- dedup: random-projection LSH near-dup over embeddings at a
+    //      DEEPER code shape than q123 (24 hyperplanes × 6 bands) —
+    //      md5-integer hyperplanes + fixed-point projections make every
+    //      sign an exact integer comparison, oracle-verified end-to-end;
+    //      the gaussian-plane production path (embeddingNearDupLsh) keeps
+    //      its spec coverage (ExtendedOpsSpec recall + no-collect tests) ----
     "q66_embed_neardup_lsh" -> ((s, dir) => {
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      Dedup.rpLshNearDupPortable(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nbits = 24, bands = 6, dim = 64)
     }),
 
     // ---- additive: cube (absent in reference; free in Spark) ----
@@ -1537,12 +1550,15 @@ object SparkEntry {
         sum(Text.tokenCount(col("text"))).as("total_ws_tokens"))
     }),
 
-    // ---- similarity: IVF with k-means-trained centroids (rows-only) ----
+    // ---- similarity: IVF ANN at the NARROW-index corner (4 lists, single
+    //      probe, top-5) — fixed-point k-means training hash-verified
+    //      against the SQL oracle; the float kmeansCentroids +
+    //      ivfKnnWithCentroids production path keeps its spec coverage
+    //      (PipelineSpec recall) ----
     "q89_knn_ivf_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
-      Similarity.ivfKnnWithCentroids(e, e.where(col("vec_id") < 5),
-        "vec_id", "embedding", k = 3, centroids = cents, nprobe = 3)
+      Similarity.ivfKnnPortable(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 1, rounds = 2)
     }),
 
     // ---- §2.6 per-group EWMA: one shuffle on the group key, exact
@@ -2039,12 +2055,14 @@ object SparkEntry {
           count(col("f")).over(w).as("n30"))
     }),
 
-    // ---- similarity: product-quantization ANN (ADC over byte codes —
-    //      the memory-compressed scale path; rows-only + recall spec) ----
+    // ---- similarity: product-quantization ANN at a COARSER subspace
+    //      split than q125 (m=4, 16-dim subvectors) — fixed-point subspace
+    //      k-means + exact integer ADC, oracle-verified; the float pqKnn
+    //      production path keeps its spec coverage (PipelineSpec recall) ----
     "q104_knn_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.pqKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 3, m = 8, kCentroids = 16, iters = 2)
+      Similarity.pqKnnPortable(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, m = 4, codes = 16, rounds = 2)
     }),
 
     // ---- additive ranking family (absent in reference; §2.6 last row) ----
@@ -2094,12 +2112,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
-    // ---- §2.6 additive EWM family: distributed exact EWMA (rows-only:
-    //      the two-level stitch differs from a sequential loop in last
-    //      ulps; spec asserts ≤1e-12 relative vs the sequential oracle) ----
+    // ---- §2.6 additive EWM family: per-month EWMA of the daily series,
+    //      α=1/2 so every halving is an exact exponent shift — the
+    //      sequential per-group recurrence is bit-identical to the
+    //      recursive SQL oracle. The GLOBAL two-level stitched form
+    //      (KSeries.ewma) stays spec-certified at ≤1e-12 relative vs the
+    //      sequential loop (OrderedScanSpec) — its carry composition
+    //      reorders float adds, which no SQL oracle can replay exactly ----
+    // value = daily ORDER COUNT (≤7 bits) and α=1/2: every e_t is a dyadic
+    // rational within 38 mantissa bits, so NO floating-point rounding ever
+    // happens on either engine and the raw doubles hash-match bit-for-bit
+    // (daily $-totals would round from step ~23 — still same-op-order
+    // deterministic, but then Spark's BigDecimal HALF_UP round() vs
+    // DuckDB's can split on a .005 boundary, observed at sf0.01 row 375)
     "q103_ewma" -> ((s, dir) => {
-      daily(s, dir).ewma(alpha = 0.1)
-        .df.select(col("k"), round(col("v"), 2).as("ewma"))
+      val d = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(count(lit(1)).cast("double").as("v"))
+        .withColumn("m", trunc(col("k"), "month").cast("date"))
+      OrderedScan.ewmaByGroup(d, "m", "k", "v", alpha = 0.5, outCol = "ewma")
+        .select(col("m"), col("k"), col("ewma"))
     }),
 
     // ---- pipeline: repetition quality filter (per-doc most-repeated
@@ -4244,6 +4276,49 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
+    // q104: q125's fixed-point PQ at the COARSE split — m=4 (16-dim
+    // subvectors, j = d // 16), same 16-code books, top-3 by integer ADC
+    "q104_knn_pq" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |fj AS (SELECT vec_id, d, d // 16 AS j, q FROM f),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cb0 AS (SELECT fj.j, ids.c, fj.d, fj.q AS cv FROM ids JOIN fj USING (vec_id)),
+        |d1 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb0 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d1) WHERE rn = 1),
+        |u1 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a1 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT b0.j, b0.c, b0.d, coalesce(u.cv, b0.cv) AS cv
+        |        FROM cb0 b0 LEFT JOIN u1 u ON b0.j = u.j AND b0.c = u.c AND b0.d = u.d),
+        |d2 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb1 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d2) WHERE rn = 1),
+        |u2 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a2 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb2 AS (SELECT b1.j, b1.c, b1.d, coalesce(u.cv, b1.cv) AS cv
+        |        FROM cb1 b1 LEFT JOIN u2 u ON b1.j = u.j AND b1.c = u.c AND b1.d = u.d),
+        |d3 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb2 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, j, c FROM (
+        |        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |        FROM d3) WHERE rn = 1),
+        |adc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        CAST(sum((q.q - b.cv)*(q.q - b.cv)) AS BIGINT) AS dist
+        |        FROM fj q JOIN enc e ON e.vec_id <> q.vec_id AND e.j = q.j
+        |                  JOIN cb2 b ON b.j = q.j AND b.c = e.c AND b.d = q.d
+        |        WHERE q.vec_id < 5
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, dist,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
+
     "q125_pq_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
         |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
@@ -4284,6 +4359,104 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |      FROM adc)
         |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
+
+    // q45: q124's integer-Lloyd IVF at the WIDE corner — 16 lists, 3 probes
+    "q45_knn_ivf" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
+        |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
+        |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
+        |asg1 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist1) WHERE rn = 1),
+        |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
+        |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
+        |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
+        |asg2 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist2) WHERE rn = 1),
+        |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
+        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
+        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
+        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
+        |asg3 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist3) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, c FROM (
+        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 3),
+        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |               FROM probes p JOIN asg3 a USING (c)
+        |               WHERE a.vec_id <> p.query_id),
+        |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings),
+        |sims AS (SELECT cd.query_id, cd.neighbor_id,
+        |         sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cosine
+        |         FROM candidates cd JOIN fl a ON a.vec_id = cd.query_id
+        |                            JOIN fl b ON b.vec_id = cd.neighbor_id AND a.i = b.i
+        |         GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM sims)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q89: q124's integer-Lloyd IVF at the NARROW corner — 4 lists, 1 probe, top-5
+    "q89_knn_ivf_kmeans" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
+        |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
+        |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
+        |asg1 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist1) WHERE rn = 1),
+        |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
+        |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
+        |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
+        |asg2 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist2) WHERE rn = 1),
+        |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
+        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
+        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
+        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
+        |asg3 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist3) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, c FROM (
+        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 1),
+        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |               FROM probes p JOIN asg3 a USING (c)
+        |               WHERE a.vec_id <> p.query_id),
+        |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings),
+        |sims AS (SELECT cd.query_id, cd.neighbor_id,
+        |         sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cosine
+        |         FROM candidates cd JOIN fl a ON a.vec_id = cd.query_id
+        |                            JOIN fl b ON b.vec_id = cd.neighbor_id AND a.i = b.i
+        |         GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM sims)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q124_ivf_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -4332,6 +4505,51 @@ object SparkEntry {
         |      FROM sims)
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q66: q123's md5-hyperplane RP-LSH at the DEEP code shape — 24
+    // hyperplanes in 6 bands of 4 (same 4-bit band keys)
+    "q66_embed_neardup_lsh" ->
+      """WITH hp AS (
+        |  SELECT h.h, d.d,
+        |    4096*(strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 1, 1))-1)
+        |  +  256*(strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 2, 1))-1)
+        |  +   16*(strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 3, 1))-1)
+        |  +      (strpos('0123456789abcdef', substr(md5(h.h::VARCHAR || ':' || d.d::VARCHAR), 4, 1))-1)
+        |  - 32768 AS r
+        |  FROM (SELECT unnest(range(0, 24)) AS h) h, (SELECT unnest(range(0, 64)) AS d) d),
+        |f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1048576) AS BIGINT) AS q FROM embeddings),
+        |s AS (SELECT f.vec_id, hp.h, sum(f.q * hp.r) AS dot FROM f JOIN hp ON f.d = hp.d GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id, h // 4 AS band,
+        |            CAST(sum(CASE WHEN dot > 0 THEN 1 << (h % 4) ELSE 0 END) AS BIGINT) AS bk
+        |            FROM s GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.vec_id < b.vec_id),
+        |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings),
+        |p AS (SELECT c.id_a, c.id_b,
+        |      sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cos
+        |      FROM cand c JOIN fl a ON a.vec_id = c.id_a JOIN fl b ON b.vec_id = c.id_b AND a.i = b.i
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // q103: per-month EWMA of daily order counts, α=1/2 — every value is a
+    // dyadic rational within double precision, so the recursive CTE's
+    // doubles match the engine's bit-for-bit with NO rounding applied
+    "q103_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS k, count(*)::DOUBLE AS v
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT date_trunc('month', k)::DATE AS m, k, v,
+        |      row_number() OVER (PARTITION BY date_trunc('month', k) ORDER BY k) AS rn
+        |      FROM daily),
+        |w(m, k, rn, y) AS (
+        |  SELECT m, k, rn, v FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.m, d.k, d.rn, 0.5*d.v + 0.5*w.y
+        |  FROM d JOIN w ON d.m = w.m AND d.rn = w.rn + 1)
+        |SELECT m, k, y AS ewma FROM w""".stripMargin,
 
     "q123_rplsh_portable" ->
       """WITH hp AS (
@@ -4445,6 +4663,34 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
         |GROUP BY d.lang""".stripMargin,
 
+    // q43: same md5 fingerprint + brute-force-all-pairs oracle as q118,
+    // over the FULL corpus (no id filter) — certifies the pigeonhole
+    // blocking's exact recall at the production table size
+    "q43_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+        |d AS (SELECT doc_id, p.p, strpos('0123456789abcdef', substr(hx, p.p + 1, 1)) - 1 AS dv
+        |      FROM h, (SELECT unnest(range(0, 16)) AS p) p),
+        |b AS (SELECT doc_id, d.p * 4 + j.j AS bit,
+        |      CASE WHEN (dv >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS c
+        |      FROM d, (SELECT unnest(range(0, 4)) AS j) j),
+        |bits AS (SELECT doc_id, bit, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS v
+        |         FROM b GROUP BY 1, 2),
+        |fpd AS (SELECT doc_id, bit // 4 AS p,
+        |        CAST(sum(CASE WHEN v = 1 THEN 1 << (bit % 4) ELSE 0 END) AS INT) AS digit
+        |        FROM bits GROUP BY 1, 2),
+        |fph AS (SELECT doc_id, string_agg(substr('0123456789abcdef', digit + 1, 1), '' ORDER BY p) AS fph
+        |        FROM fpd GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fph AS ha, b.fph AS hb
+        |       FROM fph a, fph b WHERE a.doc_id < b.doc_id),
+        |ham AS (SELECT id_a, id_b, CAST(sum(bit_count(
+        |        xor(strpos('0123456789abcdef', substr(ha, p.p + 1, 1)) - 1,
+        |            strpos('0123456789abcdef', substr(hb, p.p + 1, 1)) - 1))) AS BIGINT) AS hamming
+        |        FROM pr, (SELECT unnest(range(0, 16)) AS p) p GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin,
+
     "q118_simhash_portable" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |           FROM documents WHERE doc_id < 300),
@@ -4469,6 +4715,30 @@ object SparkEntry {
         |            strpos('0123456789abcdef', substr(hb, p.p + 1, 1)) - 1))) AS BIGINT) AS hamming
         |        FROM pr, (SELECT unnest(range(0, 16)) AS p) p GROUP BY 1, 2)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin,
+
+    // q42: q113's md5 MinHash pipeline at the production banding width —
+    // 32 seeds in 8 bands of 4, Jaccard threshold 0.4
+    "q42_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 32)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl)
+        |SELECT c.id_a, c.id_b,
+        |round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        |FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+        |WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4""".stripMargin,
 
     "q113_minhash_portable" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
