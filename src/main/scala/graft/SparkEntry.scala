@@ -1403,13 +1403,17 @@ object SparkEntry {
       Multimodal.frameSample(media, 32, 2).toDF()
     }),
 
-    // ---- multimodal: embedding extraction feeding ANN (rows-only) ----
+    // ---- multimodal: embedding extraction feeding ANN — INTEGER-vote
+    //      hash projection + exact long-L2 ranking, so the whole
+    //      media→embedding→KNN bridge replays in SQL (payloads are the
+    //      docs' ASCII bytes, so ascii(substr(..)) reconstructs them);
+    //      the float embed → cosine path stays spec-covered ----
     "q76_media_embed_knn" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.packMedia(t(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaRow]
-      val emb = Multimodal.embed(media, 16)
-      Similarity.bruteForceKnn(emb, emb.where(col("doc_id") < 3), "doc_id", "embedding", 3)
+      val emb = Multimodal.embedQuantized(media, 16)
+      Similarity.bruteForceKnnL2Long(emb, emb.where(col("doc_id") < 3), "doc_id", "embedding", 3)
     }),
 
     // ---- Structured Streaming: sliding windows over readStream(events) ----
@@ -1961,11 +1965,15 @@ object SparkEntry {
     }),
 
     // ---- similarity: IVF+PQ composed index (coarse routing + ADC codes —
-    //      the FAISS-style production ANN shape; rows-only) ----
+    //      the FAISS-style production ANN shape), fixed-point flavor: the
+    //      ENTIRE composed build (integer Lloyd routing + integer PQ books
+    //      + bucket-restricted ADC scan) hash-verifies against the SQL
+    //      oracle; the float ivfPqKnn keeps its spec coverage
+    //      (PipelineSpec recall) ----
     "q111_knn_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfPqKnn(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 3, nlist = 8, nprobe = 3, m = 8, kCentroids = 16)
+      Similarity.ivfPqKnnPortable(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2, m = 8, codes = 16, rounds = 2)
     }),
 
     // ---- pipeline: context-window chunking (64-token chunks, 16 overlap);
@@ -4276,6 +4284,83 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
+    // q111: composed IVF+PQ — q124's integer-Lloyd routing (8 lists, 2
+    // probes) gates q125's integer-ADC scan (m=8, 16 codes); candidates
+    // come from probed buckets only, then exact integer ADC top-3
+    "q111_knn_ivfpq" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM embeddings ORDER BY vec_id LIMIT 8),
+        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
+        |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
+        |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
+        |asg1 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist1) WHERE rn = 1),
+        |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
+        |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
+        |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
+        |asg2 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist2) WHERE rn = 1),
+        |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
+        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
+        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
+        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
+        |asg3 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist3) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, c FROM (
+        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 2),
+        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |               FROM probes p JOIN asg3 a USING (c)
+        |               WHERE a.vec_id <> p.query_id),
+        |fj AS (SELECT vec_id, d, d // 8 AS j, q FROM f),
+        |pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |         FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cb0 AS (SELECT fj.j, pids.c, fj.d, fj.q AS cv FROM pids JOIN fj USING (vec_id)),
+        |d1 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb0 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d1) WHERE rn = 1),
+        |u1 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a1 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT b0.j, b0.c, b0.d, coalesce(u.cv, b0.cv) AS cv
+        |        FROM cb0 b0 LEFT JOIN u1 u ON b0.j = u.j AND b0.c = u.c AND b0.d = u.d),
+        |d2 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb1 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d2) WHERE rn = 1),
+        |u2 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a2 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb2 AS (SELECT b1.j, b1.c, b1.d, coalesce(u.cv, b1.cv) AS cv
+        |        FROM cb1 b1 LEFT JOIN u2 u ON b1.j = u.j AND b1.c = u.c AND b1.d = u.d),
+        |d3 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb2 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, j, c FROM (
+        |        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |        FROM d3) WHERE rn = 1),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id,
+        |        CAST(sum((q.q - b.cv)*(q.q - b.cv)) AS BIGINT) AS dist
+        |        FROM candidates cd
+        |        JOIN fj q ON q.vec_id = cd.query_id
+        |        JOIN enc e ON e.vec_id = cd.neighbor_id AND e.j = q.j
+        |        JOIN cb2 b ON b.j = q.j AND b.c = e.c AND b.d = q.d
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, dist,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
+
     // q104: q125's fixed-point PQ at the COARSE split — m=4 (16-dim
     // subvectors, j = d // 16), same 16-code books, top-3 by integer ADC
     "q104_knn_pq" ->
@@ -4505,6 +4590,27 @@ object SparkEntry {
         |      FROM sims)
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q76: replay the integer-vote embedding from the docs' ASCII bytes
+    // (b = codepoint = byte here), then exact integer L2 top-3
+    "q76_media_embed_knn" ->
+      """WITH ch AS (SELECT doc_id, text, unnest(range(0, length(text))) AS i FROM documents),
+        |cb AS (SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS b FROM ch),
+        |e0 AS (SELECT doc_id, (b * 31 + i) % 16 AS j, sum(b - 127) AS v
+        |       FROM cb GROUP BY 1, 2),
+        |dims AS (SELECT d.doc_id, j.j FROM documents d,
+        |         (SELECT unnest(range(0, 16)) AS j) j),
+        |emb AS (SELECT dims.doc_id, dims.j, coalesce(e0.v, 0) AS v
+        |        FROM dims LEFT JOIN e0 ON dims.doc_id = e0.doc_id AND dims.j = e0.j),
+        |d AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |      CAST(sum((q.v - c.v)*(q.v - c.v)) AS BIGINT) AS dist
+        |      FROM emb q JOIN emb c ON q.j = c.j
+        |      WHERE q.doc_id < 3 AND c.doc_id <> q.doc_id
+        |      GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, dist,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM d)
+        |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
 
     // q66: q123's md5-hyperplane RP-LSH at the DEEP code shape — 24
     // hyperplanes in 6 bands of 4 (same 4-bit band keys)

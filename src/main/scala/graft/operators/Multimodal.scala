@@ -199,6 +199,26 @@ object Multimodal {
     * hash-projection stand-in for a vision/audio encoder). Output feeds the
     * Similarity/Dedup ANN operators unchanged — the multimodal→embedding
     * bridge of a training-data pipeline. */
+  /** STUB FEATURE-EXTRACT, integer-exact flavor: same hash-projection
+    * shape as [[embed]] but accumulating INTEGER votes (v(j) += b − 127,
+    * j = (b·31 + i) mod dim). Every downstream distance is then exact
+    * long arithmetic, so the whole media→embedding→ANN bridge is
+    * SQL-oracle-verifiable end-to-end (q76); [[embed]] stays the float
+    * production shape. */
+  def embedQuantized(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val v = new Array[Long](dim)
+      var i = 0
+      while (i < r.payload.length) {
+        val b = r.payload(i) & 0xff
+        v((b * 31 + i) % dim) += b - 127
+        i += 1
+      }
+      (r.doc_id, v.toSeq)
+    }.toDF("doc_id", "embedding")
+  }
+
   def embed(media: Dataset[MediaRow], dim: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.map { r =>

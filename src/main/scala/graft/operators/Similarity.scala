@@ -46,6 +46,32 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Exact top-k by INTEGER squared-L2 distance over long-array vectors —
+    * the oracle-exact twin of [[bruteForceKnn]] for quantized embeddings
+    * (e.g. [[graft.operators.Multimodal.embedQuantized]]): every distance
+    * is exact long arithmetic, ties break on neighbor id, so the result
+    * replays verbatim in SQL. Same broadcast-queries × streamed-corpus
+    * shape. Output: (query_id, rank, neighbor_id, dist). */
+  def bruteForceKnnL2Long(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Mini k-means for IVF centroids: init = the `k` vectors with smallest
     * ids, then `iters` Lloyd rounds (assign by cosine, mean per bucket).
     * Each round is ONE narrow treeAggregate pass — assignment and
@@ -155,46 +181,49 @@ object Similarity {
     * queries probe `nprobe` buckets, exact cosine via codegen kernels.
     * Output: (query_id, rank, neighbor_id, cosine) — approximate recall,
     * exact-deterministic contents. */
-  def ivfKnnPortable(
-      corpus: DataFrame,
-      queries: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      nlist: Int = 8,
-      nprobe: Int = 2,
-      rounds: Int = 2): DataFrame = {
-    import corpus.sparkSession.implicits._
+  /** Shared fixed-point prep for the portable ANN family: drop null /
+    * wrong-dimension vectors (the kernels index q(d) for d < dim — a
+    * malformed row must not abort the job), quantize to floor(v·2^10)
+    * longs, materialize (training reads it rounds+2 times). */
+  private def quantizedBase(
+      corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Int) = {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    // null / wrong-dimension vectors are DROPPED (the kernels index q(d)
-    // for d < centroid dim — a malformed row must not abort the job)
     val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
-    // read rounds+2 times (training passes + final bucketing) — materialize
     val qdf = corpus
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("id"),
         quant(col(vecCol)).as("q"), col(vecCol).as("v"))
       .localCheckpoint(true)
+    (qdf, dims)
+  }
+
+  /** Exact-integer argmin-L2 over full-width centroids (tie → lower id). */
+  private def assignIdxInt(q: Seq[Long], cs: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var s = 0L
+      var d = 0
+      while (d < cv.length) { val x = q(d) - cv(d); s += x * x; d += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Integer Lloyd training shared by the portable IVF entries: init = the
+    * `nlist` smallest-id quantized vectors; each round is ONE narrow
+    * treeAggregate pass — per-partition (cluster × dim) integer sums merged
+    * on the driver (nlist×dim longs, model-sized), floor-mean updates,
+    * empty clusters keep their centroid. No explode, no shuffle; exact
+    * long sums keep it order-free. */
+  private def lloydInt(qdf: DataFrame, nlist: Int, rounds: Int): Array[Array[Long]] = {
+    import qdf.sparkSession.implicits._
     var cents: Array[Array[Long]] = qdf.select(col("id"), col("q")).orderBy(col("id"))
       .limit(nlist).as[(Long, Seq[Long])].collect().map(_._2.toArray)
     require(cents.length == nlist, s"corpus smaller than nlist=$nlist")
-    def assignIdx(q: Seq[Long], cs: Array[Array[Long]]): Int = {
-      var best = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        var s = 0L
-        var d = 0
-        while (d < cv.length) { val x = q(d) - cv(d); s += x * x; d += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
-    // each Lloyd round is ONE narrow pass: per-partition (cluster × dim)
-    // integer sums merged on the driver (nlist×dim longs — model-sized).
-    // No explode, no shuffle; exact long sums keep it order-free.
     val dimLen = cents(0).length
     val qRdd = qdf.select(col("q")).as[Seq[Long]].rdd
     for (_ <- 0 until rounds) {
@@ -202,7 +231,7 @@ object Similarity {
       val (sums, counts) = qRdd.treeAggregate(
         (Array.fill(nlist)(new Array[Long](dimLen)), new Array[Long](nlist)))(
         seqOp = { case ((s, n), q) =>
-          val c = assignIdx(q, cs)
+          val c = assignIdxInt(q, cs)
           var d = 0
           while (d < dimLen) { s(c)(d) += q(d); d += 1 }
           n(c) += 1
@@ -223,17 +252,35 @@ object Similarity {
         else Array.tabulate(dimLen)(d => math.floor(sums(c)(d).toDouble / counts(c)).toLong)
       }
     }
-    val csF = cents
-    val assignF = udf { (q: Seq[Long]) => assignIdx(q, csF) }
-    val probeF = udf { (q: Seq[Long]) =>
-      csF.indices.map { c =>
-        val cv = csF(c)
+    cents
+  }
+
+  /** Top-`nprobe` nearest centroids by exact integer L2 (tie → lower id). */
+  private def probeUdf(cents: Array[Array[Long]], nprobe: Int) =
+    udf { (q: Seq[Long]) =>
+      cents.indices.map { c =>
+        val cv = cents(c)
         var s = 0L
         var d = 0
         while (d < cv.length) { val x = q(d) - cv(d); s += x * x; d += 1 }
         (s, c)
       }.sorted.take(nprobe).map(_._2).toArray
     }
+
+  def ivfKnnPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      rounds: Int = 2): DataFrame = {
+    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
+    val csF = lloydInt(qdf, nlist, rounds)
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, csF) }
+    val probeF = probeUdf(csF, nprobe)
     val bucketed = qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
       assignF(col("q")).as("c"))
     val probes = queries
@@ -264,46 +311,38 @@ object Similarity {
     * stays the production path, rows-only-checkable. Training is `rounds`
     * narrow treeAggregate passes (m×k×subDim longs to the driver).
     * Output: (query_id, rank, neighbor_id, dist). */
-  def pqKnnPortable(
-      corpus: DataFrame,
-      queries: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      m: Int = 8,
-      codes: Int = 16,
-      rounds: Int = 2): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
-    require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
-    val sub = dims / m
-    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    // null / wrong-dimension vectors dropped — codeOf/adc index q(j*sub+d)
-    val qdf = corpus
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("id"),
-        quant(col(vecCol)).as("q"))
-      .localCheckpoint(true)
-    // codebook[j][c] = sub-slice j of the c-th smallest-id quantized vector
-    val init = qdf.orderBy(col("id")).limit(codes).as[(Long, Seq[Long])]
-      .collect().map(_._2.toArray)
+  /** Exact-integer argmin-L2 over subspace `j`'s codebook (tie → lower
+    * code). */
+  private def codeOfInt(
+      q: Seq[Long], j: Int, sub: Int, bks: Array[Array[Array[Long]]]): Int = {
+    val codes = bks(j).length
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < codes) {
+      val cv = bks(j)(c)
+      var s = 0L
+      var d = 0
+      while (d < sub) { val x = q(j * sub + d) - cv(d); s += x * x; d += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Fixed-point PQ codebook training shared by the portable PQ entries:
+    * codebook[j][c] initializes to sub-slice j of the c-th smallest-id
+    * quantized vector; each round is one treeAggregate pass (m×codes×sub
+    * longs to the driver), floor-mean updates, empty codes keep their
+    * vector. */
+  private def pqBooksInt(
+      qdf: DataFrame, m: Int, codes: Int, sub: Int, rounds: Int): Array[Array[Array[Long]]] = {
+    import qdf.sparkSession.implicits._
+    val init = qdf.select(col("id"), col("q")).orderBy(col("id")).limit(codes)
+      .as[(Long, Seq[Long])].collect().map(_._2.toArray)
     require(init.length == codes, s"corpus smaller than codes=$codes")
     var books: Array[Array[Array[Long]]] =
       Array.tabulate(m, codes)((j, c) => init(c).slice(j * sub, (j + 1) * sub))
-    def codeOf(q: Seq[Long], j: Int, bks: Array[Array[Array[Long]]]): Int = {
-      var best = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < codes) {
-        val cv = bks(j)(c)
-        var s = 0L
-        var d = 0
-        while (d < sub) { val x = q(j * sub + d) - cv(d); s += x * x; d += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
     val qRdd = qdf.select(col("q")).as[Seq[Long]].rdd
     for (_ <- 0 until rounds) {
       val bks = books
@@ -312,7 +351,7 @@ object Similarity {
         seqOp = { case ((s, n), q) =>
           var j = 0
           while (j < m) {
-            val c = codeOf(q, j, bks)
+            val c = codeOfInt(q, j, sub, bks)
             var d = 0
             while (d < sub) { s(j)(c)(d) += q(j * sub + d); d += 1 }
             n(j)(c) += 1
@@ -339,28 +378,98 @@ object Similarity {
         else Array.tabulate(sub)(d => math.floor(sums(j)(c)(d).toDouble / counts(j)(c)).toLong)
       }
     }
-    val bksF = books
-    val encodeF = udf { (q: Seq[Long]) =>
-      Array.tabulate(m)(j => codeOf(q, j, bksF).toLong)
-    }
-    val encoded = qdf.select(col("id").as("neighbor_id"), encodeF(col("q")).as("cd"))
-    val adc = udf { (qq: Seq[Long], cd: Seq[Long]) =>
+    books
+  }
+
+  /** Exact integer ADC distance Σⱼ‖q_j − codebook[j][code_j]‖². */
+  private def adcUdf(bks: Array[Array[Array[Long]]], m: Int, sub: Int) =
+    udf { (qq: Seq[Long], cd: Seq[Long]) =>
       var s = 0L
       var j = 0
       while (j < m) {
-        val cv = bksF(j)(cd(j).toInt)
+        val cv = bks(j)(cd(j).toInt)
         var d = 0
         while (d < sub) { val x = qq(j * sub + d) - cv(d); s += x * x; d += 1 }
         j += 1
       }
       s
     }
+
+  def pqKnnPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codes: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
+    val bksF = pqBooksInt(qdf, m, codes, sub, rounds)
+    val encodeF = udf { (q: Seq[Long]) =>
+      Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
+    }
+    val encoded = qdf.select(col("id").as("neighbor_id"), encodeF(col("q")).as("cd"))
+    val adc = adcUdf(bksF, m, sub)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
       .crossJoin(encoded)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", adc(col("qq"), col("cd")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** SQL-PORTABLE IVF+PQ — the composed FAISS-style production index
+    * ([[ivfPqKnn]]) in the fixed-point treatment: integer-Lloyd coarse
+    * routing ([[lloydInt]]) narrows candidates to `nprobe` buckets, exact
+    * integer ADC over PQ codes ([[pqBooksInt]], trained on the raw
+    * quantized vectors) ranks them (ties → lower neighbor id). Every step
+    * replays verbatim in SQL, so the whole composed index is
+    * hash-verifiable; the float ivfPqKnn keeps its spec coverage.
+    * Output: (query_id, rank, neighbor_id, dist). */
+  def ivfPqKnnPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      codes: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
+    val cents = lloydInt(qdf, nlist, rounds)
+    val bksF = pqBooksInt(qdf, m, codes, sub, rounds)
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
+    val probeF = probeUdf(cents, nprobe)
+    val encodeF = udf { (q: Seq[Long]) =>
+      Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
+    }
+    val adc = adcUdf(bksF, m, sub)
+    // corpus side: ONE pass assigns the coarse bucket and the PQ code row;
+    // candidates materialize as an equi-join on bucket id — ids and codes
+    // (m bytes-worth) shuffle, never raw vectors
+    val encoded = qdf.select(col("id").as("neighbor_id"),
+      assignF(col("q")).as("c"), encodeF(col("q")).as("cd"))
+    val probes = queries
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
+      .select(col("query_id"), col("qq"), explode(probeF(col("qq"))).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    probes.join(encoded, Seq("c"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("dist", adc(col("qq"), col("cd")))
       .withColumn("rank", row_number().over(w).cast("long"))
