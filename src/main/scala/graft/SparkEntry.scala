@@ -2811,6 +2811,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- §2.1 Frame.ofColumns BULK construction (reference
+    //      src/Frame.fs:745-813): three independently-keyed series (F-day
+    //      totals, O-day totals, all-day averages — different key
+    //      coverage) assemble into one frame in ONE union+pivot shuffle,
+    //      row index = key union, absent keys missing ----
+    "q248_from_series" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def daySeries(f: DataFrame => DataFrame): KSeries =
+        KSeries(f(o).toDF("k", "v"), ordered = true)
+      val fTot = daySeries(_.where(col("o_orderstatus") === "F")
+        .groupBy(to_date(col("o_orderdate"))).agg(round(sum(col("o_totalprice")), 4)))
+      val oTot = daySeries(_.where(col("o_orderstatus") === "O")
+        .groupBy(to_date(col("o_orderdate"))).agg(round(sum(col("o_totalprice")), 4)))
+      val avgAll = daySeries(_.groupBy(to_date(col("o_orderdate")))
+        .agg(round(avg(col("o_totalprice")), 6)))
+      KFrame.fromSeries(Seq(("f_total", fTot), ("o_total", oTot), ("avg_all", avgAll))).df
+    }),
+
     // ---- §2.3 endpoint accessors as named API (reference
     //      src/SeriesModule.fs:199-202): firstKey/lastKey/firstValue/
     //      lastValue/KeyRange in ONE partial-aggregable min/max +
@@ -6050,6 +6068,17 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q248_from_series" ->
+      """WITH a AS (SELECT CAST(o_orderdate AS DATE) AS k, round(sum(o_totalprice), 4) AS f_total
+        |           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |b AS (SELECT CAST(o_orderdate AS DATE) AS k, round(sum(o_totalprice), 4) AS o_total
+        |      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |c AS (SELECT CAST(o_orderdate AS DATE) AS k, round(avg(o_totalprice), 6) AS avg_all
+        |      FROM orders GROUP BY 1)
+        |SELECT coalesce(a.k, b.k, c.k) AS k, a.f_total, b.o_total, c.avg_all
+        |FROM a FULL JOIN b ON a.k = b.k
+        |       FULL JOIN c ON coalesce(a.k, b.k) = c.k""".stripMargin,
 
     "q247_first_last" ->
       (dailySql +

@@ -335,6 +335,45 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
 }
 
 object KFrame {
+
+  /** Frame.ofColumns / FromColumns / fromRows BULK construction (reference
+    * src/Frame.fs:745-813): build a frame from N independent keyed series
+    * in ONE call — row index = the UNION of every series' keys (outer-join
+    * semantics), one column per series, absent keys missing.
+    *
+    * Spark-first shape: the reference folds N sequential outer joins, each
+    * materializing an intermediate frame (src/Frame.fs:810-813). Here,
+    * same-typed series union into ONE tall (key, col, value) set and pivot
+    * back with explicit column values — a single shuffle regardless of N.
+    * Heterogeneously-typed series fall back to the join fold (the only
+    * shape that preserves per-column types); Catalyst still collapses the
+    * chain into one stage-pipeline per join level.
+    *
+    * Keys are expected unique within each series (a frame row index is a
+    * set — reference LinearIndex invariant); duplicate keys keep an
+    * arbitrary first value on the pivot path. */
+  def fromSeries(columns: Seq[(String, KSeries)], keyName: String = "k"): KFrame = {
+    require(columns.nonEmpty, "fromSeries needs at least one (name, series)")
+    require(columns.map(_._1).distinct.size == columns.size,
+      "fromSeries column names must be unique")
+    val types = columns.map { case (_, s) => s.df.schema(s.valueCol).dataType }
+    if (types.distinct.size == 1) {
+      val tall = columns.map { case (n, s) =>
+        s.df.select(s.k.as(keyName), lit(n).as("__col"), s.v.as("__val"))
+      }.reduce(_ unionByName _)
+      KFrame(
+        tall.groupBy(col(keyName))
+          .pivot("__col", columns.map(_._1))
+          .agg(first(col("__val"), ignoreNulls = true)),
+        Seq(keyName))
+    } else {
+      KFrame(
+        columns.map { case (n, s) => s.df.select(s.k.as(keyName), s.v.as(n)) }
+          .reduce((a, b) => a.join(b, Seq(keyName), "full_outer")),
+        Seq(keyName))
+    }
+  }
+
   /** Reversed scalar operand order — the reference's `2.0 - df` / `2.0 / df`
     * overloads (test tests/.../Frame.fs:62-80). */
   implicit final class ScalarFrameOps(private val s: Double) extends AnyVal {

@@ -107,6 +107,25 @@ class ExtendedOpsSpec extends SparkSpecBase {
     assert(lead.firstLast.collect()(0).getLong(0) === 1L)
   }
 
+  test("KFrame.fromSeries: key union, missing where absent, one pivot shuffle for same-typed series (reference Frame.fs:745-813)") {
+    val a = s((1L, 10.0), (2L, 20.0))
+    val b = s((2L, 200.0), (3L, 300.0))
+    val f = KFrame.fromSeries(Seq(("a", a), ("b", b)))
+    val rows = f.df.collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(rows === Array(
+      (1L, Some(10.0), None), (2L, Some(20.0), Some(200.0)), (3L, None, Some(300.0))))
+    // heterogeneous value types take the type-preserving join fold
+    val c = KSeries(Seq((1L, "x"), (4L, "y")).toDF("k", "v"), ordered = true)
+    val g = KFrame.fromSeries(Seq(("a", a), ("c", c)))
+    assert(g.df.schema("a").dataType.typeName === "double")
+    assert(g.df.schema("c").dataType.typeName === "string")
+    assert(g.df.count() === 3) // keys 1, 2, 4
+    val ex = intercept[IllegalArgumentException](
+      KFrame.fromSeries(Seq(("a", a), ("a", b))))
+    assert(ex.getMessage.contains("unique"))
+  }
+
   test("orderCols sorts the column axis, key columns stay leftmost (reference FrameModule.fs:314-331)") {
     val df = Seq((1L, 2.0, 1.0, 3.0)).toDF("id", "b", "a", "c")
     val kf = KFrame(df, Seq("id"))
