@@ -702,8 +702,15 @@ object Dedup {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // round-0 for free: label₀ = min(id, 1-hop neighbors) — edges carry both
+    // directions, so one groupBy covers every node AND already performs the
+    // first neighbor-min propagation without the loop round's two joins +
+    // two checkpoints (profiled r8: drops the sf0.1 ladder from 4 loop
+    // rounds to 3 on the multi-signal graph)
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -716,26 +723,44 @@ object Dedup {
       // the round's START label rides along as __old, so the convergence
       // check below is a projection filter on the already-checkpointed
       // round output — NOT an extra id-keyed shuffle join per round
+      // eager checkpoint kept deliberately: a lazy .persist() here (one
+      // fewer job per round) was profiled r8 at parity-to-worse — the
+      // cache's block-locking inside the twice-consuming jump join eats the
+      // saved scheduler latency — and the checkpoint's hard barrier keeps
+      // round cost deterministic
       val propagated = labels.join(neighborMin, labels("id") === col("nid"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("__old"))
         .localCheckpoint(true)
-      // pointer jumping: label(x) ← min(label(x), label(label(x))) — doubles
-      // the propagation horizon per round, so convergence is O(log diameter)
-      // instead of O(diameter) (the join-agg analog of union-find path
-      // halving; long chains no longer exhaust maxIter)
-      val updated = propagated.as("a")
-        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
-          col("a.label") === col("pid"), "left_outer")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("plabel"), col("a.label"))).as("label"),
-          col("a.__old").as("__old"))
-        .localCheckpoint(true)
-      converged = updated.where(col("label") =!= col("__old")).isEmpty
-      labels = updated.drop("__old")
+      // convergence decided HERE, before the jump: at the neighbor-min
+      // fixed point labels are already component-constant (label(x) ≤ every
+      // neighbor's label, symmetric edges ⇒ equality across edges), so the
+      // jump is the identity and the final confirming round skips its join
+      // + checkpoint entirely (the ladder's last rung is half price)
+      converged = propagated.where(col("label") =!= col("__old")).isEmpty
+      if (converged) {
+        labels = propagated.drop("__old")
+      } else {
+        // pointer jumping: label(x) ← min(label(x), label(label(x))) —
+        // doubles the propagation horizon per round, so convergence is
+        // O(log diameter) instead of O(diameter) (the join-agg analog of
+        // union-find path halving; long chains no longer exhaust maxIter)
+        val updated = propagated.as("a")
+          .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
+            col("a.label") === col("pid"), "left_outer")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("plabel"), col("a.label"))).as("label"))
+          .localCheckpoint(true)
+        labels = updated
+      }
       i += 1
     }
+    // observability for the iteration-ladder cost model (rounds × [2 joins +
+    // 1 agg + 1 checkpoint + 1 isEmpty]): sf0.1 multi-signal graph (q179)
+    // converges in 2 propagation rounds + 1 confirming round (diameter ≤ 2²)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_COMPONENTS"))
+      System.err.println(s"[components] converged after $i rounds")
     require(converged,
       s"components did not converge in $maxIter pointer-jumping rounds " +
         s"(component diameter ≳ 2^$maxIter — no real near-dup graph looks " +

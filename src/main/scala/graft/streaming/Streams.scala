@@ -26,12 +26,33 @@ object Streams {
     * caller's session-global conf would race any concurrent query on it.
     * The child (shared SparkContext, own SQLConf) inherits the caller's
     * runtime conf (ANSI, nanosAsLong, …) minus the shuffle width. */
-  private def isolatedStreamSession(spark: SparkSession): SparkSession = {
+  private[graft] def isolatedStreamSession(spark: SparkSession): SparkSession = {
     val stream = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     stream.conf.set("spark.sql.shuffle.partitions", "8")
+    // At 100 TB the stateful queries (dedup-by-id, funnel state machines,
+    // session windows) hold per-key state for every live key in the
+    // watermark horizon — on the default HDFS-backed in-memory provider
+    // that state lives on-heap and OOMs executors long before the data
+    // does. `spark.graft.streaming.stateStore=rocksdb` routes state to the
+    // embedded RocksDB provider (off-heap, spills to local SSD, incremental
+    // checkpoints to the checkpoint location) with NO query change — the
+    // plan, results, and watermark semantics are identical (asserted in
+    // RocksDbStateSpec). Default stays in-memory: for the local
+    // verification streams state is tiny and RocksDB's per-batch
+    // open/commit overhead would only slow the suite.
+    if (spark.conf.getOption("spark.graft.streaming.stateStore")
+          .exists(_.equalsIgnoreCase("rocksdb"))) {
+      stream.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing ships per-batch deltas instead of full
+      // SST uploads — the production default for large state
+      stream.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     stream
   }
 
