@@ -166,7 +166,10 @@ object Text {
       textCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    // Par.widen: tokenize+explode+partial-agg is CPU-bound and otherwise
+    // inherits a narrow scan's 1-2 tasks (single small parquet file)
+    val d = Par.widen(docs.select(col(idCol), col(textCol)))
+    val tf = d
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
@@ -176,7 +179,7 @@ object Text {
     // rather than OOM the driver on a pathological vocabulary.
     val dfreqSide = gatedBroadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df")).localCheckpoint(true))
-    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val nDocs = d.agg(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(dfreqSide, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
@@ -204,7 +207,8 @@ object Text {
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+    val tok = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
     val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
     val total = tok.agg(count(lit(1)).as("n_total"))
     tok.join(counts, "t")
@@ -272,11 +276,12 @@ object Text {
       textCol: String,
       minCount: Long,
       topK: Int): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(explode(tokens(col(textCol))).as("t"))
+    val d = Par.widen(docs.select(col(textCol)))
+    val toks = d.select(explode(tokens(col(textCol))).as("t"))
     val uni = gatedBroadcast(
       toks.groupBy(col("t")).agg(count(lit(1)).as("c1")).localCheckpoint(true))
     val n1 = toks.agg(count(lit(1)).as("n1"))
-    val biAll = docs.select(explode(shingles(col(textCol), 2)).as("bg"))
+    val biAll = d.select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
       .localCheckpoint(true) // the total and the thresholded set share it
     val n2 = biAll.agg(sum(col("c2")).as("n2"))
@@ -318,7 +323,8 @@ object Text {
       iters: Int = 2,
       topK: Int = 20): org.apache.spark.sql.DataFrame = {
     require(iters >= 1 && topK >= 1, s"need iters/topK >= 1, got $iters/$topK")
-    val bi = docs.select(explode(shingles(col(textCol), 2)).as("bg"))
+    val bi = Par.widen(docs.select(col(textCol)))
+      .select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("w"))
       .withColumn("u", split(col("bg"), " ").getItem(0))
       .withColumn("v", split(col("bg"), " ").getItem(1))
@@ -380,14 +386,15 @@ object Text {
       textCol: String,
       classCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnt = train
+    val trainW = Par.widen(train.select(col(idCol), col(textCol), col(classCol)))
+    val cnt = trainW
       .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("t"))
       .groupBy(col("cls"), col("t")).agg(count(lit(1)).as("ct"))
       .localCheckpoint(true) // tot_c, vocab AND the model derive from it
     val tot = cnt.groupBy(col("cls")).agg(sum(col("ct")).as("tot_c"))
     val vocab = cnt.agg(countDistinct(col("t")).as("v"))
-    val nTrain = train.agg(countDistinct(col(idCol)).as("n_train"))
-    val nCls = train.groupBy(col(classCol).as("cls"))
+    val nTrain = trainW.agg(countDistinct(col(idCol)).as("n_train"))
+    val nCls = trainW.groupBy(col(classCol).as("cls"))
       .agg(countDistinct(col(idCol)).as("n_docs_c"))
     val classStats = nCls.join(tot, "cls")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTrain))
@@ -510,7 +517,7 @@ object Text {
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): TermStats = {
-    val tf = docs
+    val tf = Par.widen(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)

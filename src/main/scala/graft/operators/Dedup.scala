@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Text, Vectors}
+import graft.functions.{Par, Text, Vectors}
 
 /** Document deduplication at corpus scale — exact, MinHash-LSH, SimHash and
   * n-gram-Jaccard variants. All plans are shuffle-frugal:
@@ -208,9 +208,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      Vectors.shinglesFast(shingleN)(col(textCol)).as("sh"))
+    // Par.widen: the shingle+minhash kernel is the CPU hot spot — a narrow
+    // scan (one small parquet file) would otherwise run it on 1-2 cores
+    val withSig = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("sh"))
       .where(size(col("sh")) > 0)
       // one compiled kernel call per row: signature + banding together
       .withColumn("bands", Vectors.minhashBandKeysFast(numHashes, bands)(col("sh")))
@@ -291,8 +292,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
-      Vectors.parseHex64(Vectors.simhashMd5Hex(Text.tokens(col(textCol)))).as("fp"))
+    val fp = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        Vectors.parseHex64(Vectors.simhashMd5Hex(Text.tokens(col("__t")))).as("fp"))
     val keyed = fp.select(col("id"), col("fp"),
       explode(Vectors.simhashBlockKeys(maxHamming + 3, 3)(col("fp"))).as("k"))
       .localCheckpoint(true) // same recompute rationale as [[simhash]]
@@ -337,8 +339,8 @@ object Dedup {
     // base feeds BOTH the banding and both sides of the verify join, and bk
     // feeds both sides of the bucket self-join — without materialization the
     // shingling + md5 kernel lineage re-executes once per consumer
-    val base = docs
-      .select(col(idCol).as("id"), Vectors.shinglesFast(shingleN)(col(textCol)).as("shs"))
+    val base = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
       .where(size(col("shs")) > 0)
       .localCheckpoint(true)
     // one compiled kernel call per doc computes the md5 signature AND the
@@ -384,8 +386,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    def prep(df: DataFrame) = df
-      .select(col(idCol).as("id"), Vectors.shinglesFast(shingleN)(col(textCol)).as("shs"))
+    def prep(df: DataFrame) = Par.widen(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
       .where(size(col("shs")) > 0)
       .localCheckpoint(true)
     def bucketsOf(base: DataFrame) = base
@@ -420,8 +422,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
-      Vectors.simhash(Text.tokens(col(textCol))).as("fp"))
+    val fp = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.simhash(Text.tokens(col("__t"))).as("fp"))
     val keyed = fp.select(col("id"), col("fp"),
       explode(Vectors.simhashBlockKeys(maxHamming + 3, 3)(col("fp"))).as("k"))
       // localCheckpoint: both sides of the candidate self-join read this —
