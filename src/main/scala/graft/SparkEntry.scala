@@ -2823,6 +2823,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- streaming at 100 TB state: the q78 arbitrary-state aggregation
+    //      with per-key state in ROCKSDB (off-heap, changelog-checkpointed)
+    //      instead of the on-heap provider — same watermark semantics, same
+    //      rows, so the scale configuration is oracle-checked every round,
+    //      not just spec'd ----
+    "q249_stream_rocksdb" -> ((s, dir) => {
+      Streams.statefulUserTotalsRocksDb(s, dir)
+    }),
+
     // ---- §2.1 Frame.ofColumns BULK construction (reference
     //      src/Frame.fs:745-813): three independently-keyed series (F-day
     //      totals, O-day totals, all-day averages — different key
@@ -6080,6 +6089,10 @@ object SparkEntry {
         |FROM b
         |GROUP BY GROUPING SETS ((day), (event_type, day), (wk), ())
         |ORDER BY gid, event_type, day, wk""".stripMargin,
+
+    "q249_stream_rocksdb" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q248_from_series" ->
       """WITH a AS (SELECT CAST(o_orderdate AS DATE) AS k, round(sum(o_totalprice), 4) AS f_total

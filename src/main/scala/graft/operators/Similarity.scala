@@ -189,10 +189,13 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Int) = {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
-    val qdf = corpus
-      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("id"),
-        quant(col(vecCol)).as("q"), col(vecCol).as("v"))
+    // Par.widen: the quantize kernel AND every downstream Lloyd
+    // treeAggregate inherit this DataFrame's partitioning — a narrow
+    // single-file scan would run the whole training single-core
+    val qdf = graft.functions.Par.widen(corpus
+        .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+      .select(col("id"), quant(col("v")).as("q"), col("v"))
       .localCheckpoint(true)
     (qdf, dims)
   }

@@ -432,6 +432,21 @@ object Streams {
         round(max_by(col("sum_value"), col("n_events")), 4).as("sum_value"))
   }
 
+  /** [[statefulUserTotals]] with per-key state routed to the RocksDB state
+    * store (the 100 TB configuration — off-heap state, changelog
+    * checkpoints; see [[isolatedStreamSession]]). Results are by
+    * construction identical to the in-memory provider's; running it as its
+    * own oracle-checked query keeps the production state path continuously
+    * verified, not just spec'd. */
+  def statefulUserTotalsRocksDb(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try tagged.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    tagged.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    statefulUserTotals(tagged, dir)
+  }
+
   /** STREAMING funnel — the ordered k-step funnel of
     * [[graft.operators.Events.funnel]] as a per-entity state machine:
     * `mapGroupsWithState` holds (stage, last-step-µs) per entity — O(1)
