@@ -2823,6 +2823,48 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- dedup at 100 TB, the AMORTIZED form: the corpus's minhash band
+    //      buckets and shingle sets are PUBLISHED ONCE as bucketed tables
+    //      (co-located by bucket key / doc id), and the incoming batch
+    //      hashes only itself and probes the stored index — no corpus-side
+    //      reshuffle per batch. Same md5-portable family as q113/q147, so
+    //      the persisted layout itself is oracle-certified ----
+    "q250_lsh_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = s"graft_lsh_idx_${math.abs(dir.hashCode).toString.take(6)}"
+      Dedup.publishLshIndex(docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl)
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
+    }),
+
+    // ---- dedup-apply, the INCREMENTAL form: yesterday's cluster labels
+    //      enter as star edges and only the new batch's pairs (batch-self
+    //      LSH + batch×corpus delta) propagate — convergence bounded by the
+    //      NEW edges' diameter, not the historical graph's. The oracle
+    //      recomputes components over the FULL pair graph, certifying that
+    //      warm-start and full recompute reach the same fixed point ----
+    "q251_incremental_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // banding is per-doc deterministic, so hashing the corpus ONCE and
+      // splitting the pair set by id group yields exactly (old-self pairs,
+      // new-batch pairs) — the pair sets a production system gets from its
+      // stored index (q250) + the batch's own hashes, without re-shingling
+      // either side per phase
+      val pairsAll = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val oldPairs = pairsAll
+        .where(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
+      val newPairs = pairsAll
+        .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      val labels0 = Dedup.components(oldPairs)
+      val labels = Dedup.componentsIncremental(labels0, newPairs)
+      val drop = labels.where(col("id") =!= col("cluster"))
+        .select(col("id").cast("long").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"), sum(col("n_chars")).as("chars_after"))
+    }),
+
     // ---- streaming at 100 TB state: the q78 arbitrary-state aggregation
     //      with per-key state in ROCKSDB (off-heap, changelog-checkpointed)
     //      instead of the on-heap provider — same watermark semantics, same
@@ -6093,6 +6135,66 @@ object SparkEntry {
     "q249_stream_rocksdb" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q250: the stored-index probe equals the direct delta computation —
+    // the oracle recomputes both sides' band buckets from raw text
+    "q250_lsh_index_probe" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS incoming_id, b.doc_id AS corpus_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 != 0),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl)
+        |SELECT c.incoming_id, c.corpus_id,
+        |round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        |FROM cand c JOIN sets a ON c.incoming_id = a.doc_id JOIN sets b ON c.corpus_id = b.doc_id
+        |WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""".stripMargin,
+
+    // q251: warm-start == full recompute — the oracle walks the COMPLETE
+    // pair graph (old-self ∪ new-self ∪ cross = all full-corpus pairs,
+    // since banding is per-doc deterministic)
+    "q251_incremental_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |dropped AS (SELECT id FROM comp WHERE cluster <> id)
+        |SELECT d.lang, count(*) AS n_after, CAST(sum(d.n_chars) AS BIGINT) AS chars_after
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY d.lang""".stripMargin,
 
     "q248_from_series" ->
       """WITH a AS (SELECT CAST(o_orderdate AS DATE) AS k, round(sum(o_totalprice), 4) AS f_total

@@ -409,6 +409,112 @@ object Dedup {
       .select(col("incoming_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** PUBLISH a portable minhash-LSH index for a corpus as two BUCKETED
+    * tables — the amortize-once layout for ingest-time near-dup at 100 TB:
+    * the corpus is shingled and banded EXACTLY ONCE, then every incoming
+    * batch hashes only itself and probes the stored tables.
+    *
+    *   - `<table>_buckets` (band, bk, id), bucketed+sorted by `bk`: the
+    *     candidate join key — a probe batch's (band, bk) join hits
+    *     co-located corpus buckets with no corpus-side shuffle.
+    *   - `<table>_docs` (id, shs), bucketed by `id`: the shingle sets the
+    *     exact-Jaccard verify joins back by id.
+    *
+    * Hash family is [[minhashLshPortable]]'s md5 form, so the ENTIRE
+    * stored-index pipeline (publish + probe) stays SQL-replayable and the
+    * differential oracle certifies the persisted layout too. */
+  def publishLshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      buckets: Int = 8): Unit = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val base = Par.widen(corpus.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
+      .where(size(col("shs")) > 0)
+      .localCheckpoint(true) // bucket table + doc table derive from one pass
+    val bk = base
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("pos").as("band"), col("col").as("bk"), col("id"))
+    graft.sources.Bucketing.saveBucketed(bk, s"${table}_buckets", "bk", buckets)
+    graft.sources.Bucketing.saveBucketed(
+      base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets)
+  }
+
+  /** PROBE a [[publishLshIndex]] index with an incoming batch: hash the
+    * batch (only the batch — the corpus work is amortized in the index),
+    * join the stored buckets on (band, bk), verify candidates by exact
+    * Jaccard against the stored shingle sets. Identical output to
+    * [[minhashLshDelta]] over (corpus, incoming) — the delta op and the
+    * stored-index op are two physical forms of the same semantics.
+    * Returns (incoming_id, corpus_id, jaccard >= threshold). */
+  def probeLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val iBase = Par.widen(incoming.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
+      .where(size(col("shs")) > 0)
+      .localCheckpoint(true)
+    val iBk = iBase
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id").as("incoming_id"), col("pos").as("band"), col("col").as("bk"))
+    val cand = iBk
+      .join(spark.table(s"${table}_buckets").withColumnRenamed("id", "corpus_id"),
+        Seq("band", "bk"))
+      .select(col("incoming_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(iBase.select(col("id").as("incoming_id"), col("shs").as("tok_i")), Seq("incoming_id"))
+      .join(spark.table(s"${table}_docs")
+        .select(col("id").as("corpus_id"), col("shs").as("tok_c")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("tok_i"), col("tok_c"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("tok_i")) + size(col("tok_c")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** WARM-START connected components for a GROWING pair graph — the
+    * incremental companion of [[components]] for ingest-time dedup-apply:
+    * instead of re-propagating over every historical edge, the previous
+    * round's labels enter as star edges (id → cluster), which preserve the
+    * old graph's connectivity in depth ≤ 2, and only the NEW pairs add
+    * structure. Convergence is then bounded by the new edges' diameter
+    * (typically 1-2 rounds), not the full graph's — rounds × |labels ∪
+    * newPairs| work instead of rounds × |all pairs ever|.
+    *
+    * Reaches the SAME fixed point as `components(oldPairs ∪ newPairs)`
+    * (star edges are connectivity-preserving contractions), which is
+    * exactly what the differential oracle recomputes. Output: (id, cluster)
+    * for every id in `prevLabels` or `newPairs`. */
+  def componentsIncremental(
+      prevLabels: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val starEdges = prevLabels.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idA), col("cluster").as(idB))
+    // old singletons have no star edge and would drop out of the edge-only
+    // propagation — reattach them (cluster = own id) after the fact
+    val out = components(starEdges.unionAll(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIter)
+    val singletons = prevLabels.select(col("id"), col("cluster"))
+      .join(out.select(col("id")), Seq("id"), "left_anti")
+    out.unionByName(singletons)
+  }
+
   /** SimHash near-dup pairs: fingerprint every doc, generate candidates by
     * exact-match on pigeonhole block-combination keys (Manku-Jain-Sarma
     * WWW'07: `maxHamming + 3` blocks, every 3-block subset as a key — a pair

@@ -1025,4 +1025,41 @@ class PipelineSpec extends SparkSpecBase {
     assert(salted === plain)
     assert(salted.size === 3)
   }
+
+  test("componentsIncremental: warm-start reaches the full-recompute fixed point") {
+    // old graph: chain 1-2-3, pair (10,11), singleton via labels (20);
+    // new edges merge 3-10 (bridges the two old components) and add 30-31
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels0 = Dedup.components(oldPairs)
+      .unionByName(Seq((20L, 20L)).toDF("id", "cluster"))
+    val newPairs = Seq((3L, 10L), (30L, 31L)).toDF("id_a", "id_b")
+    val inc = Dedup.componentsIncremental(labels0, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.components(oldPairs.unionAll(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every node of the full graph agrees; the old singleton is retained
+    full.foreach { case (id, c) => assert(inc(id) === c, s"node $id") }
+    assert(inc(20L) === 20L)
+    assert(inc.size === full.size + 1)
+  }
+
+  test("publish+probe LSH index equals the direct delta computation") {
+    val mk = (id: Long, t: String) => (id, t)
+    val docs = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today"),
+      mk(2L, "the quick brown fox jumps over the lazy cat today"),
+      mk(3L, "completely different text with no overlap at all here"),
+      mk(4L, "the quick brown fox jumps over the lazy dog today"),
+      mk(5L, "unrelated words that share nothing with the others wow"))
+      .toDF("doc_id", "text")
+    val corpus = docs.where(col("doc_id") <= 3)
+    val incoming = docs.where(col("doc_id") >= 4)
+    Dedup.publishLshIndex(corpus, "doc_id", "text", "graft_lshspec", buckets = 2)
+    val probed = Dedup.probeLshIndex(spark, incoming, "doc_id", "text", "graft_lshspec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.minhashLshDelta(corpus, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed === direct)
+    assert(probed.exists { case (i, c, j) => i == 4L && c == 1L && j == 1.0 })
+  }
 }
