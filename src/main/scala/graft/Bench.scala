@@ -54,6 +54,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // (an inter-query System.gc() drain was tried r8 and measured WORSE —
+      // +11% suite total, the forced full GCs cost more than the cleaner
+      // backlog they drain; in-suite spikes are run-to-run environment
+      // variance the >2x-prior auto-rerun below already medianizes)
       val t1 = once()
       val suspect = prior.get(name) match {
         // 0.25s absolute floor: a 40ms query doubling to 90ms is codegen
