@@ -288,4 +288,43 @@ class PropertySpec extends SparkSpecBase {
       assert(zs2.sliding(2).forall(p => p(0) < p(1)), s"case $i monotone in a")
     }
   }
+
+  test("componentsIncremental equals full recompute on random growing graphs") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // sequential union-find as the ground-truth model
+    def model(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // canonical min-label: find() roots are already component minima
+      // because unions always parent the larger root under the smaller
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(1, 30)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+    } yield es.filter(e => e._1 != e._2)
+    for (i <- 1 to cases) {
+      val oldE = sample(edgeGen, 9000 + i)
+      val newE = sample(edgeGen, 9500 + i)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val labels0 = Dedup.components(oldE.toDF("id_a", "id_b"))
+        val inc = Dedup.componentsIncremental(labels0, newE.toDF("id_a", "id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = model(oldE ++ newE)
+        want.foreach { case (id, c) => assert(inc(id) === c, s"case $i node $id") }
+        // nodes only in the old graph that new edges never touch must
+        // still be present with their old cluster
+        assert(inc.keySet === (oldE ++ newE).flatMap(e => Seq(e._1, e._2)).toSet)
+      }
+    }
+  }
 }
