@@ -445,6 +445,25 @@ object Dedup {
       base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets)
   }
 
+  /** [[publishLshIndex]] only if the index tables are not already in the
+    * session catalog — the amortize-once discipline ([[graft.sources.Bucketing.ensureBucketed]]):
+    * a repeated pipeline (or the bench) pays the corpus hash + write once
+    * and every later call times only the probe, which is the production
+    * steady state. */
+  def ensureLshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      buckets: Int = 8): Unit = {
+    val cat = corpus.sparkSession.catalog
+    if (!cat.tableExists(s"${table}_buckets") || !cat.tableExists(s"${table}_docs"))
+      publishLshIndex(corpus, idCol, textCol, table, shingleN, numHashes, bands, buckets)
+  }
+
   /** PROBE a [[publishLshIndex]] index with an incoming batch: hash the
     * batch (only the batch — the corpus work is amortized in the index),
     * join the stored buckets on (band, bk), verify candidates by exact

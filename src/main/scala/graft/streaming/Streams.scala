@@ -589,4 +589,70 @@ object Streams {
   }
 
   private def dropStagedIngestDir(srcDir: java.nio.file.Path): Unit = rmTree(srcDir)
+
+  /** STREAMING near-dup flagging against a PUBLISHED LSH index
+    * ([[graft.operators.Dedup.publishLshIndex]]) — the full ingest-time
+    * dedup shape: the corpus hash work is amortized in the stored bucketed
+    * tables, and each arriving micro-batch shingles ONLY itself and probes
+    * them via `foreachBatch` (the standard home for arbitrary batch logic —
+    * here a multi-join verify pipeline — inside a stream). Because every
+    * incoming doc's flag rows depend only on (doc, index), the union over
+    * micro-batches equals the one-shot batch probe, which is exactly what
+    * the differential oracle recomputes. Managed tables live in the
+    * SparkContext-shared external catalog, so the isolated stream session
+    * sees the caller-published index. Output: (incoming_id, corpus_id,
+    * jaccard) across all batches; sink is batchId-partitioned with the
+    * idempotent-overwrite replay discipline of [[ingestDedupDocs]]. */
+  def streamLshIndexProbe(spark: SparkSession, dir: String, indexTable: String): DataFrame = {
+    import java.nio.file.Files
+    val incoming = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 7 === 0)
+    val srcDir = Files.createTempDirectory("graft_lshstream_src")
+    val sinkDir = Files.createTempDirectory("graft_lshstream_sink")
+    val chkDir = Files.createTempDirectory("graft_lshstream_chk")
+    val stream = isolatedStreamSession(spark)
+    try {
+      // two arrival-ordered batch files
+      Seq(col("doc_id") % 14 === 0, col("doc_id") % 14 =!= 0).zipWithIndex.foreach {
+        case (pred, b) =>
+          val tmp = Files.createTempDirectory("graft_lshstream_tmp")
+          incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          val dst = srcDir.resolve(f"b$b%02d.parquet")
+          Files.move(part, dst)
+          dst.toFile.setLastModified(1000000L * (b + 1))
+          rmTree(tmp)
+      }
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("incoming_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+      val src = stream.readStream
+        .schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chkDir.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.operators.Dedup
+            .probeLshIndex(batch.sparkSession, batch, "doc_id", "text", indexTable)
+            .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.read.schema(sinkSchema).parquet(sinkDir.toString)
+        .select(col("incoming_id"), col("corpus_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally {
+      rmTree(srcDir)
+      rmTree(chkDir)
+      rmTree(sinkDir)
+    }
+  }
 }
