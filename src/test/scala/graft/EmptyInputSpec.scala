@@ -74,6 +74,28 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
   }
 
+  test("componentsIncremental with empty sides") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    // no new pairs: labels pass through unchanged
+    val same = Dedup.componentsIncremental(labels, empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(same === Map(1L -> 1L, 2L -> 1L))
+    // no prior labels: equals plain components on the new pairs
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    val fresh = Dedup.componentsIncremental(emptyLabels, Seq((5L, 6L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fresh === Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("LSH index probe with an empty incoming batch") {
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    Dedup.publishLshIndex(corpus, "doc_id", "text", "graft_lshspec_empty", buckets = 2)
+    assert(Dedup.probeLshIndex(spark, emptyDocs, "doc_id", "text", "graft_lshspec_empty")
+      .count() === 0)
+  }
+
   test("round-7 curation ops on empty input (seed collects, stitches, graph ladders)") {
     val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Dedup.semanticDedup(emptyVecs, "vec_id", "embedding").count() === 0)
