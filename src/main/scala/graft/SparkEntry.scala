@@ -2479,13 +2479,20 @@ object SparkEntry {
       // id asc); metric < 10⁷ and id < 10⁸ keep the key inside int64
       val enc = (m: Column) =>
         (lit(10000000L) - m.cast("long")) * 100000000L + col("doc_id")
-      val ra = OrderedScan.rowNumber(
+      // the two ranking ladders are independent and each runs eager
+      // cut-sampling jobs at construction — build them concurrently so the
+      // scheduler overlaps their stages (the q179 discipline)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val raF = Future(OrderedScan.rowNumber(
           d.select(col("doc_id"), enc(col("n_chars")).as("__k")), "__k", "__r")
-        .select(col("doc_id"), (col("__r") + 1L).as("rank"))
-      val rb = OrderedScan.rowNumber(
+        .select(col("doc_id"), (col("__r") + 1L).as("rank")))
+      val rbF = Future(OrderedScan.rowNumber(
           d.select(col("doc_id"), enc(Text.tokenCount(col("text"))).as("__k")),
           "__k", "__r")
-        .select(col("doc_id"), (col("__r") + 1L).as("rank"))
+        .select(col("doc_id"), (col("__r") + 1L).as("rank")))
+      val ra = Await.result(raF, scala.concurrent.duration.Duration.Inf)
+      val rb = Await.result(rbF, scala.concurrent.duration.Duration.Inf)
       Similarity.rrfFuse(ra, rb, "doc_id", "rank", k = 60, topN = 20)
     }),
 
