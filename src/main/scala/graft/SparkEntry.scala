@@ -2851,6 +2851,15 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- events: INTERVAL-UNION coverage per user (gaps-and-islands) —
+    //      each event opens a value-minutes interval; overlaps merge into
+    //      islands, output = exact covered micros / island count / widest
+    //      island. All windows key-parallel on the user — no global sort ----
+    "q253_interval_coverage" -> ((s, dir) => {
+      Events.intervalCoverage(t(s, dir, "events"), "user_id", "ts",
+        expr("CAST(round(value * 60000000) AS BIGINT)"))
+    }),
+
     // ---- the full ingest-time dedup composition: STREAMING batches probe
     //      the PUBLISHED bucketed LSH index per micro-batch (foreachBatch)
     //      — union over batches == the one-shot probe == the q250 oracle ----
@@ -6193,6 +6202,29 @@ object SparkEntry {
     // so the streamed union equals the same one-shot SQL.
     "q252_stream_lsh_probe" -> lshProbeOracleSql,
     "q250_lsh_index_probe" -> lshProbeOracleSql,
+
+    "q253_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT * FROM iv WHERE x >= s),
+        |m AS (SELECT user_id, s, x,
+        |    CASE WHEN max(x) OVER (PARTITION BY user_id ORDER BY s, x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(x) OVER (PARTITION BY user_id ORDER BY s, x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM f),
+        |isl AS (SELECT user_id, s, x,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (SELECT user_id, island, min(s) AS i_s, max(x) AS i_x
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(i_x - i_s) AS BIGINT) AS covered_us,
+        |  count(*) AS n_islands,
+        |  CAST(max(i_x - i_s) AS BIGINT) AS max_island_us
+        |FROM g GROUP BY 1""".stripMargin,
 
     // q251: warm-start == full recompute — the oracle walks the COMPLETE
     // pair graph (old-self ∪ new-self ∪ cross = all full-corpus pairs,

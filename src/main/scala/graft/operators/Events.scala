@@ -460,4 +460,48 @@ object Events {
         countDistinct(col("__u")).as("mau30"))
       .orderBy(col("day"))
   }
+
+  /** INTERVAL-UNION coverage per entity (the classic gaps-and-islands
+    * union-of-intervals): each event opens an interval
+    * [ts, ts + durationUs(row)]; overlapping/adjacent intervals per entity
+    * merge into islands, and the output is each entity's total covered
+    * micros, island count, and widest single island — the "how much
+    * wall-clock was this user actually active" panel that naive
+    * sum-of-durations double-counts.
+    *
+    * Spark-first shape: every window is PARTITIONED BY the entity (one
+    * hash shuffle, key-parallel — never a global sort): a lag-window marks
+    * island starts (start > running max of prior ends), a running sum of
+    * the marks assigns island ids, one groupBy folds islands, one more
+    * folds entities. All arithmetic in exact long micros → hash-stable. */
+  def intervalCoverage(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      durationUs: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = events
+      .select(col(entityCol).as("__e"), unix_micros(col(tsCol)).as("__s"),
+        (unix_micros(col(tsCol)) + durationUs).as("__x"))
+      .where(col("__e").isNotNull && col("__x") >= col("__s"))
+    val byStart = Window.partitionBy(col("__e"))
+      .orderBy(col("__s").asc, col("__x").asc)
+    // running max of PRIOR interval ends; the first interval of an entity
+    // has no prior → NULL → island starts there
+    val prevMaxEnd = max(col("__x")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv
+      .withColumn("__new", when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, 1L)
+        .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    marked
+      .groupBy(col("__e"), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__x")).as("__ix"))
+      .groupBy(col("__e").as(entityCol))
+      .agg(
+        sum(col("__ix") - col("__is")).as("covered_us"),
+        count(lit(1)).as("n_islands"),
+        max(col("__ix") - col("__is")).as("max_island_us"))
+  }
 }

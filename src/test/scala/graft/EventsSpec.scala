@@ -293,4 +293,24 @@ class EventsSpec extends SparkSpecBase {
       assert(fused(k) === ((sa, sb)), s"at k=$k")
     }
   }
+
+  test("intervalCoverage: overlap and adjacency merge, gaps split, per entity") {
+    val base = 1700000000000000L // µs
+    def ev(u: Long, offUs: Long, durUs: Long) =
+      (u, new Timestamp(base / 1000 + offUs / 1000), durUs)
+    // user 1: [0,10] ∪ [5,12] (overlap) ∪ [12,15] (adjacent — still one
+    // island: s > prevMax is false at equality) then gap → [20,30]
+    // user 2: zero-length interval at 100 (covered 0, one island)
+    val ms = 1000L // µs per ms — Timestamp construction is ms-resolution
+    val rows = Seq(
+      ev(1L, 0L, 10 * ms), ev(1L, 5 * ms, 7 * ms), ev(1L, 12 * ms, 3 * ms),
+      ev(1L, 20 * ms, 10 * ms),
+      ev(2L, 100 * ms, 0L))
+    val df = rows.toDF("user_id", "ts", "dur")
+    val got = Events.intervalCoverage(df, "user_id", "ts", col("dur"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((25 * ms, 2L, 15 * ms))) // [0,15] + [20,30]
+    assert(got(2L) === ((0L, 1L, 0L)))
+  }
 }
