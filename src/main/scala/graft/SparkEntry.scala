@@ -2851,6 +2851,18 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- graph curation: k-CORE of the near-dup similarity graph — the
+    //      dense-cluster detector (template farms survive the peel; stray
+    //      pairs don't). Iterative peel, rounds bounded by degeneracy
+    //      depth; the oracle replays a fixed unrolled ladder (the peel is
+    //      idempotent at the fixed point, so spare rounds are no-ops) ----
+    "q254_kcore" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPortable(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      Graphs.kCore(pairs, "id_a", "id_b", k = 2)
+        .select(col("id").cast("long").as("doc_id"), col("core_degree"))
+    }),
+
     // ---- events: INTERVAL-UNION coverage per user (gaps-and-islands) —
     //      each event opens a value-minutes interval; overlaps merge into
     //      islands, output = exact covered micros / island count / widest
@@ -6202,6 +6214,43 @@ object SparkEntry {
     // so the streamed union equals the same one-shot SQL.
     "q252_stream_lsh_probe" -> lshProbeOracleSql,
     "q250_lsh_index_probe" -> lshProbeOracleSql,
+
+    // q254: the peel is replayed as 5 unrolled rounds — measured
+    // convergence is 2 rounds at every SF (1 peel + 1 confirm) and the
+    // peel is idempotent at the fixed point, so the spare rounds are no-ops
+    "q254_kcore" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS MATERIALIZED (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS MATERIALIZED (SELECT unnest(range(0, 16)) AS s),
+        |mh AS MATERIALIZED (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS MATERIALIZED (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS MATERIALIZED (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS MATERIALIZED (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5),
+        |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |k1 AS MATERIALIZED (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 2),
+        |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+        |k2 AS MATERIALIZED (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 2),
+        |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+        |k3 AS MATERIALIZED (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 2),
+        |e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+        |k4 AS MATERIALIZED (SELECT a FROM e3 GROUP BY a HAVING count(*) >= 2),
+        |e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a),
+        |k5 AS MATERIALIZED (SELECT a FROM e4 GROUP BY a HAVING count(*) >= 2),
+        |e5 AS MATERIALIZED (SELECT e.a, e.b FROM e4 e JOIN k5 x ON e.a = x.a JOIN k5 y ON e.b = y.a)
+        |SELECT a AS doc_id, count(*) AS core_degree FROM e5 GROUP BY 1""".stripMargin,
 
     "q253_interval_coverage" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

@@ -101,4 +101,49 @@ object Graphs {
     }
     p.select(col("id"), col("p").as("pr_ppt"))
   }
+
+  /** k-CORE membership: the maximal subgraph in which every node keeps
+    * degree ≥ k — the standard dense-cluster detector over a similarity
+    * graph (template farms / bot rings survive the peel; incidental near-dup
+    * pairs don't). Iterative peel: each round drops EVERY node whose current
+    * degree is < k at once, so the round count is bounded by the graph's
+    * degeneracy ordering depth (small for near-dup graphs), not the node
+    * count. Per round: one degree agg + two semi-joins + a checkpoint —
+    * all key-parallel, the components/Lloyd iteration discipline. The peel
+    * is idempotent at the fixed point, which is what lets the SQL oracle
+    * replay it as a fixed unrolled round ladder (extra rounds are no-ops).
+    * Output: (id, core_degree) for every member of the k-core. */
+  def kCore(
+      edges: DataFrame, aCol: String, bCol: String,
+      k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().localCheckpoint(true)
+    var n = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k)
+        .select(col("a").as("__k"))
+        .localCheckpoint(true) // both semi-joins below read it
+      val e2 = e
+        .join(keep.select(col("__k").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("__k").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      converged = n2 == n // dropping nodes only removes edges — stable count
+      e = e2
+      n = n2
+      i += 1
+    }
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_COMPONENTS"))
+      System.err.println(s"[kCore] converged after $i rounds")
+    require(converged,
+      s"kCore did not converge in $maxIter peel rounds — the graph's " +
+        "degeneracy ladder is implausibly deep; suspect a data bug first")
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -228,4 +228,19 @@ class AnalyticsSpec extends SparkSpecBase {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(out === Map(("A", "B") -> ((2L, 3L, 3L, 500000L))))
   }
+
+  test("kCore: peel cascades — pendant chain unravels, dense core survives") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node degree 3) + a chain 4-5-6: node 6 has
+    // degree 1 → peeled; THEN node 5 drops to degree 1 → peeled (the
+    // cascade a single-pass degree filter would miss)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val core2 = Graphs.kCore(edges, "id_a", "id_b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core4 = Graphs.kCore(edges, "id_a", "id_b", k = 4)
+    assert(core4.count() === 0) // K4 max degree is 3 — whole graph peels
+  }
 }
