@@ -2851,6 +2851,22 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- ML-data tooling: GROUP K-FOLD — near-dup clusters dealt whole
+    //      into 5 folds (no cross-fold leakage), clusters ranked in md5
+    //      order of their representative via the distributed rowNumber
+    //      stitch → fold group counts exactly balanced (±1) ----
+    "q255_group_kfold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Sampling.groupKFold(docs, "doc_id", pairs, k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep_id")).as("n_groups"),
+          sum(col("n_chars")).as("chars"))
+    }),
+
     // ---- graph curation: k-CORE of the near-dup similarity graph — the
     //      dense-cluster detector (template farms survive the peel; stray
     //      pairs don't). Iterative peel, rounds bounded by degeneracy
@@ -6214,6 +6230,46 @@ object SparkEntry {
     // so the streamed union equals the same one-shot SQL.
     "q252_stream_lsh_probe" -> lshProbeOracleSql,
     "q250_lsh_index_probe" -> lshProbeOracleSql,
+
+    // q255: clusters from the full-graph walk; representative rank =
+    // row_number over md5 — the SAME total order the rowNumber stitch
+    // produces, so fold assignment is engine-exact
+    "q255_group_kfold" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |rep AS (SELECT d.doc_id, d.n_chars, coalesce(c.cluster, d.doc_id) AS rep_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |rk AS (SELECT rep_id, row_number() OVER (ORDER BY md5(rep_id::VARCHAR)) - 1 AS r
+        |       FROM (SELECT DISTINCT rep_id FROM rep)),
+        |f AS (SELECT rep.doc_id, rep.n_chars, rep.rep_id, rk.r % 5 AS fold
+        |      FROM rep JOIN rk USING (rep_id))
+        |SELECT fold, count(*) AS n_docs, count(DISTINCT rep_id) AS n_groups,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM f GROUP BY 1""".stripMargin,
 
     // q254: the peel is replayed as 5 unrolled rounds — measured
     // convergence is 2 rounds at every SF (1 peel + 1 confirm) and the

@@ -315,4 +315,37 @@ object Sampling {
         least(greatest(col(valueCol).cast("double"), col("__qlo")), col("__qhi")))
       .drop("__qlo", "__qhi")
   }
+
+  /** GROUP K-FOLD assignment — leakage-safe cross-validation: near-dup
+    * CLUSTERS (connected components of `pairs`), not individual rows, are
+    * dealt into `k` folds, so every member of a cluster shares a fold (no
+    * train/eval contamination — the [[leakageSafeSplit]] guarantee, for k
+    * folds) and the fold GROUP counts are exactly balanced (±1): clusters
+    * rank in the deterministic md5 order of their representative and
+    * fold = rank mod k.
+    *
+    * Scale shape: components for the clusters, one distinct for the
+    * representative domain, and [[graft.operators.OrderedScan.rowNumber]]
+    * for the global rank (bucket-stitched — a representative domain is
+    * corpus-sized, so a bare global window would single-task). Appends
+    * (rep_id, fold). */
+  def groupKFold(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    require(Seq("rep_id", "fold", "cluster").forall(!df.columns.contains(_)),
+      "rep_id/fold/cluster are reserved by groupKFold")
+    val comp = Dedup.components(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val withRep = df.join(comp, Seq(idCol), "left_outer")
+      .withColumn("rep_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    val reps = withRep.select(col("rep_id")).distinct()
+      .withColumn("__mk", md5(col("rep_id").cast("string")))
+    val ranked = graft.operators.OrderedScan.rowNumber(reps, "__mk", "__r")
+      .select(col("rep_id"), pmod(col("__r"), lit(k.toLong)).as("fold"))
+    withRep.join(ranked, Seq("rep_id"))
+  }
 }

@@ -92,4 +92,22 @@ class GoldenSamplingSpec extends SparkSpecBase {
       .collect().map(x => (x.getLong(0), x.getDouble(1).toInt)).sortBy(_._1)
     assert(got.map(_._2).toSeq === Seq(0, -1, 1, -1, 2, -1, 3, -1, 4))
   }
+
+  test("groupKFold: cluster members share a fold; group counts balanced ±1") {
+    import graft.operators.Sampling
+    val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("doc_id", "name")
+    // clusters: {0,1,2}, {10,11}; everything else singleton → 37 groups
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.groupKFold(docs, "doc_id", pairs, k = 5)
+      .select(col("doc_id"), col("rep_id"), col("fold"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 40)
+    val foldOf = out.map(r => r._1 -> r._3).toMap
+    assert(foldOf(0L) === foldOf(1L) && foldOf(1L) === foldOf(2L))
+    assert(foldOf(10L) === foldOf(11L))
+    val groupsPerFold = out.map(r => (r._2, r._3)).distinct
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    assert(groupsPerFold.values.max - groupsPerFold.values.min <= 1)
+    assert(groupsPerFold.values.sum === 37)
+  }
 }
