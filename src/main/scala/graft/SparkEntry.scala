@@ -2851,6 +2851,39 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- data-card panel: DUPLICATE-CLUSTER SIZE DISTRIBUTION — how much
+    //      of the corpus sits in 2-dup / 3-dup / N-dup clusters (the
+    //      figure every dataset paper reports); components → cluster
+    //      census → size histogram, all map-side-partial aggs ----
+    "q256_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPortable(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.components(pairs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_in", col("sz") * col("n_clusters"))
+    }),
+
+    // ---- data-card panel: CROSS-SOURCE duplication matrix — which crawls
+    //      duplicate each other (directs dedup priority and licensing
+    //      review); near-dup pairs annotated with both sides' sources,
+    //      symmetrized to an unordered (src_lo, src_hi) census ----
+    "q257_cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("s_a")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("s_b")), Seq("id_b"))
+        .select(least(col("s_a"), col("s_b")).as("src_lo"),
+          greatest(col("s_a"), col("s_b")).as("src_hi"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- ML-data tooling: GROUP K-FOLD — near-dup clusters dealt whole
     //      into 5 folds (no cross-fold leakage), clusters ranked in md5
     //      order of their representative via the distributed rowNumber
@@ -6230,6 +6263,64 @@ object SparkEntry {
     // so the streamed union equals the same one-shot SQL.
     "q252_stream_lsh_probe" -> lshProbeOracleSql,
     "q250_lsh_index_probe" -> lshProbeOracleSql,
+
+    "q256_cluster_sizes" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
+        |FROM cs GROUP BY 1""".stripMargin,
+
+    "q257_cross_source_dups" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS MATERIALIZED (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5)
+        |SELECT least(da.source, db.source) AS src_lo,
+        |  greatest(da.source, db.source) AS src_hi,
+        |  count(*) AS n_pairs
+        |FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+        |             JOIN documents db ON p.id_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // q255: clusters from the full-graph walk; representative rank =
     // row_number over md5 — the SAME total order the rowNumber stitch
