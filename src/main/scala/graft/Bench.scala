@@ -34,7 +34,7 @@ object Bench {
     // whole suite, so the driver's wall-clock stays predictable.
     val prior: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/repo/BENCH_SELF.json")), "UTF-8")
+        java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
       // minimal parse of the self-written {"queries":{"name":secs,...}} line
       val qsec = """"(q[0-9]+_[a-z0-9_]+)":([0-9.]+)""".r
       qsec.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -110,7 +110,7 @@ object Bench {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
         .mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"),
+        java.nio.file.Paths.get("BENCH_SELF.json"),
         s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }

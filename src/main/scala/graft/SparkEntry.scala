@@ -68,8 +68,11 @@ object SparkEntry {
       "doc_id", "text", lshIndexTable(s, dir))
   }
 
+  // full 32-bit hex, not abs(...).take(6): abs(Int.MinValue) is negative
+  // (invalid identifier) and 6-digit truncation can collide two dirs onto
+  // one index table — probing the wrong corpus silently
   private def lshIndexTable(s: SparkSession, dir: String): String =
-    s"graft_lsh_idx_${math.abs(dir.hashCode).toString.take(6)}"
+    s"graft_lsh_idx_${Integer.toHexString(dir.hashCode)}"
 
   /** Daily order totals — the ordered "time series" backing series ops. */
   private def daily(s: SparkSession, dir: String): KSeries =

@@ -149,10 +149,21 @@ final case class KSeries(
     df.agg(min(k).as("first_key"), max(k).as("last_key"))
   }
 
+  // ONE action for both scalar endpoints (firstValue; lastValue would
+  // otherwise re-run the full scan), lazy so construction stays plan-only;
+  // an empty / all-missing series errors like the reference
+  // Series.firstValue does, instead of silently returning null
+  private lazy val firstLastRow: org.apache.spark.sql.Row = {
+    val r = firstLast.collect()(0)
+    require(!r.isNullAt(0),
+      "firstValue/lastValue on an empty or all-missing series (reference " +
+        "Series.firstValue throws on empty)")
+    r
+  }
   /** Series.firstValue (value at the smallest key with a present value). */
-  def firstValue: Any = firstLast.collect()(0).get(2)
+  def firstValue: Any = firstLastRow.get(2)
   /** Series.lastValue (value at the largest key with a present value). */
-  def lastValue: Any = firstLast.collect()(0).get(3)
+  def lastValue: Any = firstLastRow.get(3)
 
   // ---- alignment: zip / union / append (reference src/Series.fs:293-359) ----
 

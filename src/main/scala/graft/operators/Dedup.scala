@@ -339,10 +339,7 @@ object Dedup {
     // base feeds BOTH the banding and both sides of the verify join, and bk
     // feeds both sides of the bucket self-join — without materialization the
     // shingling + md5 kernel lineage re-executes once per consumer
-    val base = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
-      .where(size(col("shs")) > 0)
-      .localCheckpoint(true)
+    val base = shingleBase(docs, idCol, textCol, shingleN)
     // one compiled kernel call per doc computes the md5 signature AND the
     // band keys — a seeds×shingles explode + hash-agg shuffle (the naive
     // plan shape) cost ~8s of the sf0.1 bench on hash-row materialization
@@ -386,10 +383,7 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    def prep(df: DataFrame) = Par.widen(df.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
-      .where(size(col("shs")) > 0)
-      .localCheckpoint(true)
+    def prep(df: DataFrame) = shingleBase(df, idCol, textCol, shingleN)
     def bucketsOf(base: DataFrame) = base
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bk"))
@@ -433,16 +427,21 @@ object Dedup {
       bands: Int = 4,
       buckets: Int = 8): Unit = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    val base = Par.widen(corpus.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
-      .where(size(col("shs")) > 0)
-      .localCheckpoint(true) // bucket table + doc table derive from one pass
+    val base = shingleBase(corpus, idCol, textCol, shingleN)
     val bk = base
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("pos").as("band"), col("col").as("bk"), col("id"))
     graft.sources.Bucketing.saveBucketed(bk, s"${table}_buckets", "bk", buckets)
     graft.sources.Bucketing.saveBucketed(
       base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets)
+    // the hash-family parameters ARE part of the index: a probe under a
+    // different (shingleN, numHashes, bands) computes disjoint band keys
+    // and would return a silently near-empty report — store them so
+    // probeLshIndex can fail fast on a mismatch
+    import corpus.sparkSession.implicits._
+    graft.sources.Bucketing.saveBucketed(
+      Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands"),
+      s"${table}_meta", "shingle_n", 1)
   }
 
   /** [[publishLshIndex]] only if the index tables are not already in the
@@ -460,9 +459,23 @@ object Dedup {
       bands: Int = 4,
       buckets: Int = 8): Unit = {
     val cat = corpus.sparkSession.catalog
-    if (!cat.tableExists(s"${table}_buckets") || !cat.tableExists(s"${table}_docs"))
+    if (!cat.tableExists(s"${table}_buckets") || !cat.tableExists(s"${table}_docs") ||
+        !cat.tableExists(s"${table}_meta"))
       publishLshIndex(corpus, idCol, textCol, table, shingleN, numHashes, bands, buckets)
   }
+
+  /** Shared shingle-set prep of the PORTABLE md5 LSH family — ONE
+    * definition on purpose: [[minhashLshPortable]], [[minhashLshDelta]],
+    * [[publishLshIndex]] and [[probeLshIndex]] must shingle bit-identically
+    * for the probe≡delta certification (and the SQL oracle) to hold.
+    * Widen → compiled shingling → drop empty sets → materialize (every
+    * caller reads the result at least twice). */
+  private def shingleBase(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
+      .where(size(col("shs")) > 0)
+      .localCheckpoint(true)
 
   /** PROBE a [[publishLshIndex]] index with an incoming batch: hash the
     * batch (only the batch — the corpus work is amortized in the index),
@@ -481,10 +494,15 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val iBase = Par.widen(incoming.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
-      .where(size(col("shs")) > 0)
-      .localCheckpoint(true)
+    // fail fast on a hash-family mismatch with the published index — the
+    // band keys of a different (shingleN, numHashes, bands) are disjoint
+    // and the probe would return a silently near-empty report
+    val meta = spark.table(s"${table}_meta").head()
+    val stored = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    require(stored == ((shingleN, numHashes, bands)),
+      s"probeLshIndex($shingleN,$numHashes,$bands) does not match index " +
+        s"'$table' published with (shingle_n,num_hashes,bands)=$stored")
+    val iBase = shingleBase(incoming, idCol, textCol, shingleN)
     val iBk = iBase
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("id").as("incoming_id"), col("pos").as("band"), col("col").as("bk"))

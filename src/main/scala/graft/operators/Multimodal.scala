@@ -195,10 +195,6 @@ object Multimodal {
         expr("substring(blob, CAST(offset AS INT) + 1, CAST(len AS INT))")
           .as("payload"))
 
-  /** STUB FEATURE-EXTRACT — payload → dense embedding (deterministic
-    * hash-projection stand-in for a vision/audio encoder). Output feeds the
-    * Similarity/Dedup ANN operators unchanged — the multimodal→embedding
-    * bridge of a training-data pipeline. */
   /** STUB FEATURE-EXTRACT, integer-exact flavor: same hash-projection
     * shape as [[embed]] but accumulating INTEGER votes (v(j) += b − 127,
     * j = (b·31 + i) mod dim). Every downstream distance is then exact
@@ -219,6 +215,10 @@ object Multimodal {
     }.toDF("doc_id", "embedding")
   }
 
+  /** STUB FEATURE-EXTRACT — payload → dense embedding (deterministic
+    * hash-projection stand-in for a vision/audio encoder). Output feeds the
+    * Similarity/Dedup ANN operators unchanged — the multimodal→embedding
+    * bridge of a training-data pipeline. */
   def embed(media: Dataset[MediaRow], dim: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.map { r =>

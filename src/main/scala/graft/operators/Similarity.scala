@@ -65,6 +65,11 @@ object Similarity {
       .withColumn("dist",
         aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x))
+      // a null / wrong-dimension corpus vector makes zip_with pad with
+      // nulls → dist NULL, and ascending order is NULLS FIRST — one
+      // malformed row would rank 1 for EVERY query; drop it instead (the
+      // float path and quantizedBase apply the same degenerate-row guard)
+      .where(col("dist").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -607,20 +607,30 @@ object Stats {
     val chunked = base.withColumn("__chunk", shiftright(monotonically_increasing_id(), 12))
     val partialSums =
       count(lit(1)).as("__n") +:
+      max(greatest(names.map(n => abs(col(n))): _*)).as("__mx") +:
       (names.map(n => sum(col(n)).as(s"__s_$n")) ++
         (for { i <- names.indices; j <- i until names.size } yield
           sum(col(names(i)) * col(names(j))).as(s"__p_${names(i)}_${names(j)}")))
     val partial = chunked.groupBy(col("__chunk")).agg(partialSums.head, partialSums.tail: _*)
     val mergeSums =
       sum(col("__n")).as("__n") +:
+      max(col("__mx")).as("__mx") +:
       (names.map(n => sum(col(s"__s_$n").cast("decimal(38,0)")).as(s"__s_$n")) ++
         (for { i <- names.indices; j <- i until names.size } yield
           sum(col(s"__p_${names(i)}_${names(j)}").cast("decimal(38,0)"))
             .as(s"__p_${names(i)}_${names(j)}")))
     val agg = partial.agg(mergeSums.head, mergeSums.tail: _*)
+    // the long chunk partials are only exact while every 4096-row Σxᵢxⱼ
+    // fits a long — |value| < 2^24 guarantees it; a wider input would WRAP
+    // silently, so the same one-pass row that carries the sums carries the
+    // max |value| and fails loudly instead (the vocabCoverage pad-guard
+    // pattern; widen the partials back to decimal if this ever trips)
     val pairs = for { i <- names.indices; j <- i until names.size } yield
       struct(lit(names(i)).as("col_i"), lit(names(j)).as("col_j"),
-        col("__n").as("n"),
+        when(col("__mx") < (1L << 24), col("__n"))
+          .otherwise(raise_error(lit(
+            "covarianceMatrix: |value| >= 2^24 overflows the long chunk partials")))
+          .as("n"),
         expr(s"""CAST((CAST(__n AS DECIMAL(38,0)) * __p_${names(i)}_${names(j)}
                 |      - __s_${names(i)} * __s_${names(j)})
                 |     DIV (CAST(__n AS DECIMAL(38,0)) * __n) AS BIGINT)""".stripMargin)
