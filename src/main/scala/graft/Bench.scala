@@ -32,9 +32,18 @@ object Bench {
     // >0.75s — is re-run twice more and reported as the median of 3. The
     // re-run budget is bounded by the number of spiking queries, not 2x the
     // whole suite, so the driver's wall-clock stays predictable.
+    // the record lives at the repo root: prefer the cwd (sbt forks with
+    // baseDirectory as working dir) but fall back to the canonical repo
+    // path, so a harness launching from elsewhere neither loses the priors
+    // (which would 3x-rerun every >0.75s query) nor strands the new record
+    val selfPath: java.nio.file.Path = {
+      val local = java.nio.file.Paths.get("BENCH_SELF.json")
+      val canonical = java.nio.file.Paths.get("/root/repo/BENCH_SELF.json")
+      if (java.nio.file.Files.exists(local) || !java.nio.file.Files.exists(canonical)) local
+      else canonical
+    }
     val prior: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
+      val txt = new String(java.nio.file.Files.readAllBytes(selfPath), "UTF-8")
       // minimal parse of the self-written {"queries":{"name":secs,...}} line
       val qsec = """"(q[0-9]+_[a-z0-9_]+)":([0-9.]+)""".r
       qsec.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -110,7 +119,7 @@ object Bench {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
         .mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_SELF.json"),
+        selfPath,
         s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }

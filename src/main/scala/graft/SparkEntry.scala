@@ -65,13 +65,13 @@ object SparkEntry {
     // cost; the timed query is the per-batch probe (production steady state)
     Dedup.ensureLshIndex(
       t(s, dir, "documents").where(col("doc_id") % 7 =!= 0),
-      "doc_id", "text", lshIndexTable(s, dir))
+      "doc_id", "text", lshIndexTable(dir))
   }
 
   // full 32-bit hex, not abs(...).take(6): abs(Int.MinValue) is negative
   // (invalid identifier) and 6-digit truncation can collide two dirs onto
   // one index table — probing the wrong corpus silently
-  private def lshIndexTable(s: SparkSession, dir: String): String =
+  private def lshIndexTable(dir: String): String =
     s"graft_lsh_idx_${Integer.toHexString(dir.hashCode)}"
 
   /** Daily order totals — the ordered "time series" backing series ops. */
@@ -2849,7 +2849,7 @@ object SparkEntry {
     //      the persisted layout itself is oracle-certified ----
     "q250_lsh_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val tbl = lshIndexTable(s, dir)
+      val tbl = lshIndexTable(dir)
       Dedup.ensureLshIndex(docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl)
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
@@ -2928,7 +2928,7 @@ object SparkEntry {
     //      the PUBLISHED bucketed LSH index per micro-batch (foreachBatch)
     //      — union over batches == the one-shot probe == the q250 oracle ----
     "q252_stream_lsh_probe" -> ((s, dir) => {
-      val tbl = lshIndexTable(s, dir)
+      val tbl = lshIndexTable(dir)
       Dedup.ensureLshIndex(
         t(s, dir, "documents").where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl)
       Streams.streamLshIndexProbe(s, dir, tbl)

@@ -356,6 +356,10 @@ object KFrame {
     require(columns.nonEmpty, "fromSeries needs at least one (name, series)")
     require(columns.map(_._1).distinct.size == columns.size,
       "fromSeries column names must be unique")
+    require(!columns.exists(_._1 == keyName),
+      s"fromSeries column name '$keyName' collides with the key column — " +
+        "the output would carry two identically-named columns and every " +
+        "later reference to the key would be ambiguous")
     val types = columns.map { case (_, s) => s.df.schema(s.valueCol).dataType }
     if (types.distinct.size == 1) {
       val tall = columns.map { case (n, s) =>

@@ -15,8 +15,15 @@ object Par {
     *
     * When the input is already at least as wide as the cluster (the 100 TB
     * scan: thousands of file splits), this is the identity — no shuffle is
-    * added on the production path. Reading `rdd.getNumPartitions` costs one
-    * physical planning of the subtree (milliseconds), not an execution. */
+    * added on the production path.
+    *
+    * CONTRACT: call this on SCAN-SHAPED inputs only (scan + projections/
+    * filters). For those, `rdd.getNumPartitions` is pure physical planning
+    * (milliseconds). If the plan contained an exchange, AQE's
+    * `getFinalPhysicalPlan` would EXECUTE the upstream shuffle stages just
+    * to learn the width — and that work is not reused by the real query.
+    * Every current call site (Dedup/Text/Similarity kernel entries) feeds
+    * a projected table scan. */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

@@ -610,7 +610,12 @@ object Dedup {
     // verification baseline. Tunable for bigger driver heaps via
     // spark.graft.exactNearDup.maxRows.
     val maxRows = vecs.sparkSession.conf
-      .getOption("spark.graft.exactNearDup.maxRows").map(_.toLong).getOrElse(1000000L)
+      .getOption("spark.graft.exactNearDup.maxRows")
+      .map(v => try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.exactNearDup.maxRows must be a long, got '$v'")
+      })
+      .getOrElse(1000000L)
     val n = base.count()
     require(n <= maxRows,
       s"embeddingNearDup is the exact O(n^2) baseline and collects all $n vectors " +

@@ -627,7 +627,11 @@ object Stats {
     // pattern; widen the partials back to decimal if this ever trips)
     val pairs = for { i <- names.indices; j <- i until names.size } yield
       struct(lit(names(i)).as("col_i"), lit(names(j)).as("col_j"),
-        when(col("__mx") < (1L << 24), col("__n"))
+        // coalesce first: ZERO surviving rows (empty frame / all-null
+        // column) leaves the merge agg with __n = __mx = NULL, which must
+        // report n = 0 (the pre-guard behavior), not a phantom overflow
+        when(coalesce(col("__mx"), lit(0L)) < (1L << 24),
+            coalesce(col("__n"), lit(0L)))
           .otherwise(raise_error(lit(
             "covarianceMatrix: |value| >= 2^24 overflows the long chunk partials")))
           .as("n"),

@@ -26,11 +26,19 @@ object Streams {
     * caller's session-global conf would race any concurrent query on it.
     * The child (shared SparkContext, own SQLConf) inherits the caller's
     * runtime conf (ANSI, nanosAsLong, …) minus the shuffle width. */
-  private[graft] def isolatedStreamSession(spark: SparkSession): SparkSession = {
-    val stream = spark.newSession()
+  /** New session (shared SparkContext, own SQLConf) inheriting the
+    * caller's runtime conf — static entries throw AnalysisException on set
+    * and are skipped. */
+  private def sessionWithConfs(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
-      try stream.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+      try s2.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    s2
+  }
+
+  private[graft] def isolatedStreamSession(spark: SparkSession): SparkSession = {
+    val stream = sessionWithConfs(spark)
     stream.conf.set("spark.sql.shuffle.partitions", "8")
     // At 100 TB the stateful queries (dedup-by-id, funnel state machines,
     // session windows) hold per-key state for every live key in the
@@ -168,6 +176,18 @@ object Streams {
       rmTree(chkDir)
       rmTree(sinkDir)
     }
+  }
+
+  /** Locate the single part file of a coalesce(1) write — the
+    * `Files.list` stream MUST be closed (it holds a directory fd; the
+    * previous inline form leaked one per staged batch). */
+  private def findPartFile(dir: java.nio.file.Path): java.nio.file.Path = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $dir"))
+    } finally s.close()
   }
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -439,10 +459,7 @@ object Streams {
     * own oracle-checked query keeps the production state path continuously
     * verified, not just spec'd. */
   def statefulUserTotalsRocksDb(spark: SparkSession, dir: String): DataFrame = {
-    val tagged = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try tagged.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
+    val tagged = sessionWithConfs(spark)
     tagged.conf.set("spark.graft.streaming.stateStore", "rocksdb")
     statefulUserTotals(tagged, dir)
   }
@@ -540,9 +557,7 @@ object Streams {
       ranges.zipWithIndex.foreach { case (pred, b) =>
         val tmp = Files.createTempDirectory("graft_ingest_tmp")
         incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = Files.list(tmp).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
+        val part = findPartFile(tmp)
         val dst = srcDir.resolve(f"b$b%02d.parquet")
         Files.move(part, dst)
         dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
@@ -616,13 +631,11 @@ object Streams {
       // two arrival-ordered batch files
       Seq(col("doc_id") % 14 === 0, col("doc_id") % 14 =!= 0).zipWithIndex.foreach {
         case (pred, b) =>
-          val tmp = Files.createTempDirectory("graft_lshstream_tmp")
+          val tmp = java.nio.file.Files.createTempDirectory("graft_lshstream_tmp")
           incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.toString.endsWith(".parquet")).get
+          val part = findPartFile(tmp)
           val dst = srcDir.resolve(f"b$b%02d.parquet")
-          Files.move(part, dst)
+          java.nio.file.Files.move(part, dst)
           dst.toFile.setLastModified(1000000L * (b + 1))
           rmTree(tmp)
       }
