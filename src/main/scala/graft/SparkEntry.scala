@@ -2854,6 +2854,14 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- streaming at 100 TB state, session flavor: q143's gap
+    //      sessionization with SESSION-WINDOW state in RocksDB — a
+    //      different store code path (merge/split of windows per key) than
+    //      q249's mapGroupsWithState, same rows by construction ----
+    "q258_stream_sessions_rocksdb" -> ((s, dir) => {
+      Streams.sessionCountsRocksDb(s, dir, "12 hours")
+    }),
+
     // ---- data-card panel: DUPLICATE-CLUSTER SIZE DISTRIBUTION — how much
     //      of the corpus sits in 2-dup / 3-dup / N-dup clusters (the
     //      figure every dataset paper reports); components → cluster
@@ -3046,6 +3054,24 @@ object SparkEntry {
       |FROM cand c JOIN sets a ON c.incoming_id = a.doc_id JOIN sets b ON c.corpus_id = b.doc_id
       |WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
       |  / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""".stripMargin
+
+  private val streamSessionsOracleSql: String =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |e AS (SELECT user_id, ts, value,
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |      sum(CASE WHEN pts IS NULL
+      |               OR epoch_us(ts) - epoch_us(pts) >= 43200000000
+      |          THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM e),
+      |agg AS (SELECT user_id, sid, epoch_us(min(ts)) AS sess_start,
+      |        epoch_us(max(ts)) + 43200000000 AS sess_end,
+      |        count(*) AS n, round(sum(value), 4) AS total
+      |        FROM s GROUP BY 1, 2)
+      |SELECT CAST(sess_start AS BIGINT) AS sess_start,
+      |       CAST(sess_end AS BIGINT) AS sess_end, user_id, n, total
+      |FROM agg, m WHERE sess_end <= epoch_us(mx) - 3600000000""".stripMargin
 
   def oracleSql: Map[String, String] = coreOracleSql ++ pipelineOracleSql ++ extendedOracleSql
 
@@ -4896,23 +4922,11 @@ object SparkEntry {
         |FROM events JOIN home USING (user_id)
         |GROUP BY 1""".stripMargin,
 
-    "q143_stream_sessions" ->
-      """WITH m AS (SELECT max(ts) AS mx FROM events),
-        |e AS (SELECT user_id, ts, value,
-        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events),
-        |s AS (SELECT user_id, ts, value,
-        |      sum(CASE WHEN pts IS NULL
-        |               OR epoch_us(ts) - epoch_us(pts) >= 43200000000
-        |          THEN 1 ELSE 0 END)
-        |        OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM e),
-        |agg AS (SELECT user_id, sid, epoch_us(min(ts)) AS sess_start,
-        |        epoch_us(max(ts)) + 43200000000 AS sess_end,
-        |        count(*) AS n, round(sum(value), 4) AS total
-        |        FROM s GROUP BY 1, 2)
-        |SELECT CAST(sess_start AS BIGINT) AS sess_start,
-        |       CAST(sess_end AS BIGINT) AS sess_end, user_id, n, total
-        |FROM agg, m WHERE sess_end <= epoch_us(mx) - 3600000000""".stripMargin,
+    // shared by q143 (default in-memory state) and q258 (the same stream
+    // with session-window state in RocksDB) — provider choice must never
+    // change a row
+    "q143_stream_sessions" -> streamSessionsOracleSql,
+    "q258_stream_sessions_rocksdb" -> streamSessionsOracleSql,
 
     "q122_stream_file_sink" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),

@@ -464,6 +464,17 @@ object Streams {
     statefulUserTotals(tagged, dir)
   }
 
+  /** [[sessionCounts]] with session-window state in RocksDB — a DIFFERENT
+    * state-store code path than [[statefulUserTotalsRocksDb]]'s
+    * mapGroupsWithState (session merge reads, updates and removes windows
+    * per key in the store), so the scale configuration of gap-sessionization
+    * gets its own oracle-checked query rather than inheriting q249's. */
+  def sessionCountsRocksDb(spark: SparkSession, dir: String, gap: String): DataFrame = {
+    val tagged = sessionWithConfs(spark)
+    tagged.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    sessionCounts(tagged, dir, gap)
+  }
+
   /** STREAMING funnel — the ordered k-step funnel of
     * [[graft.operators.Events.funnel]] as a per-entity state machine:
     * `mapGroupsWithState` holds (stage, last-step-µs) per entity — O(1)
