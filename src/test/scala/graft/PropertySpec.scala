@@ -327,4 +327,74 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("kCore equals the sequential peel model on random graphs") {
+    import graft.operators.{Dedup, Graphs}
+    val s = spark
+    import s.implicits._
+    def model(pairs: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+      var adj = pairs.flatMap(e => Seq(e, e.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val keep = adj.filter { case (_, ns) => ns.size >= k }.keySet
+        val next = adj.collect { case (v, ns) if keep(v) =>
+          v -> ns.intersect(keep) }.filter(_._2.nonEmpty)
+        changed = next.keySet != adj.keySet ||
+          next.exists { case (v, ns) => adj(v) != ns }
+        adj = next.toMap
+      }
+      adj.view.mapValues(_.size).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(1, 40)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    } yield es.filter(e => e._1 != e._2).distinct
+    for (i <- 1 to cases; k <- Seq(2, 3)) {
+      val es = sample(edgeGen, 9900 + i)
+      if (es.nonEmpty) {
+        val got = Graphs.kCore(es.toDF("id_a", "id_b"), "id_a", "id_b", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+        assert(got === model(es, k), s"case $i k=$k edges=$es")
+      }
+    }
+  }
+
+  test("intervalCoverage equals the sequential interval-union model") {
+    import graft.operators.Events
+    val s = spark
+    import s.implicits._
+    def model(iv: Seq[(Long, Long)]): (Long, Long, Long) = {
+      // merge sorted intervals; return (covered, islands, widest)
+      val sorted = iv.sortBy(identity)
+      var (cov, n, widest) = (0L, 0L, 0L)
+      var cur: Option[(Long, Long)] = None
+      (sorted :+ (Long.MaxValue, Long.MaxValue)).foreach { case (a, b) =>
+        cur match {
+          case Some((s0, e0)) if a <= e0 => cur = Some((s0, math.max(e0, b)))
+          case Some((s0, e0)) =>
+            cov += e0 - s0; n += 1; widest = math.max(widest, e0 - s0)
+            cur = Some((a, b))
+          case None => cur = Some((a, b))
+        }
+      }
+      (cov, n, widest)
+    }
+    val ivGen = for {
+      n <- Gen.choose(1, 30)
+      iv <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 100L)))
+    } yield iv.map { case (off, dur) => (off * 1000L, dur * 1000L) } // ms-scale µs
+    val base = 1700000000000L
+    for (i <- 1 to cases) {
+      val iv = sample(ivGen, 9800 + i)
+      val df = iv.map { case (off, dur) =>
+        (1L, new java.sql.Timestamp(base + off / 1000L), dur)
+      }.toDF("user_id", "ts", "dur")
+      val got = Events.intervalCoverage(df, "user_id", "ts", col("dur"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+      val want = model(iv.map { case (off, dur) =>
+        (base * 1000L + off, base * 1000L + off + dur) })
+      assert(got === want, s"case $i iv=$iv")
+    }
+  }
 }
