@@ -2854,6 +2854,14 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- streaming at 100 TB state, aggregation flavor: q49's tumbling
+    //      windowed agg with streaming-AGGREGATION state in RocksDB — the
+    //      third state-manager family after q249 (mapGroups) and q258
+    //      (session windows); same rows by construction ----
+    "q259_stream_tumbling_rocksdb" -> ((s, dir) => {
+      Streams.tumblingByTypeRocksDb(s, dir, "1 hour")
+    }),
+
     // ---- streaming at 100 TB state, session flavor: q143's gap
     //      sessionization with SESSION-WINDOW state in RocksDB — a
     //      different store code path (merge/split of windows per key) than
@@ -3439,6 +3447,12 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
 
     "q49_stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k, event_type,
+        |count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q259 = q49's stream under the RocksDB provider — same rows
+    "q259_stream_tumbling_rocksdb" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k, event_type,
         |count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,

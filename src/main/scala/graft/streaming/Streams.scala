@@ -475,6 +475,17 @@ object Streams {
     sessionCounts(tagged, dir, gap)
   }
 
+  /** [[tumblingByType]] with streaming-AGGREGATION state in RocksDB —
+    * the third distinct state manager (StreamingAggregationStateManager's
+    * key→agg-buffer rows; q249 covers arbitrary mapGroups state, q258 the
+    * session-window merge path). Together the three oracle-checked flavors
+    * pin every stateful-operator family to the scale store. */
+  def tumblingByTypeRocksDb(spark: SparkSession, dir: String, windowLen: String): DataFrame = {
+    val tagged = sessionWithConfs(spark)
+    tagged.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    tumblingByType(tagged, dir, windowLen)
+  }
+
   /** STREAMING funnel — the ordered k-step funnel of
     * [[graft.operators.Events.funnel]] as a per-entity state machine:
     * `mapGroupsWithState` holds (stage, last-step-µs) per entity — O(1)
