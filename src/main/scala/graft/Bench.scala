@@ -70,8 +70,11 @@ object Bench {
       val t1 = once()
       val suspect = prior.get(name) match {
         // 0.25s absolute floor: a 40ms query doubling to 90ms is codegen
-        // jitter, not a regression worth 2 extra runs
-        case Some(p) => t1 > 2.0 * p && t1 > 0.25
+        // jitter, not a regression worth 2 extra runs. 1.5x (was 2.0x):
+        // r8 observed real in-suite inflations of 1.5-1.9x slipping under
+        // the 2x gate (q182 3.7s vs 2.5s isolated median) — the extra
+        // rerun budget is ~20-30 queries, bounded and worth the fidelity
+        case Some(p) => t1 > 1.5 * p && t1 > 0.25
         case None    => t1 > 0.75 // new query: no prior, medianize if nontrivial
       }
       val runs = math.max(reps, if (suspect) 3 else 1)
