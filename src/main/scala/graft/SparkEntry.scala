@@ -2854,6 +2854,16 @@ object SparkEntry {
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
     }),
 
+    // ---- corpus analysis: DISTINCTIVE TERMS per source — Monroe et al.
+    //      "Fightin' Words" log-odds with informative Dirichlet prior
+    //      (corpus-proportional α); the characteristically-source-X
+    //      vocabulary panel raw tf-idf gets wrong on rare noise ----
+    "q260_distinctive_terms" -> ((s, dir) => {
+      Text.distinctiveTerms(t(s, dir, "documents"), "source", "text",
+        alpha0 = 1000.0, topK = 5)
+        .withColumnRenamed("g", "source")
+    }),
+
     // ---- streaming at 100 TB state, aggregation flavor: q49's tumbling
     //      windowed agg with streaming-AGGREGATION state in RocksDB — the
     //      third state-manager family after q249 (mapGroups) and q258
@@ -3450,6 +3460,28 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k, event_type,
         |count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q260: the SQL mirrors the Spark expression tree operand-for-operand
+    // (double arithmetic determinism; the q119/q163 single-round ln
+    // convention)
+    "q260_distinctive_terms" ->
+      """WITH tok AS (SELECT source AS g, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |sw AS (SELECT g, t, CAST(count(*) AS BIGINT) AS ysw FROM tok GROUP BY 1, 2),
+        |w AS (SELECT t, CAST(sum(ysw) AS BIGINT) AS yw FROM sw GROUP BY 1),
+        |ns AS (SELECT g, CAST(sum(ysw) AS BIGINT) AS nsv FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ysw) AS BIGINT) AS n FROM sw),
+        |d AS (SELECT sw.g, sw.t,
+        |  CAST(round((ln((sw.ysw + 1000.0 * w.yw / tot.n)
+        |        / (ns.nsv + 1000.0 - sw.ysw - 1000.0 * w.yw / tot.n))
+        |    - ln(((w.yw - sw.ysw) + 1000.0 * w.yw / tot.n)
+        |        / ((tot.n - ns.nsv) + 1000.0 - (w.yw - sw.ysw) - 1000.0 * w.yw / tot.n)))
+        |    * 1000000.0) AS BIGINT) AS delta_u
+        |  FROM sw JOIN w USING (t) JOIN ns USING (g), tot),
+        |r AS (SELECT g, t, delta_u,
+        |      row_number() OVER (PARTITION BY g ORDER BY delta_u DESC, t) AS rk FROM d)
+        |SELECT g AS source, CAST(rk AS BIGINT) AS rank, t AS term, delta_u
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     // q259 = q49's stream under the RocksDB provider — same rows
     "q259_stream_tumbling_rocksdb" ->

@@ -742,6 +742,54 @@ object Text {
     * token-keyed equi-self-join whose per-token fan-out is bounded by
     * #sources² (sources are a handful, tokens are the parallelism);
     * per-source sizes join back broadcast (source-cardinality rows). */
+  /** DISTINCTIVE TERMS per group — the "Fightin' Words" log-odds-ratio
+    * with an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008):
+    * for group g and term w, δ = ln(odds of w in g, α-smoothed) − ln(odds
+    * of w in the REST of the corpus), with α_w proportional to the term's
+    * corpus frequency (α₀ spread over the corpus distribution) — the
+    * corpus-contrast panel "what vocabulary is characteristically source
+    * X" that raw tf-idf over-weights rare noise for.
+    *
+    * δ is computed in double and rounded ONCE to micro-nats (the q119/q163
+    * ln convention — both engines evaluate the identical IEEE expression
+    * tree). Plan: one tokenize+agg (the only data-sized shuffle), then the
+    * vocabulary-sized (g,t) table joins the size-gated term table and the
+    * 1-row totals; top-k per group through a group-partitioned window over
+    * the vocabulary, never over rows. Output: (g, rank, term, delta_u). */
+  def distinctiveTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      alpha0: Double = 1000.0,
+      topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Par.widen(docs.select(col(groupCol), col(textCol)))
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("t"))
+    val sw = tok.groupBy(col("g"), col("t")).agg(count(lit(1)).as("ysw"))
+      .localCheckpoint(true) // term totals, group totals and the scored join all read it
+    val w = gatedBroadcast(sw.groupBy(col("t")).agg(sum(col("ysw")).as("yw"))
+      .localCheckpoint(true))
+    val ns = sw.groupBy(col("g")).agg(sum(col("ysw")).as("nsv"))
+    val tot = sw.agg(sum(col("ysw")).as("n"))
+    // operand ORDER mirrors the SQL oracle exactly — double arithmetic is
+    // deterministic only for an identical expression tree
+    val aw = lit(alpha0) * col("yw") / col("n")
+    val delta =
+      log((col("ysw") + aw) / (col("nsv") + lit(alpha0) - col("ysw") - aw)) -
+      log(((col("yw") - col("ysw")) + aw) /
+        ((col("n") - col("nsv")) + lit(alpha0) - (col("yw") - col("ysw")) - aw))
+    val scored = sw
+      .join(w, Seq("t"))
+      .join(ns, Seq("g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("delta_u", round(delta * lit(1e6)).cast("long"))
+    val win = Window.partitionBy(col("g"))
+      .orderBy(col("delta_u").desc, col("t").asc)
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("g"), col("rank"), col("t").as("term"), col("delta_u"))
+  }
+
   def vocabOverlap(
       docs: org.apache.spark.sql.DataFrame,
       sourceCol: String,
