@@ -42,12 +42,25 @@ object Bench {
       if (java.nio.file.Files.exists(local) || !java.nio.file.Files.exists(canonical)) local
       else canonical
     }
-    val prior: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(selfPath), "UTF-8")
-      // minimal parse of the self-written {"queries":{"name":secs,...}} line
-      val qsec = """"(q[0-9]+_[a-z0-9_]+)":([0-9.]+)""".r
+    // Gate against the rolling MINIMUM of all committed medians ("best"),
+    // not last round's value: the round-8 audit showed the last-value gate
+    // RATCHETS — one in-suite-inflated number gets committed, the next
+    // round's gate accepts 1.5x of the inflated value, and the record never
+    // re-anchors to truth. The best-known time can only go down, so the
+    // gate stays anchored to the query's real cost forever.
+    val qsec = """"(q[0-9]+_[a-z0-9_]+)":(-?[0-9.]+)""".r
+    def parseDict(txt: String): Map[String, Double] =
       qsec.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    val (priorLast: Map[String, Double], priorBest: Map[String, Double]) = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(selfPath), "UTF-8")
+      val bestIdx = txt.indexOf("\"best\":")
+      if (bestIdx >= 0)
+        (parseDict(txt.take(bestIdx)), parseDict(txt.drop(bestIdx)))
+      else { // pre-r9 record: single queries dict doubles as the seed best
+        val m = parseDict(txt); (m, m)
+      }
+    } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
+    val prior: Map[String, Double] = priorBest
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY="q66,q89" times just those
     // qNN ids (comma-separated), N times each if SPARK_GRAFT_BENCH_REPS is
     // set. The driver sets neither, so its runs are unchanged.
@@ -58,17 +71,23 @@ object Bench {
       only.forall(_.contains(name.takeWhile(_ != '_')))
     }
     val results = selected.map { case (name, fn) =>
+      // a FAILED query is a -1.0 sentinel, never a plausible timing: the
+      // old swallow-and-timestamp form recorded an instant throw as a fast
+      // query, silently flattering the total (round-8 audit item)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+        }
       }
       // (an inter-query System.gc() drain was tried r8 and measured WORSE —
       // +11% suite total, the forced full GCs cost more than the cleaner
       // backlog they drain; in-suite spikes are run-to-run environment
       // variance the >2x-prior auto-rerun below already medianizes)
       val t1 = once()
-      val suspect = prior.get(name) match {
+      val suspect = t1 >= 0 && (prior.get(name).filter(_ > 0) match {
         // 0.25s absolute floor: a 40ms query doubling to 90ms is codegen
         // jitter, not a regression worth 2 extra runs. 1.5x (was 2.0x):
         // r8 observed real in-suite inflations of 1.5-1.9x slipping under
@@ -76,9 +95,13 @@ object Bench {
         // rerun budget is ~20-30 queries, bounded and worth the fidelity
         case Some(p) => t1 > 1.5 * p && t1 > 0.25
         case None    => t1 > 0.75 // new query: no prior, medianize if nontrivial
-      }
-      val runs = math.max(reps, if (suspect) 3 else 1)
-      name -> (if (runs > 1) (t1 +: Seq.fill(runs - 1)(once())).sorted.apply(runs / 2)
+      })
+      val runs = math.max(if (t1 < 0) 1 else reps, if (suspect) 3 else 1)
+      val shots = t1 +: Seq.fill(runs - 1)(once())
+      // any failing shot marks the query failed — a median over a mix of
+      // timings and sentinels would bury the failure
+      name -> (if (shots.exists(_ < 0)) -1.0
+               else if (runs > 1) shots.sorted.apply(runs / 2)
                else t1)
     }
     // ONE final SHORT line, sized for the driver's FIXED 2000-char tail
@@ -107,7 +130,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0') + "\":" + math.round(v * 1000)
     }
     val lineBudget = 1900 // driver tail is 2000; leave margin for the wrapper
-    val fixedOverhead = 120 // metric/value/unit/qunit/qomit wrapper bytes
+    val fixedOverhead = 135 // metric/value/unit/qunit/qerr/qomit wrapper bytes
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = fixedOverhead
     entries.foreach { e =>
@@ -115,18 +138,30 @@ object Bench {
     }
     val qomit = entries.size - kept.size
     val qs = kept.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries (-1 sentinel) are excluded from the total and counted
+    // in "qerr" — a sum over sentinels would report a FASTER total per error
+    val qerr = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
     // only FULL runs may overwrite the tracked record — a filtered
     // SPARK_GRAFT_BENCH_ONLY iteration must not clobber it with partial data
     if (only.isEmpty) {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
         .mkString("{", ",", "}")
+      // rolling per-query minimum of every committed value — the anchor the
+      // auto-rerun gate reads next round (see priorBest above)
+      val bestQs = results.map { case (k, v) =>
+        val b = (priorBest.get(k).filter(_ > 0).toSeq ++ Some(v).filter(_ >= 0)) match {
+          case Nil => -1.0
+          case xs  => xs.min
+        }
+        "\"" + k + "\":" + n3(b)
+      }.mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         selfPath,
-        s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n""")
+        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,"queries":$fullQs,"best":$bestQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qomit":$qomit,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qerr":$qerr,"qomit":$qomit,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -65,14 +65,22 @@ object SparkEntry {
     // cost; the timed query is the per-batch probe (production steady state)
     Dedup.ensureLshIndex(
       t(s, dir, "documents").where(col("doc_id") % 7 =!= 0),
-      "doc_id", "text", lshIndexTable(dir))
+      "doc_id", "text", lshIndexTable(dir), corpusFp = lshCorpusFp(dir))
   }
 
-  // full 32-bit hex, not abs(...).take(6): abs(Int.MinValue) is negative
-  // (invalid identifier) and 6-digit truncation can collide two dirs onto
-  // one index table — probing the wrong corpus silently
-  private def lshIndexTable(dir: String): String =
-    s"graft_lsh_idx_${Integer.toHexString(dir.hashCode)}"
+  // full md5 of the dir, not String.hashCode: a 32-bit collision between
+  // two dirs sharing one warehouse would silently alias their index tables
+  // (the _meta corpus_fp check would still catch it, but the name should
+  // not collide in the first place)
+  private def lshIndexTable(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    s"graft_lsh_idx_${d.map("%02x".format(_)).mkString}"
+  }
+
+  // the corpus identity recorded in the index _meta and re-asserted at
+  // every ensure/probe: same table name + same hash family over a
+  // DIFFERENT subset is the silent-wrong-corpus case only this catches
+  private def lshCorpusFp(dir: String): String = s"documents[doc_id%7!=0]@$dir"
 
   /** Daily order totals — the ordered "time series" backing series ops. */
   private def daily(s: SparkSession, dir: String): KSeries =
@@ -2850,8 +2858,10 @@ object SparkEntry {
     "q250_lsh_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tbl = lshIndexTable(dir)
-      Dedup.ensureLshIndex(docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl)
-      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl)
+      Dedup.ensureLshIndex(docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
     }),
 
     // ---- corpus analysis: DISTINCTIVE TERMS per source — Monroe et al.
@@ -2937,7 +2947,11 @@ object SparkEntry {
     "q254_kcore" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPortable(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
-      Graphs.kCore(pairs, "id_a", "id_b", k = 2)
+      // maxIter = 5 on purpose: the SQL oracle replays a FIXED 5-round
+      // unrolled ladder, so a graph that genuinely needed more peel rounds
+      // must fail LOUDLY here (kCore requires convergence within maxIter)
+      // rather than surface as a confusing oracle hash mismatch
+      Graphs.kCore(pairs, "id_a", "id_b", k = 2, maxIter = 5)
         .select(col("id").cast("long").as("doc_id"), col("core_degree"))
     }),
 
@@ -2956,8 +2970,9 @@ object SparkEntry {
     "q252_stream_lsh_probe" -> ((s, dir) => {
       val tbl = lshIndexTable(dir)
       Dedup.ensureLshIndex(
-        t(s, dir, "documents").where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl)
-      Streams.streamLshIndexProbe(s, dir, tbl)
+        t(s, dir, "documents").where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
+      Streams.streamLshIndexProbe(s, dir, tbl, corpusFp = lshCorpusFp(dir))
     }),
 
     // ---- dedup-apply, the INCREMENTAL form: yesterday's cluster labels

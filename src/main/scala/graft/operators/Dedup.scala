@@ -425,7 +425,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8,
+      corpusFp: String = ""): Unit = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val base = shingleBase(corpus, idCol, textCol, shingleN)
     val bk = base
@@ -437,10 +438,21 @@ object Dedup {
     // the hash-family parameters ARE part of the index: a probe under a
     // different (shingleN, numHashes, bands) computes disjoint band keys
     // and would return a silently near-empty report — store them so
-    // probeLshIndex can fail fast on a mismatch
-    import corpus.sparkSession.implicits._
+    // probeLshIndex can fail fast on a mismatch. corpus_fp is the
+    // caller-declared corpus identity (source dir + filter description):
+    // two pipelines publishing the SAME table name over DIFFERENT corpus
+    // subsets share every hash-family default, so only the fingerprint can
+    // catch a probe against the wrong corpus.
+    writeLshMeta(corpus.sparkSession, table, shingleN, numHashes, bands, corpusFp)
+  }
+
+  private def writeLshMeta(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      shingleN: Int, numHashes: Int, bands: Int, corpusFp: String): Unit = {
+    import spark.implicits._
     graft.sources.Bucketing.saveBucketed(
-      Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands"),
+      Seq((shingleN, numHashes, bands, corpusFp))
+        .toDF("shingle_n", "num_hashes", "bands", "corpus_fp"),
       s"${table}_meta", "shingle_n", 1)
   }
 
@@ -457,11 +469,27 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8,
+      corpusFp: String = ""): Unit = {
     val cat = corpus.sparkSession.catalog
     if (!cat.tableExists(s"${table}_buckets") || !cat.tableExists(s"${table}_docs") ||
         !cat.tableExists(s"${table}_meta"))
-      publishLshIndex(corpus, idCol, textCol, table, shingleN, numHashes, bands, buckets)
+      publishLshIndex(corpus, idCol, textCol, table, shingleN, numHashes, bands, buckets,
+        corpusFp)
+    else
+      // the existing index must have been published over THIS corpus —
+      // hash-family params alone can't tell two corpus subsets apart
+      require(readLshMeta(corpus.sparkSession, table)._4 == corpusFp,
+        s"ensureLshIndex: index '$table' exists but was published over a " +
+          s"different corpus (stored fp '${readLshMeta(corpus.sparkSession, table)._4}', " +
+          s"expected '$corpusFp') — drop the tables or use a distinct table name")
+  }
+
+  /** (shingle_n, num_hashes, bands, corpus_fp) of a published index. */
+  private def readLshMeta(
+      spark: org.apache.spark.sql.SparkSession, table: String): (Int, Int, Int, String) = {
+    val m = spark.table(s"${table}_meta").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2), m.getString(3))
   }
 
   /** Shared shingle-set prep of the PORTABLE md5 LSH family — ONE
@@ -493,15 +521,21 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      corpusFp: String = ""): DataFrame = {
     // fail fast on a hash-family mismatch with the published index — the
     // band keys of a different (shingleN, numHashes, bands) are disjoint
-    // and the probe would return a silently near-empty report
-    val meta = spark.table(s"${table}_meta").head()
-    val stored = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // and the probe would return a silently near-empty report. The corpus
+    // fingerprint catches the OTHER silent-wrong case: same hash family,
+    // same table name, different corpus subset behind it.
+    val stored4 = readLshMeta(spark, table)
+    val stored = (stored4._1, stored4._2, stored4._3)
     require(stored == ((shingleN, numHashes, bands)),
       s"probeLshIndex($shingleN,$numHashes,$bands) does not match index " +
         s"'$table' published with (shingle_n,num_hashes,bands)=$stored")
+    require(stored4._4 == corpusFp,
+      s"probeLshIndex: index '$table' was published over corpus " +
+        s"'${stored4._4}' but the caller expects '$corpusFp'")
     val iBase = shingleBase(incoming, idCol, textCol, shingleN)
     val iBk = iBase
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))

@@ -605,9 +605,14 @@ object Stats {
     // same single-product-fits-long contract the one-level form had, minus
     // 12 bits of chunk headroom.
     val chunked = base.withColumn("__chunk", shiftright(monotonically_increasing_id(), 12))
+    // magnitude guard WITHOUT abs: abs(Long.MinValue) is still negative,
+    // so an abs-based max would let Long.MinValue sail past the 2^24 check
+    // while the chunk partials wrap. Track signed max and min instead and
+    // bound both ends — no abs, no overflow, same one-pass cost.
     val partialSums =
       count(lit(1)).as("__n") +:
-      max(greatest(names.map(n => abs(col(n))): _*)).as("__mx") +:
+      max(greatest(names.map(n => col(n)): _*)).as("__mx") +:
+      min(least(names.map(n => col(n)): _*)).as("__mn") +:
       (names.map(n => sum(col(n)).as(s"__s_$n")) ++
         (for { i <- names.indices; j <- i until names.size } yield
           sum(col(names(i)) * col(names(j))).as(s"__p_${names(i)}_${names(j)}")))
@@ -615,6 +620,7 @@ object Stats {
     val mergeSums =
       sum(col("__n")).as("__n") +:
       max(col("__mx")).as("__mx") +:
+      min(col("__mn")).as("__mn") +:
       (names.map(n => sum(col(s"__s_$n").cast("decimal(38,0)")).as(s"__s_$n")) ++
         (for { i <- names.indices; j <- i until names.size } yield
           sum(col(s"__p_${names(i)}_${names(j)}").cast("decimal(38,0)"))
@@ -630,7 +636,8 @@ object Stats {
         // coalesce first: ZERO surviving rows (empty frame / all-null
         // column) leaves the merge agg with __n = __mx = NULL, which must
         // report n = 0 (the pre-guard behavior), not a phantom overflow
-        when(coalesce(col("__mx"), lit(0L)) < (1L << 24),
+        when(coalesce(col("__mx"), lit(0L)) < (1L << 24) &&
+             coalesce(col("__mn"), lit(0L)) > -(1L << 24),
             coalesce(col("__n"), lit(0L)))
           .otherwise(raise_error(lit(
             "covarianceMatrix: |value| >= 2^24 overflows the long chunk partials")))

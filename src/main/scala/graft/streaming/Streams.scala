@@ -640,7 +640,9 @@ object Streams {
     * sees the caller-published index. Output: (incoming_id, corpus_id,
     * jaccard) across all batches; sink is batchId-partitioned with the
     * idempotent-overwrite replay discipline of [[ingestDedupDocs]]. */
-  def streamLshIndexProbe(spark: SparkSession, dir: String, indexTable: String): DataFrame = {
+  def streamLshIndexProbe(
+      spark: SparkSession, dir: String, indexTable: String,
+      corpusFp: String = ""): DataFrame = {
     import java.nio.file.Files
     val incoming = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -675,7 +677,8 @@ object Streams {
         .option("checkpointLocation", chkDir.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           graft.operators.Dedup
-            .probeLshIndex(batch.sparkSession, batch, "doc_id", "text", indexTable)
+            .probeLshIndex(batch.sparkSession, batch, "doc_id", "text", indexTable,
+              corpusFp = corpusFp)
             .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         }
         .start()
