@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EMPIRICAL scale drill: amplify the test tables ~X× IN-FLIGHT and time
+  * the heaviest non-streaming kernels on the amplified data — the measured
+  * leg of the "survives 100×" argument that the per-query plan audits
+  * (PLANS.md) can only make structurally.
+  *
+  * Amplification is a replica crossJoin (broadcast of an X-row index) with
+  * salted ids, so no new testdata is needed and the input materializes to
+  * ~X× the base scale factor in memory before any kernel is timed:
+  *   - documents: every token carries a `~<replica>` tag, so replica
+  *     vocabularies are DISJOINT and the near-dup graph is exactly X
+  *     independent copies of the base graph — candidate work scales ×X
+  *     with no artificial mega-cluster collapsing all replicas of a doc;
+  *   - embeddings: ids salted, vectors perturbed per replica (the IVF/PQ
+  *     codebooks see X× training rows, not X identical copies);
+  *   - events: user ids offset per replica → X× distinct entities, the
+  *     partition-parallel axis of interval coverage;
+  *   - lineitem: a unique long key per (orderkey, linenumber, replica) →
+  *     an ~12M-key ordered series (at X=20/sf0.1) for the OrderedScan
+  *     bucket-stitch fill/rank drills, with nulls injected for the fill.
+  *
+  * Each op is timed to a wall budget AND plan-audited: any unpartitioned
+  * WindowExec in the executed plan that is NOT the documented ≤buckets-row
+  * OrderedScan carry stitch (recognizable: it orders by `__bucket`) is a
+  * flag — the single-partition sort is exactly the shape that dies at 100×.
+  *
+  * `main` (the committed SCALE_DRILL.json): sf0.1 × 20. The ScalaTest spec
+  * runs the same code at sf0.01 × 4 so the drill itself stays green in CI.
+  */
+object ScaleDrill {
+
+  final case class OpResult(name: String, sec: Double, rows: Long, flags: Seq[String])
+
+  private def reps(spark: SparkSession, x: Int): DataFrame =
+    spark.range(x).select(col("id").as("__rep"))
+
+  /** X× documents: salted ids, replica-disjoint vocabulary (see header). */
+  def amplifyDocs(spark: SparkSession, dir: String, x: Int): DataFrame =
+    Tables(spark, dir, "documents")
+      .crossJoin(broadcast(reps(spark, x)))
+      .select(
+        (col("doc_id") * x + col("__rep")).as("doc_id"),
+        concat_ws(" ",
+          transform(split(trim(col("text")), " "),
+            w => concat(w, lit("~"), col("__rep")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  /** X× embeddings: salted ids, per-replica perturbation of every value. */
+  def amplifyEmbeddings(spark: SparkSession, dir: String, x: Int): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .crossJoin(broadcast(reps(spark, x)))
+      .select(
+        (col("vec_id") * x + col("__rep")).as("vec_id"),
+        transform(col("embedding"),
+          v => (v + (col("__rep") % 7).cast("float") * lit(1e-3f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+
+  /** X× events: replica-offset user ids → X× distinct entities. */
+  def amplifyEvents(spark: SparkSession, dir: String, x: Int): DataFrame =
+    Tables(spark, dir, "events")
+      .crossJoin(broadcast(reps(spark, x)))
+      .select(
+        (col("event_id") * x + col("__rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__rep") * lit(1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+
+  /** X× lineitem as an ordered (k, v) series with unique long keys and
+    * nulls injected every 7th row (the forward-fill workload). */
+  def amplifyLineitemSeries(spark: SparkSession, dir: String, x: Int): DataFrame =
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    // so the ordered key is a per-row monotonic id salted by replica —
+    // key SEMANTICS don't matter to the fill/rank drill, uniqueness does
+    Tables(spark, dir, "lineitem")
+      .select(col("l_quantity"))
+      .withColumn("__row", monotonically_increasing_id())
+      .crossJoin(broadcast(reps(spark, x)))
+      .select(
+        (col("__row") * x + col("__rep")).as("k"),
+        when((col("__row") + col("__rep")) % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("v"))
+
+  /** Unpartitioned WindowExec nodes in the EXECUTED plan that are not the
+    * OrderedScan carry stitch (which orders by `__bucket` over ≤buckets
+    * rows by construction). Best-effort: segments behind a localCheckpoint
+    * are not in the final lineage and are audited by PLANS.md instead. */
+  def globalWindowFlags(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case w: WindowExec
+          if w.partitionSpec.isEmpty &&
+            !w.orderSpec.exists(_.child.references.exists(_.name.startsWith("__bucket"))) =>
+        s"unpartitioned Window ordered by ${w.orderSpec.map(_.child.sql).mkString(",")}"
+    }
+  }
+
+  /** Build and run the drill; one OpResult per kernel. Inputs materialize
+    * (localCheckpoint) BEFORE timing starts so each measurement is the
+    * kernel, not the amplification projection. */
+  def runAll(spark: SparkSession, dir: String, x: Int): Seq[OpResult] = {
+    val docs = amplifyDocs(spark, dir, x).localCheckpoint(true)
+    val emb = amplifyEmbeddings(spark, dir, x).localCheckpoint(true)
+    val ev = amplifyEvents(spark, dir, x).localCheckpoint(true)
+    val li = amplifyLineitemSeries(spark, dir, x).localCheckpoint(true)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[OpResult]
+    def timed(name: String)(build: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val df = build
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      out += OpResult(name, sec, rows, globalWindowFlags(df))
+      df
+    }
+
+    val pairs = timed("lsh_pairs") {
+      operators.Dedup.minhashLshPortable(docs, "doc_id", "text")
+    }
+    // materialize OUTSIDE the downstream timers: components/kcore/kfold
+    // consume the pair list, they should not re-pay the LSH pipeline
+    val pairsM = pairs.localCheckpoint(true)
+    timed("components") { operators.Dedup.components(pairsM) }
+    timed("kcore") { operators.Graphs.kCore(pairsM, "id_a", "id_b", k = 2) }
+    timed("group_kfold") {
+      operators.Sampling.groupKFold(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", pairsM, k = 5)
+    }
+    timed("ordered_fill") { operators.OrderedScan.forwardFill(li, "k", Seq("v")) }
+    timed("ordered_rank") { operators.OrderedScan.rowNumber(li, "k", "__ord") }
+    timed("ivfpq_probe") {
+      operators.Similarity.ivfPqKnnPortable(
+        emb, emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
+    }
+    timed("bm25") { functions.Text.bm25TopTerms(docs, "doc_id", "text", kTop = 5) }
+    timed("interval_coverage") {
+      operators.Events.intervalCoverage(ev, "user_id", "ts",
+        expr("CAST(round(value * 60000000) AS BIGINT)"))
+    }
+    timed("distinctive_terms") { functions.Text.distinctiveTerms(docs, "source", "text") }
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val x = sys.env.getOrElse("SPARK_GRAFT_DRILL_X", "20").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_DRILL_BUDGET_SEC", "120").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // x=1 pass first: the per-op BASELINE the scale ratio divides by, and
+    // the JIT/codegen warmup that keeps the amplified pass honest
+    val base = runAll(spark, sfDir, 1).map(r => r.name -> r.sec).toMap
+    val results = runAll(spark, sfDir, x)
+    def n3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val opsJson = results.map { r =>
+      val flags = r.flags.map(f => "\"" + f.replace("\"", "'") + "\"").mkString("[", ",", "]")
+      val b = base.getOrElse(r.name, 0.0)
+      // ratio vs ideal: time grew `ratio`× for x× data — <x is sublinear
+      // (fixed overheads amortize), ≈x linear, >>x a scaling bug
+      s""""${r.name}":{"sec":${n3(r.sec)},"base_sec":${n3(b)},"ratio":${n3(
+          if (b > 0) r.sec / b else -1.0)},"rows":${r.rows},"over_budget":${r.sec > budget},"flags":$flags}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_.sec).sum
+    val line =
+      s"""{"sf":"$sfDir","x":$x,"budget_sec":${n3(budget)},"total_sec":${n3(total)},"ops":$opsJson}"""
+    // the record lives at the repo root (the Bench selfPath discipline):
+    // prefer the cwd, fall back to the canonical repo path
+    val path =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo")) &&
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get("src/main/scala/graft")))
+        java.nio.file.Paths.get("/root/repo/SCALE_DRILL.json")
+      else java.nio.file.Paths.get("SCALE_DRILL.json")
+    java.nio.file.Files.writeString(path, line + "\n")
+    println(line)
+    val bad = results.filter(r => r.sec > budget || r.flags.nonEmpty)
+    spark.stop()
+    if (bad.nonEmpty) {
+      System.err.println(s"[scaledrill] FAILED ops: ${bad.map(_.name).mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}

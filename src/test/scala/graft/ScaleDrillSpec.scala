@@ -1,0 +1,46 @@
+package graft
+
+/** CI leg of the empirical scale drill ([[ScaleDrill]]): the same
+  * amplify-and-run code the committed SCALE_DRILL.json record uses at
+  * sf0.1×20, exercised here at sf0.01×4 on the shared local[4] session —
+  * small enough for the suite, large enough that a quadratic blowup or a
+  * single-partition global window in any of the 10 kernels still shows.
+  */
+class ScaleDrillSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("all drill kernels complete at 4x amplification, no global-window flags") {
+    val results = ScaleDrill.runAll(spark, dir, x = 4)
+    assert(results.map(_.name) === Seq(
+      "lsh_pairs", "components", "kcore", "group_kfold", "ordered_fill",
+      "ordered_rank", "ivfpq_probe", "bm25", "interval_coverage", "distinctive_terms"))
+    results.foreach { r =>
+      assert(r.rows > 0, s"${r.name}: empty result")
+      assert(r.flags.isEmpty,
+        s"${r.name}: unexpected unpartitioned window(s): ${r.flags.mkString("; ")}")
+      // generous wall budget on 4 test cores — catches complexity blowups
+      // (a kernel gone quadratic at 4x), not scheduler jitter
+      assert(r.sec < 90.0, s"${r.name}: ${r.sec}s exceeds the 90s drill budget")
+    }
+  }
+
+  test("amplified documents are exactly x independent copies of the base graph") {
+    // replica vocabularies are disjoint, so the pair list must be exactly
+    // x stacked copies of the base pair list (modulo the id salting)
+    val basePairs = operators.Dedup
+      .minhashLshPortable(Tables(spark, dir, "documents"), "doc_id", "text")
+      .count()
+    val ampPairs = operators.Dedup
+      .minhashLshPortable(ScaleDrill.amplifyDocs(spark, dir, 3), "doc_id", "text")
+      .count()
+    assert(ampPairs === 3 * basePairs)
+  }
+
+  test("amplified ids are unique") {
+    val docs = ScaleDrill.amplifyDocs(spark, dir, 3)
+    assert(docs.count() === docs.select("doc_id").distinct().count())
+    val li = ScaleDrill.amplifyLineitemSeries(spark, dir, 3)
+    assert(li.count() === li.select("k").distinct().count())
+  }
+}
