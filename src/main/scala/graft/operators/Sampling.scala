@@ -344,8 +344,23 @@ object Sampling {
       .drop("cluster")
     val reps = withRep.select(col("rep_id")).distinct()
       .withColumn("__mk", md5(col("rep_id").cast("string")))
-    val ranked = graft.operators.OrderedScan.rowNumber(reps, "__mk", "__r")
-      .select(col("rep_id"), pmod(col("__r"), lit(k.toLong)).as("fold"))
+    // the usual unpartitioned-ordered-op routing (KSeries/Windowing
+    // discipline): below the global-window byte gate a plain Window.orderBy
+    // is the right plan — ONE small window task instead of the stitch's
+    // boundary-sampling jobs, which at test SF are pure scheduler latency;
+    // above the gate the bucket-stitched rowNumber keeps ranking
+    // distributed. The gate reads the BASE frame's id projection, not
+    // `reps`: rep ids are a subset of df's ids (labels are cluster-min
+    // ids), and join-derived stats over-estimate so badly the small path
+    // would never fire.
+    val gateDf = df.select(col(idCol).cast("string").as("__mk"))
+    val ranked = (if (graft.operators.OrderedScan.autoRoutes(gateDf, "__mk"))
+      graft.operators.OrderedScan.rowNumber(reps, "__mk", "__r")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      reps.withColumn("__r",
+        row_number().over(Window.orderBy(col("__mk"))).cast("long") - 1)
+    }).select(col("rep_id"), pmod(col("__r"), lit(k.toLong)).as("fold"))
     withRep.join(ranked, Seq("rep_id"))
   }
 }
