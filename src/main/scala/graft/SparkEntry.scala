@@ -2864,6 +2864,26 @@ object SparkEntry {
         corpusFp = lshCorpusFp(dir))
     }),
 
+    // ---- index MAINTENANCE: publish over a partial corpus, APPEND the
+    //      remainder as an incremental batch, then probe — certifying
+    //      append(publish(A), B) ≡ publish(A ∪ B): the publish pipeline is
+    //      per-doc deterministic, so the appended bucketed tables are
+    //      row-equal to a full republish and the probe (and its oracle,
+    //      shared with q250) cannot tell the difference ----
+    "q261_lsh_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = lshIndexTable(dir) + "_app"
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      // publish drops + recreates all three tables, so the query is
+      // re-runnable (append alone is not: the duplicate-id guard fires)
+      Dedup.publishLshIndex(corpus.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tbl, corpusFp = s"documents[%7!=0,%5!=0]@$dir")
+      Dedup.appendLshIndex(corpus.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", tbl, newCorpusFp = lshCorpusFp(dir))
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
+    }),
+
     // ---- corpus analysis: DISTINCTIVE TERMS per source — Monroe et al.
     //      "Fightin' Words" log-odds with informative Dirichlet prior
     //      (corpus-proportional α); the characteristically-source-X
@@ -6341,6 +6361,9 @@ object SparkEntry {
     // so the streamed union equals the same one-shot SQL.
     "q252_stream_lsh_probe" -> lshProbeOracleSql,
     "q250_lsh_index_probe" -> lshProbeOracleSql,
+    // q261: append(publish(A), B) must be indistinguishable from
+    // publish(A∪B) at probe time — same oracle as the one-shot probe
+    "q261_lsh_index_append" -> lshProbeOracleSql,
 
     "q256_cluster_sizes" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -443,17 +443,56 @@ object Dedup {
     // two pipelines publishing the SAME table name over DIFFERENT corpus
     // subsets share every hash-family default, so only the fingerprint can
     // catch a probe against the wrong corpus.
-    writeLshMeta(corpus.sparkSession, table, shingleN, numHashes, bands, corpusFp)
+    writeLshMeta(corpus.sparkSession, table, shingleN, numHashes, bands, buckets, corpusFp)
   }
 
   private def writeLshMeta(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      shingleN: Int, numHashes: Int, bands: Int, corpusFp: String): Unit = {
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String): Unit = {
     import spark.implicits._
     graft.sources.Bucketing.saveBucketed(
-      Seq((shingleN, numHashes, bands, corpusFp))
-        .toDF("shingle_n", "num_hashes", "bands", "corpus_fp"),
+      Seq((shingleN, numHashes, bands, buckets, corpusFp))
+        .toDF("shingle_n", "num_hashes", "bands", "buckets", "corpus_fp"),
       s"${table}_meta", "shingle_n", 1)
+  }
+
+  /** APPEND a new batch to a published LSH index — the maintenance path of
+    * the publish-once/probe-forever layout: the batch is shingled and
+    * banded under the index's OWN stored hash family (read from `_meta`,
+    * never caller-supplied — a mismatched append would poison the index)
+    * and its rows are appended to the bucketed tables under the SAME
+    * bucket spec, so probe-side co-location is preserved. Because the
+    * publish pipeline is per-doc deterministic with no cross-doc state,
+    * append(publish(A), B) produces tables row-equal to publish(A ∪ B) —
+    * certified by the q261 oracle. Batch ids already present in the index
+    * are refused loudly (a duplicate id would duplicate every one of its
+    * probe result rows); the ids-only semi-join is batch-sized on the
+    * shuffle side. `newCorpusFp` replaces the stored corpus fingerprint —
+    * pass the describing string for corpus ∪ batch. */
+  def appendLshIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      newCorpusFp: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val m = readLshMeta(spark, table)
+    val base = shingleBase(batch, idCol, textCol, m.shingleN)
+    val dup = base.select(col("id"))
+      .join(spark.table(s"${table}_docs"), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0,
+      s"appendLshIndex: batch contains ids already present in index '$table' — " +
+        "append would duplicate their probe rows; dedup the batch first")
+    val bk = base
+      .select(col("id"), posexplode(Vectors.md5BandKeys(m.numHashes, m.bands)(col("shs"))))
+      .select(col("pos").as("band"), col("col").as("bk"), col("id"))
+    bk.write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(s"${table}_buckets")
+    base.select(col("id"), col("shs"))
+      .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${table}_docs")
+    writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets, newCorpusFp)
   }
 
   /** [[publishLshIndex]] only if the index tables are not already in the
@@ -479,17 +518,20 @@ object Dedup {
     else
       // the existing index must have been published over THIS corpus —
       // hash-family params alone can't tell two corpus subsets apart
-      require(readLshMeta(corpus.sparkSession, table)._4 == corpusFp,
+      require(readLshMeta(corpus.sparkSession, table).corpusFp == corpusFp,
         s"ensureLshIndex: index '$table' exists but was published over a " +
-          s"different corpus (stored fp '${readLshMeta(corpus.sparkSession, table)._4}', " +
+          s"different corpus (stored fp '${readLshMeta(corpus.sparkSession, table).corpusFp}', " +
           s"expected '$corpusFp') — drop the tables or use a distinct table name")
   }
 
-  /** (shingle_n, num_hashes, bands, corpus_fp) of a published index. */
+  final case class LshMeta(
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String)
+
+  /** Stored parameters + corpus fingerprint of a published index. */
   private def readLshMeta(
-      spark: org.apache.spark.sql.SparkSession, table: String): (Int, Int, Int, String) = {
+      spark: org.apache.spark.sql.SparkSession, table: String): LshMeta = {
     val m = spark.table(s"${table}_meta").head()
-    (m.getInt(0), m.getInt(1), m.getInt(2), m.getString(3))
+    LshMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getString(4))
   }
 
   /** Shared shingle-set prep of the PORTABLE md5 LSH family — ONE
@@ -528,14 +570,14 @@ object Dedup {
     // and the probe would return a silently near-empty report. The corpus
     // fingerprint catches the OTHER silent-wrong case: same hash family,
     // same table name, different corpus subset behind it.
-    val stored4 = readLshMeta(spark, table)
-    val stored = (stored4._1, stored4._2, stored4._3)
+    val m = readLshMeta(spark, table)
+    val stored = (m.shingleN, m.numHashes, m.bands)
     require(stored == ((shingleN, numHashes, bands)),
       s"probeLshIndex($shingleN,$numHashes,$bands) does not match index " +
         s"'$table' published with (shingle_n,num_hashes,bands)=$stored")
-    require(stored4._4 == corpusFp,
+    require(m.corpusFp == corpusFp,
       s"probeLshIndex: index '$table' was published over corpus " +
-        s"'${stored4._4}' but the caller expects '$corpusFp'")
+        s"'${m.corpusFp}' but the caller expects '$corpusFp'")
     val iBase = shingleBase(incoming, idCol, textCol, shingleN)
     val iBk = iBase
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))

@@ -1062,4 +1062,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(probed === direct)
     assert(probed.exists { case (i, c, j) => i == 4L && c == 1L && j == 1.0 })
   }
+
+  test("appendLshIndex equals republish over the union, and refuses duplicate ids") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different text with no overlap at all here"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "unrelated words that share nothing with the others wow"))
+      .toDF("doc_id", "text")
+    val a = docs.where(col("doc_id") <= 2)
+    val b = docs.where(col("doc_id") === 3 || col("doc_id") === 4)
+    val incoming = docs.where(col("doc_id") === 5)
+    Dedup.publishLshIndex(a, "doc_id", "text", "graft_lshspec_app", buckets = 2,
+      corpusFp = "a")
+    Dedup.appendLshIndex(b, "doc_id", "text", "graft_lshspec_app", newCorpusFp = "ab")
+    Dedup.publishLshIndex(a.union(b), "doc_id", "text", "graft_lshspec_full", buckets = 2,
+      corpusFp = "ab")
+    // table-level: appended index rows == republished index rows
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows("graft_lshspec_app_buckets") === rows("graft_lshspec_full_buckets"))
+    // probe-level: identical reports under the SAME fingerprint
+    def probe(t: String) = Dedup
+      .probeLshIndex(spark, incoming, "doc_id", "text", t, corpusFp = "ab")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe("graft_lshspec_app") === probe("graft_lshspec_full"))
+    // the duplicate-id guard: re-appending an id already in the index fails
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendLshIndex(b, "doc_id", "text", "graft_lshspec_app", newCorpusFp = "abb")
+    }
+    assert(e.getMessage.contains("already present"))
+    // a probe under a STALE fingerprint fails loudly after the append
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.probeLshIndex(spark, incoming, "doc_id", "text", "graft_lshspec_app",
+        corpusFp = "a")
+    }
+    assert(e2.getMessage.contains("published over corpus"))
+  }
 }
