@@ -109,6 +109,22 @@ object ScaleDrill {
     * (localCheckpoint) BEFORE timing starts so each measurement is the
     * kernel, not the amplification projection. */
   def runAll(spark: SparkSession, dir: String, x: Int): Seq[OpResult] = {
+    // the drill certifies the DISTRIBUTED forms: force every size-gated
+    // ordered op onto its bucket-stitch path (at real corpus scale the
+    // gate routes there anyway; letting test-SF inputs take the small
+    // global-window path would certify the wrong plan and trip the
+    // unpartitioned-window detector on a deliberate small-side route)
+    val gateKey = "spark.graft.globalWindow.maxBytes"
+    val prevGate = spark.conf.getOption(gateKey)
+    spark.conf.set(gateKey, "1")
+    try runAllGated(spark, dir, x)
+    finally prevGate match {
+      case Some(v) => spark.conf.set(gateKey, v)
+      case None    => spark.conf.unset(gateKey)
+    }
+  }
+
+  private def runAllGated(spark: SparkSession, dir: String, x: Int): Seq[OpResult] = {
     val docs = amplifyDocs(spark, dir, x).localCheckpoint(true)
     val emb = amplifyEmbeddings(spark, dir, x).localCheckpoint(true)
     val ev = amplifyEvents(spark, dir, x).localCheckpoint(true)
