@@ -158,6 +158,14 @@ object ScaleDrill {
       operators.Similarity.ivfPqKnnPortable(
         emb, emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
     }
+    // the amortized-training counterpart: per-call Lloyd made ivfpq_probe
+    // the drill's worst scaler (ratio 36x at 50x); a bounded training
+    // sample pins that term, so this op's ratio ≈ the assignment+probe scan
+    timed("ivf_sampled_probe") {
+      operators.Similarity.ivfKnnSampledTrain(
+        emb, emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        k = 10, trainRows = 512)
+    }
     timed("bm25") { functions.Text.bm25TopTerms(docs, "doc_id", "text", kTop = 5) }
     timed("interval_coverage") {
       operators.Events.intervalCoverage(ev, "user_id", "ts",
@@ -201,11 +209,12 @@ object ScaleDrill {
       s"""{"sf":"$sfDir","x":$x,"budget_sec":${n3(budget)},"total_sec":${n3(total)},"ops":$opsJson}"""
     // the record lives at the repo root (the Bench selfPath discipline):
     // prefer the cwd, fall back to the canonical repo path
+    val fileName = sys.env.getOrElse("SPARK_GRAFT_DRILL_OUT", "SCALE_DRILL.json")
     val path =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo")) &&
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get("src/main/scala/graft")))
-        java.nio.file.Paths.get("/root/repo/SCALE_DRILL.json")
-      else java.nio.file.Paths.get("SCALE_DRILL.json")
+        java.nio.file.Paths.get(s"/root/repo/$fileName")
+      else java.nio.file.Paths.get(fileName)
     java.nio.file.Files.writeString(path, line + "\n")
     println(line)
     val bad = results.filter(r => r.sec > budget || r.flags.nonEmpty)

@@ -1919,6 +1919,17 @@ object SparkEntry {
         k = 3, nlist = 8, nprobe = 2, rounds = 2)
     }),
 
+    // ---- similarity: IVF with SAMPLED training — the 100 TB index-build
+    //      discipline: Lloyd reads only a bounded md5-ranked sample (k-means
+    //      quality saturates at a few hundred points per list), assignment
+    //      and probe still cover every vector; the oracle replays the
+    //      sampled training verbatim ----
+    "q262_ivf_sampled_train" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfKnnSampledTrain(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, trainRows = 128, nlist = 8, nprobe = 2, rounds = 2)
+    }),
+
     // ---- similarity: RP-LSH with md5 integer hyperplanes + fixed-point
     //      projections — every sign is an exact integer comparison, so the
     //      WHOLE bucketing pipeline is hash-verified against the SQL
@@ -4853,6 +4864,59 @@ object SparkEntry {
         |      FROM sims)
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q262: q124's ladder with the TRAINING rounds (dist1/upd1, dist2/upd2
+    // and the centroid init) restricted to the md5-ranked 128-row sample;
+    // the FINAL assignment (dist3/asg3) and the probe stay corpus-wide
+    "q262_ivf_sampled_train" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |smp AS (SELECT vec_id FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 128),
+        |ft AS (SELECT f.* FROM f JOIN smp USING (vec_id)),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM smp ORDER BY vec_id LIMIT 8),
+        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
+        |dist1 AS (SELECT ft.vec_id, c0.c, sum((ft.q - c0.cv)*(ft.q - c0.cv)) AS dist
+        |          FROM ft JOIN cent0 c0 ON ft.d = c0.d GROUP BY 1, 2),
+        |asg1 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist1) WHERE rn = 1),
+        |upd1 AS (SELECT a.c, ft.d, CAST(floor(sum(ft.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg1 a JOIN ft USING (vec_id) GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
+        |dist2 AS (SELECT ft.vec_id, c1.c, sum((ft.q - c1.cv)*(ft.q - c1.cv)) AS dist
+        |          FROM ft JOIN cent1 c1 ON ft.d = c1.d GROUP BY 1, 2),
+        |asg2 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist2) WHERE rn = 1),
+        |upd2 AS (SELECT a.c, ft.d, CAST(floor(sum(ft.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg2 a JOIN ft USING (vec_id) GROUP BY 1, 2),
+        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
+        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
+        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
+        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
+        |asg3 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist3) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, c FROM (
+        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 2),
+        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |               FROM probes p JOIN asg3 a USING (c)
+        |               WHERE a.vec_id <> p.query_id),
+        |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings),
+        |sims AS (SELECT cd.query_id, cd.neighbor_id,
+        |         sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cosine
+        |         FROM candidates cd JOIN fl a ON a.vec_id = cd.query_id
+        |                            JOIN fl b ON b.vec_id = cd.neighbor_id AND a.i = b.i
+        |         GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM sims)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q124_ivf_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

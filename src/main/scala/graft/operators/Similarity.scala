@@ -285,8 +285,56 @@ object Similarity {
       nprobe: Int = 2,
       rounds: Int = 2): DataFrame = {
     val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    ivfScanInt(qdf, dims, queries, idCol, vecCol, k, nprobe, lloydInt(qdf, nlist, rounds))
+  }
+
+  /** [[ivfKnnPortable]] with the coarse quantizer trained on a BOUNDED
+    * deterministic sample — the production IVF discipline at corpus scale:
+    * Lloyd passes over 100 TB of vectors per index build are wasted work
+    * (k-means quality saturates at a few·nlist·100 training points, Jégou
+    * et al. 2011 §V), so training reads only the `trainRows` smallest
+    * md5-ranked ids (SQL-replayable, corpus-order-free) while ASSIGNMENT
+    * and probing still cover every corpus vector. Same output contract as
+    * [[ivfKnnPortable]]; certified by the q262 oracle which replays the
+    * sampled training verbatim. The 50× ScaleDrill measures the point:
+    * full-retrain IVF-PQ is the drill's worst scaler (ratio 36× at 50×)
+    * because training is per-call; sampling pins the training term. */
+  def ivfKnnSampledTrain(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      trainRows: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      rounds: Int = 2): DataFrame = {
+    require(trainRows >= nlist, s"trainRows $trainRows must be >= nlist $nlist")
+    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    // TakeOrdered over (md5, id) — model-sized result, no full sort shuffle
+    val train = qdf
+      .withColumn("__mk", md5(col("id").cast("string")))
+      .orderBy(col("__mk"), col("id"))
+      .limit(trainRows)
+      .drop("__mk")
+      .localCheckpoint(true) // each Lloyd round re-reads it
+    ivfScanInt(qdf, dims, queries, idCol, vecCol, k, nprobe, lloydInt(train, nlist, rounds))
+  }
+
+  /** Shared IVF scan: assign every corpus vector to its nearest (given)
+    * centroid, probe the query's `nprobe` nearest lists, exact-cosine rank
+    * within candidates. ids + buckets shuffle; raw vectors only move to
+    * the candidate join. */
+  private def ivfScanInt(
+      qdf: DataFrame,
+      dims: Int,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      csF: Array[Array[Long]]): DataFrame = {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    val csF = lloydInt(qdf, nlist, rounds)
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, csF) }
     val probeF = probeUdf(csF, nprobe)
     val bucketed = qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
