@@ -334,11 +334,23 @@ object Similarity {
       k: Int,
       nprobe: Int,
       csF: Array[Array[Long]]): DataFrame = {
-    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, csF) }
-    val probeF = probeUdf(csF, nprobe)
     val bucketed = qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
       assignF(col("q")).as("c"))
+    ivfRank(bucketed, queries, idCol, vecCol, dims, k, probeUdf(csF, nprobe))
+  }
+
+  /** Shared IVF probe tail: explode each query's probed list ids, equi-join
+    * the (neighbor_id, cv, c) bucket rows, exact-cosine top-k. */
+  private def ivfRank(
+      bucketed: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      probeF: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val probes = queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv0"),
@@ -354,6 +366,110 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** PUBLISH a sampled-train IVF index as catalog tables — the ANN
+    * counterpart of [[graft.operators.Dedup.publishLshIndex]]'s
+    * amortize-once layout: the corpus is quantized, sample-trained
+    * ([[ivfKnnSampledTrain]]'s md5-ranked `trainRows`) and ASSIGNED once;
+    * every later probe hashes only its queries and joins the stored lists.
+    *
+    *   - `<table>_assign` (neighbor_id, cv, c), bucketed by `c`: the
+    *     inverted lists — a probe's exploded (query, c) rows join them
+    *     co-located, no corpus-side shuffle;
+    *   - `<table>_cents` (c, d, cv): nlist×dims rows, model-sized —
+    *     probes collect this to rebuild the quantizer;
+    *   - `<table>_meta`: (dims, nlist, train_rows, rounds, corpus_fp) —
+    *     probe fails fast on a family or corpus mismatch (the
+    *     [[Dedup.probeLshIndex]] discipline). */
+  def publishIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      trainRows: Int,
+      nlist: Int = 8,
+      rounds: Int = 2,
+      buckets: Int = 8,
+      corpusFp: String = ""): Unit = {
+    require(trainRows >= nlist, s"trainRows $trainRows must be >= nlist $nlist")
+    val spark = corpus.sparkSession
+    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    val train = qdf
+      .withColumn("__mk", md5(col("id").cast("string")))
+      .orderBy(col("__mk"), col("id"))
+      .limit(trainRows)
+      .drop("__mk")
+      .localCheckpoint(true)
+    val cents = lloydInt(train, nlist, rounds)
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
+    graft.sources.Bucketing.saveBucketed(
+      qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        assignF(col("q")).as("c")),
+      s"${table}_assign", "c", buckets)
+    import spark.implicits._
+    val centRows = for { c <- cents.indices; d <- cents(c).indices }
+      yield (c, d, cents(c)(d))
+    graft.sources.Bucketing.saveBucketed(
+      centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1)
+    graft.sources.Bucketing.saveBucketed(
+      Seq((dims, nlist, trainRows, rounds, corpusFp))
+        .toDF("dims", "nlist", "train_rows", "rounds", "corpus_fp"),
+      s"${table}_meta", "dims", 1)
+  }
+
+  /** [[publishIvfIndex]] only if the tables are absent; an existing index
+    * must carry THIS corpus's fingerprint (same silent-wrong-corpus guard
+    * as [[Dedup.ensureLshIndex]]). */
+  def ensureIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      trainRows: Int,
+      nlist: Int = 8,
+      rounds: Int = 2,
+      buckets: Int = 8,
+      corpusFp: String = ""): Unit = {
+    val cat = corpus.sparkSession.catalog
+    if (!cat.tableExists(s"${table}_assign") || !cat.tableExists(s"${table}_cents") ||
+        !cat.tableExists(s"${table}_meta"))
+      publishIvfIndex(corpus, idCol, vecCol, table, trainRows, nlist, rounds, buckets,
+        corpusFp)
+    else {
+      val storedFp = corpus.sparkSession.table(s"${table}_meta").head().getString(4)
+      require(storedFp == corpusFp,
+        s"ensureIvfIndex: index '$table' exists but was published over corpus " +
+          s"'$storedFp', expected '$corpusFp' — drop the tables or rename")
+    }
+  }
+
+  /** PROBE a [[publishIvfIndex]] index: rebuild the quantizer from the
+    * model-sized `_cents` table, explode each query's `nprobe` nearest
+    * lists, join the stored bucketed assignments (only the query side
+    * shuffles), exact-cosine top-k. Identical output to
+    * [[ivfKnnSampledTrain]] over the same corpus — two physical forms of
+    * one semantics, certified by the q263 oracle. */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      k: Int,
+      nprobe: Int = 2,
+      corpusFp: String = ""): DataFrame = {
+    val meta = spark.table(s"${table}_meta").head()
+    val (dims, nlist, storedFp) = (meta.getInt(0), meta.getInt(1), meta.getString(4))
+    require(storedFp == corpusFp,
+      s"probeIvfIndex: index '$table' was published over corpus '$storedFp' " +
+        s"but the caller expects '$corpusFp'")
+    val cents = Array.fill(nlist)(new Array[Long](dims))
+    spark.table(s"${table}_cents").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    ivfRank(spark.table(s"${table}_assign"), queries, idCol, vecCol, dims, k,
+      probeUdf(cents, nprobe))
   }
 
   /** SQL-PORTABLE product quantization: the fixed-point treatment of

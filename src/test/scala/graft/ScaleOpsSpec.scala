@@ -565,4 +565,38 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(back === (0L until 100L).map(i => (i, i % 7)).toSet)
     assert(!s.read.parquet(path).columns.contains("__z"))
   }
+
+  test("stored IVF index probe equals the one-shot sampled-train form") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 60L).map(i =>
+        Row(i, Seq.fill(8)(rnd.nextFloat()))): _*), schema)
+    val queries = vecs.where(org.apache.spark.sql.functions.col("vec_id") < 3)
+    operators.Similarity.publishIvfIndex(vecs, "vec_id", "embedding",
+      "graft_ivfspec", trainRows = 32, nlist = 4, buckets = 2, corpusFp = "spec")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val probed = keyed(operators.Similarity.probeIvfIndex(
+      spark, queries, "vec_id", "embedding", "graft_ivfspec", k = 3, corpusFp = "spec"))
+    val oneShot = keyed(operators.Similarity.ivfKnnSampledTrain(
+      vecs, queries, "vec_id", "embedding", k = 3, trainRows = 32, nlist = 4))
+    assert(probed === oneShot)
+    assert(probed.nonEmpty)
+    // fingerprint guards: stale probe and mismatched ensure both fail fast
+    val e = intercept[IllegalArgumentException] {
+      operators.Similarity.probeIvfIndex(
+        spark, queries, "vec_id", "embedding", "graft_ivfspec", k = 3, corpusFp = "other")
+    }
+    assert(e.getMessage.contains("published over corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Similarity.ensureIvfIndex(vecs, "vec_id", "embedding",
+        "graft_ivfspec", trainRows = 32, nlist = 4, corpusFp = "other")
+    }
+    assert(e2.getMessage.contains("published over corpus"))
+  }
 }
