@@ -1955,6 +1955,33 @@ object SparkEntry {
         tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
 
+    // ---- ingest-time ANN composition: STREAMING query batches probe the
+    //      PUBLISHED IVF index per micro-batch — per-query determinism
+    //      makes union-over-batches == the one-shot probe == q263's oracle ----
+    "q265_stream_ivf_probe" -> ((s, dir) => {
+      val tbl = ivfIndexTable(dir)
+      Similarity.ensureIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", tbl,
+        trainRows = 128, corpusFp = ivfCorpusFp(dir))
+      Streams.streamIvfIndexProbe(s, dir, tbl, k = 3, corpusFp = ivfCorpusFp(dir))
+    }),
+
+    // ---- ANN index MAINTENANCE: publish over a partial corpus, APPEND the
+    //      remainder under the STORED centroids (no retrain — codebooks are
+    //      versioned artifacts), probe. The oracle trains over the partial
+    //      corpus's sample but assigns the FULL corpus — exactly what the
+    //      appended index holds ----
+    "q264_ivf_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = ivfIndexTable(dir) + "_app"
+      // publish drops + recreates all three tables → the query re-runs
+      Similarity.publishIvfIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        tbl, trainRows = 128, corpusFp = s"embeddings[%5!=0]@$dir")
+      Similarity.appendIvfIndex(e.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        tbl, newCorpusFp = ivfCorpusFp(dir))
+      Similarity.probeIvfIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
     // ---- similarity: RP-LSH with md5 integer hyperplanes + fixed-point
     //      projections — every sign is an exact integer comparison, so the
     //      WHOLE bucketing pipeline is hash-verified against the SQL
@@ -4949,6 +4976,14 @@ object SparkEntry {
     // re-form of the same semantics.
     "q262_ivf_sampled_train" -> ivfSampledOracleSql,
     "q263_ivf_index_probe" -> ivfSampledOracleSql,
+    "q265_stream_ivf_probe" -> ivfSampledOracleSql,
+    // q264: same ladder, but the TRAINING SAMPLE draws only from the
+    // initially-published partial corpus (appended vectors are assigned
+    // under the stored centroids, never trained on) — final assignment
+    // and probe stay corpus-wide
+    "q264_ivf_index_append" -> ivfSampledOracleSql.replace(
+      "smp AS (SELECT vec_id FROM embeddings ORDER BY",
+      "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
 
     "q124_ivf_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

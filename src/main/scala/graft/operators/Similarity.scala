@@ -413,8 +413,8 @@ object Similarity {
     graft.sources.Bucketing.saveBucketed(
       centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1)
     graft.sources.Bucketing.saveBucketed(
-      Seq((dims, nlist, trainRows, rounds, corpusFp))
-        .toDF("dims", "nlist", "train_rows", "rounds", "corpus_fp"),
+      Seq((dims, nlist, trainRows, rounds, buckets, corpusFp))
+        .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp"),
       s"${table}_meta", "dims", 1)
   }
 
@@ -437,7 +437,7 @@ object Similarity {
       publishIvfIndex(corpus, idCol, vecCol, table, trainRows, nlist, rounds, buckets,
         corpusFp)
     else {
-      val storedFp = corpus.sparkSession.table(s"${table}_meta").head().getString(4)
+      val storedFp = corpus.sparkSession.table(s"${table}_meta").head().getString(5)
       require(storedFp == corpusFp,
         s"ensureIvfIndex: index '$table' exists but was published over corpus " +
           s"'$storedFp', expected '$corpusFp' — drop the tables or rename")
@@ -460,7 +460,7 @@ object Similarity {
       nprobe: Int = 2,
       corpusFp: String = ""): DataFrame = {
     val meta = spark.table(s"${table}_meta").head()
-    val (dims, nlist, storedFp) = (meta.getInt(0), meta.getInt(1), meta.getString(4))
+    val (dims, nlist, storedFp) = (meta.getInt(0), meta.getInt(1), meta.getString(5))
     require(storedFp == corpusFp,
       s"probeIvfIndex: index '$table' was published over corpus '$storedFp' " +
         s"but the caller expects '$corpusFp'")
@@ -470,6 +470,51 @@ object Similarity {
     }
     ivfRank(spark.table(s"${table}_assign"), queries, idCol, vecCol, dims, k,
       probeUdf(cents, nprobe))
+  }
+
+  /** APPEND a new batch to a published IVF index — the maintenance path:
+    * the batch is quantized and assigned under the index's STORED
+    * centroids (read from `_cents`; the quantizer is NOT retrained — the
+    * production discipline, where codebooks are versioned artifacts and
+    * drift is handled by explicit republish), and the rows are appended to
+    * the bucketed `_assign` lists under the stored bucket spec. Because
+    * assignment is per-vector deterministic given the centroids,
+    * append(publish(A), B) probes identically to publish(A ∪ B) WITH A's
+    * training sample — exactly what the q264 oracle replays. Batch ids
+    * already present are refused (a duplicate would duplicate its result
+    * rows); `newCorpusFp` replaces the stored fingerprint. */
+  def appendIvfIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      newCorpusFp: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.table(s"${table}_meta").head()
+    val (dims, nlist, trainRows, rounds, buckets) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
+    val (qdf, bdims) = quantizedBase(batch, idCol, vecCol)
+    require(bdims == dims,
+      s"appendIvfIndex: batch dimension $bdims != index '$table' dimension $dims")
+    val dup = qdf.select(col("id").as("neighbor_id"))
+      .join(spark.table(s"${table}_assign"), Seq("neighbor_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0,
+      s"appendIvfIndex: batch contains ids already present in index '$table' — " +
+        "append would duplicate their result rows; dedup the batch first")
+    val cents = Array.fill(nlist)(new Array[Long](dims))
+    spark.table(s"${table}_cents").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
+    qdf.select(col("id").as("neighbor_id"), col("v").as("cv"), assignF(col("q")).as("c"))
+      .write.mode("append").bucketBy(buckets, "c").sortBy("c")
+      .format("parquet").saveAsTable(s"${table}_assign")
+    import spark.implicits._
+    graft.sources.Bucketing.saveBucketed(
+      Seq((dims, nlist, trainRows, rounds, buckets, newCorpusFp))
+        .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp"),
+      s"${table}_meta", "dims", 1)
   }
 
   /** SQL-PORTABLE product quantization: the fixed-point treatment of

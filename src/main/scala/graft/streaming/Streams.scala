@@ -693,4 +693,66 @@ object Streams {
       rmTree(sinkDir)
     }
   }
+
+  /** STREAMING ANN flagging against a PUBLISHED IVF index
+    * ([[graft.operators.Similarity.publishIvfIndex]]) — the embedding twin
+    * of [[streamLshIndexProbe]]: each arriving micro-batch of vectors
+    * quantizes ONLY itself and probes the stored bucketed inverted lists
+    * via `foreachBatch`. Each query's top-k depends only on (query, index),
+    * so the union over batches equals the one-shot [[graft.operators.Similarity.probeIvfIndex]]
+    * — the q265 oracle is q263's. Output: (query_id, rank, neighbor_id,
+    * cosine) across all batches. */
+  def streamIvfIndexProbe(
+      spark: SparkSession, dir: String, indexTable: String, k: Int,
+      corpusFp: String = ""): DataFrame = {
+    import java.nio.file.Files
+    val incoming = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") < 5)
+    val srcDir = Files.createTempDirectory("graft_ivfstream_src")
+    val sinkDir = Files.createTempDirectory("graft_ivfstream_sink")
+    val chkDir = Files.createTempDirectory("graft_ivfstream_chk")
+    val stream = isolatedStreamSession(spark)
+    try {
+      Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0).zipWithIndex.foreach {
+        case (pred, b) =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstream_tmp")
+          incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = findPartFile(tmp)
+          val dst = srcDir.resolve(f"b$b%02d.parquet")
+          java.nio.file.Files.move(part, dst)
+          dst.toFile.setLastModified(1000000L * (b + 1))
+          rmTree(tmp)
+      }
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+      val src = stream.readStream
+        .schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chkDir.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.operators.Similarity
+            .probeIvfIndex(batch.sparkSession, batch, "vec_id", "embedding", indexTable,
+              k = k, corpusFp = corpusFp)
+            .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.read.schema(sinkSchema).parquet(sinkDir.toString)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .localCheckpoint(true)
+    } finally {
+      rmTree(srcDir)
+      rmTree(chkDir)
+      rmTree(sinkDir)
+    }
+  }
 }
