@@ -154,6 +154,13 @@ object ScaleDrill {
     }
     timed("ordered_fill") { operators.OrderedScan.forwardFill(li, "k", Seq("v")) }
     timed("ordered_rank") { operators.OrderedScan.rowNumber(li, "k", "__ord") }
+    // STRING keys exercise the OTHER bucket path: no monotone numeric
+    // proxy exists, so OrderedScan samples lexicographic boundary cuts —
+    // this is the only drill op certifying that path at 10M+ rows
+    timed("ordered_rank_str") {
+      operators.OrderedScan.rowNumber(
+        li.select(md5(col("k").cast("string")).as("ks")), "ks", "__ord")
+    }
     timed("ivfpq_probe") {
       operators.Similarity.ivfPqKnnPortable(
         emb, emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)

@@ -14,8 +14,8 @@ class ScaleDrillSpec extends SparkSpecBase {
     val results = ScaleDrill.runAll(spark, dir, x = 4)
     assert(results.map(_.name) === Seq(
       "lsh_pairs", "components", "kcore", "group_kfold", "ordered_fill",
-      "ordered_rank", "ivfpq_probe", "ivf_sampled_probe", "bm25",
-      "interval_coverage", "distinctive_terms"))
+      "ordered_rank", "ordered_rank_str", "ivfpq_probe", "ivf_sampled_probe",
+      "bm25", "interval_coverage", "distinctive_terms"))
     results.foreach { r =>
       assert(r.rows > 0, s"${r.name}: empty result")
       assert(r.flags.isEmpty,
