@@ -171,6 +171,124 @@ class CompositionFuzzSpec extends SparkSpecBase {
     }
   }
 
+  // ---- KFrame composition: same discipline over the frame surface ----
+
+  // rows sorted by key; each row maps column name -> Option[value]
+  private type FModel = (Vector[String], Vector[(Long, Map[String, Option[Double]])])
+
+  private def toFrameDf(m: FModel): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (cols, rows) = m
+    val schema = StructType(StructField("k", LongType, nullable = false) +:
+      cols.map(c => StructField(c, DoubleType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (k, vs) =>
+        org.apache.spark.sql.Row.fromSeq(k +: cols.map(c => vs(c).map(Double.box).orNull))
+      }: _*), schema).repartition(3)
+  }
+
+  private def collectFrame(kf: graft.core.KFrame): FModel = {
+    val cols = kf.dataCols.toVector
+    val rows = kf.df.select((col("k") +: cols.map(col)).toIndexedSeq: _*)
+      .collect().toVector
+      .map { r =>
+        (r.getLong(0), cols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1)))
+        }.toMap)
+      }.sortBy(_._1)
+    (cols.sorted, rows.map { case (k, vs) => (k, vs) })
+  }
+
+  private def sortedModel(m: FModel): FModel = (m._1.sorted, m._2.sortBy(_._1))
+
+  private def genFrame(rnd: scala.util.Random, cols: Vector[String]): FModel = {
+    val n = 3 + rnd.nextInt(15)
+    val rows = rnd.shuffle((0L until 30L).toList).take(n).toVector.sorted.map { k =>
+      (k, cols.map(c => c -> (if (rnd.nextInt(5) == 0) None
+                              else Some((rnd.nextInt(2001) - 1000) / 10.0))).toMap)
+    }
+    (cols, rows)
+  }
+
+  test("60 random 3-4 op KFrame chains match the naive reference engine exactly") {
+    for (seed <- 1 to 60) {
+      val rnd = new scala.util.Random(10000 + seed)
+      var nextId = 0
+      def freshCol(): String = { nextId += 1; s"c$nextId" }
+      var model: FModel = genFrame(rnd, Vector(freshCol(), freshCol()))
+      var kf = graft.core.KFrame(toFrameDf(model), Seq("k"), ordered = true)
+      val nOps = 3 + rnd.nextInt(2)
+      val trace = new StringBuilder
+      for (_ <- 1 to nOps) {
+        val (cols, rows) = model
+        rnd.nextInt(7) match {
+          case 0 =>
+            val c = (rnd.nextInt(9) - 4) / 2.0
+            trace ++= s"mapNumeric(*$c); "
+            kf = kf.mapNumeric(_ * lit(c))
+            model = (cols, rows.map { case (k, vs) =>
+              (k, vs.map { case (n, v) => n -> v.map(_ * c) }) })
+          case 1 if cols.nonEmpty =>
+            val target = cols(rnd.nextInt(cols.size))
+            val x = (rnd.nextInt(1001) - 500) / 10.0
+            trace ++= s"filterRows($target>$x); "
+            kf = kf.filterRows(col(target) > lit(x))
+            model = (cols, rows.filter(_._2(target).exists(_ > x)))
+          case 2 =>
+            trace ++= "rowsDense; "
+            kf = kf.rowsDense
+            model = (cols, rows.filter(_._2.values.forall(_.nonEmpty)))
+          case 3 if cols.nonEmpty =>
+            val src = cols(rnd.nextInt(cols.size))
+            val c = (rnd.nextInt(41) - 20) / 2.0
+            val name = freshCol()
+            trace ++= s"addColumn($name=$src+$c); "
+            kf = kf.addColumn(name, col(src) + lit(c))
+            model = (cols :+ name, rows.map { case (k, vs) =>
+              (k, vs + (name -> vs(src).map(_ + c))) })
+          case 4 if cols.size > 1 =>
+            val victim = cols(rnd.nextInt(cols.size))
+            trace ++= s"dropSeries($victim); "
+            kf = kf.dropSeries(victim)
+            model = (cols.filterNot(_ == victim), rows.map { case (k, vs) =>
+              (k, vs - victim) })
+          case 5 =>
+            val other = genFrame(rnd, Vector(freshCol()))
+            val kind = Seq(graft.core.JoinKind.Outer, graft.core.JoinKind.Inner,
+              graft.core.JoinKind.Left, graft.core.JoinKind.Right)(rnd.nextInt(4))
+            trace ++= s"join($kind); "
+            kf = kf.join(graft.core.KFrame(toFrameDf(other), Seq("k"), ordered = true), kind)
+              .copy(ordered = true) // keys stay unique; ordered ops sort internally
+            val lm = rows.toMap; val rm = other._2.toMap
+            val keys = (kind match {
+              case graft.core.JoinKind.Outer => lm.keySet ++ rm.keySet
+              case graft.core.JoinKind.Inner => lm.keySet & rm.keySet
+              case graft.core.JoinKind.Left  => lm.keySet
+              case graft.core.JoinKind.Right => rm.keySet
+            }).toVector.sorted
+            val allCols = cols ++ other._1
+            model = (allCols, keys.map { k =>
+              val l = lm.getOrElse(k, cols.map(_ -> (None: Option[Double])).toMap)
+              val r = rm.getOrElse(k, other._1.map(_ -> (None: Option[Double])).toMap)
+              (k, l ++ r)
+            })
+          case _ =>
+            val o = rnd.nextInt(3) - 1
+            trace ++= s"shift($o); "
+            kf = kf.shift(o)
+            val shifted = rows.indices.toVector.map { i =>
+              val j = i - o
+              (rows(i)._1,
+                if (j >= 0 && j < rows.size) rows(j)._2
+                else cols.map(_ -> (None: Option[Double])).toMap)
+            }
+            model = (cols, shifted)
+        }
+      }
+      assert(collectFrame(kf) === sortedModel(model), s"seed=${10000 + seed} chain: $trace")
+    }
+  }
+
   test("append with disjoint keys matches concatenation") {
     for (seed <- 1 to 10) {
       val rnd = new scala.util.Random(1000 + seed)
