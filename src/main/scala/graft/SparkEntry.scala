@@ -1955,6 +1955,22 @@ object SparkEntry {
         tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
 
+    // ---- dedup: CONTAINMENT near-dup (Broder 1997's asymmetric measure)
+    //      — |A∩B| DIV |A| catches a short doc wholly quoted inside a long
+    //      one (Jaccard ≈ |A|/|B| → misses it); same md5 band candidates,
+    //      one verify join scores both directions ----
+    "q266_containment_neardup" -> ((s, dir) => {
+      Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
+    }),
+
+    // ---- corpus analysis: DISTINCT-n diversity per source (Li et al.
+    //      2016) — the template/boilerplate smell exact dedup passes;
+    //      bigrams stay within documents, ratios exact-integer ppm ----
+    "q267_distinct_ngram_diversity" -> ((s, dir) => {
+      Text.distinctNgramDiversity(t(s, dir, "documents"), "source", "text")
+    }),
+
     // ---- ingest-time ANN composition: STREAMING query batches probe the
     //      PUBLISHED IVF index per micro-batch — per-query determinism
     //      makes union-over-batches == the one-shot probe == q263's oracle ----
@@ -4977,6 +4993,50 @@ object SparkEntry {
     "q262_ivf_sampled_train" -> ivfSampledOracleSql,
     "q263_ivf_index_probe" -> ivfSampledOracleSql,
     "q265_stream_ivf_probe" -> ivfSampledOracleSql,
+
+    "q266_containment_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |sc AS (SELECT c.id_a, c.id_b,
+        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id),
+        |u AS (SELECT id_a AS contained_id, id_b AS container_id,
+        |        inter * 1000000 // na AS containment_ppm FROM sc
+        |      UNION ALL
+        |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
+        |SELECT contained_id, container_id, containment_ppm
+        |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q267_distinct_ngram_diversity" ->
+      """WITH u AS (SELECT source, unnest(string_split(trim(text), ' ')) AS g FROM documents),
+        |uf AS (SELECT source, g FROM u WHERE g <> ''),
+        |agg1 AS (SELECT source, count(*) AS n1_total, count(DISTINCT g) AS n1_distinct
+        |         FROM uf GROUP BY 1),
+        |w AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+        |bl AS (SELECT source, list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1]) AS bs FROM w WHERE len(w) >= 2),
+        |b AS (SELECT source, unnest(bs) AS g FROM bl),
+        |agg2 AS (SELECT source, count(*) AS n2_total, count(DISTINCT g) AS n2_distinct
+        |         FROM b GROUP BY 1)
+        |SELECT a.source, n1_total, n1_distinct,
+        |  n1_distinct * 1000000 // n1_total AS distinct1_ppm,
+        |  coalesce(n2_total, 0) AS n2_total, coalesce(n2_distinct, 0) AS n2_distinct,
+        |  coalesce(n2_distinct * 1000000 // n2_total, -1) AS distinct2_ppm
+        |FROM agg1 a LEFT JOIN agg2 USING (source)""".stripMargin,
     // q264: same ladder, but the TRAINING SAMPLE draws only from the
     // initially-published partial corpus (appended vectors are assigned
     // under the stored centroids, never trained on) — final assignment

@@ -904,4 +904,41 @@ object Text {
       .select(col("__s").as("source"), col("n_tok"), col("vocab"), col("h_nano"))
       .orderBy(col("source"))
   }
+
+  /** DISTINCT-n diversity panel per source (Li et al., "A Diversity-
+    * Promoting Objective Function for Neural Conversation Models", NAACL
+    * 2016): distinct-1 = |unique unigrams| / tokens, distinct-2 over
+    * bigrams — the standard template/boilerplate smell (a source of
+    * near-identical generations scores low distinct-2 even when exact
+    * dedup passes). Bigrams stay WITHIN a document (no cross-doc seams).
+    * Two map-side-partial count-distinct aggregates over the exploded
+    * n-gram streams; ratios as exact-integer ppm (`·10⁶ DIV total`), so
+    * the panel is hash-stable cross-engine. Output per source:
+    * (source, n1_total, n1_distinct, distinct1_ppm, n2_total,
+    * n2_distinct, distinct2_ppm). */
+  def distinctNgramDiversity(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = graft.functions.Par.widen(
+      docs.select(col(sourceCol).as("__s"), col(textCol).as("__t")))
+    val uni = base
+      .select(col("__s"), explode(tokens(col("__t"))).as("__g"))
+      .where(col("__g") =!= "")
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n1_total"), countDistinct(col("__g")).as("n1_distinct"))
+    val bi = base
+      .select(col("__s"), explode(shingles(col("__t"), 2)).as("__g"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n2_total"), countDistinct(col("__g")).as("n2_distinct"))
+    uni.join(bi, Seq("__s"), "left_outer")
+      .select(col("__s").as("source"),
+        col("n1_total"), col("n1_distinct"),
+        expr("n1_distinct * 1000000 DIV n1_total").as("distinct1_ppm"),
+        coalesce(col("n2_total"), lit(0L)).as("n2_total"),
+        coalesce(col("n2_distinct"), lit(0L)).as("n2_distinct"),
+        coalesce(expr("n2_distinct * 1000000 DIV n2_total"), lit(-1L))
+          .as("distinct2_ppm"))
+      .orderBy(col("source"))
+  }
 }

@@ -364,6 +364,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CONTAINMENT near-dup — the ASYMMETRIC companion of
+    * [[minhashLshPortable]]: containment(A in B) = |A∩B| / |A| catches the
+    * sub-document duplication symmetric Jaccard misses (a short doc wholly
+    * quoted inside a long one scores Jaccard ≈ |A|/|B| → tiny, but
+    * containment 1.0 — the boilerplate-wrapped-copy case; cf. Broder's
+    * resemblance-vs-containment distinction, "On the resemblance and
+    * containment of documents", 1997). Candidates come from the SAME md5
+    * band buckets (a doc contained in another shares its shingles, so the
+    * min under every seed often agrees — recall is band-bounded exactly as
+    * for resemblance); the verify computes both directions per candidate
+    * pair and emits one row per direction that clears the threshold.
+    * Output: (contained_id, container_id, containment_ppm) — ppm as
+    * exact-integer `inter·10⁶ DIV |A|`, hash-stable cross-engine. */
+  def containmentNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      thresholdPpm: Long = 800000L): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val base = shingleBase(docs, idCol, textCol, shingleN)
+    val bk = base
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+      .localCheckpoint(true)
+    val cand = bk
+      .join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("shs").as("tok"))
+    val scored = cand
+      .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tok_a"), col("tok_b"))).cast("long"))
+    // both directions from ONE verify join — the intersection is shared
+    val aInB = scored.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+      expr("inter * 1000000 DIV size(tok_a)").as("containment_ppm"))
+    val bInA = scored.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+      expr("inter * 1000000 DIV size(tok_b)").as("containment_ppm"))
+    aInB.unionByName(bInA).where(col("containment_ppm") >= thresholdPpm)
+  }
+
   /** DELTA MinHash-LSH near-dup — the ingest-time companion of
     * [[exactDelta]]: flag incoming docs whose portable LSH band buckets
     * collide with the corpus's, verified by exact Jaccard. Each side is
