@@ -67,8 +67,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    val selectedReal = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name.takeWhile(_ != '_')))
+    }
+    // fault injection for auditing the -1 error sentinel end-to-end:
+    // SPARK_GRAFT_BENCH_FAULT=qNN makes that query throw instantly — the
+    // record must show "qNN":-1 + qerr, never a plausible fast timing.
+    // Never set by the driver; local dry runs only.
+    val fault = sys.env.get("SPARK_GRAFT_BENCH_FAULT")
+    val selected = selectedReal.map { case (name, fn) =>
+      name -> (if (fault.exists(f => f == name || f == name.takeWhile(_ != '_')))
+        ((_: SparkSession, _: String) =>
+          throw new RuntimeException("injected bench fault")): (
+            (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      else fn)
     }
     // a FAILED query is a -1.0 sentinel, never a plausible timing: the
     // old swallow-and-timestamp form recorded an instant throw as a fast
@@ -153,7 +165,8 @@ object Bench {
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       // "q01_..." → key "1": the leading zero spends tail-window bytes on
       // nothing (both parse as query 1)
-      "\"" + k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0') + "\":" + math.round(v * 1000)
+      "\"" + k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0') + "\":" +
+        (if (v < 0) "-1" else math.round(v * 1000).toString)
     }
     val lineBudget = 1900 // driver tail is 2000; leave margin for the wrapper
     val fixedOverhead = 135 // metric/value/unit/qunit/qerr/qomit wrapper bytes
