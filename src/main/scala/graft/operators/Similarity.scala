@@ -494,7 +494,9 @@ object Similarity {
     val (dims, nlist, trainRows, rounds, buckets) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
     val (qdf, bdims) = quantizedBase(batch, idCol, vecCol)
-    require(bdims == dims,
+    // an EMPTY batch reports dominant dimension 0 (the quiet ingest tick)
+    // — only the fingerprint bump happens, never a spurious dim mismatch
+    require(bdims == dims || bdims == 0,
       s"appendIvfIndex: batch dimension $bdims != index '$table' dimension $dims")
     val dup = qdf.select(col("id").as("neighbor_id"))
       .join(spark.table(s"${table}_assign"), Seq("neighbor_id"), "left_semi")

@@ -96,6 +96,52 @@ class EmptyInputSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("LSH index APPEND of an empty batch is a fingerprint-only no-op") {
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    Dedup.publishLshIndex(corpus, "doc_id", "text", "graft_lshspec_eapp", buckets = 2,
+      corpusFp = "v1")
+    val before = spark.table("graft_lshspec_eapp_buckets").count()
+    Dedup.appendLshIndex(emptyDocs, "doc_id", "text", "graft_lshspec_eapp",
+      newCorpusFp = "v2")
+    assert(spark.table("graft_lshspec_eapp_buckets").count() === before)
+    // probe under the bumped fingerprint still works (quiet ingest tick)
+    assert(Dedup.probeLshIndex(spark,
+      Seq((9L, "a b c d e f g")).toDF("doc_id", "text"),
+      "doc_id", "text", "graft_lshspec_eapp", corpusFp = "v2").count() >= 1)
+  }
+
+  test("IVF index APPEND of an empty batch is a fingerprint-only no-op") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 24L).map(i => (i, Seq.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    operators.Similarity.publishIvfIndex(vecs, "vec_id", "embedding",
+      "graft_ivfspec_eapp", trainRows = 16, nlist = 2, buckets = 2, corpusFp = "v1")
+    val before = spark.table("graft_ivfspec_eapp_assign").count()
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    operators.Similarity.appendIvfIndex(emptyVecs, "vec_id", "embedding",
+      "graft_ivfspec_eapp", newCorpusFp = "v2")
+    assert(spark.table("graft_ivfspec_eapp_assign").count() === before)
+    assert(operators.Similarity.probeIvfIndex(spark, vecs.where(col("vec_id") < 2),
+      "vec_id", "embedding", "graft_ivfspec_eapp", k = 2, corpusFp = "v2").count() >= 1)
+  }
+
+  test("containment and diversity on empty/trivial input") {
+    assert(Dedup.containmentNearDup(emptyDocs, "doc_id", "text").count() === 0)
+    assert(graft.functions.Text.distinctNgramDiversity(
+      Seq.empty[(String, String)].toDF("source", "text"), "source", "text").count() === 0)
+    // a one-word doc has no bigrams: distinct2_ppm reports the -1 sentinel
+    val one = graft.functions.Text.distinctNgramDiversity(
+      Seq(("s", "hello")).toDF("source", "text"), "source", "text").head()
+    assert(one.getLong(one.fieldIndex("n2_total")) === 0L)
+    assert(one.getLong(one.fieldIndex("distinct2_ppm")) === -1L)
+    // full containment both directions for an exact duplicate pair
+    val dup = Dedup.containmentNearDup(
+      Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dup === Set((1L, 2L, 1000000L), (2L, 1L, 1000000L)))
+  }
+
   test("round-7 curation ops on empty input (seed collects, stitches, graph ladders)") {
     val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Dedup.semanticDedup(emptyVecs, "vec_id", "embedding").count() === 0)
