@@ -1964,6 +1964,14 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- dedup-apply: SUBSUMPTION PRUNE — q266's greedy deterministic
+    //      apply form: drop docs contained (>=0.8) in a LARGER doc, ties
+    //      keep the lower id; shingle-free docs always survive ----
+    "q268_containment_dedup" -> ((s, dir) => {
+      Dedup.containmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
+    }),
+
     // ---- corpus analysis: DISTINCT-n diversity per source (Li et al.
     //      2016) — the template/boilerplate smell exact dedup passes;
     //      bigrams stay within documents, ratios exact-integer ppm ----
@@ -5020,6 +5028,36 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q268_containment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |sc AS (SELECT c.id_a, c.id_b,
+        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id),
+        |drops AS (SELECT id_a AS did FROM sc
+        |          WHERE inter * 1000000 // na >= 800000
+        |            AND (nb > na OR (nb = na AND id_b < id_a))
+        |          UNION
+        |          SELECT id_b FROM sc
+        |          WHERE inter * 1000000 // nb >= 800000
+        |            AND (na > nb OR (na = nb AND id_a < id_b)))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT did FROM drops)""".stripMargin,
 
     "q267_distinct_ngram_diversity" ->
       """WITH u AS (SELECT source, unnest(string_split(trim(text), ' ')) AS g FROM documents),

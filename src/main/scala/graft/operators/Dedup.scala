@@ -409,6 +409,54 @@ object Dedup {
     aInB.unionByName(bInA).where(col("containment_ppm") >= thresholdPpm)
   }
 
+  /** SUBSUMPTION PRUNE — the applied form of [[containmentNearDup]]: drop
+    * every doc contained (≥ threshold) in a doc with MORE shingles (ties →
+    * the lower id survives, so exact-duplicate pairs keep exactly one).
+    * One greedy deterministic pass, no iteration: X drops iff ∃Y with
+    * containment(X in Y) ≥ τ and (|Y| > |X| or |Y| = |X| ∧ Y.id < X.id) —
+    * whether Y itself survives doesn't matter (containment is not
+    * transitive below τ=1, so chasing chains would be semantics, not an
+    * optimization; the greedy rule is the standard quote/boilerplate
+    * subsumption filter). Docs too short to shingle cannot be contained
+    * and always survive. Output: (doc_id) of survivors. */
+  def containmentDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      thresholdPpm: Long = 800000L): DataFrame = {
+    val base = shingleBase(docs, idCol, textCol, shingleN)
+    val bk = base
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+      .localCheckpoint(true)
+    val cand = bk
+      .join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("shs").as("tok"))
+    val scored = cand
+      .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("long").as("inter"),
+        size(col("tok_a")).cast("long").as("na"), size(col("tok_b")).cast("long").as("nb"))
+    val drops = scored
+      .where(expr(s"inter * 1000000 DIV na >= $thresholdPpm") &&
+        (col("nb") > col("na") || (col("nb") === col("na") && col("id_b") < col("id_a"))))
+      .select(col("id_a").as("did"))
+      .unionByName(scored
+        .where(expr(s"inter * 1000000 DIV nb >= $thresholdPpm") &&
+          (col("na") > col("nb") || (col("na") === col("nb") && col("id_a") < col("id_b"))))
+        .select(col("id_b").as("did")))
+      .distinct()
+    docs.select(col(idCol).as("doc_id"))
+      .join(drops.withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left_anti")
+  }
+
   /** DELTA MinHash-LSH near-dup — the ingest-time companion of
     * [[exactDelta]]: flag incoming docs whose portable LSH band buckets
     * collide with the corpus's, verified by exact Jaccard. Each side is
