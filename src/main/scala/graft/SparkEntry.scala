@@ -1964,6 +1964,15 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- dedup TRUST panel: MinHash estimator CALIBRATION — per
+    //      candidate pair, signature-coordinate agreement (the estimate)
+    //      vs exact Jaccard, bucketed by agreement count; calibration skew
+    //      exposes hash-family/shingling drift before recall degrades ----
+    "q269_minhash_calibration" -> ((s, dir) => {
+      Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+    }),
+
     // ---- dedup-apply: SUBSUMPTION PRUNE — q266's greedy deterministic
     //      apply form: drop docs contained (>=0.8) in a LARGER doc, ties
     //      keep the lower id; shingle-free docs always survive ----
@@ -5028,6 +5037,36 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q269_minhash_calibration" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |est AS (SELECT c.id_a, c.id_b,
+        |          count(*) FILTER (a.m = b.m)::BIGINT AS est_matches
+        |        FROM cand c JOIN mh a ON a.doc_id = c.id_a
+        |                    JOIN mh b ON b.doc_id = c.id_b AND a.s = b.s
+        |        GROUP BY 1, 2),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |jac AS (SELECT e.id_a, e.id_b, e.est_matches,
+        |          len(list_intersect(a.tok, b.tok)) * 1000000
+        |            // (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS jac_ppm
+        |        FROM est e JOIN sets a ON e.id_a = a.doc_id
+        |                   JOIN sets b ON e.id_b = b.doc_id)
+        |SELECT est_matches, count(*) AS n_pairs,
+        |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jaccard_ppm,
+        |  min(jac_ppm) AS min_jaccard_ppm, max(jac_ppm) AS max_jaccard_ppm
+        |FROM jac GROUP BY 1""".stripMargin,
 
     "q268_containment_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -180,6 +180,43 @@ object Vectors {
     }
   }
 
+  /** The FULL per-seed signature of the [[md5BandKeys]] family (the
+    * `mins` array before banding), for estimator-calibration panels that
+    * need coordinate-level agreement counts. Same md5 form, so it replays
+    * in SQL as `min(md5(s::VARCHAR || ':' || sh)) ... GROUP BY s`. */
+  def md5Signature(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (shingles: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(bs: Array[Byte]): String = {
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < bs.length) {
+          sb.append(Character.forDigit((bs(i) >> 4) & 0xF, 16))
+          sb.append(Character.forDigit(bs(i) & 0xF, 16))
+          i += 1
+        }
+        sb.toString
+      }
+      val sh = if (shingles == null) Seq.empty[String] else shingles
+      if (sh.isEmpty) Seq.empty[String]
+      else {
+        val mins = new Array[String](numHashes)
+        sh.foreach { g =>
+          val bytes = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var s = 0
+          while (s < numHashes) {
+            md.update(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            md.update(':'.toByte)
+            md.update(bytes)
+            val h = hex(md.digest())
+            if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+            s += 1
+          }
+        }
+        mins.toSeq
+      }
+    }
+
   /** Compiled shingles→band-keys kernel: minhash signature + banding in one
     * pass per row. Band key = 64-bit hash of (band index, band's minhash
     * slice); two docs collide on a key iff that band's slice agrees exactly —

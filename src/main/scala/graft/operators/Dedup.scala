@@ -409,6 +409,54 @@ object Dedup {
     aInB.unionByName(bInA).where(col("containment_ppm") >= thresholdPpm)
   }
 
+  /** MinHash ESTIMATOR CALIBRATION — the dedup-trust data-card panel: for
+    * every band-candidate pair, count the signature coordinates that agree
+    * (the MinHash Jaccard estimate, E[matches]/k = J) AND compute the
+    * exact Jaccard, then bucket by agreement count. A healthy sketch shows
+    * mean exact Jaccard ≈ matches/k per bucket; a broken hash family (or a
+    * shingling drift between pipeline stages) shows up as calibration
+    * skew long before recall visibly degrades. All integer-exact: mean as
+    * `Σjaccard_ppm DIV n`. Output per bucket: (est_matches, n_pairs,
+    * mean_jaccard_ppm, min_jaccard_ppm, max_jaccard_ppm). */
+  def minhashCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val base = shingleBase(docs, idCol, textCol, shingleN)
+    val sigs = base
+      .select(col("id"), col("shs"),
+        Vectors.md5Signature(numHashes)(col("shs")).as("sig"),
+        Vectors.md5BandKeys(numHashes, bands)(col("shs")).as("bks"))
+      .localCheckpoint(true) // feeds banding AND both sides of the pair join
+    val bk = sigs.select(col("id"), posexplode(col("bks")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+    val cand = bk
+      .join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(sigs.select(col("id").as("id_a"), col("shs").as("tok_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("shs").as("tok_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      .select(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("long").as("est_matches"),
+        expr("""size(array_intersect(tok_a, tok_b)) * 1000000L
+               |DIV (size(tok_a) + size(tok_b) - size(array_intersect(tok_a, tok_b)))"""
+          .stripMargin).as("jac_ppm"))
+    scored.groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_ppm) DIV count(1)").as("mean_jaccard_ppm"),
+        min(col("jac_ppm")).as("min_jaccard_ppm"),
+        max(col("jac_ppm")).as("max_jaccard_ppm"))
+  }
+
   /** SUBSUMPTION PRUNE — the applied form of [[containmentNearDup]]: drop
     * every doc contained (≥ threshold) in a doc with MORE shingles (ties →
     * the lower id survives, so exact-duplicate pairs keep exactly one).
