@@ -1964,6 +1964,13 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- corpus analysis: VOCABULARY GROWTH (Heaps-law panel) — distinct
+    //      terms after 25/50/75/100% of each source's docs in id order;
+    //      saturation = more data adds volume, not diversity ----
+    "q270_vocab_growth" -> ((s, dir) => {
+      Text.vocabGrowth(t(s, dir, "documents"), "source", "doc_id", "text")
+    }),
+
     // ---- dedup TRUST panel: MinHash estimator CALIBRATION — per
     //      candidate pair, signature-coordinate agreement (the estimate)
     //      vs exact Jaccard, bucketed by agreement count; calibration skew
@@ -5037,6 +5044,23 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q270_vocab_growth" ->
+      """WITH r AS (SELECT source, doc_id,
+        |       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |     FROM documents),
+        |n AS (SELECT source, count(*)::BIGINT AS nd FROM documents GROUP BY 1),
+        |tok AS (SELECT source, doc_id, unnest(string_split(trim(text), ' ')) AS g
+        |        FROM documents),
+        |fo AS (SELECT source, g, min(doc_id) AS fid FROM tok WHERE g <> '' GROUP BY 1, 2),
+        |fr AS (SELECT fo.source, r.rk FROM fo
+        |       JOIN r ON fo.source = r.source AND fo.fid = r.doc_id),
+        |qs AS (SELECT unnest(range(1, 5)) AS q),
+        |thr AS (SELECT n.source, qs.q, (n.nd * qs.q + 3) // 4 AS k FROM n, qs)
+        |SELECT thr.source, thr.q AS quartile, thr.k AS docs_seen,
+        |  count(*) AS vocab
+        |FROM thr JOIN fr ON fr.source = thr.source AND fr.rk <= thr.k
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q269_minhash_calibration" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -916,6 +916,45 @@ object Text {
     * the panel is hash-stable cross-engine. Output per source:
     * (source, n1_total, n1_distinct, distinct1_ppm, n2_total,
     * n2_distinct, distinct2_ppm). */
+  /** VOCABULARY GROWTH (Heaps-law panel) per source: distinct-term count
+    * after the first 25/50/75/100 % of the source's docs in id order —
+    * saturated growth means more data from this source adds volume, not
+    * diversity (the acquisition-priority signal). Each term contributes
+    * its FIRST-occurrence doc only (one (source, term) min-agg), quartile
+    * boundaries are exact-integer `(n·q + 3) DIV 4`, membership is a
+    * broadcast 4-row quartile join — no per-quartile rescan. Windows are
+    * source-partitioned (parallel across sources). Output:
+    * (source, quartile, docs_seen, vocab). */
+  def vocabGrowth(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs
+      .select(col(sourceCol).as("__s"), col(idCol).as("__id"))
+      .withColumn("__rk", row_number()
+        .over(Window.partitionBy(col("__s")).orderBy(col("__id"))).cast("long"))
+    val nd = ranked.groupBy(col("__s")).agg(max(col("__rk")).as("__nd"))
+    val firstOcc = Par.widen(docs.select(col(sourceCol).as("__s"),
+        col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__s"), col("__id"), explode(tokens(col("__t"))).as("__g"))
+      .where(col("__g") =!= "")
+      .groupBy(col("__s"), col("__g")).agg(min(col("__id")).as("__fid"))
+    val withRk = firstOcc
+      .join(ranked.select(col("__s"), col("__id").as("__fid"), col("__rk")),
+        Seq("__s", "__fid"))
+    val quartiles = docs.sparkSession.range(1, 5).select(col("id").as("__q"))
+    val thr = nd.crossJoin(broadcast(quartiles))
+      .withColumn("__k", expr("(__nd * __q + 3) DIV 4"))
+    withRk.join(broadcast(thr), Seq("__s"))
+      .where(col("__rk") <= col("__k"))
+      .groupBy(col("__s"), col("__q"), col("__k"))
+      .agg(count(lit(1)).as("vocab"))
+      .select(col("__s").as("source"), col("__q").as("quartile"),
+        col("__k").as("docs_seen"), col("vocab"))
+  }
+
   def distinctNgramDiversity(
       docs: org.apache.spark.sql.DataFrame,
       sourceCol: String,
