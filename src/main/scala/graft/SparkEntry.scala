@@ -1964,6 +1964,17 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- ingest dedup: CONTAINMENT DELTA — "is this new doc already
+    //      subsumed by the corpus": incoming batch hashed independently,
+    //      band join to corpus, only incoming-in-corpus scored ----
+    "q271_containment_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentDelta(
+        docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        thresholdPpm = 800000L)
+    }),
+
     // ---- corpus analysis: VOCABULARY GROWTH (Heaps-law panel) — distinct
     //      terms after 25/50/75/100% of each source's docs in id order;
     //      saturation = more data adds volume, not diversity ----
@@ -5044,6 +5055,27 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q271_containment_delta" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS incoming_id, b.doc_id AS corpus_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 != 0),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl)
+        |SELECT c.incoming_id, c.corpus_id,
+        |  len(list_intersect(i.tok, t.tok)) * 1000000 // len(i.tok) AS containment_ppm
+        |FROM cand c JOIN sets i ON c.incoming_id = i.doc_id
+        |            JOIN sets t ON c.corpus_id = t.doc_id
+        |WHERE len(list_intersect(i.tok, t.tok)) * 1000000 // len(i.tok) >= 800000""".stripMargin,
 
     "q270_vocab_growth" ->
       """WITH r AS (SELECT source, doc_id,

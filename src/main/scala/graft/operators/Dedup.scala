@@ -409,6 +409,42 @@ object Dedup {
     aInB.unionByName(bInA).where(col("containment_ppm") >= thresholdPpm)
   }
 
+  /** CONTAINMENT DELTA — the ingest form of [[containmentNearDup]]: flag
+    * each INCOMING doc contained (≥ threshold) in a corpus doc — "is this
+    * new doc already subsumed by something we have". Each side is hashed
+    * independently with the shared md5 family ([[minhashLshDelta]]'s
+    * discipline), so at production scale the corpus band table comes from
+    * the stored index and the batch hashes only itself. Only the
+    * incoming-in-corpus direction is scored (the ingest question).
+    * Output: (incoming_id, corpus_id, containment_ppm). */
+  def containmentDelta(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      thresholdPpm: Long = 800000L): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val cb = shingleBase(corpus, idCol, textCol, shingleN)
+    val ib = shingleBase(incoming, idCol, textCol, shingleN)
+    def banded(b: DataFrame, idName: String) = b
+      .select(col("id").as(idName), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col(idName), col("pos").as("band"), col("col").as("bk"))
+    val cand = banded(ib, "incoming_id")
+      .join(banded(cb, "corpus_id"), Seq("band", "bk"))
+      .select(col("incoming_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(ib.select(col("id").as("incoming_id"), col("shs").as("tok_i")), Seq("incoming_id"))
+      .join(cb.select(col("id").as("corpus_id"), col("shs").as("tok_c")), Seq("corpus_id"))
+      .select(col("incoming_id"), col("corpus_id"),
+        expr("size(array_intersect(tok_i, tok_c)) * 1000000L DIV size(tok_i)")
+          .as("containment_ppm"))
+      .where(col("containment_ppm") >= thresholdPpm)
+  }
+
   /** MinHash ESTIMATOR CALIBRATION — the dedup-trust data-card panel: for
     * every band-candidate pair, count the signature coordinates that agree
     * (the MinHash Jaccard estimate, E[matches]/k = J) AND compute the
