@@ -1964,6 +1964,24 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- data-card: cross-source CONTAINMENT FLOW matrix — which sources
+    //      subsume which (directed, unlike q257's symmetric dup matrix):
+    //      boilerplate/quote flow direction between feeds ----
+    "q272_containment_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.containmentNearDup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("contained_id"), col("source").as("src_contained")),
+          Seq("contained_id"))
+        .join(src.select(col("doc_id").as("container_id"), col("source").as("src_container")),
+          Seq("container_id"))
+        .groupBy(col("src_contained"), col("src_container"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(containment_ppm) DIV count(1)").as("mean_containment_ppm"))
+    }),
+
     // ---- ingest dedup: CONTAINMENT DELTA — "is this new doc already
     //      subsumed by the corpus": incoming batch hashed independently,
     //      band join to corpus, only incoming-in-corpus scored ----
@@ -5055,6 +5073,38 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q272_containment_matrix" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |sc AS (SELECT c.id_a, c.id_b,
+        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id),
+        |u AS (SELECT id_a AS contained_id, id_b AS container_id,
+        |        inter * 1000000 // na AS containment_ppm FROM sc
+        |      UNION ALL
+        |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc),
+        |f AS (SELECT * FROM u WHERE containment_ppm >= 500000)
+        |SELECT d1.source AS src_contained, d2.source AS src_container,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(containment_ppm) // count(*) AS BIGINT) AS mean_containment_ppm
+        |FROM f JOIN documents d1 ON f.contained_id = d1.doc_id
+        |       JOIN documents d2 ON f.container_id = d2.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q271_containment_delta" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
