@@ -1964,6 +1964,25 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- data-card: DEDUP IMPACT report — docs/tokens kept per source
+    //      under subsumption pruning (q268's survivor set): the
+    //      what-did-dedup-cost-me panel every curation paper reports ----
+    "q273_dedup_impact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = Dedup.containmentDedup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
+        .withColumn("__kept", lit(1L))
+      docs
+        .select(col("doc_id"), col("source"),
+          size(filter(Text.tokens(col("text")), g => g =!= "")).cast("long").as("__ntok"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__kept"), lit(0L))).as("n_kept"),
+          sum(col("__ntok")).as("tokens_total"),
+          sum(col("__ntok") * coalesce(col("__kept"), lit(0L))).as("tokens_kept"))
+    }),
+
     // ---- data-card: cross-source CONTAINMENT FLOW matrix — which sources
     //      subsume which (directed, unlike q257's symmetric dup matrix):
     //      boilerplate/quote flow direction between feeds ----
@@ -5073,6 +5092,43 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q273_dedup_impact" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |sc AS (SELECT c.id_a, c.id_b,
+        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id),
+        |drops AS (SELECT id_a AS did FROM sc
+        |          WHERE inter * 1000000 // na >= 800000
+        |            AND (nb > na OR (nb = na AND id_b < id_a))
+        |          UNION
+        |          SELECT id_b FROM sc
+        |          WHERE inter * 1000000 // nb >= 800000
+        |            AND (na > nb OR (na = nb AND id_a < id_b))),
+        |d AS (SELECT doc_id, source,
+        |        len(list_filter(string_split(trim(text), ' '), g -> g <> ''))::BIGINT AS ntok,
+        |        CASE WHEN doc_id IN (SELECT did FROM drops) THEN 0 ELSE 1 END AS kept
+        |      FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(ntok * kept) AS BIGINT) AS tokens_kept
+        |FROM d GROUP BY 1""".stripMargin,
 
     "q272_containment_matrix" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
