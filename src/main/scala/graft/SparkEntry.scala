@@ -1964,6 +1964,20 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- packing planning: token-LENGTH HISTOGRAM in power-of-2 buckets
+    //      per source — sizes context-window packing (q96/q169) before
+    //      running it; bucket = bit-length - 1, exact integers on both
+    //      engines (no float log2 whose floor can flip at 2^k) ----
+    "q274_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(filter(Text.tokens(col("text")), g => g =!= "")).cast("long").as("__n"))
+        .withColumn("bucket_log2",
+          when(col("__n") <= 0, lit(-1L)).otherwise(length(bin(col("__n"))).cast("long") - 1))
+        .groupBy(col("source"), col("bucket_log2"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("tokens"))
+    }),
+
     // ---- data-card: DEDUP IMPACT report — docs/tokens kept per source
     //      under subsumption pruning (q268's survivor set): the
     //      what-did-dedup-cost-me panel every curation paper reports ----
@@ -5092,6 +5106,15 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q274_length_histogram" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split(trim(text), ' '), g -> g <> ''))::BIGINT AS n
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN n <= 0 THEN -1 ELSE length(bin(n)) - 1 END::BIGINT AS bucket_log2,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     "q273_dedup_impact" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
