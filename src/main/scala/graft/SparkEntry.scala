@@ -1964,6 +1964,24 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- data-card: containment HUB docs — the docs that subsume the
+    //      most others (the boilerplate templates themselves), top-10 by
+    //      contained count with deterministic id ties; the window ranks
+    //      the pair-bounded container census, never corpus rows ----
+    "q275_containment_hubs" -> ((s, dir) => {
+      val pairs = Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L)
+      val census = pairs.groupBy(col("container_id"))
+        .agg(count(lit(1)).as("n_contained"),
+          expr("sum(containment_ppm) DIV count(1)").as("mean_containment_ppm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_contained").desc, col("container_id").asc)
+      census.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("container_id"), col("n_contained"),
+          col("mean_containment_ppm"))
+    }),
+
     // ---- packing planning: token-LENGTH HISTOGRAM in power-of-2 buckets
     //      per source — sizes context-window packing (q96/q169) before
     //      running it; bucket = bit-length - 1, exact integers on both
@@ -5106,6 +5124,40 @@ object SparkEntry {
         |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
         |SELECT contained_id, container_id, containment_ppm
         |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+
+    "q275_containment_hubs" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |sc AS (SELECT c.id_a, c.id_b,
+        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id),
+        |u AS (SELECT id_a AS contained_id, id_b AS container_id,
+        |        inter * 1000000 // na AS containment_ppm FROM sc
+        |      UNION ALL
+        |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc),
+        |f AS (SELECT * FROM u WHERE containment_ppm >= 500000),
+        |census AS (SELECT container_id, count(*) AS n_contained,
+        |             CAST(sum(containment_ppm) // count(*) AS BIGINT) AS mean_containment_ppm
+        |           FROM f GROUP BY 1),
+        |r AS (SELECT container_id, n_contained, mean_containment_ppm,
+        |        row_number() OVER (ORDER BY n_contained DESC, container_id ASC) AS rank
+        |      FROM census)
+        |SELECT rank, container_id, n_contained, mean_containment_ppm
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "q274_length_histogram" ->
       """WITH d AS (SELECT source,
