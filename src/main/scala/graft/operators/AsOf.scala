@@ -126,6 +126,24 @@ object AsOf {
     require(direction != Lookup.Exact, "as-of join needs NearestSmaller/NearestGreater")
     val spark = left.sparkSession
 
+    // Fail-fast size guard: the data side is collected to the driver — that
+    // is the whole point of this variant (probe partitioning untouched), but
+    // it means "broadcast-sized" must be ENFORCED, not assumed: pointed at a
+    // corpus-sized table this would OOM the driver instead of erroring.
+    // Tunable via spark.graft.broadcastAsOf.maxRows for bigger driver heaps.
+    val maxRows = spark.conf
+      .getOption("spark.graft.broadcastAsOf.maxRows")
+      .map(v => try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.broadcastAsOf.maxRows must be a long, got '$v'")
+      })
+      .getOrElse(10000000L)
+    val dataRows = right.count()
+    require(dataRows <= maxRows,
+      s"AsOf.broadcastJoin collects the data side to the driver and it has " +
+      s"$dataRows rows (limit $maxRows, conf spark.graft.broadcastAsOf.maxRows); " +
+      "use AsOf.join (the shuffle form) for a corpus-sized data side")
+
     // driver-side build: sort by key, then fill values along the lookup
     // direction (the reference's fill-before-reindex, JoinHelpers.fs:49-53)
     val rows = right.select(col(rightKey).cast("long"), col(valueCol).cast("double"))

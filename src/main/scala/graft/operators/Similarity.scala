@@ -437,10 +437,20 @@ object Similarity {
       publishIvfIndex(corpus, idCol, vecCol, table, trainRows, nlist, rounds, buckets,
         corpusFp)
     else {
-      val storedFp = corpus.sparkSession.table(s"${table}_meta").head().getString(5)
+      val meta = corpus.sparkSession.table(s"${table}_meta").head()
+      val storedFp = meta.getString(5)
       require(storedFp == corpusFp,
         s"ensureIvfIndex: index '$table' exists but was published over corpus " +
           s"'$storedFp', expected '$corpusFp' — drop the tables or rename")
+      // The codebook params are part of the index's identity too: a caller
+      // that bumps trainRows/nlist/rounds/buckets must NOT be silently served
+      // the stale codebook (the exact silent-wrong class corpus_fp catches).
+      val stored = (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
+      val asked = (nlist, trainRows, rounds, buckets)
+      require(stored == asked,
+        s"ensureIvfIndex: index '$table' exists with (nlist, train_rows, rounds, " +
+          s"buckets) = $stored but the caller requested $asked — drop the tables " +
+          "to retrain, or pass the published params")
     }
   }
 

@@ -71,4 +71,34 @@ class AsOfSpec extends SparkSpecBase {
     assert(r.columns.toSeq === Seq("g", "tag", "v"))
     assert(r.count() === 2)
   }
+
+  test("broadcastJoin fails fast when the data side exceeds maxRows") {
+    spark.conf.set("spark.graft.broadcastAsOf.maxRows", "2")
+    try {
+      // 3 data rows > limit 2 → must throw BEFORE collecting, and the
+      // message must point at the shuffle form (AsOf.join)
+      val ex = intercept[IllegalArgumentException] {
+        AsOf.broadcastJoin(probes(2L, 4L), "g", rightDf, "k", "v",
+          Lookup.NearestSmaller)
+      }
+      assert(ex.getMessage.contains("AsOf.join"))
+      assert(ex.getMessage.contains("spark.graft.broadcastAsOf.maxRows"))
+      // at the limit it still works and matches the shuffle form
+      spark.conf.set("spark.graft.broadcastAsOf.maxRows", "3")
+      val r = AsOf.broadcastJoin(probes(2L, 4L), "g", rightDf, "k", "v",
+        Lookup.NearestSmaller)
+      assert(collectKV(r, "g", "v") === Seq((2L, Some(10.0)), (4L, Some(10.0))))
+    } finally spark.conf.unset("spark.graft.broadcastAsOf.maxRows")
+  }
+
+  test("broadcastJoin rejects a non-numeric maxRows conf") {
+    spark.conf.set("spark.graft.broadcastAsOf.maxRows", "lots")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        AsOf.broadcastJoin(probes(2L), "g", rightDf, "k", "v",
+          Lookup.NearestSmaller)
+      }
+      assert(ex.getMessage.contains("must be a long"))
+    } finally spark.conf.unset("spark.graft.broadcastAsOf.maxRows")
+  }
 }

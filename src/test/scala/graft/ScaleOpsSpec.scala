@@ -598,5 +598,15 @@ class ScaleOpsSpec extends SparkSpecBase {
         "graft_ivfspec", trainRows = 32, nlist = 4, corpusFp = "other")
     }
     assert(e2.getMessage.contains("published over corpus"))
+    // codebook-param drift must not be silently served the stale codebook:
+    // right corpus, but trainRows bumped 32→48 → fail fast
+    val e3 = intercept[IllegalArgumentException] {
+      operators.Similarity.ensureIvfIndex(vecs, "vec_id", "embedding",
+        "graft_ivfspec", trainRows = 48, nlist = 4, buckets = 2, corpusFp = "spec")
+    }
+    assert(e3.getMessage.contains("requested"))
+    // exact published params → no-op, no retrain
+    operators.Similarity.ensureIvfIndex(vecs, "vec_id", "embedding",
+      "graft_ivfspec", trainRows = 32, nlist = 4, buckets = 2, corpusFp = "spec")
   }
 }
