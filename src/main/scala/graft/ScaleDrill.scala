@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleDrill {
 
-  final case class OpResult(name: String, sec: Double, rows: Long, flags: Seq[String])
+  final case class OpResult(name: String, sec: Double, rows: Long, flags: Seq[String],
+      extras: Map[String, Long] = Map.empty)
 
   private def reps(spark: SparkSession, x: Int): DataFrame =
     spark.range(x).select(col("id").as("__rep"))
@@ -179,6 +180,94 @@ object ScaleDrill {
         expr("CAST(round(value * 60000000) AS BIGINT)"))
     }
     timed("distinctive_terms") { functions.Text.distinctiveTerms(docs, "source", "text") }
+
+    // ---- round-10 additions: the round-9 production surface ----
+    // Unit-returning work (index writes): timed, rows = batch size, no
+    // executed-plan handle to audit — write plans are covered by PLANS.md
+    def timedUnit(name: String)(work: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = work
+      out += OpResult(name, (System.nanoTime() - t0) / 1e9, rows, Nil)
+    }
+
+    // containment family: Broder asymmetric containment over the same md5
+    // band candidates as LSH — replica-disjoint vocabularies make the
+    // candidate census exactly X independent copies of the base census
+    timed("containment_pairs") {
+      operators.Dedup.containmentNearDup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L)
+    }
+    timed("containment_prune") {
+      operators.Dedup.containmentDedup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L)
+    }
+
+    // LSH index lifecycle at amplified scale (the q261 shape): publish over
+    // 80% of the indexed corpus, APPEND the rest, PROBE a disjoint batch.
+    // Probe steady state must scale with the BATCH, not the stored corpus —
+    // only the batch side shuffles against the bucketed tables.
+    val lshTbl = "graft_drill_lsh"
+    val lshCorpus = docs.where(col("doc_id") % 7 =!= 0)
+    val lshFp = s"drill_docs@x$x"
+    timedUnit("lsh_index_publish") {
+      operators.Dedup.publishLshIndex(lshCorpus.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", lshTbl, corpusFp = s"$lshFp-partial")
+      0L
+    }
+    timedUnit("lsh_index_append") {
+      val batch = lshCorpus.where(col("doc_id") % 5 === 0)
+      operators.Dedup.appendLshIndex(batch, "doc_id", "text", lshTbl,
+        newCorpusFp = lshFp)
+      batch.count()
+    }
+    timed("lsh_index_probe") {
+      operators.Dedup.probeLshIndex(spark, docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", lshTbl, corpusFp = lshFp)
+    }
+
+    // IVF index lifecycle (the q264 shape): publish with a BOUNDED training
+    // sample, append under the STORED centroids (no retrain), probe
+    val ivfTbl = "graft_drill_ivf"
+    val ivfCorpus = emb.where(col("vec_id") % 7 =!= 0)
+    val ivfFp = s"drill_emb@x$x"
+    timedUnit("ivf_index_publish") {
+      operators.Similarity.publishIvfIndex(ivfCorpus.where(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", ivfTbl, trainRows = 512, corpusFp = s"$ivfFp-partial")
+      0L
+    }
+    timedUnit("ivf_index_append") {
+      val batch = ivfCorpus.where(col("vec_id") % 5 === 0)
+      operators.Similarity.appendIvfIndex(batch, "vec_id", "embedding", ivfTbl,
+        newCorpusFp = ivfFp)
+      batch.count()
+    }
+    timed("ivf_index_probe") {
+      operators.Similarity.probeIvfIndex(spark, emb.where(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", ivfTbl, k = 10, corpusFp = ivfFp)
+    }
+
+    // streaming state at amplified scale: the q249 mapGroupsWithState kernel
+    // under ROCKSDB, X× events and X× distinct users forced through multiple
+    // micro-batches; extras carry the state-store metrics (commit ms, peak
+    // state rows/bytes) — the measured form of "state scales off-heap"
+    {
+      val evDir = java.nio.file.Files.createTempDirectory("graft_drill_ev")
+      try {
+        val target = evDir.resolve("events").toString
+        // repartition (not coalesce — it can't widen a narrow input) to a
+        // fixed 16 files so maxFilesPerTrigger=4 yields 4 micro-batches at
+        // every amplification: per-batch state commits are the measurement
+        ev.repartition(16).write.mode("overwrite").parquet(target)
+        val t0 = System.nanoTime()
+        val (res, metrics) =
+          streaming.Streams.drillStatefulRocksDb(spark, target, maxFilesPerTrigger = 4)
+        val rows = res.count()
+        out += OpResult("stream_state_rocksdb", (System.nanoTime() - t0) / 1e9,
+          rows, Nil, metrics)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(evDir.toFile)
+      }
+    }
     out.toSeq
   }
 
@@ -208,8 +297,11 @@ object ScaleDrill {
       val b = base.getOrElse(r.name, 0.0)
       // ratio vs ideal: time grew `ratio`× for x× data — <x is sublinear
       // (fixed overheads amortize), ≈x linear, >>x a scaling bug
+      val extras = if (r.extras.isEmpty) ""
+        else r.extras.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""","$k":$v""" }.mkString
       s""""${r.name}":{"sec":${n3(r.sec)},"base_sec":${n3(b)},"ratio":${n3(
-          if (b > 0) r.sec / b else -1.0)},"rows":${r.rows},"over_budget":${r.sec > budget},"flags":$flags}"""
+          if (b > 0) r.sec / b else -1.0)},"rows":${r.rows},"over_budget":${r.sec > budget}$extras,"flags":$flags}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
     val line =

@@ -1987,9 +1987,13 @@ object SparkEntry {
     //      running it; bucket = bit-length - 1, exact integers on both
     //      engines (no float log2 whose floor can flip at 2^k) ----
     "q274_length_histogram" -> ((s, dir) => {
+      // greatest(size, 0): size() of a NULL array is -1, which would land a
+      // null-text doc in the -1 bucket AND subtract 1 from sum(tokens),
+      // silently diverging from the oracle's NULL propagation
       t(s, dir, "documents")
         .select(col("source"),
-          size(filter(Text.tokens(col("text")), g => g =!= "")).cast("long").as("__n"))
+          greatest(size(filter(Text.tokens(col("text")), g => g =!= "")), lit(0))
+            .cast("long").as("__n"))
         .withColumn("bucket_log2",
           when(col("__n") <= 0, lit(-1L)).otherwise(length(bin(col("__n"))).cast("long") - 1))
         .groupBy(col("source"), col("bucket_log2"))
@@ -2082,7 +2086,14 @@ object SparkEntry {
       val tbl = ivfIndexTable(dir)
       Similarity.ensureIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", tbl,
         trainRows = 128, corpusFp = ivfCorpusFp(dir))
-      Streams.streamIvfIndexProbe(s, dir, tbl, k = 3, corpusFp = ivfCorpusFp(dir))
+      // the query subset and 2-batch parity split are THIS query's fixture
+      // (passed in — the streaming layer owns only the plumbing)
+      Streams.streamIvfIndexProbe(s,
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .where(col("vec_id") < 5),
+        tbl, k = 3,
+        batchPreds = Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0),
+        corpusFp = ivfCorpusFp(dir))
     }),
 
     // ---- ANN index MAINTENANCE: publish over a partial corpus, APPEND the
@@ -2098,6 +2109,39 @@ object SparkEntry {
         tbl, trainRows = 128, corpusFp = s"embeddings[%5!=0]@$dir")
       Similarity.appendIvfIndex(e.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
         tbl, newCorpusFp = ivfCorpusFp(dir))
+      Similarity.probeIvfIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
+    // ---- index MAINTENANCE, the COMPACTION leg: append-maintained
+    //      bucketed tables accumulate one file-set per append; compaction
+    //      rewrites them at the STORED bucket spec (rows, fingerprint,
+    //      hash family unchanged) — this query certifies probe-equivalence
+    //      through publish → append → COMPACT → probe (oracle shared with
+    //      q250/q261; file-count reduction asserted in CompactionSpec) ----
+    "q276_lsh_index_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = lshIndexTable(dir) + "_cmp"
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      Dedup.publishLshIndex(corpus.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tbl, corpusFp = s"documents[%7!=0,%5!=0]@$dir")
+      Dedup.appendLshIndex(corpus.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", tbl, newCorpusFp = lshCorpusFp(dir))
+      Dedup.compactLshIndex(s, tbl)
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
+    }),
+
+    // ---- the IVF twin: compact the appended inverted lists, probe —
+    //      row-identical to q264 (same oracle) ----
+    "q277_ivf_index_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = ivfIndexTable(dir) + "_cmp"
+      Similarity.publishIvfIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        tbl, trainRows = 128, corpusFp = s"embeddings[%5!=0]@$dir")
+      Similarity.appendIvfIndex(e.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        tbl, newCorpusFp = ivfCorpusFp(dir))
+      Similarity.compactIvfIndex(s, tbl)
       Similarity.probeIvfIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
         tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
@@ -3175,7 +3219,13 @@ object SparkEntry {
       Dedup.ensureLshIndex(
         t(s, dir, "documents").where(col("doc_id") % 7 =!= 0), "doc_id", "text", tbl,
         corpusFp = lshCorpusFp(dir))
-      Streams.streamLshIndexProbe(s, dir, tbl, corpusFp = lshCorpusFp(dir))
+      // incoming batch + 2-file arrival split are this query's fixture
+      Streams.streamLshIndexProbe(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 7 === 0),
+        tbl,
+        batchPreds = Seq(col("doc_id") % 14 === 0, col("doc_id") % 14 =!= 0),
+        corpusFp = lshCorpusFp(dir))
     }),
 
     // ---- dedup-apply, the INCREMENTAL form: yesterday's cluster labels
@@ -5161,7 +5211,7 @@ object SparkEntry {
 
     "q274_length_histogram" ->
       """WITH d AS (SELECT source,
-        |    len(list_filter(string_split(trim(text), ' '), g -> g <> ''))::BIGINT AS n
+        |    greatest(len(list_filter(string_split(trim(text), ' '), g -> g <> '')), 0)::BIGINT AS n
         |  FROM documents)
         |SELECT source,
         |  CASE WHEN n <= 0 THEN -1 ELSE length(bin(n)) - 1 END::BIGINT AS bucket_log2,
@@ -5356,6 +5406,10 @@ object SparkEntry {
     // under the stored centroids, never trained on) — final assignment
     // and probe stay corpus-wide
     "q264_ivf_index_append" -> ivfSampledOracleSql.replace(
+      "smp AS (SELECT vec_id FROM embeddings ORDER BY",
+      "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
+    // q277: compaction rewrites files, never rows — probe-identical to q264
+    "q277_ivf_index_compact" -> ivfSampledOracleSql.replace(
       "smp AS (SELECT vec_id FROM embeddings ORDER BY",
       "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
 
@@ -6869,6 +6923,8 @@ object SparkEntry {
     // q261: append(publish(A), B) must be indistinguishable from
     // publish(A∪B) at probe time — same oracle as the one-shot probe
     "q261_lsh_index_append" -> lshProbeOracleSql,
+    // q276: compaction rewrites files, never rows — probe-identical to q261
+    "q276_lsh_index_compact" -> lshProbeOracleSql,
 
     "q256_cluster_sizes" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -664,12 +664,51 @@ object Dedup {
     val bk = base
       .select(col("id"), posexplode(Vectors.md5BandKeys(m.numHashes, m.bands)(col("shs"))))
       .select(col("pos").as("band"), col("col").as("bk"), col("id"))
+    // NOT ATOMIC across tables: each write commits atomically (job-commit
+    // protocol), but a failure BETWEEN them leaves band rows whose ids are
+    // absent from _docs — candidates that silently vanish at the verify
+    // join — while _meta still carries the PRE-append fingerprint, so a
+    // probe against the old fp would pass validation over a torn index.
+    // The consistency assert below fails the append loudly instead; a
+    // reader that suspects a torn state can call
+    // [[assertLshIndexConsistent]] itself, and the repair is a republish.
     bk.write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(s"${table}_buckets")
     base.select(col("id"), col("shs"))
       .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
       .format("parquet").saveAsTable(s"${table}_docs")
+    assertLshIndexConsistent(spark, table)
     writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets, newCorpusFp)
+  }
+
+  /** Cheap invariant over a published LSH index: every doc in `_buckets`
+    * has its shingle set in `_docs` and vice versa — by construction each
+    * indexed doc contributes ≥1 band row and exactly 1 docs row, so
+    * `countDistinct(_buckets.id) == count(_docs)`. A mismatch means a torn
+    * [[appendLshIndex]] (or manual table surgery); the repair is a
+    * republish. Ids-only aggregation over the index — O(index) work, so it
+    * runs on the MAINTENANCE path (append calls it), not per probe. */
+  def assertLshIndexConsistent(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val bIds = spark.table(s"${table}_buckets").select(col("id")).distinct().count()
+    val dIds = spark.table(s"${table}_docs").count()
+    require(bIds == dIds,
+      s"LSH index '$table' is inconsistent: $bIds distinct ids in _buckets vs " +
+        s"$dIds rows in _docs — likely a torn append; republish via publishLshIndex")
+  }
+
+  /** COMPACT an append-maintained LSH index: every [[appendLshIndex]]
+    * leaves its own file-set per bucket, so a long-lived index accumulates
+    * small files (listing + open cost at scale). Rewrites `_buckets` and
+    * `_docs` at the STORED bucket spec — rows, bucketing, fingerprint and
+    * hash-family meta all unchanged, so a probe before and after compaction
+    * is row-identical (certified by q276's oracle, shared with q250/q261).
+    * Pure maintenance: one distributed read + write per table, staged and
+    * catalog-swapped ([[graft.sources.Bucketing.compactBucketed]]). */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val m = readLshMeta(spark, table)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets", "bk", m.buckets)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_docs", "id", m.buckets)
   }
 
   /** [[publishLshIndex]] only if the index tables are not already in the

@@ -519,6 +519,13 @@ object Similarity {
       cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
     }
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
+    // NOT ATOMIC across the two writes: a failure between the `_assign`
+    // append (atomic per job-commit) and the `_meta` rewrite leaves the
+    // appended rows IN the lists while `_meta` still carries the
+    // PRE-append fingerprint — a probe against the old fp passes
+    // validation but sees the appended corpus. Unlike LSH there is no
+    // second data table to cross-check; on a suspected tear compare
+    // `count(_assign)` to the fingerprinted corpus, or republish.
     qdf.select(col("id").as("neighbor_id"), col("v").as("cv"), assignF(col("q")).as("c"))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
@@ -527,6 +534,16 @@ object Similarity {
       Seq((dims, nlist, trainRows, rounds, buckets, newCorpusFp))
         .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp"),
       s"${table}_meta", "dims", 1)
+  }
+
+  /** COMPACT an append-maintained IVF index: rewrite the `_assign`
+    * inverted lists at the STORED bucket spec — rows, centroids, and
+    * fingerprint unchanged, so probes before and after are row-identical
+    * (q277's oracle, shared with q263/q264). The `_cents`/`_meta` tables
+    * are model-sized and never appended, so only the lists compact. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val buckets = spark.table(s"${table}_meta").head().getInt(4)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets)
   }
 
   /** SQL-PORTABLE product quantization: the fixed-point treatment of

@@ -43,6 +43,46 @@ object Bucketing {
       spark: SparkSession, leftTable: String, rightTable: String,
       keyCol: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
+
+  /** COMPACT a bucketed table in place: every `mode("append")` write adds
+    * its own file-set per bucket, so an append-maintained table (an LSH/IVF
+    * index) accumulates small files that tax listing and open cost at
+    * scale. Rewrite at the SAME bucket spec, repartitioned by the bucket
+    * hash so each task holds exactly one bucket → one file per bucket;
+    * rows, bucketing, and every downstream plan are unchanged. Staged as
+    * `<table>__compact` then swapped via catalog rename — one distributed
+    * read + one write, no driver materialization, and a failure before the
+    * swap leaves the original table untouched. */
+  def compactBucketed(spark: SparkSession, table: String, keyCol: String,
+      buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val tmp = s"${table}__compact"
+    // co-locate each WRITER bucket (pmod(murmur3(key), n)) into one task:
+    // the bucketed writer emits one file per (task, bucket), so any
+    // partitioning that keeps a bucket's rows together yields exactly
+    // `buckets` files. Repartitioning by the raw key does NOT guarantee
+    // this (task id and bucket id are different functions of the key);
+    // repartitioning BY the bucket-id expression does.
+    saveBucketed(
+      spark.table(table).repartition(buckets, pmod(hash(col(keyCol)), lit(buckets))),
+      tmp, keyCol, buckets)
+    spark.sql(s"DROP TABLE $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Files currently backing a managed table's directory (specs assert
+    * compaction actually shrank the count). */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
 }
 
 /** Hive-style directory partitioning: the OTHER half of the 100 TB layout

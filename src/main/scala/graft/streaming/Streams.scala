@@ -464,6 +464,63 @@ object Streams {
     statefulUserTotals(tagged, dir)
   }
 
+  /** ScaleDrill hook: the [[statefulUserTotals]] mapGroupsWithState kernel
+    * under the ROCKSDB provider against an arbitrary pre-staged events
+    * directory (amplified input), forced through multiple micro-batches
+    * (`maxFilesPerTrigger`), returning the final per-user rows PLUS the
+    * state-store metrics the drill asserts on — summed commit ms, peak
+    * state rows, peak state memory — read from the query's progress events.
+    * This is the measured leg of the "RocksDB state scales" claim that
+    * q249/q258/q259 certify only at test SF. */
+  private[graft] def drillStatefulRocksDb(
+      spark: SparkSession, eventsDir: String, maxFilesPerTrigger: Int):
+      (DataFrame, Map[String, Long]) = {
+    import spark.implicits._
+    val tagged = sessionWithConfs(spark)
+    tagged.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    val stream = isolatedStreamSession(tagged)
+    val batchSchema = stream.read.parquet(eventsDir).schema
+    val raw = stream.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+    val updates = raw
+      .select(col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val (cnt0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var cnt = cnt0
+          var total = sum0
+          rows.foreach { case (_, v) => cnt += 1; total += v }
+          state.update((cnt, total))
+          (user, cnt, total)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    try {
+      val q = updates.writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      val metrics = try {
+        q.processAllAvailable()
+        val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        Map(
+          "state_commit_ms" -> sos.map(_.commitTimeMs).sum,
+          "state_rows_peak" -> (sos.map(_.numRowsTotal) :+ 0L).max,
+          "state_mem_peak_bytes" -> (sos.map(_.memoryUsedBytes) :+ 0L).max,
+          "batches" -> q.recentProgress.count(_.numInputRows > 0).toLong)
+      } finally q.stop()
+      val chk = stream.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          round(max_by(col("sum_value"), col("n_events")), 4).as("sum_value"))
+        .localCheckpoint(true)
+      (spark.createDataFrame(chk.rdd, chk.schema), metrics)
+    } finally stream.catalog.dropTempView(name)
+  }
+
   /** [[sessionCounts]] with session-window state in RocksDB — a DIFFERENT
     * state-store code path than [[statefulUserTotalsRocksDb]]'s
     * mapGroupsWithState (session merge reads, updates and removes windows
@@ -641,33 +698,51 @@ object Streams {
     * jaccard) across all batches; sink is batchId-partitioned with the
     * idempotent-overwrite replay discipline of [[ingestDedupDocs]]. */
   def streamLshIndexProbe(
-      spark: SparkSession, dir: String, indexTable: String,
+      spark: SparkSession, incoming: DataFrame, indexTable: String,
+      batchPreds: Seq[org.apache.spark.sql.Column],
       corpusFp: String = ""): DataFrame = {
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("incoming_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+    streamIndexProbe(spark, incoming, batchPreds, sinkSchema, "lshstream") { batch =>
+      graft.operators.Dedup
+        .probeLshIndex(batch.sparkSession, batch, "doc_id", "text", indexTable,
+          corpusFp = corpusFp)
+    }.select(col("incoming_id"), col("corpus_id"), col("jaccard"))
+      .localCheckpoint(true)
+  }
+
+  /** Shared scaffold of the stored-index stream probes: stage `incoming`
+    * as ONE arrival-ordered file per predicate in `batchPreds`, stream them
+    * with `maxFilesPerTrigger=1` (one micro-batch per file), run `probe`
+    * per batch via `foreachBatch` into a batchId-partitioned sink
+    * (idempotent overwrite = exactly-once under replay), and read the
+    * union back. The query subset and batch split are the CALLER's —
+    * this layer owns only the streaming plumbing. */
+  private def streamIndexProbe(
+      spark: SparkSession,
+      incoming: DataFrame,
+      batchPreds: Seq[org.apache.spark.sql.Column],
+      sinkSchema: org.apache.spark.sql.types.StructType,
+      tag: String)(probe: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    val incoming = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      .where(col("doc_id") % 7 === 0)
-    val srcDir = Files.createTempDirectory("graft_lshstream_src")
-    val sinkDir = Files.createTempDirectory("graft_lshstream_sink")
-    val chkDir = Files.createTempDirectory("graft_lshstream_chk")
+    require(batchPreds.nonEmpty, "streamIndexProbe needs at least one batch predicate")
+    val srcDir = Files.createTempDirectory(s"graft_${tag}_src")
+    val sinkDir = Files.createTempDirectory(s"graft_${tag}_sink")
+    val chkDir = Files.createTempDirectory(s"graft_${tag}_chk")
     val stream = isolatedStreamSession(spark)
     try {
-      // two arrival-ordered batch files
-      Seq(col("doc_id") % 14 === 0, col("doc_id") % 14 =!= 0).zipWithIndex.foreach {
-        case (pred, b) =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_lshstream_tmp")
-          incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = findPartFile(tmp)
-          val dst = srcDir.resolve(f"b$b%02d.parquet")
-          java.nio.file.Files.move(part, dst)
-          dst.toFile.setLastModified(1000000L * (b + 1))
-          rmTree(tmp)
+      batchPreds.zipWithIndex.foreach { case (pred, b) =>
+        val tmp = Files.createTempDirectory(s"graft_${tag}_tmp")
+        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = findPartFile(tmp)
+        val dst = srcDir.resolve(f"b$b%02d.parquet")
+        Files.move(part, dst)
+        dst.toFile.setLastModified(1000000L * (b + 1))
+        rmTree(tmp)
       }
-      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("incoming_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
       val src = stream.readStream
         .schema(incoming.schema)
         .option("maxFilesPerTrigger", "1")
@@ -676,16 +751,12 @@ object Streams {
         .outputMode("append")
         .option("checkpointLocation", chkDir.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          graft.operators.Dedup
-            .probeLshIndex(batch.sparkSession, batch, "doc_id", "text", indexTable,
-              corpusFp = corpusFp)
-            .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          probe(batch).write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         }
         .start()
       try q.processAllAvailable()
       finally q.stop()
       spark.read.schema(sinkSchema).parquet(sinkDir.toString)
-        .select(col("incoming_id"), col("corpus_id"), col("jaccard"))
         .localCheckpoint(true)
     } finally {
       rmTree(srcDir)
@@ -703,56 +774,20 @@ object Streams {
     * — the q265 oracle is q263's. Output: (query_id, rank, neighbor_id,
     * cosine) across all batches. */
   def streamIvfIndexProbe(
-      spark: SparkSession, dir: String, indexTable: String, k: Int,
+      spark: SparkSession, incoming: DataFrame, indexTable: String, k: Int,
+      batchPreds: Seq[org.apache.spark.sql.Column],
       corpusFp: String = ""): DataFrame = {
-    import java.nio.file.Files
-    val incoming = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-      .where(col("vec_id") < 5)
-    val srcDir = Files.createTempDirectory("graft_ivfstream_src")
-    val sinkDir = Files.createTempDirectory("graft_ivfstream_sink")
-    val chkDir = Files.createTempDirectory("graft_ivfstream_chk")
-    val stream = isolatedStreamSession(spark)
-    try {
-      Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0).zipWithIndex.foreach {
-        case (pred, b) =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstream_tmp")
-          incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = findPartFile(tmp)
-          val dst = srcDir.resolve(f"b$b%02d.parquet")
-          java.nio.file.Files.move(part, dst)
-          dst.toFile.setLastModified(1000000L * (b + 1))
-          rmTree(tmp)
-      }
-      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
-      val src = stream.readStream
-        .schema(incoming.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString)
-      val q = src.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chkDir.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          graft.operators.Similarity
-            .probeIvfIndex(batch.sparkSession, batch, "vec_id", "embedding", indexTable,
-              k = k, corpusFp = corpusFp)
-            .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      spark.read.schema(sinkSchema).parquet(sinkDir.toString)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-        .localCheckpoint(true)
-    } finally {
-      rmTree(srcDir)
-      rmTree(chkDir)
-      rmTree(sinkDir)
-    }
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+    streamIndexProbe(spark, incoming, batchPreds, sinkSchema, "ivfstream") { batch =>
+      graft.operators.Similarity
+        .probeIvfIndex(batch.sparkSession, batch, "vec_id", "embedding", indexTable,
+          k = k, corpusFp = corpusFp)
+    }.select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(true)
   }
 }

@@ -103,4 +103,33 @@ class CompactionSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"), r.getAs[String]("p"))).toSet
     assert(again === got)
   }
+
+  test("compactBucketed: file count shrinks to bucket count, rows + bucketing preserved") {
+    import graft.sources.Bucketing
+    val tbl = "graft_compactspec"
+    val buckets = 4
+    // publish, then three appends — each append leaves its own file-set
+    Bucketing.saveBucketed((0L until 200L).map(i => (i, i * 2)).toDF("id", "v"),
+      tbl, "id", buckets)
+    (1 to 3).foreach { b =>
+      (0L until 100L).map(i => (1000L * b + i, i)).toDF("id", "v")
+        .write.mode("append").bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(tbl)
+    }
+    val before = Bucketing.dataFileCount(spark, tbl)
+    assert(before > buckets, s"appends produced only $before files — fixture too weak")
+    val rowsBefore = spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Bucketing.compactBucketed(spark, tbl, "id", buckets)
+    val after = Bucketing.dataFileCount(spark, tbl)
+    assert(after === buckets, s"compaction left $after files, expected $buckets")
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === rowsBefore)
+    // bucket metadata survived the catalog swap: a self-join on the bucket
+    // key plans with NO shuffle exchange on either side
+    val joined = spark.table(tbl).join(spark.table(tbl).select(col("id")), Seq("id"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed self-join re-shuffled after compaction:\n$plan")
+  }
 }

@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   * Op pool: mapValues(+c / *c), filter(v>c), dropMissing, between,
   * fillForward/fillBackward/fillWith, shift(±2), diff(1..2),
   * union(PreferLeft/PreferRight), zipWith(Outer/Inner/Left/Right)(+/min),
+  * zipAlign(Left/Right × NearestSmaller/NearestGreater)(+/min) — the as-of
+  * alignment matrix with missing values on both sides (trap §7.4.1),
   * append(disjoint). Order-destroying ops re-sort (both engines), so
   * ordered-only ops stay legal anywhere in the chain. Inputs avoid NaN
   * sources (finite small values, no division) because the engines'
@@ -72,6 +74,24 @@ class CompositionFuzzSpec extends SparkSpecBase {
       (k, if (preferLeft) l.orElse(r) else r.orElse(l))
     }
   }
+  // fill-then-as-of lookup (the reference's fill-before-reindex,
+  // src/JoinHelpers.fs:49-53): last non-missing value among data keys <= k
+  // (NearestSmaller) / first non-missing among keys >= k (NearestGreater)
+  private def mAsOfLookup(data: Model, k: Long, smaller: Boolean): Option[Double] =
+    if (smaller) data.filter(_._1 <= k).flatMap(_._2).lastOption
+    else data.filter(_._1 >= k).flatMap(_._2).headOption
+
+  private def mZipAlign(a: Model, b: Model, kind: JoinKind, smaller: Boolean,
+      op: (Double, Double) => Double): Model = kind match {
+    case JoinKind.Left =>
+      a.map { case (k, av) =>
+        (k, for { x <- av; y <- mAsOfLookup(b, k, smaller) } yield op(x, y)) }
+    case JoinKind.Right =>
+      b.map { case (k, bv) =>
+        (k, for { y <- bv; x <- mAsOfLookup(a, k, smaller) } yield op(x, y)) }
+    case other => throw new IllegalArgumentException(s"zipAlign model: $other")
+  }
+
   private def mZip(a: Model, b: Model, kind: JoinKind,
       op: (Double, Double) => Double): Model = {
     val am = a.toMap; val bm = b.toMap
@@ -109,7 +129,7 @@ class CompositionFuzzSpec extends SparkSpecBase {
       val nOps = 3 + rnd.nextInt(3)
       val trace = new StringBuilder
       for (_ <- 1 to nOps) {
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 0 =>
             val c = (rnd.nextInt(41) - 20) / 2.0
             trace ++= s"mapValues(+$c); "
@@ -165,6 +185,22 @@ class CompositionFuzzSpec extends SparkSpecBase {
               if (useMin) (a, b) => least(a, b) else (a, b) => a + b)
               .copy(ordered = true)
             model = mZip(model, other, kind, if (useMin) math.min else _ + _)
+          case 12 =>
+            // the reference's hardest semantics (§7.4.1): as-of zipAlign —
+            // every kind×lookup direction, with missing values in BOTH
+            // series so fill-then-as-of is continuously exercised
+            val other = genModel(rnd, rnd.nextInt(20).toLong)
+            val kind = if (rnd.nextBoolean()) JoinKind.Left else JoinKind.Right
+            val smaller = rnd.nextBoolean()
+            val useMin = rnd.nextBoolean()
+            trace ++= s"zipAlign($kind,${if (smaller) "NearestSmaller" else "NearestGreater"},${if (useMin) "min" else "+"}); "
+            ks = ks.zipAlign(KSeries(toDf(other), ordered = true), kind,
+              if (smaller) graft.core.Lookup.NearestSmaller
+              else graft.core.Lookup.NearestGreater)(
+              if (useMin) (a, b) => least(a, b) else (a, b) => a + b)
+              .copy(ordered = true)
+            model = mZipAlign(model, other, kind, smaller,
+              if (useMin) math.min else _ + _)
         }
       }
       assert(collectModel(ks) === model, s"seed=$seed chain: $trace")
