@@ -114,6 +114,14 @@ object AsOf {
     * parallel tasks. Same fill-then-as-of semantics, same output schema.
     *
     * Key is compared as Long (cast date/timestamp keys to epoch first).
+    *
+    * RESTRICTION (documented in MIGRATION.md): carries exactly one value
+    * column, cast to double — the common price/measure payload. For
+    * multi-column or non-numeric payloads use [[join]] or the native
+    * Catalyst form, which carry arbitrary typed columns; this variant's
+    * whole advantage is the untouched probe-side partitioning, not payload
+    * generality. The data side must fit the driver
+    * (`spark.graft.broadcastAsOf.maxRows`, enforced below).
     */
   def broadcastJoin(
       left: DataFrame,

@@ -1100,4 +1100,43 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("published over corpus"))
   }
+
+  test("a torn append (bucket rows without doc rows) is detected, and compaction preserves probes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different text with no overlap at all here"),
+      (4L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val incoming = docs.where(col("doc_id") === 4)
+    val corpus = docs.where(col("doc_id") <= 3)
+    Dedup.publishLshIndex(corpus, "doc_id", "text", "graft_lshspec_torn",
+      buckets = 2, corpusFp = "t")
+    Dedup.assertLshIndexConsistent(spark, "graft_lshspec_torn") // healthy
+    val beforeProbe = Dedup
+      .probeLshIndex(spark, incoming, "doc_id", "text", "graft_lshspec_torn",
+        corpusFp = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // compaction: fewer files, identical probe
+    val filesBefore =
+      graft.sources.Bucketing.dataFileCount(spark, "graft_lshspec_torn_buckets")
+    Dedup.compactLshIndex(spark, "graft_lshspec_torn")
+    assert(graft.sources.Bucketing.dataFileCount(spark, "graft_lshspec_torn_buckets")
+      <= filesBefore)
+    val afterProbe = Dedup
+      .probeLshIndex(spark, incoming, "doc_id", "text", "graft_lshspec_torn",
+        corpusFp = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterProbe === beforeProbe)
+    // simulate the tear: band rows appended for an id with no _docs row —
+    // the invariant the consistency assert exists to catch
+    spark.table("graft_lshspec_torn_buckets").limit(1)
+      .withColumn("id", lit(999L))
+      .write.mode("append").bucketBy(2, "bk").sortBy("bk")
+      .format("parquet").saveAsTable("graft_lshspec_torn_buckets")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.assertLshIndexConsistent(spark, "graft_lshspec_torn")
+    }
+    assert(e.getMessage.contains("torn append"))
+  }
 }
