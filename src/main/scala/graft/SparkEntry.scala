@@ -2146,6 +2146,30 @@ object SparkEntry {
         tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
 
+    // ---- data-card: ZIPF SLOPE per source — rank-frequency log-log OLS
+    //      over the top-100 terms (≈ −1 for natural text; flat = the
+    //      boilerplate smell, steep = collapsed vocabulary). Micro-unit
+    //      integer logs make the OLS sums order-free; one exact ratio ----
+    "q278_zipf_slope" -> ((s, dir) => {
+      Text.zipfSlope(t(s, dir, "documents"), "source", "text")
+    }),
+
+    // ---- data-card: TERM BURSTINESS per source (Church & Gale) — mean
+    //      occurrences per containing doc cf/df for the top-20 terms;
+    //      bunching terms (high burst) mark topical/boilerplate text,
+    //      function words sit at their corpus rate. Exact-integer ppm ----
+    "q279_burstiness" -> ((s, dir) => {
+      Text.burstiness(t(s, dir, "documents"), "source", "doc_id", "text")
+    }),
+
+    // ---- data-card: SOURCE-SIMILARITY matrix — cosine between per-source
+    //      unigram COUNT vectors, the weighted companion of q57-family
+    //      vocab overlap (set Jaccard); integer dot/norm sums, one
+    //      correctly-rounded cosine division ----
+    "q280_source_cosine" -> ((s, dir) => {
+      Text.sourceCosine(t(s, dir, "documents"), "source", "text")
+    }),
+
     // ---- similarity: RP-LSH with md5 integer hyperplanes + fixed-point
     //      projections — every sign is an exact integer comparison, so the
     //      WHOLE bucketing pipeline is hash-verified against the SQL
@@ -5412,6 +5436,57 @@ object SparkEntry {
     "q277_ivf_index_compact" -> ivfSampledOracleSql.replace(
       "smp AS (SELECT vec_id FROM embeddings ORDER BY",
       "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
+
+    // q278: micro-unit logs rounded once per term → order-free integer OLS
+    // sums; the slope ratio is one double division (engine-exact)
+    "q278_zipf_slope" ->
+      """WITH tok AS (SELECT source AS g,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT g, t, count(*)::BIGINT AS cf FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT g, t, cf,
+        |    row_number() OVER (PARTITION BY g ORDER BY cf DESC, t ASC)::BIGINT AS r
+        |  FROM tf),
+        |xy AS (SELECT g, round(ln(r::DOUBLE) * 1e6)::BIGINT AS x,
+        |    round(ln(cf::DOUBLE) * 1e6)::BIGINT AS y
+        |  FROM rk WHERE r <= 100),
+        |s AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT g AS source, n AS n_terms,
+        |  round(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) * 1e6)::BIGINT
+        |    AS slope_u
+        |FROM s ORDER BY source""".stripMargin,
+
+    "q279_burstiness" ->
+      """WITH tok AS (SELECT source AS g, doc_id AS id,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |st AS (SELECT g, t, count(*)::BIGINT AS cf,
+        |    count(DISTINCT id)::BIGINT AS df FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT g, t, cf, df,
+        |    row_number() OVER (PARTITION BY g ORDER BY cf DESC, t ASC)::BIGINT AS rank
+        |  FROM st)
+        |SELECT g AS source, rank, t AS term, cf, df,
+        |  cf * 1000000 // df AS burst_ppm
+        |FROM rk WHERE rank <= 20""".stripMargin,
+
+    // q280: integer dot/norms; sqrt is IEEE-correctly-rounded on both
+    // engines, so the single cosine division is engine-exact
+    "q280_source_cosine" ->
+      """WITH tok AS (SELECT source AS s,
+        |    unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT s, t, count(*)::BIGINT AS cf FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT s, sum(cf * cf)::BIGINT AS nrm2 FROM tf GROUP BY 1),
+        |dots AS (SELECT a.s AS src1, b.s AS src2, sum(a.cf * b.cf)::BIGINT AS dot
+        |  FROM tf a JOIN tf b ON a.t = b.t AND a.s < b.s GROUP BY 1, 2)
+        |SELECT src1, src2, dot,
+        |  round((dot::DOUBLE / (sqrt(n1.nrm2::DOUBLE) * sqrt(n2.nrm2::DOUBLE))) * 1e6)::BIGINT
+        |    AS cosine_u
+        |FROM dots JOIN nrm n1 ON n1.s = src1 JOIN nrm n2 ON n2.s = src2
+        |ORDER BY src1, src2""".stripMargin,
 
     "q124_ivf_portable" ->
       """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

@@ -980,4 +980,98 @@ object Text {
           .as("distinct2_ppm"))
       .orderBy(col("source"))
   }
+
+  /** ZIPF SLOPE per source — the rank-frequency log-log OLS slope over the
+    * top-`topK` terms (slope ≈ −1 for natural text; a flat slope is the
+    * template/boilerplate smell, a steep one a collapsed vocabulary). The
+    * corpus-health panel next to Heaps' law (vocab growth) on any data card.
+    *
+    * Portability discipline: ln(rank) and ln(freq) are rounded ONCE to
+    * integer micro-units per term, so the OLS sums are order-free integer
+    * arithmetic; the final slope is one exact-integer ratio divided in
+    * doubles and rounded to micro-units — engine-exact. */
+  def zipfSlope(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String,
+      topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Par.widen(docs.select(col(sourceCol).as("g"), col(textCol).as("__t")))
+      .select(col("g"), explode(tokens(col("__t"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("g"), col("t")).agg(count(lit(1)).as("cf"))
+    val win = Window.partitionBy(col("g")).orderBy(col("cf").desc, col("t").asc)
+    val ranked = tf
+      .withColumn("r", row_number().over(win).cast("long"))
+      .where(col("r") <= topK)
+      .withColumn("x", round(log(col("r").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("y", round(log(col("cf").cast("double")) * lit(1e6)).cast("long"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("g").as("source"), col("n").as("n_terms"),
+        round((((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) * lit(1e6))
+          .cast("long").as("slope_u"))
+      .orderBy(col("source"))
+  }
+
+  /** TERM BURSTINESS per source (Church & Gale): for the top-`topK` terms
+    * by collection frequency, mean occurrences per CONTAINING document
+    * cf/df — function words sit near their corpus rate (low burst), topical
+    * and boilerplate terms bunch (high burst). Exact-integer ppm. */
+  def burstiness(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      idCol: String,
+      textCol: String,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Par.widen(docs.select(col(sourceCol).as("g"), col(idCol).as("__id"),
+        col(textCol).as("__t")))
+      .select(col("g"), col("__id"), explode(tokens(col("__t"))).as("t"))
+      .where(col("t") =!= "")
+    val stats = occ.groupBy(col("g"), col("t"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("__id")).as("df"))
+    val win = Window.partitionBy(col("g")).orderBy(col("cf").desc, col("t").asc)
+    stats.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("g").as("source"), col("rank"), col("t").as("term"),
+        col("cf"), col("df"),
+        expr("cf * 1000000 DIV df").as("burst_ppm"))
+  }
+
+  /** SOURCE-SIMILARITY matrix over unigram COUNT vectors — cosine between
+    * each pair of sources' term-frequency vectors: the weighted companion
+    * of [[vocabOverlap]]'s set Jaccard (a source that reuses another's
+    * vocabulary at very different rates scores high on overlap but low
+    * here). Dot product and norms are exact integer sums; the one cosine
+    * division happens in doubles (sqrt is IEEE-correctly-rounded on every
+    * engine) and is rounded to micro-units. */
+  def sourceCosine(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = Par.widen(docs.select(col(sourceCol).as("__s"), col(textCol).as("__t")))
+      .select(col("__s"), explode(tokens(col("__t"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("__s"), col("t")).agg(count(lit(1)).as("cf"))
+      .localCheckpoint(true) // feeds norms AND both sides of the pair join
+    val norms = tf.groupBy(col("__s")).agg(sum(col("cf") * col("cf")).as("nrm2"))
+    val dots = tf
+      .join(tf.select(col("__s").as("__s2"), col("t"), col("cf").as("cf2")), Seq("t"))
+      .where(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(sum(col("cf") * col("cf2")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("__s"), col("nrm2").as("n1"))), Seq("__s"))
+      .join(broadcast(norms.select(col("__s").as("__s2"), col("nrm2").as("n2"))),
+        Seq("__s2"))
+      .select(col("__s").as("src1"), col("__s2").as("src2"), col("dot"),
+        round((col("dot").cast("double") /
+          (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))) * lit(1e6))
+          .cast("long").as("cosine_u"))
+      .orderBy(col("src1"), col("src2"))
+  }
 }
