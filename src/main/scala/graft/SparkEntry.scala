@@ -2170,6 +2170,26 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- data-card: dedup CLUSTER COHESION — per near-dup cluster
+    //      (q101's components over q42's verified pairs): docs, scored
+    //      pairs, and MEAN intra-cluster Jaccard. Low cohesion on a big
+    //      cluster = a banding-collapse smell worth auditing before the
+    //      prune. Per-pair ppm rounded once → order-free integer mean ----
+    "q281_cluster_cohesion" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPortable(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(true)
+      val comp = Dedup.components(pairs)
+      val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+      val coh = pairs
+        .withColumn("ppm", round(col("jaccard") * lit(1e6)).cast("long"))
+        .join(comp.select(col("id").as("id_a"), col("cluster")), Seq("id_a"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ppm")).as("sum_ppm"))
+      sizes.join(coh, Seq("cluster"))
+        .select(col("cluster"), col("n_docs"), col("n_pairs"),
+          expr("sum_ppm DIV n_pairs").as("mean_jaccard_ppm"))
+    }),
+
     // ---- similarity: RP-LSH with md5 integer hyperplanes + fixed-point
     //      projections — every sign is an exact integer comparison, so the
     //      WHOLE bucketing pipeline is hash-verified against the SQL
@@ -7031,6 +7051,47 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q281: q256's component machinery + per-pair ppm (round once, then
+    // integer sums) — mean intra-cluster Jaccard per cluster
+    "q281_cluster_cohesion" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |pairs AS (SELECT c.id_a, c.id_b,
+        |            round(round(len(list_intersect(a.tok, b.tok))::DOUBLE
+        |              / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6)
+        |              * 1e6)::BIGINT AS ppm
+        |          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                      JOIN sets b ON c.id_b = b.doc_id
+        |          WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+        |            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, w2.label FROM edges e JOIN walk w2 ON e.b = w2.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+        |cs AS (SELECT cluster, count(*)::BIGINT AS n_docs FROM comp GROUP BY 1),
+        |coh AS (SELECT c.cluster, count(*)::BIGINT AS n_pairs,
+        |          sum(p.ppm)::BIGINT AS sum_ppm
+        |        FROM pairs p JOIN comp c ON p.id_a = c.id
+        |        GROUP BY 1)
+        |SELECT cs.cluster, cs.n_docs, coh.n_pairs,
+        |  coh.sum_ppm // coh.n_pairs AS mean_jaccard_ppm
+        |FROM cs JOIN coh ON cs.cluster = coh.cluster""".stripMargin,
 
     "q257_cross_source_dups" ->
       """WITH w AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
