@@ -2170,6 +2170,21 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- packing: SEQUENCE MANIFEST panel — per training sequence of the
+    //      distributed stream index (q96/q169's machinery): docs started,
+    //      tokens started, boundary-split docs. Sizes shard exports and
+    //      attention-mask truncation loss before materializing ----
+    "q282_sequence_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+      Packing.sequenceIndex(d, "doc_id", "n_tok", seqTokens = 2048)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("toks_started"),
+          sum(when(col("tok_end") > 2048, 1L).otherwise(0L)).as("n_split"))
+    }),
+
     // ---- data-card: dedup CLUSTER COHESION — per near-dup cluster
     //      (q101's components over q42's verified pairs): docs, scored
     //      pairs, and MEAN intra-cluster Jaccard. Low cohesion on a big
@@ -7051,6 +7066,25 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q282: the md5-stream prefix sums of the distributed sequence index,
+    // aggregated per sequence — all-integer
+    "q282_sequence_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE n_tok > 0),
+        |r AS (SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM f),
+        |x AS (SELECT (cum - n_tok) // 2048 AS seq_id, n_tok,
+        |    cum - n_tok - ((cum - n_tok) // 2048) * 2048 + n_tok AS tok_end
+        |  FROM r)
+        |SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS toks_started,
+        |  CAST(sum(CASE WHEN tok_end > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+        |FROM x GROUP BY 1""".stripMargin,
 
     // q281: q256's component machinery + per-pair ppm (round once, then
     // integer sums) — mean intra-cluster Jaccard per cluster
