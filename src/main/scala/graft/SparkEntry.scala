@@ -2170,6 +2170,34 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- events: RETENTION COHORT matrix — users bucketed by first-seen
+    //      epoch week, distinct-active counts per (cohort, week offset);
+    //      the standard engagement panel. Two shuffles: first-seen agg +
+    //      the cohort-join census, both on user_id ----
+    "q283_retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 604800").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- events: TYPE-TRANSITION matrix — per-user event-order Markov
+    //      counts over (ts, event_id)-deterministic ordering; session-flow
+    //      structure at a glance (integer counts) ----
+    "q284_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- packing: SEQUENCE MANIFEST panel — per training sequence of the
     //      distributed stream index (q96/q169's machinery): docs started,
     //      tokens started, boundary-split docs. Sizes shard exports and
@@ -7066,6 +7094,23 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    "q283_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) // 604800 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q284_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // q282: the md5-stream prefix sums of the distributed sequence index,
     // aggregated per sequence — all-integer
