@@ -2170,6 +2170,14 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- dedup: LSH BUCKET CENSUS — per-band histogram of bucket sizes,
+    //      the banding-health audit (candidate-join cost is Σ size², so a
+    //      hot bucket is THE near-dup scale hazard); run before committing
+    //      a hash family at corpus scale ----
+    "q285_lsh_bucket_census" -> ((s, dir) => {
+      Dedup.lshBucketCensus(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ---- events: RETENTION COHORT matrix — users bucketed by first-seen
     //      epoch week, distinct-active counts per (cohort, week offset);
     //      the standard engagement panel. Two shuffles: first-seen agg +
@@ -7094,6 +7102,21 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q285: the q256 banding CTEs aggregated into a per-band size census
+    "q285_lsh_bucket_census" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |cs AS (SELECT band, bk, count(*)::BIGINT AS sz FROM bk GROUP BY 1, 2)
+        |SELECT band, sz, count(*)::BIGINT AS n_buckets FROM cs GROUP BY 1, 2""".stripMargin,
 
     "q283_retention_cohorts" ->
       """WITH e AS (SELECT user_id,

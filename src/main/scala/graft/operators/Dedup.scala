@@ -697,6 +697,30 @@ object Dedup {
         s"$dIds rows in _docs — likely a torn append; republish via publishLshIndex")
   }
 
+  /** LSH BUCKET CENSUS — the banding-health diagnostic: per band, the
+    * histogram of bucket sizes. The candidate join's cost is
+    * Σ size², so one hot bucket (boilerplate-dominated corpora collapse
+    * a band key onto thousands of docs) is THE scale hazard of
+    * [[minhashLshPortable]]/[[publishLshIndex]]; this census is the
+    * audit to run before committing to a (shingleN, numHashes, bands)
+    * family at full corpus scale. Ids-only aggregation — never pairs. */
+  def lshBucketCensus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val base = shingleBase(docs, idCol, textCol, shingleN)
+    base
+      .select(posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("pos").as("band"), col("col").as("bk"))
+      .groupBy(col("band"), col("bk")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast("long").as("band"), col("sz"))
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
   /** COMPACT an append-maintained LSH index: every [[appendLshIndex]]
     * leaves its own file-set per bucket, so a long-lived index accumulates
     * small files (listing + open cost at scale). Rewrites `_buckets` and
