@@ -114,13 +114,8 @@ object AsOf {
     * parallel tasks. Same fill-then-as-of semantics, same output schema.
     *
     * Key is compared as Long (cast date/timestamp keys to epoch first).
-    *
-    * RESTRICTION (documented in MIGRATION.md): carries exactly one value
-    * column, cast to double — the common price/measure payload. For
-    * multi-column or non-numeric payloads use [[join]] or the native
-    * Catalyst form, which carry arbitrary typed columns; this variant's
-    * whole advantage is the untouched probe-side partitioning, not payload
-    * generality. The data side must fit the driver
+    * Value columns keep their own types (numeric, string, boolean,
+    * date/timestamp); the data side must fit the driver
     * (`spark.graft.broadcastAsOf.maxRows`, enforced below).
     */
   def broadcastJoin(
@@ -130,8 +125,54 @@ object AsOf {
       rightKey: String,
       valueCol: String,
       direction: Lookup = Lookup.NearestSmaller,
+      strict: Boolean = false): DataFrame =
+    broadcastJoinMulti(left, leftKey, right, rightKey, Seq(valueCol), direction, strict)
+
+  /** Binary-search lookup index into sorted `ks`: the position whose FILLED
+    * value answers an as-of probe at `k`, or -1/ks.length when out of
+    * range. Shared by every per-column lookup UDF. */
+  private[operators] def searchIdx(
+      ks: Array[Long], k: Long, smaller: Boolean, strict: Boolean): Int = {
+    var lo = 0
+    var hi = ks.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ks(mid) <= k) lo = mid + 1 else hi = mid
+    }
+    // lo = count of keys <= k
+    if (smaller) {
+      if (strict) {
+        var j = lo - 1
+        while (j >= 0 && ks(j) == k) j -= 1
+        j
+      } else lo - 1
+    } else {
+      if (strict) lo
+      else {
+        var j = lo - 1
+        while (j >= 0 && ks(j) == k) j -= 1
+        j + 1
+      }
+    }
+  }
+
+  /** [[broadcastJoin]] for MULTIPLE typed value columns: each column is
+    * filled independently along the lookup direction (per-vector
+    * fill-before-reindex, reference src/JoinHelpers.fs:49-53) and carried
+    * at its ORIGINAL type through a typed lookup UDF — no double cast.
+    * Supported value types: numeric, string, boolean, date, timestamp;
+    * anything else (arrays, structs, decimals) → use [[join]], which
+    * carries arbitrary columns through the shuffle form. */
+  def broadcastJoinMulti(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      valueCols: Seq[String],
+      direction: Lookup = Lookup.NearestSmaller,
       strict: Boolean = false): DataFrame = {
     require(direction != Lookup.Exact, "as-of join needs NearestSmaller/NearestGreater")
+    require(valueCols.nonEmpty, "broadcastJoin needs at least one value column")
     val spark = left.sparkSession
 
     // Fail-fast size guard: the data side is collected to the driver — that
@@ -152,64 +193,74 @@ object AsOf {
       s"$dataRows rows (limit $maxRows, conf spark.graft.broadcastAsOf.maxRows); " +
       "use AsOf.join (the shuffle form) for a corpus-sized data side")
 
-    // driver-side build: sort by key, then fill values along the lookup
-    // direction (the reference's fill-before-reindex, JoinHelpers.fs:49-53)
-    val rows = right.select(col(rightKey).cast("long"), col(valueCol).cast("double"))
-      .collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-      .sortBy(_._1)
-    val keys = rows.map(_._1)
-    val filled = new Array[java.lang.Double](rows.length)
-    if (direction == Lookup.NearestSmaller) {
-      var prev: Option[Double] = None
-      var i = 0
-      while (i < rows.length) {
-        prev = rows(i)._2.orElse(prev)
-        filled(i) = prev.map(Double.box).orNull
-        i += 1
-      }
-    } else {
-      var next: Option[Double] = None
-      var i = rows.length - 1
-      while (i >= 0) {
-        next = rows(i)._2.orElse(next)
-        filled(i) = next.map(Double.box).orNull
-        i -= 1
-      }
-    }
-    val bc = spark.sparkContext.broadcast((keys, filled))
+    // driver-side build: sort by key, then fill each column along the
+    // lookup direction (the reference's fill-before-reindex,
+    // JoinHelpers.fs:49-53 — per right column independently)
+    val projected = right.select(
+      col(rightKey).cast("long").as("__k") +: valueCols.map(col): _*)
+    val schema = projected.schema
+    val rows = projected.collect().sortBy(_.getLong(0))
+    val keys = rows.map(_.getLong(0))
+    val bcKeys = spark.sparkContext.broadcast(keys)
+    val smaller = direction == Lookup.NearestSmaller
+    val strictL = strict
 
-    val lookupUdf = udf { (k: java.lang.Long) =>
-      if (k == null) null
-      else {
-        val (ks, vs) = bc.value
-        // insertion point of k in ks
-        var lo = 0
-        var hi = ks.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (ks(mid) <= k.longValue) lo = mid + 1 else hi = mid
+    // j is the valueCols index; the projected row carries __k at 0, so the
+    // j-th value lives at row position j+1
+    def filledCol(j: Int): Array[Any] = {
+      val out = new Array[Any](rows.length)
+      if (smaller) {
+        var prev: Any = null
+        var i = 0
+        while (i < rows.length) {
+          val v = rows(i).get(j + 1); if (v != null) prev = v
+          out(i) = prev; i += 1
         }
-        // lo = count of keys <= k
-        if (direction == Lookup.NearestSmaller) {
-          val idx = if (strict) {
-            var j = lo - 1
-            while (j >= 0 && ks(j) == k.longValue) j -= 1
-            j
-          } else lo - 1
-          if (idx < 0) null else vs(idx)
-        } else {
-          val idx = if (strict) lo
-          else {
-            var j = lo - 1
-            while (j >= 0 && ks(j) == k.longValue) j -= 1
-            j + 1
-          }
-          if (idx >= ks.length) null else vs(idx)
+      } else {
+        var next: Any = null
+        var i = rows.length - 1
+        while (i >= 0) {
+          val v = rows(i).get(j + 1); if (v != null) next = v
+          out(i) = next; i -= 1
         }
       }
+      out
     }
-    left.withColumn(valueCol, lookupUdf(col(leftKey).cast("long")))
+
+    import org.apache.spark.sql.types._
+    def typedUdf(dt: DataType, vals: Array[Any]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      val bcVals = spark.sparkContext.broadcast(vals)
+      // one lookup closure per external JVM type — the UDF's static return
+      // type IS the column's Spark type, so the output schema matches the
+      // data side exactly (no double cast, no schema drift)
+      def at[T >: Null](k: java.lang.Long): T =
+        if (k == null) null
+        else {
+          val ks = bcKeys.value
+          val i = searchIdx(ks, k.longValue, smaller, strictL)
+          if (i < 0 || i >= ks.length) null else bcVals.value(i).asInstanceOf[T]
+        }
+      dt match {
+        case DoubleType    => udf((k: java.lang.Long) => at[java.lang.Double](k))
+        case FloatType     => udf((k: java.lang.Long) => at[java.lang.Float](k))
+        case LongType      => udf((k: java.lang.Long) => at[java.lang.Long](k))
+        case IntegerType   => udf((k: java.lang.Long) => at[java.lang.Integer](k))
+        case ShortType     => udf((k: java.lang.Long) => at[java.lang.Short](k))
+        case ByteType      => udf((k: java.lang.Long) => at[java.lang.Byte](k))
+        case BooleanType   => udf((k: java.lang.Long) => at[java.lang.Boolean](k))
+        case StringType    => udf((k: java.lang.Long) => at[String](k))
+        case DateType      => udf((k: java.lang.Long) => at[java.sql.Date](k))
+        case TimestampType => udf((k: java.lang.Long) => at[java.sql.Timestamp](k))
+        case other => throw new IllegalArgumentException(
+          s"AsOf.broadcastJoin: unsupported value type $other — " +
+            "use AsOf.join (the shuffle form carries arbitrary typed columns)")
+      }
+    }
+
+    valueCols.zipWithIndex.foldLeft(left) { case (df, (c, j)) =>
+      df.withColumn(c,
+        typedUdf(schema(j + 1).dataType, filledCol(j))(col(leftKey).cast("long")))
+    }
   }
 
   /** As-of join through the NATIVE Catalyst node ([[graft.plans.AsOfJoinNode]]

@@ -91,6 +91,41 @@ class AsOfSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.broadcastAsOf.maxRows")
   }
 
+  test("broadcastJoinMulti carries typed columns and matches the shuffle form") {
+    import spark.implicits._
+    // per-column independent fill: price missing at k=3, tag missing at k=5
+    val right = Seq(
+      (1L, Some(10.0), Some("a"), Some(100L)),
+      (3L, None, Some("b"), None),
+      (5L, Some(50.0), None, Some(500L)))
+      .toDF("k", "price", "tag", "qty")
+      .select(col("k"), col("price"), col("tag"), col("qty"))
+    val probes = Seq(2L, 3L, 4L, 6L).toDF("g")
+    val got = AsOf.broadcastJoinMulti(probes, "g", right, "k",
+      Seq("price", "tag", "qty"), Lookup.NearestSmaller)
+    // types preserved — no double cast
+    assert(got.schema("tag").dataType === org.apache.spark.sql.types.StringType)
+    assert(got.schema("qty").dataType === org.apache.spark.sql.types.LongType)
+    val want = AsOf.join(probes, "g", right, "k", Seq("price", "tag", "qty"),
+      Lookup.NearestSmaller)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    assert(key(got) === key(want))
+    // fill-through-missing: probe 4 gets price from k=1 (k=3 holds null),
+    // tag from k=3
+    assert(key(got).contains((4L, Some(10.0), Some("b"), Some(100L))))
+    // unsupported value type names the shuffle alternative
+    val arr = Seq((1L, Seq(1.0))).toDF("k", "vs")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.broadcastJoinMulti(probes, "g", arr, "k", Seq("vs"), Lookup.NearestSmaller)
+    }
+    assert(e.getMessage.contains("AsOf.join"))
+  }
+
   test("broadcastJoin rejects a non-numeric maxRows conf") {
     spark.conf.set("spark.graft.broadcastAsOf.maxRows", "lots")
     try {
