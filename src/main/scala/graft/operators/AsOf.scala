@@ -128,6 +128,23 @@ object AsOf {
       strict: Boolean = false): DataFrame =
     broadcastJoinMulti(left, leftKey, right, rightKey, Seq(valueCol), direction, strict)
 
+  /** Executor-side typed lookup: binary-search the broadcast key array,
+    * return the filled value at the answering position as `T`. Static on
+    * the companion so UDF lambdas compile to a MODULE$ call and capture
+    * nothing but the passed broadcasts. */
+  private def lookupAs[T >: Null](
+      bcKeys: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      bcVals: org.apache.spark.broadcast.Broadcast[Array[Any]],
+      smaller: Boolean,
+      strict: Boolean,
+      k: java.lang.Long): T =
+    if (k == null) null
+    else {
+      val ks = bcKeys.value
+      val i = searchIdx(ks, k.longValue, smaller, strict)
+      if (i < 0 || i >= ks.length) null else bcVals.value(i).asInstanceOf[T]
+    }
+
   /** Binary-search lookup index into sorted `ks`: the position whose FILLED
     * value answers an as-of probe at `k`, or -1/ks.length when out of
     * range. Shared by every per-column lookup UDF. */
@@ -230,27 +247,25 @@ object AsOf {
     import org.apache.spark.sql.types._
     def typedUdf(dt: DataType, vals: Array[Any]): org.apache.spark.sql.expressions.UserDefinedFunction = {
       val bcVals = spark.sparkContext.broadcast(vals)
-      // one lookup closure per external JVM type — the UDF's static return
+      // the lambdas must capture ONLY serializable locals (broadcasts +
+      // booleans) and call the static lookup on the companion — a nested
+      // def would drag the whole enclosing scope (DataFrames included)
+      // into the task closure: Task not serializable
+      val bk = bcKeys; val sm = smaller; val st = strictL
+      // one lookup lambda per external JVM type — the UDF's static return
       // type IS the column's Spark type, so the output schema matches the
       // data side exactly (no double cast, no schema drift)
-      def at[T >: Null](k: java.lang.Long): T =
-        if (k == null) null
-        else {
-          val ks = bcKeys.value
-          val i = searchIdx(ks, k.longValue, smaller, strictL)
-          if (i < 0 || i >= ks.length) null else bcVals.value(i).asInstanceOf[T]
-        }
       dt match {
-        case DoubleType    => udf((k: java.lang.Long) => at[java.lang.Double](k))
-        case FloatType     => udf((k: java.lang.Long) => at[java.lang.Float](k))
-        case LongType      => udf((k: java.lang.Long) => at[java.lang.Long](k))
-        case IntegerType   => udf((k: java.lang.Long) => at[java.lang.Integer](k))
-        case ShortType     => udf((k: java.lang.Long) => at[java.lang.Short](k))
-        case ByteType      => udf((k: java.lang.Long) => at[java.lang.Byte](k))
-        case BooleanType   => udf((k: java.lang.Long) => at[java.lang.Boolean](k))
-        case StringType    => udf((k: java.lang.Long) => at[String](k))
-        case DateType      => udf((k: java.lang.Long) => at[java.sql.Date](k))
-        case TimestampType => udf((k: java.lang.Long) => at[java.sql.Timestamp](k))
+        case DoubleType    => udf((k: java.lang.Long) => lookupAs[java.lang.Double](bk, bcVals, sm, st, k))
+        case FloatType     => udf((k: java.lang.Long) => lookupAs[java.lang.Float](bk, bcVals, sm, st, k))
+        case LongType      => udf((k: java.lang.Long) => lookupAs[java.lang.Long](bk, bcVals, sm, st, k))
+        case IntegerType   => udf((k: java.lang.Long) => lookupAs[java.lang.Integer](bk, bcVals, sm, st, k))
+        case ShortType     => udf((k: java.lang.Long) => lookupAs[java.lang.Short](bk, bcVals, sm, st, k))
+        case ByteType      => udf((k: java.lang.Long) => lookupAs[java.lang.Byte](bk, bcVals, sm, st, k))
+        case BooleanType   => udf((k: java.lang.Long) => lookupAs[java.lang.Boolean](bk, bcVals, sm, st, k))
+        case StringType    => udf((k: java.lang.Long) => lookupAs[String](bk, bcVals, sm, st, k))
+        case DateType      => udf((k: java.lang.Long) => lookupAs[java.sql.Date](bk, bcVals, sm, st, k))
+        case TimestampType => udf((k: java.lang.Long) => lookupAs[java.sql.Timestamp](bk, bcVals, sm, st, k))
         case other => throw new IllegalArgumentException(
           s"AsOf.broadcastJoin: unsupported value type $other — " +
             "use AsOf.join (the shuffle form carries arbitrary typed columns)")
