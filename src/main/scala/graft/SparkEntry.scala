@@ -2170,6 +2170,29 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- data-card: PII CENSUS per source — doc and hit counts by PII
+    //      type (email/IP/phone) over q140's scrubber patterns, with an
+    //      injected fixture on every third doc so the census has signal;
+    //      the redaction-planning panel run before a scrub pass ----
+    "q286_pii_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(trim(col("text")), lit(" contact user"), col("doc_id"),
+            lit("@example.com ip 10."), col("doc_id") % 256,
+            lit(".0.1 call +1415"), col("doc_id") + 1000000))
+          .otherwise(trim(col("text"))).as("text"))
+      val p = Text.scrubPii(d, "doc_id", "text")
+      d.select(col("doc_id"), col("source")).join(p, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_ip")).as("ips"),
+          sum(col("n_phone")).as("phones"))
+        .withColumn("pii_doc_ppm", expr("docs_with_pii * 1000000 DIV n_docs"))
+    }),
+
     // ---- dedup: LSH BUCKET CENSUS — per-band histogram of bucket sizes,
     //      the banding-health audit (candidate-join cost is Σ size², so a
     //      hot bucket is THE near-dup scale hazard); run before committing
@@ -7102,6 +7125,28 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q286: q140's regex patterns, conditional fixture, per-source census
+    "q286_pii_census" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      trim(text) || ' contact user' || doc_id || '@example.com ip 10.'
+        |      || (doc_id % 256) || '.0.1 call +1415' || (doc_id + 1000000)
+        |    ELSE trim(text) END AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |    len(regexp_extract_all(t, '\+\d{7,15}'))::BIGINT AS n_phone
+        |  FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  CAST(sum(n_email) AS BIGINT) AS emails,
+        |  CAST(sum(n_ip) AS BIGINT) AS ips,
+        |  CAST(sum(n_phone) AS BIGINT) AS phones,
+        |  CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS pii_doc_ppm
+        |FROM p GROUP BY 1""".stripMargin,
 
     // q285: the q256 banding CTEs aggregated into a per-band size census
     "q285_lsh_bucket_census" ->
