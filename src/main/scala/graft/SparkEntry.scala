@@ -2170,6 +2170,27 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- data-card: NOVELTY CURVE — per hash-ordered corpus chunk (md5
+    //      first hex digit = 16 pseudo-stream chunks), distinct bigrams
+    //      seen vs bigrams FIRST seen in that chunk: the dataset-saturation
+    //      panel ("is more data still adding anything") next to Heaps' law
+    //      (q270). All-integer; no global window — two grouped aggs ----
+    "q287_novelty_curve" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("chunk"),
+          explode(Text.shingles(col("text"), 2)).as("g"))
+        .localCheckpoint(true) // feeds the per-chunk census AND first-seen agg
+      val perChunk = bg.groupBy(col("chunk"))
+        .agg(countDistinct(col("g")).as("distinct_in_chunk"))
+      val firsts = bg.groupBy(col("g")).agg(min(col("chunk")).as("chunk"))
+        .groupBy(col("chunk")).agg(count(lit(1)).as("new_ngrams"))
+      perChunk.join(firsts, Seq("chunk"), "left_outer")
+        .select(col("chunk"), col("distinct_in_chunk"),
+          coalesce(col("new_ngrams"), lit(0L)).as("new_ngrams"),
+          expr("coalesce(new_ngrams, 0) * 1000000 DIV distinct_in_chunk")
+            .as("novelty_ppm"))
+    }),
+
     // ---- data-card: PII CENSUS per source — doc and hit counts by PII
     //      type (email/IP/phone) over q140's scrubber patterns, with an
     //      injected fixture on every third doc so the census has signal;
@@ -7125,6 +7146,22 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q287: md5-prefix pseudo-chunks; bigrams via the q267 list_transform
+    "q287_novelty_curve" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |bl AS (SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS chunk,
+        |         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bs
+        |       FROM w WHERE len(w) >= 2),
+        |bg AS (SELECT chunk, unnest(bs) AS g FROM bl),
+        |pc AS (SELECT chunk, count(DISTINCT g)::BIGINT AS distinct_in_chunk
+        |       FROM bg GROUP BY 1),
+        |fs AS (SELECT g, min(chunk) AS chunk FROM bg GROUP BY 1),
+        |nw AS (SELECT chunk, count(*)::BIGINT AS new_ngrams FROM fs GROUP BY 1)
+        |SELECT pc.chunk, pc.distinct_in_chunk,
+        |  coalesce(nw.new_ngrams, 0)::BIGINT AS new_ngrams,
+        |  coalesce(nw.new_ngrams, 0) * 1000000 // pc.distinct_in_chunk AS novelty_ppm
+        |FROM pc LEFT JOIN nw ON pc.chunk = nw.chunk""".stripMargin,
 
     // q286: q140's regex patterns, conditional fixture, per-source census
     "q286_pii_census" ->
