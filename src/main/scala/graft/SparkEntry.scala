@@ -2170,6 +2170,16 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- dedup: HAMMING RADIUS census — pair counts per simhash distance
+    //      within radius 8 (exact recall via pigeonhole blocks, q43's
+    //      machinery): the panel that picks maxHamming before a simhash
+    //      dedup pass — where does the near-dup mass actually sit? ----
+    "q288_hamming_census" -> ((s, dir) => {
+      Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- data-card: NOVELTY CURVE — per hash-ordered corpus chunk (md5
     //      first hex digit = 16 pseudo-stream chunks), distinct bigrams
     //      seen vs bigrams FIRST seen in that chunk: the dataset-saturation
@@ -3509,6 +3519,32 @@ object SparkEntry {
         |      FROM sims)
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 3""".stripMargin
+
+  // q43's full simhash replay — shared with q288's radius census
+  private val simhashOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |           FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+      |h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+      |d AS (SELECT doc_id, p.p, strpos('0123456789abcdef', substr(hx, p.p + 1, 1)) - 1 AS dv
+      |      FROM h, (SELECT unnest(range(0, 16)) AS p) p),
+      |b AS (SELECT doc_id, d.p * 4 + j.j AS bit,
+      |      CASE WHEN (dv >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS c
+      |      FROM d, (SELECT unnest(range(0, 4)) AS j) j),
+      |bits AS (SELECT doc_id, bit, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS v
+      |         FROM b GROUP BY 1, 2),
+      |fpd AS (SELECT doc_id, bit // 4 AS p,
+      |        CAST(sum(CASE WHEN v = 1 THEN 1 << (bit % 4) ELSE 0 END) AS INT) AS digit
+      |        FROM bits GROUP BY 1, 2),
+      |fph AS (SELECT doc_id, string_agg(substr('0123456789abcdef', digit + 1, 1), '' ORDER BY p) AS fph
+      |        FROM fpd GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fph AS ha, b.fph AS hb
+      |       FROM fph a, fph b WHERE a.doc_id < b.doc_id),
+      |ham AS (SELECT id_a, id_b, CAST(sum(bit_count(
+      |        xor(strpos('0123456789abcdef', substr(ha, p.p + 1, 1)) - 1,
+      |            strpos('0123456789abcdef', substr(hb, p.p + 1, 1)) - 1))) AS BIGINT) AS hamming
+      |        FROM pr, (SELECT unnest(range(0, 16)) AS p) p GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin
 
   private val lshProbeOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -5820,30 +5856,12 @@ object SparkEntry {
     // q43: same md5 fingerprint + brute-force-all-pairs oracle as q118,
     // over the FULL corpus (no id filter) — certifies the pigeonhole
     // blocking's exact recall at the production table size
-    "q43_simhash" ->
-      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
-        |           FROM documents),
-        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
-        |h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
-        |d AS (SELECT doc_id, p.p, strpos('0123456789abcdef', substr(hx, p.p + 1, 1)) - 1 AS dv
-        |      FROM h, (SELECT unnest(range(0, 16)) AS p) p),
-        |b AS (SELECT doc_id, d.p * 4 + j.j AS bit,
-        |      CASE WHEN (dv >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS c
-        |      FROM d, (SELECT unnest(range(0, 4)) AS j) j),
-        |bits AS (SELECT doc_id, bit, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS v
-        |         FROM b GROUP BY 1, 2),
-        |fpd AS (SELECT doc_id, bit // 4 AS p,
-        |        CAST(sum(CASE WHEN v = 1 THEN 1 << (bit % 4) ELSE 0 END) AS INT) AS digit
-        |        FROM bits GROUP BY 1, 2),
-        |fph AS (SELECT doc_id, string_agg(substr('0123456789abcdef', digit + 1, 1), '' ORDER BY p) AS fph
-        |        FROM fpd GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fph AS ha, b.fph AS hb
-        |       FROM fph a, fph b WHERE a.doc_id < b.doc_id),
-        |ham AS (SELECT id_a, id_b, CAST(sum(bit_count(
-        |        xor(strpos('0123456789abcdef', substr(ha, p.p + 1, 1)) - 1,
-        |            strpos('0123456789abcdef', substr(hb, p.p + 1, 1)) - 1))) AS BIGINT) AS hamming
-        |        FROM pr, (SELECT unnest(range(0, 16)) AS p) p GROUP BY 1, 2)
-        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin,
+    "q43_simhash" -> simhashOracleSql,
+
+    // q288: the same simhash machinery, aggregated into the radius census
+    "q288_hamming_census" -> simhashOracleSql.replace(
+      "SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8",
+      "SELECT hamming, count(*) AS n_pairs FROM ham WHERE hamming <= 8 GROUP BY 1"),
 
     "q118_simhash_portable" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
