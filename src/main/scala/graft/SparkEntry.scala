@@ -2170,6 +2170,23 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- stats: ROBUST dispersion per group — median, MAD (median
+    //      absolute deviation) and IQR: the outlier-immune companions of
+    //      q10's moment stats (exact interpolated percentiles both
+    //      engines; the per-group median joins back broadcast) ----
+    "q289_robust_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5D)").as("med"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 6).as("median_qty"),
+          round(expr("percentile(abs(l_quantity - med), 0.5D)"), 6).as("mad"),
+          round(expr("percentile(l_quantity, 0.75D) - percentile(l_quantity, 0.25D)"), 6)
+            .as("iqr"))
+    }),
+
     // ---- dedup: HAMMING RADIUS census — pair counts per simhash distance
     //      within radius 8 (exact recall via pigeonhole blocks, q43's
     //      machinery): the panel that picks maxHamming before a simhash
@@ -7164,6 +7181,15 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    "q289_robust_stats" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  round(any_value(m.med), 6) AS median_qty,
+        |  round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 6) AS mad,
+        |  round(quantile_cont(l.l_quantity, 0.75) - quantile_cont(l.l_quantity, 0.25), 6) AS iqr
+        |FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1""".stripMargin,
 
     // q287: md5-prefix pseudo-chunks; bigrams via the q267 list_transform
     "q287_novelty_curve" ->
