@@ -2170,6 +2170,33 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- embeddings: LABEL PROFILE — per label: count, share, mean L2
+    //      norm in integer micro-units (per-row norms rounded once →
+    //      order-free integer mean): the class-balance + scale-drift panel
+    //      checked before training a probe on the embedding table ----
+    "q290_label_profile" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"),
+          round(V.l2Norm(col("embedding")) * lit(1e6)).cast("long").as("nu"))
+      val tot = e.count()
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("nu")).as("snu"))
+        .select(col("label"), col("n_vecs"),
+          expr(s"n_vecs * 1000000 DIV $tot").as("share_ppm"),
+          expr("snu DIV n_vecs").as("mean_norm_u"))
+    }),
+
+    // ---- events: ACTIVITY HEATMAP — counts per (event_type, UTC hour of
+    //      day): the load-profile panel; pure integer arithmetic on epoch
+    //      seconds, one grouped agg ----
+    "q291_hourly_heatmap" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(CAST(unix_timestamp(ts) AS BIGINT) % 86400) DIV 3600").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- stats: ROBUST dispersion per group — median, MAD (median
     //      absolute deviation) and IQR: the outlier-immune companions of
     //      q10's moment stats (exact interpolated percentiles both
@@ -7181,6 +7208,23 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q290: per-row norms rounded once to micro-units → integer mean
+    "q290_label_profile" ->
+      """WITH n AS (SELECT vec_id, label,
+        |    round(sqrt((SELECT sum(x * x) FROM unnest(embedding::DOUBLE[]) AS u(x))) * 1e6)::BIGINT AS nu
+        |  FROM embeddings),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM n)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  count(*) * 1000000 // any_value(tot.t) AS share_ppm,
+        |  CAST(sum(nu) AS BIGINT) // count(*) AS mean_norm_u
+        |FROM n CROSS JOIN tot GROUP BY label""".stripMargin,
+
+    "q291_hourly_heatmap" ->
+      """SELECT event_type,
+        |  (CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) % 86400) // 3600 AS hour,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q289_robust_stats" ->
       """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
