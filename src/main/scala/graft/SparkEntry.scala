@@ -2170,6 +2170,34 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- curation: DECONTAMINATION REPORT — q97's contamination pairs
+    //      rolled up per eval probe: how many train docs leak it, and how
+    //      badly (max overlap). The artifact an eval-integrity review
+    //      actually reads; max over round-once overlaps is order-free ----
+    "q292_decontam_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContamination(
+        docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minOverlap = 0.5)
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_contaminated_train"),
+          round(max(col("overlap")) * lit(1e6)).cast("long").as("max_overlap_u"))
+    }),
+
+    // ---- curation: QUALITY DECILE panel per source — docs and tokens in
+    //      each quality-score decile (micro-unit integer buckets): where
+    //      would a quality threshold actually cut, per feed ----
+    "q293_quality_deciles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"),
+          round(Text.qualityScore(col("text")) * 1e6).cast("long").as("qu"))
+        .where(col("n_tok") > 0) // token-free docs have no quality score
+        .withColumn("decile", least(expr("qu * 10 DIV 1000000"), lit(9L)))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    }),
+
     // ---- embeddings: LABEL PROFILE — per label: count, share, mean L2
     //      norm in integer micro-units (per-row norms rounded once →
     //      order-free integer mean): the class-balance + scale-drift panel
@@ -3563,6 +3591,22 @@ object SparkEntry {
         |      FROM sims)
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 3""".stripMargin
+
+  // q97's contamination pairs — shared with q292's per-probe report
+  private val decontamOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(ws) < 3 THEN []
+      |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+      |  END) AS sh
+      |  FROM w),
+      |pairs AS (
+      |SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+      |  len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) AS ov
+      |FROM g t, g p
+      |WHERE t.doc_id >= 10 AND p.doc_id < 10 AND len(t.sh) > 0 AND len(p.sh) > 0)
+      |SELECT train_id, probe_id, round(ov, 6) AS overlap
+      |FROM pairs WHERE ov >= 0.5""".stripMargin
 
   // q43's full simhash replay — shared with q288's radius census
   private val simhashOracleSql: String =
@@ -6102,20 +6146,15 @@ object SparkEntry {
          |count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY 1""".stripMargin,
 
-    "q97_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(ws) < 3 THEN []
-        |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
-        |  END) AS sh
-        |  FROM w),
-        |pairs AS (
-        |SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
-        |  len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) AS ov
-        |FROM g t, g p
-        |WHERE t.doc_id >= 10 AND p.doc_id < 10 AND len(t.sh) > 0 AND len(p.sh) > 0)
-        |SELECT train_id, probe_id, round(ov, 6) AS overlap
-        |FROM pairs WHERE ov >= 0.5""".stripMargin,
+    "q97_decontaminate" -> decontamOracleSql,
+
+    // q292: q97's pair machinery rolled up per eval probe (max is
+    // order-free over the round-once overlaps)
+    "q292_decontam_report" -> decontamOracleSql.replace(
+      "SELECT train_id, probe_id, round(ov, 6) AS overlap\nFROM pairs WHERE ov >= 0.5",
+      "SELECT probe_id, count(*)::BIGINT AS n_contaminated_train,\n" +
+        "  round(max(round(ov, 6)) * 1e6)::BIGINT AS max_overlap_u\n" +
+        "FROM pairs WHERE ov >= 0.5 GROUP BY 1"),
 
     "q94_series_ops" ->
       s"""$dailySql,
@@ -7208,6 +7247,23 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    // q293: q169's quality CTE with source carried through, decile-bucketed
+    "q293_quality_deciles" ->
+      """WITH toks AS (SELECT doc_id, source, trim(text) AS t,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS n_tok,
+        |  string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |q AS (SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(round(round(least(n_tok/50.0, 1.0)*0.4 +
+        |    (CASE WHEN length(t)::DOUBLE/n_tok >= 3 AND length(t)::DOUBLE/n_tok <= 10
+        |          THEN 1.0 ELSE 0.5 END)*0.3 +
+        |    (len(list_distinct(ws))::DOUBLE/n_tok)*0.3, 6) * 1000000) AS BIGINT) AS qu
+        |  FROM toks WHERE n_tok > 0)
+        |SELECT source, least(qu * 10 // 1000000, 9) AS decile,
+        |  count(*)::BIGINT AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM q GROUP BY 1, 2""".stripMargin,
 
     // q290: per-row norms rounded once to micro-units → integer mean
     "q290_label_profile" ->

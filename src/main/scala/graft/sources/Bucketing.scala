@@ -52,7 +52,10 @@ object Bucketing {
     * rows, bucketing, and every downstream plan are unchanged. Staged as
     * `<table>__compact` then swapped via catalog rename — one distributed
     * read + one write, no driver materialization, and a failure before the
-    * swap leaves the original table untouched. */
+    * swap leaves the original table untouched. The DROP→RENAME window is
+    * not concurrency-transparent: a probe racing the swap fails loudly
+    * with TABLE_OR_VIEW_NOT_FOUND (never reads half-state) — schedule
+    * compaction in the maintenance window that owns the index. */
   def compactBucketed(spark: SparkSession, table: String, keyCol: String,
       buckets: Int): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
