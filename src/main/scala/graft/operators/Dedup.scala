@@ -681,20 +681,22 @@ object Dedup {
     writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets, newCorpusFp)
   }
 
-  /** Cheap invariant over a published LSH index: every doc in `_buckets`
-    * has its shingle set in `_docs` and vice versa — by construction each
-    * indexed doc contributes ≥1 band row and exactly 1 docs row, so
-    * `countDistinct(_buckets.id) == count(_docs)`. A mismatch means a torn
-    * [[appendLshIndex]] (or manual table surgery); the repair is a
-    * republish. Ids-only aggregation over the index — O(index) work, so it
-    * runs on the MAINTENANCE path (append calls it), not per probe. */
+  /** Cheap invariant over a published LSH index: by construction every
+    * indexed doc contributes exactly `bands` band rows and exactly 1 docs
+    * row, so `count(_buckets) == bands * count(_docs)`. Writes tear at
+    * whole-table granularity (each write is job-commit atomic), so a torn
+    * [[appendLshIndex]] always breaks this count relation; the repair is a
+    * republish. Two COUNTs — no shuffle, no distinct — so the assert is
+    * nearly free even on a 100 TB index (the duplicate-id guard upstream
+    * rules out the id-collision shapes a count can't see). */
   def assertLshIndexConsistent(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    val bIds = spark.table(s"${table}_buckets").select(col("id")).distinct().count()
-    val dIds = spark.table(s"${table}_docs").count()
-    require(bIds == dIds,
-      s"LSH index '$table' is inconsistent: $bIds distinct ids in _buckets vs " +
-        s"$dIds rows in _docs — likely a torn append; republish via publishLshIndex")
+    val m = readLshMeta(spark, table)
+    val bRows = spark.table(s"${table}_buckets").count()
+    val dRows = spark.table(s"${table}_docs").count()
+    require(bRows == m.bands.toLong * dRows,
+      s"LSH index '$table' is inconsistent: $bRows band rows != ${m.bands} bands x " +
+        s"$dRows doc rows — likely a torn append; republish via publishLshIndex")
   }
 
   /** LSH BUCKET CENSUS — the banding-health diagnostic: per band, the
