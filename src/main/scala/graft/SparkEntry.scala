@@ -2170,6 +2170,22 @@ object SparkEntry {
       Text.sourceCosine(t(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- curation: SPLIT MANIFEST — deterministic md5 train/val/test
+    //      assignment (≈80/10/10 via hex-prefix thresholds, salted so the
+    //      split is independent of every other md5 sampler in the repo),
+    //      docs + tokens per (source, split): the artifact a reproducible
+    //      dataset release ships alongside the data ----
+    "q294_split_manifest" -> ((s, dir) => {
+      val sp = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2)
+      t(s, dir, "documents")
+        .select(col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"),
+          when(sp < "cc", "train").when(sp < "e6", "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    }),
+
     // ---- curation: DECONTAMINATION REPORT — q97's contamination pairs
     //      rolled up per eval probe: how many train docs leak it, and how
     //      badly (max overlap). The artifact an eval-integrity review
@@ -7247,6 +7263,17 @@ object SparkEntry {
         |cs AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS docs_in
         |FROM cs GROUP BY 1""".stripMargin,
+
+    "q294_split_manifest" ->
+      """WITH d AS (SELECT source,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS BIGINT) AS n_tok,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS sp
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN sp < 'cc' THEN 'train' WHEN sp < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |  count(*)::BIGINT AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     // q293: q169's quality CTE with source carried through, decile-bucketed
     "q293_quality_deciles" ->
