@@ -20,6 +20,35 @@ import graft.functions.{Par, Text, Vectors}
   */
 object Dedup {
 
+  /** Candidate pairs from a band-bucket SELF-join — the shared kernel of
+    * [[minhashLshPortable]], [[containmentNearDup]], [[containmentDedup]]
+    * and [[minhashCalibration]]. Input: one (id, band, bk) row per doc per
+    * band. A bucket of n ids emits n·(n−1)/2 candidates, so one pathological
+    * bucket (boilerplate-dominated shingle sets hashing to a shared band
+    * key) costs Σn² — the quadratic hazard the q285 bucket census exists to
+    * detect. Buckets larger than `spark.graft.lsh.maxBucket` (default
+    * 10000, ≤0 disables) are DROPPED from candidate generation: a doc in an
+    * oversize bucket still pairs through its other `bands−1` keys, and at
+    * that bucket size the members are near-certain duplicates of each other
+    * that exact/containment passes catch anyway — the standard recall trade
+    * (cf. the `maxDf` cap in [[containmentPairs]]'s inverted index). The
+    * size filter is a window partitioned by (band, bk): same key as the
+    * self-join, so the exchange is computed once and reused. */
+  private def bandSelfCandidates(bk: DataFrame): DataFrame = {
+    val cap = bk.sparkSession.conf.get("spark.graft.lsh.maxBucket", "10000").toInt
+    val pruned =
+      if (cap <= 0) bk
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))
+        bk.withColumn("__n", count(lit(1)).over(w)).where(col("__n") <= cap).drop("__n")
+      }
+    pruned
+      .join(pruned.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+  }
+
   /** Exact dedup: group by normalized-text fingerprint; keep the smallest id
     * as the canonical representative. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -347,12 +376,7 @@ object Dedup {
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bk"))
       .localCheckpoint(true)
-    val buckets = bk.select(col("band"), col("bk"), col("id"))
-    val cand = buckets
-      .join(buckets.withColumnRenamed("id", "id2"), Seq("band", "bk"))
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
+    val cand = bandSelfCandidates(bk)
     val sets = base.select(col("id"), col("shs").as("tok"))
     cand
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
@@ -391,11 +415,7 @@ object Dedup {
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bk"))
       .localCheckpoint(true)
-    val cand = bk
-      .join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
+    val cand = bandSelfCandidates(bk)
     val sets = base.select(col("id"), col("shs").as("tok"))
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
@@ -470,11 +490,7 @@ object Dedup {
       .localCheckpoint(true) // feeds banding AND both sides of the pair join
     val bk = sigs.select(col("id"), posexplode(col("bks")))
       .select(col("id"), col("pos").as("band"), col("col").as("bk"))
-    val cand = bk
-      .join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
+    val cand = bandSelfCandidates(bk)
     val scored = cand
       .join(sigs.select(col("id").as("id_a"), col("shs").as("tok_a"),
         col("sig").as("sig_a")), Seq("id_a"))
@@ -516,11 +532,7 @@ object Dedup {
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bk"))
       .localCheckpoint(true)
-    val cand = bk
-      .join(bk.withColumnRenamed("id", "id2"), Seq("band", "bk"))
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
+    val cand = bandSelfCandidates(bk)
     val sets = base.select(col("id"), col("shs").as("tok"))
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))

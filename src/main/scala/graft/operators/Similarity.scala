@@ -627,17 +627,39 @@ object Similarity {
     books
   }
 
-  /** Exact integer ADC distance Σⱼ‖q_j − codebook[j][code_j]‖². */
-  private def adcUdf(bks: Array[Array[Array[Long]]], m: Int, sub: Int) =
-    udf { (qq: Seq[Long], cd: Seq[Long]) =>
-      var s = 0L
+  /** Per-QUERY ADC lookup table (Jégou's asymmetric distance computation):
+    * tbl[j·codes + c] = Σ_d (q_{j,d} − codebook[j][c][d])², computed ONCE
+    * per query row (m×codes cells) so the per-candidate distance collapses
+    * to `m` table lookups ([[adcLookupUdf]]) instead of m×sub subtract/
+    * multiply — the candidate side is |queries|×|bucket| rows, the table
+    * side only |queries|, so the hoisted work is the probe's hot term. */
+  private def adcTableUdf(bks: Array[Array[Array[Long]]], m: Int, codes: Int, sub: Int) =
+    udf { (qq: Seq[Long]) =>
+      val tbl = new Array[Long](m * codes)
       var j = 0
       while (j < m) {
-        val cv = bks(j)(cd(j).toInt)
-        var d = 0
-        while (d < sub) { val x = qq(j * sub + d) - cv(d); s += x * x; d += 1 }
+        var c = 0
+        while (c < codes) {
+          val cv = bks(j)(c)
+          var s = 0L
+          var d = 0
+          while (d < sub) { val x = qq(j * sub + d) - cv(d); s += x * x; d += 1 }
+          tbl(j * codes + c) = s
+          c += 1
+        }
         j += 1
       }
+      tbl
+    }
+
+  /** Exact integer ADC distance Σⱼ tbl[j·codes + code_j] — same integer sum
+    * as the inline form, factored through [[adcTableUdf]]'s per-query
+    * table, so results (and oracle hashes) are bit-identical. */
+  private def adcLookupUdf(m: Int, codes: Int) =
+    udf { (tbl: Seq[Long], cd: Seq[Long]) =>
+      var s = 0L
+      var j = 0
+      while (j < m) { s += tbl(j * codes + cd(j).toInt); j += 1 }
       s
     }
 
@@ -659,15 +681,17 @@ object Similarity {
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
     val encoded = qdf.select(col("id").as("neighbor_id"), encodeF(col("q")).as("cd"))
-    val adc = adcUdf(bksF, m, sub)
+    val adcTable = adcTableUdf(bksF, m, codes, sub)
+    val adcLookup = adcLookupUdf(m, codes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
+      .select(col(idCol).cast("long").as("query_id"),
+        adcTable(quant(col(vecCol))).as("__adc"))
       .crossJoin(encoded)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", adc(col("qq"), col("cd")))
+      .withColumn("dist", adcLookup(col("__adc"), col("cd")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -703,21 +727,25 @@ object Similarity {
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
-    val adc = adcUdf(bksF, m, sub)
+    val adcTable = adcTableUdf(bksF, m, codes, sub)
+    val adcLookup = adcLookupUdf(m, codes)
     // corpus side: ONE pass assigns the coarse bucket and the PQ code row;
     // candidates materialize as an equi-join on bucket id — ids and codes
-    // (m bytes-worth) shuffle, never raw vectors
+    // (m bytes-worth) shuffle, never raw vectors. The query side carries
+    // its per-query ADC table (m×codes longs) instead of the raw vector:
+    // tables fan out only |queries|×nprobe times, candidates pay lookups.
     val encoded = qdf.select(col("id").as("neighbor_id"),
       assignF(col("q")).as("c"), encodeF(col("q")).as("cd"))
     val probes = queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
-      .select(col("query_id"), col("qq"), explode(probeF(col("qq"))).as("c"))
+      .select(col("query_id"), adcTable(col("qq")).as("__adc"),
+        explode(probeF(col("qq"))).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     probes.join(encoded, Seq("c"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", adc(col("qq"), col("cd")))
+      .withColumn("dist", adcLookup(col("__adc"), col("cd")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))

@@ -78,6 +78,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("lsh band-bucket cap drops oversize buckets, keeps small-bucket pairs") {
+    // 12 identical docs share every band key → one size-12 bucket per band;
+    // the separate identical pair sits in size-2 buckets in every band
+    val hot = (0L until 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val pair = Seq((100L, "one two three four five six seven"),
+      (101L, "one two three four five six seven"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val key = "spark.graft.lsh.maxBucket"
+    spark.conf.set(key, "5")
+    try {
+      val capped = Dedup.minhashLshPortable(docs, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(capped === Set((100L, 101L)))
+      val cont = Dedup.containmentNearDup(docs, "doc_id", "text")
+        .select("contained_id").collect().map(_.getLong(0)).toSet
+      assert(cont === Set(100L, 101L))
+    } finally spark.conf.set(key, "10000")
+    // default cap (10000): the hot bucket is under it, all pairs return
+    val full = Dedup.minhashLshPortable(docs, "doc_id", "text", threshold = 0.5).count()
+    assert(full === 12L * 11 / 2 + 1)
+  }
+
   test("simhash: identical docs at hamming 0; disjoint docs filtered") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")
