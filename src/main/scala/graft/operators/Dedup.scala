@@ -702,13 +702,29 @@ object Dedup {
     * nearly free even on a 100 TB index (the duplicate-id guard upstream
     * rules out the id-collision shapes a count can't see). */
   def assertLshIndexConsistent(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String, strict: Boolean = false): Unit = {
     val m = readLshMeta(spark, table)
     val bRows = spark.table(s"${table}_buckets").count()
     val dRows = spark.table(s"${table}_docs").count()
     require(bRows == m.bands.toLong * dRows,
       s"LSH index '$table' is inconsistent: $bRows band rows != ${m.bands} bands x " +
         s"$dRows doc rows — likely a torn append; republish via publishLshIndex")
+    if (strict) {
+      // count-balanced corruption (one doc's band rows duplicated while
+      // another's are missing) passes the total-count relation; the strict
+      // form checks the per-doc invariant — every indexed id has exactly
+      // `bands` bucket rows — at the cost of one groupBy shuffle over ids
+      val offBalance = spark.table(s"${table}_buckets")
+        .groupBy(col("id")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") =!= m.bands.toLong).count()
+      require(offBalance == 0L,
+        s"LSH index '$table' is count-balanced but corrupt: $offBalance ids do not " +
+          s"have exactly ${m.bands} band rows — republish via publishLshIndex")
+      val dIds = spark.table(s"${table}_buckets").select(col("id")).distinct().count()
+      require(dIds == dRows,
+        s"LSH index '$table' is corrupt: $dIds distinct bucket ids != $dRows doc rows " +
+          "— republish via publishLshIndex")
+    }
   }
 
   /** LSH BUCKET CENSUS — the banding-health diagnostic: per band, the

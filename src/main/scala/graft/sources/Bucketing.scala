@@ -49,17 +49,30 @@ object Bucketing {
     * index) accumulates small files that tax listing and open cost at
     * scale. Rewrite at the SAME bucket spec, repartitioned by the bucket
     * hash so each task holds exactly one bucket → one file per bucket;
-    * rows, bucketing, and every downstream plan are unchanged. Staged as
-    * `<table>__compact` then swapped via catalog rename — one distributed
-    * read + one write, no driver materialization, and a failure before the
-    * swap leaves the original table untouched. The DROP→RENAME window is
-    * not concurrency-transparent: a probe racing the swap fails loudly
-    * with TABLE_OR_VIEW_NOT_FOUND (never reads half-state) — schedule
-    * compaction in the maintenance window that owns the index. */
+    * rows, bucketing, and every downstream plan are unchanged.
+    *
+    * CRASH-SAFE rename-aside swap: stage as `<table>__compact`, rename the
+    * live table aside to `<table>__old`, rename the staged table in, then
+    * drop `__old`. At every point in the sequence at least one COMPLETE
+    * catalog-registered copy of the data exists, and [[repairCompacted]]
+    * (run automatically at the start of every compaction) restores the
+    * live name from whichever complete copy survived a mid-swap crash —
+    * no step ever deletes the only copy. The swap window is still not
+    * concurrency-transparent: a probe racing it fails loudly with
+    * TABLE_OR_VIEW_NOT_FOUND (never reads half-state) — schedule
+    * compaction in the maintenance window that owns the index. (With the
+    * default in-memory catalog a JVM crash also loses the catalog entries
+    * themselves; the directories survive but carry no metadata, so the
+    * cross-SESSION repair is a republish — see DEPLOYMENT.md. Against a
+    * persistent metastore [[repairCompacted]] recovers automatically.) */
   def compactBucketed(spark: SparkSession, table: String, keyCol: String,
       buckets: Int): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = s"${table}__compact"
+    val old = s"${table}__old"
+    // heal any half-finished previous swap first — also clears stale
+    // `__old`/`__compact` leftovers that would collide with the renames
+    repairCompacted(spark, table)
     // co-locate each WRITER bucket (pmod(murmur3(key), n)) into one task:
     // the bucketed writer emits one file per (task, bucket), so any
     // partitioning that keeps a bucket's rows together yields exactly
@@ -69,12 +82,38 @@ object Bucketing {
     saveBucketed(
       spark.table(table).repartition(buckets, pmod(hash(col(keyCol)), lit(buckets))),
       tmp, keyCol, buckets)
-    spark.sql(s"DROP TABLE $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** REPAIR a [[compactBucketed]] swap that died mid-sequence. Idempotent;
+    * safe to call any time. Rules, in order:
+    *  - live table missing, `__old` present → the crash hit between
+    *    rename-aside and rename-in: restore the ORIGINAL (`__old` → live;
+    *    the staged copy, if complete, is merely a lost optimization);
+    *  - live table missing, only `__compact` present → promote the staged
+    *    copy (it was complete before the rename-aside began);
+    *  - live table present → drop stale `__old`/`__compact` catalog
+    *    entries and orphaned managed directories from older crashes (a
+    *    leftover would collide with the next compaction's renames).
+    * Never deletes a directory unless the live table is in the catalog. */
+  def repairCompacted(spark: SparkSession, table: String): Unit = {
+    val tmp = s"${table}__compact"
+    val old = s"${table}__old"
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(old)) spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      else if (spark.catalog.tableExists(tmp)) spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+    if (spark.catalog.tableExists(table)) {
+      Seq(old, tmp).foreach { t =>
+        if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+    }
   }
 
   /** Files currently backing a managed table's directory (specs assert

@@ -132,4 +132,55 @@ class CompactionSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed self-join re-shuffled after compaction:\n$plan")
   }
+
+  test("compactBucketed swap is crash-recoverable at every step (fault injection)") {
+    import graft.sources.Bucketing
+    val tbl = "graft_crashspec"
+    val buckets = 2
+    def rows(t: String) = spark.table(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def publish(): Set[(Long, Long)] = {
+      Bucketing.saveBucketed((0L until 50L).map(i => (i, i * 3)).toDF("id", "v"),
+        tbl, "id", buckets)
+      rows(tbl)
+    }
+    // ---- crash AFTER staging, BEFORE rename-aside: live table untouched,
+    // stale __compact entry + dir must not break the next compaction
+    val expect = publish()
+    Bucketing.saveBucketed(
+      spark.table(tbl).repartition(buckets), s"${tbl}__compact", "id", buckets)
+    Bucketing.repairCompacted(spark, tbl)
+    assert(rows(tbl) === expect)
+    assert(!spark.catalog.tableExists(s"${tbl}__compact"))
+    Bucketing.compactBucketed(spark, tbl, "id", buckets) // full run still works
+    assert(rows(tbl) === expect)
+
+    // ---- crash BETWEEN rename-aside and rename-in: the live name is gone,
+    // __old holds the original, __compact holds the staged copy — repair
+    // restores the ORIGINAL under the live name and clears both leftovers
+    publish()
+    Bucketing.saveBucketed(
+      spark.table(tbl).repartition(buckets), s"${tbl}__compact", "id", buckets)
+    spark.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__old")
+    assert(!spark.catalog.tableExists(tbl))
+    Bucketing.repairCompacted(spark, tbl)
+    assert(rows(tbl) === expect)
+    assert(!spark.catalog.tableExists(s"${tbl}__old"))
+    assert(!spark.catalog.tableExists(s"${tbl}__compact"))
+
+    // ---- crash AFTER rename-in, BEFORE dropping __old: live table already
+    // compacted; repair just clears the stale __old
+    publish()
+    Bucketing.saveBucketed(
+      spark.table(tbl).repartition(buckets), s"${tbl}__compact", "id", buckets)
+    spark.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__old")
+    spark.sql(s"ALTER TABLE ${tbl}__compact RENAME TO $tbl")
+    Bucketing.repairCompacted(spark, tbl)
+    assert(rows(tbl) === expect)
+    assert(!spark.catalog.tableExists(s"${tbl}__old"))
+    // and the healed table compacts cleanly end-to-end
+    Bucketing.compactBucketed(spark, tbl, "id", buckets)
+    assert(rows(tbl) === expect)
+    assert(Bucketing.dataFileCount(spark, tbl) === buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -1161,4 +1161,29 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("torn append"))
   }
+
+  test("strict LSH consistency catches count-BALANCED corruption the count relation passes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    Dedup.publishLshIndex(docs, "doc_id", "text", "graft_lshspec_strict",
+      buckets = 2, corpusFp = "s")
+    Dedup.assertLshIndexConsistent(spark, "graft_lshspec_strict", strict = true) // healthy
+    // count-balanced tear: doc 3's band rows are rewritten onto doc 1's id —
+    // total bucket rows unchanged (the cheap relation holds), but doc 1 now
+    // has 2x bands rows and doc 3 has none
+    spark.table("graft_lshspec_strict_buckets")
+      .withColumn("id", when(col("id") === 3L, 1L).otherwise(col("id")))
+      .write.mode("overwrite").bucketBy(2, "bk").sortBy("bk")
+      .format("parquet").saveAsTable("graft_lshspec_strict_buckets2")
+    spark.sql("DROP TABLE graft_lshspec_strict_buckets")
+    spark.sql("ALTER TABLE graft_lshspec_strict_buckets2 RENAME TO graft_lshspec_strict_buckets")
+    Dedup.assertLshIndexConsistent(spark, "graft_lshspec_strict") // cheap check passes
+    val e = intercept[IllegalArgumentException] {
+      Dedup.assertLshIndexConsistent(spark, "graft_lshspec_strict", strict = true)
+    }
+    assert(e.getMessage.contains("count-balanced"))
+  }
 }
