@@ -2222,11 +2222,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("label"),
           round(V.l2Norm(col("embedding")) * lit(1e6)).cast("long").as("nu"))
-      val tot = e.count()
+      // the share denominator is a window-over-aggregate (Σ n_vecs over the
+      // per-label rows — label-count-sized input), so the whole panel is ONE
+      // job instead of a separate count() pass for the total
       e.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("nu")).as("snu"))
+        .withColumn("__tot",
+          sum(col("n_vecs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
         .select(col("label"), col("n_vecs"),
-          expr(s"n_vecs * 1000000 DIV $tot").as("share_ppm"),
+          expr("n_vecs * 1000000 DIV __tot").as("share_ppm"),
           expr("snu DIV n_vecs").as("mean_norm_u"))
     }),
 
@@ -2274,12 +2279,17 @@ object SparkEntry {
     //      panel ("is more data still adding anything") next to Heaps' law
     //      (q270). All-integer; no global window — two grouped aggs ----
     "q287_novelty_curve" -> ((s, dir) => {
+      // dedup to DISTINCT (chunk, g) pairs BEFORE the checkpoint: both
+      // consumers only need the pair set (count per chunk; min chunk per g),
+      // so the materialized table shrinks by the bigram duplication factor —
+      // the occurrence-sized explode output never persists
       val bg = t(s, dir, "documents")
         .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("chunk"),
           explode(Text.shingles(col("text"), 2)).as("g"))
+        .distinct()
         .localCheckpoint(true) // feeds the per-chunk census AND first-seen agg
       val perChunk = bg.groupBy(col("chunk"))
-        .agg(countDistinct(col("g")).as("distinct_in_chunk"))
+        .agg(count(lit(1)).as("distinct_in_chunk"))
       val firsts = bg.groupBy(col("g")).agg(min(col("chunk")).as("chunk"))
         .groupBy(col("chunk")).agg(count(lit(1)).as("new_ngrams"))
       perChunk.join(firsts, Seq("chunk"), "left_outer")

@@ -177,9 +177,10 @@ object AsOf {
     * filled independently along the lookup direction (per-vector
     * fill-before-reindex, reference src/JoinHelpers.fs:49-53) and carried
     * at its ORIGINAL type through a typed lookup UDF — no double cast.
-    * Supported value types: numeric, string, boolean, date, timestamp;
-    * anything else (arrays, structs, decimals) → use [[join]], which
-    * carries arbitrary columns through the shuffle form. */
+    * Supported value types: numeric (incl. decimal), string, boolean,
+    * date, timestamp (both java8-API and legacy external datetime types);
+    * anything else (arrays, structs) → use [[join]], which carries
+    * arbitrary columns through the shuffle form. */
   def broadcastJoinMulti(
       left: DataFrame,
       leftKey: String,
@@ -255,6 +256,12 @@ object AsOf {
       // one lookup lambda per external JVM type — the UDF's static return
       // type IS the column's Spark type, so the output schema matches the
       // data side exactly (no double cast, no schema drift)
+      // date/timestamp external types follow spark.sql.datetime.java8API
+      // .enabled: collect() yields LocalDate/Instant under java8 API and
+      // java.sql.Date/Timestamp otherwise — the lookup lambda's static type
+      // must match what the collected rows actually hold
+      val java8 = spark.conf
+        .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
       dt match {
         case DoubleType    => udf((k: java.lang.Long) => lookupAs[java.lang.Double](bk, bcVals, sm, st, k))
         case FloatType     => udf((k: java.lang.Long) => lookupAs[java.lang.Float](bk, bcVals, sm, st, k))
@@ -264,8 +271,14 @@ object AsOf {
         case ByteType      => udf((k: java.lang.Long) => lookupAs[java.lang.Byte](bk, bcVals, sm, st, k))
         case BooleanType   => udf((k: java.lang.Long) => lookupAs[java.lang.Boolean](bk, bcVals, sm, st, k))
         case StringType    => udf((k: java.lang.Long) => lookupAs[String](bk, bcVals, sm, st, k))
-        case DateType      => udf((k: java.lang.Long) => lookupAs[java.sql.Date](bk, bcVals, sm, st, k))
-        case TimestampType => udf((k: java.lang.Long) => lookupAs[java.sql.Timestamp](bk, bcVals, sm, st, k))
+        case DateType if java8      => udf((k: java.lang.Long) => lookupAs[java.time.LocalDate](bk, bcVals, sm, st, k))
+        case DateType               => udf((k: java.lang.Long) => lookupAs[java.sql.Date](bk, bcVals, sm, st, k))
+        case TimestampType if java8 => udf((k: java.lang.Long) => lookupAs[java.time.Instant](bk, bcVals, sm, st, k))
+        case TimestampType          => udf((k: java.lang.Long) => lookupAs[java.sql.Timestamp](bk, bcVals, sm, st, k))
+        // the lambda's static BigDecimal type registers as Decimal(38,18);
+        // the caller casts back to the source's exact (precision, scale) —
+        // lossless, the collected values already fit it
+        case _: DecimalType => udf((k: java.lang.Long) => lookupAs[java.math.BigDecimal](bk, bcVals, sm, st, k))
         case other => throw new IllegalArgumentException(
           s"AsOf.broadcastJoin: unsupported value type $other — " +
             "use AsOf.join (the shuffle form carries arbitrary typed columns)")
@@ -273,8 +286,12 @@ object AsOf {
     }
 
     valueCols.zipWithIndex.foldLeft(left) { case (df, (c, j)) =>
-      df.withColumn(c,
-        typedUdf(schema(j + 1).dataType, filledCol(j))(col(leftKey).cast("long")))
+      val dt = schema(j + 1).dataType
+      val applied = typedUdf(dt, filledCol(j))(col(leftKey).cast("long"))
+      df.withColumn(c, dt match {
+        case d: DecimalType => applied.cast(d) // restore exact (p, s)
+        case _              => applied
+      })
     }
   }
 

@@ -126,6 +126,39 @@ class AsOfSpec extends SparkSpecBase {
     assert(e.getMessage.contains("AsOf.join"))
   }
 
+  test("broadcastJoinMulti: date/timestamp payloads under BOTH datetime external APIs, decimal exact") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, "2024-01-01", "2024-01-01 00:00:01", "1.25"),
+      (3L, "2024-03-01", "2024-03-01 00:00:03", "3.75"))
+      .toDF("k", "d0", "t0", "m0")
+      .select(col("k"), col("d0").cast("date").as("d"),
+        col("t0").cast("timestamp").as("ts"),
+        col("m0").cast("decimal(10,2)").as("m"))
+    val probes = Seq(2L, 4L).toDF("g")
+    def run() = AsOf.broadcastJoinMulti(probes, "g", right, "k",
+      Seq("d", "ts", "m"), Lookup.NearestSmaller)
+      .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)),
+        String.valueOf(r.get(2)).replace('T', ' ').take(19),
+        r.getDecimal(3).toPlainString)).toSet
+    val want = Set(
+      (2L, "2024-01-01", "2024-01-01 00:00:01", "1.25"),
+      (4L, "2024-03-01", "2024-03-01 00:00:03", "3.75"))
+    val key = "spark.sql.datetime.java8API.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false") // legacy java.sql.Date/Timestamp externals
+      assert(run() === want)
+      spark.conf.set(key, "true") // java8 LocalDate/Instant externals
+      assert(run() === want)
+      // decimal keeps the source's exact precision/scale — no (38,18) drift
+      val got = AsOf.broadcastJoinMulti(probes, "g", right, "k", Seq("m"),
+        Lookup.NearestSmaller)
+      assert(got.schema("m").dataType ===
+        org.apache.spark.sql.types.DecimalType(10, 2))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("broadcastJoin rejects a non-numeric maxRows conf") {
     spark.conf.set("spark.graft.broadcastAsOf.maxRows", "lots")
     try {
