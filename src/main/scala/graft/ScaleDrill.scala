@@ -132,7 +132,27 @@ object ScaleDrill {
     val li = amplifyLineitemSeries(spark, dir, x).localCheckpoint(true)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[OpResult]
+    // Drain the ContextCleaner backlog from the PREVIOUS kernel before
+    // starting the clock: dead checkpoint blocks (each kernel's internal
+    // localCheckpoints) hold executor storage until a DRIVER GC enqueues
+    // them for cleaning, so without this later kernels in an amplified
+    // pass measure the accumulated backlog, not themselves — r10's
+    // containment_pairs recorded 38 s in-suite at 50× vs 11.7 s when the
+    // same pipeline ran segmented in a fresh session (quadratic-looking
+    // step with a perfectly linear candidate census). Same discipline as
+    // Bench's quiesced end-of-suite rerun pass.
+    def quiesce(): Unit = {
+      // two GC+drain cycles: the first GC enqueues dead block references,
+      // the sleep lets the ContextCleaner actually remove them, the second
+      // round catches objects freed by the first cleaning wave (isolated
+      // re-measurement showed interval_coverage at 1.2-1.5 s post-ivfpq vs
+      // 3.2 s with a 0.5 s drain — the backlog needs the full second)
+      System.gc(); Thread.sleep(700)
+      System.gc(); Thread.sleep(500)
+      System.gc()
+    }
     def timed(name: String)(build: => DataFrame): DataFrame = {
+      quiesce()
       val t0 = System.nanoTime()
       val df = build
       val rows = df.count()
@@ -162,16 +182,24 @@ object ScaleDrill {
       operators.OrderedScan.rowNumber(
         li.select(md5(col("k").cast("string")).as("ks")), "ks", "__ord")
     }
+    // FIXED query set across amplification levels (a base-table slice):
+    // production query load does not grow with corpus size, so the probe
+    // kernels must measure CORPUS scaling — an amplified query set grows
+    // candidates on BOTH axes and makes every fixed-nlist probe quadratic
+    // in X by construction (measured r11: step 9.5x for 2.5x data once
+    // the per-candidate ADC constant was removed)
+    val queryVecs = amplifyEmbeddings(spark, dir, 1)
+      .where(col("vec_id") % 37 === 0).localCheckpoint(true)
     timed("ivfpq_probe") {
       operators.Similarity.ivfPqKnnPortable(
-        emb, emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
+        emb, queryVecs, "vec_id", "embedding", k = 10)
     }
     // the amortized-training counterpart: per-call Lloyd made ivfpq_probe
     // the drill's worst scaler (ratio 36x at 50x); a bounded training
     // sample pins that term, so this op's ratio ≈ the assignment+probe scan
     timed("ivf_sampled_probe") {
       operators.Similarity.ivfKnnSampledTrain(
-        emb, emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        emb, queryVecs, "vec_id", "embedding",
         k = 10, trainRows = 512)
     }
     timed("bm25") { functions.Text.bm25TopTerms(docs, "doc_id", "text", kTop = 5) }
@@ -185,6 +213,7 @@ object ScaleDrill {
     // Unit-returning work (index writes): timed, rows = batch size, no
     // executed-plan handle to audit — write plans are covered by PLANS.md
     def timedUnit(name: String)(work: => Long): Unit = {
+      quiesce()
       val t0 = System.nanoTime()
       val rows = work
       out += OpResult(name, (System.nanoTime() - t0) / 1e9, rows, Nil)
@@ -202,6 +231,19 @@ object ScaleDrill {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L)
     }
 
+    // decontamination at amplified scale (the q292 kernel): BOTH the
+    // training corpus and the probe set grow ×X. Pinned to the LARGE-probe
+    // equi-join form (ngram-keyed shuffles, never probe×corpus) — the
+    // shape a real eval-suite sweep over a full corpus pays — because the
+    // auto-router would take the broadcast path at the x=1 baseline and
+    // the equi-join path amplified, making the ratio compare two
+    // different physical plans
+    timed("decontamination") {
+      operators.Dedup.ngramContaminationLarge(
+        docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 3, minOverlap = 0.5)
+    }
+
     // LSH index lifecycle at amplified scale (the q261 shape): publish over
     // 80% of the indexed corpus, APPEND the rest, PROBE a disjoint batch.
     // Probe steady state must scale with the BATCH, not the stored corpus —
@@ -214,11 +256,16 @@ object ScaleDrill {
         "doc_id", "text", lshTbl, corpusFp = s"$lshFp-partial")
       0L
     }
-    timedUnit("lsh_index_append") {
+    // batch row count computed OUTSIDE the timed block — the timing covers
+    // only the append, not an extra count job over the amplified batch
+    locally {
       val batch = lshCorpus.where(col("doc_id") % 5 === 0)
-      operators.Dedup.appendLshIndex(batch, "doc_id", "text", lshTbl,
-        newCorpusFp = lshFp)
-      batch.count()
+      val n = batch.count()
+      timedUnit("lsh_index_append") {
+        operators.Dedup.appendLshIndex(batch, "doc_id", "text", lshTbl,
+          newCorpusFp = lshFp)
+        n
+      }
     }
     timed("lsh_index_probe") {
       operators.Dedup.probeLshIndex(spark, docs.where(col("doc_id") % 7 === 0),
@@ -235,14 +282,17 @@ object ScaleDrill {
         "vec_id", "embedding", ivfTbl, trainRows = 512, corpusFp = s"$ivfFp-partial")
       0L
     }
-    timedUnit("ivf_index_append") {
+    locally {
       val batch = ivfCorpus.where(col("vec_id") % 5 === 0)
-      operators.Similarity.appendIvfIndex(batch, "vec_id", "embedding", ivfTbl,
-        newCorpusFp = ivfFp)
-      batch.count()
+      val n = batch.count()
+      timedUnit("ivf_index_append") {
+        operators.Similarity.appendIvfIndex(batch, "vec_id", "embedding", ivfTbl,
+          newCorpusFp = ivfFp)
+        n
+      }
     }
     timed("ivf_index_probe") {
-      operators.Similarity.probeIvfIndex(spark, emb.where(col("vec_id") % 97 === 0),
+      operators.Similarity.probeIvfIndex(spark, queryVecs,
         "vec_id", "embedding", ivfTbl, k = 10, corpusFp = ivfFp)
     }
 
@@ -304,8 +354,42 @@ object ScaleDrill {
           if (b > 0) r.sec / b else -1.0)},"rows":${r.rows},"over_budget":${r.sec > budget}$extras,"flags":$flags}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
+    // STEP-ratio check vs a lower-amplification record: per-level ratios
+    // can hide a curve that bends between levels (r10's containment_pairs
+    // stayed under budget at both 20× and 50× while stepping 5.8× for
+    // 2.5× data). With SPARK_GRAFT_DRILL_STEP_BASE=<record path> (e.g.
+    // SCALE_DRILL.json when running the 50× pass), each op's
+    // time_hi/time_lo must stay within 2× the data step x_hi/x_lo.
+    // Kernels finishing under 5 s at the HIGHER level are reported but
+    // not flagged: at that absolute scale the in-suite shot is dominated
+    // by harness state (scheduler latency, cache/cleaner residue), not
+    // the kernel — interval_coverage measured 1.2-1.5 s isolated at 50×
+    // vs 3.2-3.7 s in-suite, a 6× apparent step for a linear plan.
+    val stepFloorSec = 5.0
+    val stepFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stepsJson = sys.env.get("SPARK_GRAFT_DRILL_STEP_BASE").map { basePath =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(basePath)), java.nio.charset.StandardCharsets.UTF_8)
+      val xLo = """"x":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"no x field in $basePath"))
+      require(xLo > 0 && xLo < x, s"step base x=$xLo must be below this run's x=$x")
+      val loSec = """"([a-z0-9_]+)":\{"sec":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val dataStep = x.toDouble / xLo
+      val entries = results.flatMap { r =>
+        loSec.get(r.name).filter(_ > 0).map { lo =>
+          val step = r.sec / lo
+          if (step > 2.0 * dataStep && r.sec >= stepFloorSec)
+            stepFailures += s"${r.name} (step ${n3(step)})"
+          s""""${r.name}":${n3(step)}"""
+        }
+      }
+      s""","step_base_x":$xLo,"step_budget":${n3(2.0 * dataStep)},"steps":${
+        entries.mkString("{", ",", "}")}"""
+    }.getOrElse("")
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val line =
-      s"""{"sf":"$sfDir","x":$x,"budget_sec":${n3(budget)},"total_sec":${n3(total)},"ops":$opsJson}"""
+      s"""{"sf":"$sfDir","x":$x,"heap_gb":${n3(heapGb)},"budget_sec":${n3(budget)},"total_sec":${n3(total)}$stepsJson,"ops":$opsJson}"""
     // the record lives at the repo root (the Bench selfPath discipline):
     // prefer the cwd, fall back to the canonical repo path
     val fileName = sys.env.getOrElse("SPARK_GRAFT_DRILL_OUT", "SCALE_DRILL.json")
@@ -318,8 +402,9 @@ object ScaleDrill {
     println(line)
     val bad = results.filter(r => r.sec > budget || r.flags.nonEmpty)
     spark.stop()
-    if (bad.nonEmpty) {
-      System.err.println(s"[scaledrill] FAILED ops: ${bad.map(_.name).mkString(", ")}")
+    if (bad.nonEmpty || stepFailures.nonEmpty) {
+      System.err.println(s"[scaledrill] FAILED ops: ${
+        (bad.map(_.name) ++ stepFailures).mkString(", ")}")
       sys.exit(1)
     }
   }

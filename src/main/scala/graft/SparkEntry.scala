@@ -1964,6 +1964,25 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
     }),
 
+    // ---- the hot-bucket CAP certification: same containment pass with
+    //      spark.graft.lsh.maxBucket pinned LOW (64) — the capped candidate
+    //      generation (bucket-size window + filter) must be result-identical
+    //      to q266's whenever no bucket exceeds the cap, which the q285
+    //      census proves for this corpus; oracle SHARED with q266 ----
+    "q295_containment_capped" -> ((s, dir) => {
+      val key = "spark.graft.lsh.maxBucket"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "64")
+      // the cap is read at plan-construction time (baked into the filter
+      // literal), so restoring the conf after the builder returns is safe
+      try Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -3568,6 +3587,37 @@ object SparkEntry {
     * equal the direct delta computation recomputed here from raw text. */
   // q262/q263 shared oracle: sampled-train IVF (training over the
   // md5-ranked 128-row sample, corpus-wide assignment + probe)
+  /** Shared by q266 (default candidate generation) and q295 (the
+    * hot-bucket cap pinned low but non-triggering): byte-identical results
+    * certify the capped path is pure plan machinery when no bucket
+    * exceeds the cap. */
+  private val containmentOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+      |        FROM w WHERE len(w) >= 3),
+      |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      |seeds AS (SELECT unnest(range(0, 16)) AS s),
+      |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+      |       FROM sh, seeds GROUP BY 1, 2),
+      |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+      |       FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+      |         WHERE a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+      |sc AS (SELECT c.id_a, c.id_b,
+      |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+      |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+      |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+      |                   JOIN sets b ON c.id_b = b.doc_id),
+      |u AS (SELECT id_a AS contained_id, id_b AS container_id,
+      |        inter * 1000000 // na AS containment_ppm FROM sc
+      |      UNION ALL
+      |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
+      |SELECT contained_id, container_id, containment_ppm
+      |FROM u WHERE containment_ppm >= 800000""".stripMargin
+
   private val ivfSampledOracleSql: String =
     """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
         |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
@@ -5437,32 +5487,10 @@ object SparkEntry {
     "q263_ivf_index_probe" -> ivfSampledOracleSql,
     "q265_stream_ivf_probe" -> ivfSampledOracleSql,
 
-    "q266_containment_neardup" ->
-      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
-        |        FROM w WHERE len(w) >= 3),
-        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
-        |seeds AS (SELECT unnest(range(0, 16)) AS s),
-        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
-        |       FROM sh, seeds GROUP BY 1, 2),
-        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
-        |       FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
-        |         WHERE a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
-        |sc AS (SELECT c.id_a, c.id_b,
-        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
-        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
-        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
-        |                   JOIN sets b ON c.id_b = b.doc_id),
-        |u AS (SELECT id_a AS contained_id, id_b AS container_id,
-        |        inter * 1000000 // na AS containment_ppm FROM sc
-        |      UNION ALL
-        |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
-        |SELECT contained_id, container_id, containment_ppm
-        |FROM u WHERE containment_ppm >= 800000""".stripMargin,
+    "q266_containment_neardup" -> containmentOracleSql,
+    // q295 = q266 under a pinned (non-triggering) bucket cap — identical
+    // results certify the capped candidate path end-to-end
+    "q295_containment_capped" -> containmentOracleSql,
 
     "q275_containment_hubs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -652,16 +652,19 @@ object Similarity {
       tbl
     }
 
-  /** Exact integer ADC distance Σⱼ tbl[j·codes + code_j] — same integer sum
-    * as the inline form, factored through [[adcTableUdf]]'s per-query
-    * table, so results (and oracle hashes) are bit-identical. */
-  private def adcLookupUdf(m: Int, codes: Int) =
-    udf { (tbl: Seq[Long], cd: Seq[Long]) =>
-      var s = 0L
-      var j = 0
-      while (j < m) { s += tbl(j * codes + cd(j).toInt); j += 1 }
-      s
-    }
+  /** Exact integer ADC distance Σⱼ tbl[j·codes + code_j] as a NATIVE
+    * unrolled `element_at` sum — same integer sum as the inline form,
+    * factored through [[adcTableUdf]]'s per-query table, so results (and
+    * oracle hashes) are bit-identical. Native matters here: the candidate
+    * side is |queries|×|bucket| rows, and a scala UDF would pay a
+    * catalyst→JVM conversion of BOTH arrays (m×codes + m elements) per
+    * candidate — the unrolled expression stays in whole-stage codegen and
+    * reads the arrays in place. */
+  private def adcLookupCol(tbl: org.apache.spark.sql.Column,
+      cd: org.apache.spark.sql.Column, m: Int, codes: Int): org.apache.spark.sql.Column =
+    (0 until m).map { j =>
+      element_at(tbl, (element_at(cd, j + 1) + lit(j.toLong * codes)).cast("int") + 1)
+    }.reduce(_ + _)
 
   def pqKnnPortable(
       corpus: DataFrame,
@@ -682,7 +685,6 @@ object Similarity {
     }
     val encoded = qdf.select(col("id").as("neighbor_id"), encodeF(col("q")).as("cd"))
     val adcTable = adcTableUdf(bksF, m, codes, sub)
-    val adcLookup = adcLookupUdf(m, codes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     queries
@@ -691,7 +693,7 @@ object Similarity {
         adcTable(quant(col(vecCol))).as("__adc"))
       .crossJoin(encoded)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", adcLookup(col("__adc"), col("cd")))
+      .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -728,7 +730,6 @@ object Similarity {
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
     val adcTable = adcTableUdf(bksF, m, codes, sub)
-    val adcLookup = adcLookupUdf(m, codes)
     // corpus side: ONE pass assigns the coarse bucket and the PQ code row;
     // candidates materialize as an equi-join on bucket id — ids and codes
     // (m bytes-worth) shuffle, never raw vectors. The query side carries
@@ -745,7 +746,7 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     probes.join(encoded, Seq("c"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", adcLookup(col("__adc"), col("cd")))
+      .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
