@@ -209,6 +209,29 @@ object ScaleDrill {
     }
     timed("distinctive_terms") { functions.Text.distinctiveTerms(docs, "source", "text") }
 
+    // ---- round-11 additions: the remaining uncovered kernel families ----
+    // iterative graph propagation beyond components/kcore: 3 checkpointed
+    // PageRank rounds over the SAME near-dup edge list — per-round cost is
+    // one degree join + one dst-keyed agg, so the curve must track edges
+    timed("pagerank") {
+      operators.Graphs.pageRankFixedPoint(pairsM, "id_a", "id_b", rounds = 3)
+    }
+    // the distributed prefix sum (greedy sequence packing): ONE running-sum
+    // stitch over doc-hash order — the at-scale shape of "pack the corpus
+    // into 4k-token bins"; bins grow linearly with the corpus
+    timed("token_packing") {
+      operators.Packing.packByTokens(
+        docs.select(col("doc_id"), functions.Text.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", targetTokens = 4096)
+    }
+    // two-level LM derivation (bigram vocab → first-word totals → per-
+    // occurrence join): replica-disjoint vocabularies grow BOTH levels ×X
+    // while occurrences grow ×X — the curve certifies the vocabulary join
+    // stays term-keyed (never occurrence×vocab)
+    timed("bigram_nll") {
+      functions.Text.bigramNll(docs, "doc_id", "text")
+    }
+
     // ---- round-10 additions: the round-9 production surface ----
     // Unit-returning work (index writes): timed, rows = batch size, no
     // executed-plan handle to audit — write plans are covered by PLANS.md

@@ -1983,6 +1983,45 @@ object SparkEntry {
       }
     }),
 
+    // ---- data-card: TOKENIZER FERTILITY per language — BPE-ish pieces
+    //      per whitespace word and chars per piece (the sequence-length
+    //      cost panel); all-integer figures, micro-unit integer DIV, one
+    //      projection + one hash agg — no explode, no window ----
+    "q296_token_fertility" -> ((s, dir) => {
+      Text.tokenizerFertility(t(s, dir, "documents"), "lang", "text")
+    }),
+
+    // ---- curation: PSI of each source's length distribution vs the
+    //      blended corpus over fixed 64-char buckets — the mixing-shift
+    //      gate (PSI>0.25 = source drifted); micro-nat fixed point,
+    //      ONE (source,bucket) agg feeds every derived total ----
+    "q297_psi_length" -> ((s, dir) => {
+      Text.psiByBucket(t(s, dir, "documents"), "source", "n_chars", 64L)
+    }),
+
+    // ---- curation: BIGRAM conditional NLL per doc — the order-sensitive
+    //      perplexity proxy (catches scrambled boilerplate the unigram
+    //      score misses); corpus-as-LM, first-word totals derived from
+    //      the bigram vocabulary, micro-nat fixed point ----
+    "q298_bigram_nll" -> ((s, dir) => {
+      Text.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- data-card: language-ID CONFUSION census — the stopword-argmax
+    //      guess cross-tabbed against the labeled lang column with
+    //      per-label shares (heuristic accuracy panel); share via a
+    //      window OVER the label-level aggregate (q290 pattern), so the
+    //      window input is label-cardinality, never corpus rows ----
+    "q299_langid_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_total", sum(col("n_docs")).over(w))
+        .withColumn("share_u", expr("n_docs * 1000000L DIV lang_total"))
+        .select(col("lang"), col("lang_guess"), col("n_docs"), col("share_u"))
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -5491,6 +5530,79 @@ object SparkEntry {
     // q295 = q266 under a pinned (non-triggering) bucket cap — identical
     // results certify the capped candidate path end-to-end
     "q295_containment_capped" -> containmentOracleSql,
+
+    "q296_token_fertility" ->
+      """WITH b AS (SELECT lang,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END AS nw,
+        |  len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS np,
+        |  length(trim(text)) AS nc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |CAST(sum(nw) AS BIGINT) AS total_words,
+        |CAST(sum(np) AS BIGINT) AS total_pieces,
+        |CAST(sum(nc) AS BIGINT) AS total_chars,
+        |CAST(sum(np) * 1000000 // sum(nw) AS BIGINT) AS fertility_u,
+        |CAST(sum(nc) * 1000000 // sum(np) AS BIGINT) AS chars_per_piece_u
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q297_psi_length" ->
+      """WITH gb AS (SELECT source, n_chars // 64 AS b, count(*) AS c_gb
+        |            FROM documents GROUP BY 1, 2),
+        |ng AS (SELECT source, sum(c_gb) AS n_g FROM gb GROUP BY 1),
+        |cb AS (SELECT b, sum(c_gb) AS c_b FROM gb GROUP BY 1),
+        |n AS (SELECT sum(c_gb) AS n_tot FROM gb)
+        |SELECT source, CAST(max(n_g) AS BIGINT) AS n_docs,
+        |CAST(sum(CAST(round((c_gb / n_g - c_b / n_tot)
+        |  * ln((c_gb / n_g) / (c_b / n_tot)) * 1000000) AS BIGINT)) AS BIGINT) AS psi_u
+        |FROM gb JOIN ng USING (source) JOIN cb USING (b) CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
+
+    "q298_bigram_nll" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |bgl AS (SELECT doc_id, list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1]) AS gs
+        |        FROM w WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, unnest(gs) AS g FROM bgl),
+        |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+        |c2w AS (SELECT g, c2, string_split(g, ' ')[1] AS w1 FROM c2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2w GROUP BY 1),
+        |s AS (SELECT doc_id, CAST(round(-ln(c2 / c1) * 1e6) AS BIGINT) AS nll
+        |      FROM bg JOIN c2w USING (g) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |round(sum(nll) / 1e6 / count(*), 4) AS avg_nll
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q299_langid_confusion" ->
+      """WITH tk AS (SELECT lang, string_split(trim(text), ' ') AS ws FROM documents),
+        |scores AS (SELECT lang,
+        |len(list_filter(ws, x -> x='the'))+len(list_filter(ws, x -> x='a'))
+        |  +len(list_filter(ws, x -> x='of'))+len(list_filter(ws, x -> x='and'))
+        |  +len(list_filter(ws, x -> x='is')) AS s_en,
+        |len(list_filter(ws, x -> x='der'))+len(list_filter(ws, x -> x='die'))
+        |  +len(list_filter(ws, x -> x='und'))+len(list_filter(ws, x -> x='ist'))
+        |  +len(list_filter(ws, x -> x='das')) AS s_de,
+        |len(list_filter(ws, x -> x='el'))+len(list_filter(ws, x -> x='la'))
+        |  +len(list_filter(ws, x -> x='de'))+len(list_filter(ws, x -> x='y'))
+        |  +len(list_filter(ws, x -> x='es')) AS s_es,
+        |len(list_filter(ws, x -> x='le'))+len(list_filter(ws, x -> x='la'))
+        |  +len(list_filter(ws, x -> x='et'))+len(list_filter(ws, x -> x='est'))
+        |  +len(list_filter(ws, x -> x='les')) AS s_fr,
+        |len(list_filter(ws, x -> x='的'))+len(list_filter(ws, x -> x='是'))
+        |  +len(list_filter(ws, x -> x='了'))+len(list_filter(ws, x -> x='在'))
+        |  +len(list_filter(ws, x -> x='和')) AS s_zh
+        |FROM tk),
+        |g AS (SELECT lang, CASE
+        |  WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+        |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |  WHEN s_de > s_en THEN 'de'
+        |  ELSE 'en' END AS lang_guess
+        |FROM scores),
+        |c AS (SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2)
+        |SELECT lang, lang_guess, n_docs,
+        |CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_u
+        |FROM c""".stripMargin,
 
     "q275_containment_hubs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

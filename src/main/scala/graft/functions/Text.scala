@@ -1074,4 +1074,108 @@ object Text {
           .cast("long").as("cosine_u"))
       .orderBy(col("src1"), col("src2"))
   }
+
+  /** TOKENIZER FERTILITY per group — subword pieces per whitespace word and
+    * chars per piece, the tokenizer-efficiency panel of a training-data
+    * card (high fertility = the tokenizer fragments that language/source
+    * into many pieces, inflating sequence length and training cost). Uses
+    * the same BPE-ish regex piece count as the token surface (§2.10) and
+    * the replace-identity word count, so every figure is an exact integer;
+    * both ratios are fixed-point micro-units via integer DIV — hash-exact
+    * cross-engine. One codegen'd projection feeding one hash agg: no
+    * explode, no window, map-side partial — the cheapest 100 TB shape. */
+  def tokenizerFertility(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    docs.select(
+        col(groupCol).as("__g"),
+        tokenCount(col(textCol)).cast("long").as("__nw"),
+        bpeTokenCount(col(textCol)).cast("long").as("__np"),
+        length(trim(col(textCol))).cast("long").as("__nc"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("total_words"),
+        sum(col("__np")).as("total_pieces"), sum(col("__nc")).as("total_chars"))
+      .withColumn("fertility_u", expr("total_pieces * 1000000L DIV total_words"))
+      .withColumn("chars_per_piece_u", expr("total_chars * 1000000L DIV total_pieces"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("total_words"),
+        col("total_pieces"), col("total_chars"), col("fertility_u"),
+        col("chars_per_piece_u"))
+  }
+
+  /** POPULATION STABILITY INDEX of each group's value distribution against
+    * the blended corpus, over fixed-width integer buckets — the standard
+    * mixing/drift gate (PSI < 0.1 stable, > 0.25 shifted) applied to e.g.
+    * document length by source. Buckets are value DIV `bucketWidth`, so
+    * binning is exact integer arithmetic and needs no quantile pass.
+    *
+    * Same fixed-point discipline as [[sourceTokenDrift]]: the per-bucket
+    * term (p−q)·ln(p/q) — p = bucket share in the group, q = in the corpus
+    * — is rounded ONCE to integer micro-nats and integer-summed
+    * (order-free, hash-exact; the term is ≥ 0 since p−q and ln(p/q) share
+    * sign). Buckets the group never hits contribute via the complementary
+    * buckets' mass (the inner join keeps group-present buckets, where
+    * q > 0 always holds because group ⊆ corpus).
+    *
+    * Plan: ONE (group, bucket) hash agg (micro-cardinality: groups ×
+    * buckets), from which corpus totals DERIVE — the data is scanned once;
+    * all joins are against broadcast-sized derivations. */
+  def psiByBucket(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val gb = docs
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .withColumn("__b", expr(s"__v DIV ${bucketWidth}L"))
+      .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("c_gb"))
+      .localCheckpoint(true) // feeds group totals, corpus buckets AND the join
+    val ng = gb.groupBy(col("__g")).agg(sum(col("c_gb")).as("n_g"))
+    val cb = gb.groupBy(col("__b")).agg(sum(col("c_gb")).as("c_b"))
+    val n = gb.agg(sum(col("c_gb")).as("n_tot"))
+    gb.join(broadcast(cb), "__b")
+      .join(broadcast(ng), "__g")
+      .crossJoin(broadcast(n))
+      .withColumn("term_u",
+        round((col("c_gb") / col("n_g") - col("c_b") / col("n_tot")) *
+          log((col("c_gb") / col("n_g")) / (col("c_b") / col("n_tot"))) * lit(1e6))
+          .cast("long"))
+      .groupBy(col("__g"))
+      .agg(max(col("n_g")).as("n_docs"), sum(col("term_u")).as("psi_u"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("psi_u"))
+  }
+
+  /** BIGRAM CONDITIONAL NLL — the order-sensitive upgrade of
+    * [[unigramNll]]: score each document by the average
+    * −ln p(w₂ | w₁) over its bigrams, with the corpus itself as the LM
+    * (p(w₂|w₁) = c(w₁w₂) / c(w₁·), c(w₁·) = Σ_w c(w₁ w) — a proper
+    * conditional, so scrambled-word boilerplate that fools the unigram
+    * score stands out here). Fixed-point micro-nat accumulation keeps the
+    * per-doc average hash-exact cross-engine. Docs with < 2 tokens have no
+    * bigrams and are absent from the output (they carry no LM evidence).
+    *
+    * Plan: one shingle explode feeds the bigram vocabulary agg; the
+    * first-word totals DERIVE from that vocabulary (never a second corpus
+    * pass); the per-occurrence join is bigram-keyed, then the w₁ totals
+    * join against the much smaller vocabulary-sized table. */
+  def bigramNll(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), 2)).as("g"))
+    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .localCheckpoint(true) // feeds the w1 totals AND the occurrence join
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bg.join(c2, "g")
+      .join(c1, "w1")
+      .withColumn("nll_micro",
+        round(-log(col("c2") / col("c1")) * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_total"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll_total") / lit(1e6) / col("n_bigrams"), 4).as("avg_nll"))
+  }
 }

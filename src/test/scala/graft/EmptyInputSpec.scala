@@ -30,7 +30,12 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(Text.tfidfTopTerms(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(Text.redactRareTokens(emptyDocs, "doc_id", "text").count() === 0)
     assert(Text.unigramNll(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Text.bigramNll(emptyDocs, "doc_id", "text").count() === 0)
     assert(Text.chunkTokens(emptyDocs, "doc_id", "text", 64, 16).count() === 0)
+    val emptyLabeled = Seq.empty[(String, String)].toDF("lang", "text")
+    assert(Text.tokenizerFertility(emptyLabeled, "lang", "text").count() === 0)
+    val emptyVals = Seq.empty[(String, Long)].toDF("s", "v")
+    assert(Text.psiByBucket(emptyVals, "s", "v", 64L).count() === 0)
   }
 
   test("sampling and packing on empty input") {

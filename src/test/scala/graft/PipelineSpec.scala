@@ -627,6 +627,53 @@ class PipelineSpec extends SparkSpecBase {
     assert(r2 === Map("A" -> 0L, "B" -> 0L))
   }
 
+  test("tokenizerFertility: integer census and micro-unit ratios by group") {
+    import graft.functions.Text
+    val docs = Seq(
+      ("en", "ab cd"), ("en", "x"), ("de", "foo-bar baz9")).toDF("lang", "text")
+    val r = Text.tokenizerFertility(docs, "lang", "text")
+      .collect().map(x => (x.getString(0),
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+         x.getLong(5), x.getLong(6)))).toMap
+    // en: words 2+1=3, pieces "ab"," cd"=2 and "x"=1 → 3, chars 5+1=6
+    assert(r("en") === ((2L, 3L, 3L, 6L, 1000000L, 2000000L)))
+    // de "foo-bar baz9": pieces foo,-,bar," baz",9 → 5; words 2; chars 12
+    assert(r("de") === ((1L, 2L, 5L, 12L, 2500000L, 2400000L)))
+  }
+
+  test("psiByBucket: micro-nat PSI matches hand computation; identical dists at 0") {
+    import graft.functions.Text
+    val docs = Seq(
+      ("A", 5L), ("A", 15L), ("B", 5L), ("B", 25L)).toDF("s", "v")
+    val r = Text.psiByBucket(docs, "s", "v", 10L)
+      .collect().map(x => (x.getString(0), (x.getLong(1), x.getLong(2)))).toMap
+    // buckets: A{0,1}, B{0,2}; corpus b0=2,b1=1,b2=1, n=4
+    // shared b0 term: p=q=1/2 → 0; unique bucket: (1/2-1/4)ln(2)
+    val t = Math.round(0.25 * Math.log(2.0) * 1e6)
+    assert(r("A") === ((2L, t)))
+    assert(r("B") === ((2L, t)))
+    // same distribution in every group → every term ln(1) → exactly 0
+    val same = Seq(("A", 5L), ("A", 15L), ("B", 5L), ("B", 15L)).toDF("s", "v")
+    val r2 = Text.psiByBucket(same, "s", "v", 10L)
+      .collect().map(x => (x.getString(0), x.getLong(2))).toMap
+    assert(r2 === Map("A" -> 0L, "B" -> 0L))
+  }
+
+  test("bigramNll: conditional corpus-LM surprise matches hand computation") {
+    import graft.functions.Text
+    val docs = Seq((1L, "a b a c"), (2L, "a b x"), (3L, "z")).toDF("doc_id", "text")
+    val got = Text.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // bigrams: d1 = [a b, b a, a c], d2 = [a b, b x]
+    // c2: (a b)=2, (b a)=1, (a c)=1, (b x)=1; c1: a·=3, b·=2
+    def m(p: Double) = Math.round(-Math.log(p) * 1e6)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, r4((m(2.0 / 3) + m(1.0 / 2) + m(1.0 / 3)) / 1e6 / 3))))
+    assert(got(2L) === ((2L, r4((m(2.0 / 3) + m(1.0 / 2)) / 1e6 / 2))))
+    // single-token doc has no bigrams → absent, not zero
+    assert(!got.contains(3L))
+  }
+
   test("shardAssign: balanced contiguous shards over the md5 order, nothing lost") {
     import graft.operators.Sampling
     val df = (0L until 100L).map(i => (i, s"d$i")).toDF("id", "payload")

@@ -16,6 +16,7 @@ class ScaleDrillSpec extends SparkSpecBase {
       "lsh_pairs", "components", "kcore", "group_kfold", "ordered_fill",
       "ordered_rank", "ordered_rank_str", "ivfpq_probe", "ivf_sampled_probe",
       "bm25", "interval_coverage", "distinctive_terms",
+      "pagerank", "token_packing", "bigram_nll",
       "containment_pairs", "containment_prune", "decontamination",
       "lsh_index_publish", "lsh_index_append", "lsh_index_probe",
       "ivf_index_publish", "ivf_index_append", "ivf_index_probe",
