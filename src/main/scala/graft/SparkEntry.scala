@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.functions.{Bloom, CustomAggs, Sketches, Text, Vectors => V}
+import graft.functions.{Bloom, CustomAggs, Par, Sketches, Text, Vectors => V}
 import graft.operators._
 import graft.sources.{Bucketing, Csv, Partitioned, ZOrder}
 import graft.streaming.Streams
@@ -2020,6 +2020,102 @@ object SparkEntry {
         .withColumn("lang_total", sum(col("n_docs")).over(w))
         .withColumn("share_u", expr("n_docs * 1000000L DIV lang_total"))
         .select(col("lang"), col("lang_guess"), col("n_docs"), col("share_u"))
+    }),
+
+    // ---- curation: PIPELINE FUNNEL — per-source survival through the
+    //      canonical curation stages (raw → exact-dedup keep → quality
+    //      pass → decontaminated), the headline table of every dataset
+    //      card. Composes the production operators themselves (Dedup
+    //      .exact, Text.gopherQualityFlags, Dedup.ngramContamination);
+    //      survivor/contaminated sets move as id-only tables (the
+    //      contaminated set is pair-bounded → broadcast), one conditional
+    //      aggregation pass emits every stage count ----
+    "q300_pipeline_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") >= 10)
+      val keep = Dedup.exact(train, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(1L).as("__kept"))
+      val qual = Text.gopherQualityFlags(train, "doc_id", "text")
+        .select(col("doc_id"), col("pass"))
+      val contam = Dedup.ngramContamination(
+          train, docs.where(col("doc_id") < 10), "doc_id", "text",
+          n = 3, minOverlap = 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("__cont", lit(1L))
+      train
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        .join(keep, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"))
+        .join(broadcast(contam), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("__kept") === 1L, 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("__kept") === 1L && col("pass") === 1L, 1L)
+            .otherwise(0L)).as("n_quality"),
+          sum(when(col("__kept") === 1L && col("pass") === 1L &&
+            col("__cont").isNull, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("__kept") === 1L && col("pass") === 1L &&
+            col("__cont").isNull, col("n_tok")).otherwise(0L))
+            .as("tokens_clean"))
+    }),
+
+    // ---- data-card: DUPLICATE N-GRAM RATE per source — the fraction of
+    //      trigram occurrences that are intra-document repeats (the
+    //      repetition signal of large-corpus quality filtering: looped
+    //      generation and boilerplate inflate it), plus the census of
+    //      docs over the 20% filter line. All-integer: dup occurrences =
+    //      count − distinct per doc, the flag threshold is an exact
+    //      integer cross-multiplication, the rate is micro-unit DIV ----
+    "q301_dup_ngram_rate" -> ((s, dir) => {
+      val g = Par.widen(
+          t(s, dir, "documents").select(col("source"), col("doc_id"), col("text")))
+        .select(col("source"), col("doc_id"),
+          explode(Text.shingles(col("text"), 3)).as("g"))
+      g.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n3")).as("total_ngrams"),
+          sum(col("n3") - col("d3")).as("dup_ngrams"),
+          sum(when((col("n3") - col("d3")) * lit(1000000L) >=
+            col("n3") * lit(200000L), 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("dup_rate_u", expr("dup_ngrams * 1000000L DIV total_ngrams"))
+        .select(col("source"), col("n_docs"), col("total_ngrams"),
+          col("dup_ngrams"), col("n_flagged"), col("dup_rate_u"))
+    }),
+
+    // ---- curation: CROSS-SPLIT LEAKAGE — for each held-out split of the
+    //      q294 manifest, how many docs share an 8-gram with train (the
+    //      split-integrity audit; distinct from q292, which decontaminates
+    //      against an EXTERNAL probe set). Both sides collapse to distinct
+    //      (doc, shingle) before the shingle-keyed equi-join, so the join
+    //      never sees per-doc repeats; train moves as a distinct
+    //      shingle-only column ----
+    "q302_split_leakage" -> ((s, dir) => {
+      val sp = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(sp < "cc", "train").when(sp < "e6", "val").otherwise("test")
+          .as("split"),
+        col("text"))
+      def pairsOf(side: org.apache.spark.sql.DataFrame) =
+        Par.widen(side)
+          .select(col("split"), col("doc_id"),
+            explode(array_distinct(Text.shingles(col("text"), 8))).as("g"))
+      val trainG = pairsOf(docs.where(col("split") === "train"))
+        .select(col("g")).distinct()
+      val evalPairs = pairsOf(docs.where(col("split") =!= "train"))
+      val leaked = evalPairs.join(trainG, Seq("g"))
+        .select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+      val withSh = evalPairs.select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_with_shingles"))
+      docs.where(col("split") =!= "train")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(withSh, Seq("split"), "left")
+        .join(leaked, Seq("split"), "left")
+        .na.fill(0L, Seq("n_with_shingles", "n_leaked"))
+        .withColumn("leak_rate_u", expr("n_leaked * 1000000L DIV n_docs"))
     }),
 
     // ---- data-card: containment HUB docs — the docs that subsume the
@@ -5603,6 +5699,91 @@ object SparkEntry {
         |SELECT lang, lang_guess, n_docs,
         |CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_u
         |FROM c""".stripMargin,
+
+    "q300_pipeline_funnel" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id >= 10),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM train
+        |         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
+        |d AS (SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+        |      FROM train),
+        |q AS (SELECT doc_id, CASE WHEN len(w) BETWEEN 50 AND 100000
+        |        AND ((length(t) - (len(w) - 1)) * 1000000) // len(w)
+        |              BETWEEN 3000000 AND 10000000
+        |        AND len(w) - len(list_filter(w, x -> x NOT IN ('value', 'table'))) >= 2
+        |      THEN 1 ELSE 0 END AS pass FROM d),
+        |w2 AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(ws) < 3 THEN []
+        |    ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |  END) AS sh
+        |  FROM w2),
+        |contam AS (SELECT DISTINCT t.doc_id
+        |  FROM g t, g p
+        |  WHERE t.doc_id >= 10 AND p.doc_id < 10 AND len(t.sh) > 0 AND len(p.sh) > 0
+        |    AND len(list_intersect(t.sh, p.sh))::DOUBLE / len(p.sh) >= 0.5),
+        |base AS (SELECT tr.doc_id, tr.source,
+        |  CAST(CASE WHEN length(trim(tr.text)) = 0 THEN 0
+        |    ELSE length(trim(tr.text)) - length(replace(trim(tr.text),' ','')) + 1
+        |  END AS BIGINT) AS n_tok,
+        |  CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept,
+        |  q.pass,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS cont
+        |  FROM train tr
+        |  LEFT JOIN keep k USING (doc_id)
+        |  JOIN q USING (doc_id)
+        |  LEFT JOIN contam c USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_raw,
+        |  CAST(sum(kept) AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN kept = 1 AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(sum(CASE WHEN kept = 1 AND pass = 1 AND cont = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN kept = 1 AND pass = 1 AND cont = 0 THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_clean
+        |FROM base GROUP BY 1""".stripMargin,
+
+    "q301_dup_ngram_rate" ->
+      """WITH w AS (SELECT source, doc_id, string_split(trim(text), ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT source, doc_id,
+        |        unnest(list_transform(range(1, len(ws) - 1),
+        |          i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |      FROM w WHERE len(ws) >= 3),
+        |p AS (SELECT source, doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+        |      FROM g GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |CAST(sum(n3) AS BIGINT) AS total_ngrams,
+        |CAST(sum(n3 - d3) AS BIGINT) AS dup_ngrams,
+        |CAST(sum(CASE WHEN (n3 - d3) * 1000000 >= n3 * 200000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_flagged,
+        |CAST(sum(n3 - d3) * 1000000 // sum(n3) AS BIGINT) AS dup_rate_u
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q302_split_leakage" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+        |         THEN 'val' ELSE 'test' END AS split,
+        |  string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT split, doc_id,
+        |        unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+        |          i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |      FROM d WHERE len(ws) >= 8),
+        |tg AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+        |ev AS (SELECT split, doc_id FROM d WHERE split <> 'train'),
+        |evg AS (SELECT split, doc_id, g FROM g WHERE split <> 'train'),
+        |lk AS (SELECT DISTINCT e.split, e.doc_id FROM evg e JOIN tg USING (g)),
+        |wc AS (SELECT split, count(DISTINCT doc_id) AS n_with_shingles
+        |       FROM evg GROUP BY 1),
+        |tot AS (SELECT split, count(*) AS n_docs FROM ev GROUP BY 1),
+        |lc AS (SELECT split, count(*) AS n_leaked FROM lk GROUP BY 1)
+        |SELECT t.split, CAST(t.n_docs AS BIGINT) AS n_docs,
+        |CAST(coalesce(w.n_with_shingles, 0) AS BIGINT) AS n_with_shingles,
+        |CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+        |CAST(coalesce(l.n_leaked, 0) * 1000000 // t.n_docs AS BIGINT) AS leak_rate_u
+        |FROM tot t LEFT JOIN wc w USING (split) LEFT JOIN lc l USING (split)""".stripMargin,
 
     "q275_containment_hubs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
