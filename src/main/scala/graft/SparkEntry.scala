@@ -2118,6 +2118,90 @@ object SparkEntry {
         .withColumn("leak_rate_u", expr("n_leaked * 1000000L DIV n_docs"))
     }),
 
+    // ---- data-card: BAG-OF-WORDS DUP-CLUSTER HISTOGRAM — how duplicated
+    //      is the corpus under the vocabulary-identity key (sorted
+    //      distinct token set — catches shuffled boilerplate exact dedup
+    //      misses), in power-of-2 cluster-size buckets (1 = unique): the
+    //      shape that decides whether dedup recovers most of the budget.
+    //      The histogram input is cluster-cardinality, never corpus rows ----
+    "q303_bow_cluster_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(Text.vocabFingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_dups"))
+        .withColumn("bucket", length(bin(col("n_dups"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_dups")).as("n_docs"),
+          sum(col("n_dups") - 1L).as("n_removable"))
+    }),
+
+    // ---- data-card: CROSS-SOURCE DUPLICATION MATRIX — which feeds copy
+    //      each other: for every source pair, how many cross-source doc
+    //      pairs share a bag-of-words fingerprint. Computed from
+    //      per-(fp,source) COUNTS (cᵢ·cⱼ per shared fingerprint,
+    //      cᵢ·(cᵢ−1)/2 on the diagonal) — fingerprint-cardinality all the
+    //      way, never doc-level pairs, so hot clusters cost counts not
+    //      squares ----
+    "q304_source_dup_matrix" -> ((s, dir) => {
+      val fs = t(s, dir, "documents")
+        .groupBy(Text.vocabFingerprint(col("text")).as("fp"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val a = fs.select(col("fp"), col("source").as("src1"), col("c").as("c1"))
+      val b = fs.select(col("fp"), col("source").as("src2"), col("c").as("c2"))
+      a.join(b, Seq("fp"))
+        .where(col("src1") <= col("src2"))
+        .withColumn("pairs",
+          when(col("src1") === col("src2"), expr("c1 * (c1 - 1) DIV 2"))
+            .otherwise(col("c1") * col("c2")).cast("long"))
+        .groupBy(col("src1"), col("src2"))
+        .agg(sum(col("pairs")).as("dup_pairs"),
+          count(lit(1)).as("shared_fps"))
+        .where(col("dup_pairs") > 0L)
+    }),
+
+    // ---- data-card: EMBEDDING HEALTH census per label — vector count,
+    //      dimension consistency (distinct dims must be 1), mean L2 norm
+    //      and near-zero-norm count (collapsed/dead vectors poison both
+    //      ANN recall and cosine dedup). Per-vector norms round ONCE to
+    //      integer micro-units, then integer mean via DIV — order-free,
+    //      hash-exact; one projection + one hash agg ----
+    "q305_embedding_health" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(V.l2Norm(col("embedding")) * lit(1e6)).cast("long").as("__nu"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("dim")).as("n_dims"),
+          max(col("dim")).as("dim"),
+          sum(col("__nu")).as("__sum_nu"),
+          sum(when(col("__nu") < 1000L, 1L).otherwise(0L)).as("n_near_zero"))
+        .withColumn("mean_norm_u", expr("__sum_nu DIV n_vecs"))
+        .select(col("label"), col("n_vecs"), col("n_dims"), col("dim"),
+          col("n_near_zero"), col("mean_norm_u"))
+    }),
+
+    // ---- similarity: IVF RECALL@K vs the exact brute-force ground truth
+    //      — the index-quality panel that decides nlist/nprobe: both
+    //      sides rank by exact cosine, so the gap is pure routing loss.
+    //      Composes the two certified operators; the intersection join is
+    //      (queries × k)-sized ----
+    "q306_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceKnn(e, q, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfKnnPortable(e, q, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 3, rounds = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_match"))
+        .withColumn("recall_u", expr("n_match * 1000000L DIV k"))
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -3804,6 +3888,55 @@ object SparkEntry {
         |FROM r WHERE rank <= 3""".stripMargin
 
   // q97's contamination pairs — shared with q292's per-probe report
+  // q45's fixed-point IVF replay (quantize → 2 Lloyd rounds → probe 3 of 16
+  // lists → exact-cosine rank), sans final projection: `r` holds the ranked
+  // candidates. Shared by q45 (top-k rows) and q306 (recall vs brute).
+  private val ivfKnnOracleCtes: String =
+    """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+      |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      |        FROM embeddings ORDER BY vec_id LIMIT 16),
+      |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
+      |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
+      |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
+      |asg1 AS (SELECT vec_id, c FROM (
+      |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |         FROM dist1) WHERE rn = 1),
+      |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+      |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
+      |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
+      |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
+      |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
+      |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
+      |asg2 AS (SELECT vec_id, c FROM (
+      |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |         FROM dist2) WHERE rn = 1),
+      |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+      |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
+      |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
+      |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
+      |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
+      |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
+      |asg3 AS (SELECT vec_id, c FROM (
+      |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |         FROM dist3) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, c FROM (
+      |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 3),
+      |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |               FROM probes p JOIN asg3 a USING (c)
+      |               WHERE a.vec_id <> p.query_id),
+      |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+      |       FROM embeddings),
+      |sims AS (SELECT cd.query_id, cd.neighbor_id,
+      |         sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cosine
+      |         FROM candidates cd JOIN fl a ON a.vec_id = cd.query_id
+      |                            JOIN fl b ON b.vec_id = cd.neighbor_id AND a.i = b.i
+      |         GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM sims)""".stripMargin
+
   private val decontamOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
       |g AS (SELECT doc_id,
@@ -5516,53 +5649,10 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
 
     // q45: q124's integer-Lloyd IVF at the WIDE corner — 16 lists, 3 probes
-    "q45_knn_ivf" ->
-      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
-        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
-        |        FROM embeddings ORDER BY vec_id LIMIT 16),
-        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
-        |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
-        |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
-        |asg1 AS (SELECT vec_id, c FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |         FROM dist1) WHERE rn = 1),
-        |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
-        |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
-        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
-        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
-        |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
-        |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
-        |asg2 AS (SELECT vec_id, c FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |         FROM dist2) WHERE rn = 1),
-        |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
-        |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
-        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
-        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
-        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
-        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
-        |asg3 AS (SELECT vec_id, c FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |         FROM dist3) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, c FROM (
-        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 3),
-        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |               FROM probes p JOIN asg3 a USING (c)
-        |               WHERE a.vec_id <> p.query_id),
-        |fl AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
-        |       FROM embeddings),
-        |sims AS (SELECT cd.query_id, cd.neighbor_id,
-        |         sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))) AS cosine
-        |         FROM candidates cd JOIN fl a ON a.vec_id = cd.query_id
-        |                            JOIN fl b ON b.vec_id = cd.neighbor_id AND a.i = b.i
-        |         GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |      FROM sims)
+    "q45_knn_ivf" -> s"""$ivfKnnOracleCtes
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 3""".stripMargin,
+
 
     // q89: q124's integer-Lloyd IVF at the NARROW corner — 4 lists, 1 probe, top-5
     "q89_knn_ivf_kmeans" ->
@@ -5784,6 +5874,62 @@ object SparkEntry {
         |CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
         |CAST(coalesce(l.n_leaked, 0) * 1000000 // t.n_docs AS BIGINT) AS leak_rate_u
         |FROM tot t LEFT JOIN wc w USING (split) LEFT JOIN lc l USING (split)""".stripMargin,
+
+    "q303_bow_cluster_hist" ->
+      """WITH c AS (SELECT
+        |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp,
+        |  count(*) AS n_dups FROM documents GROUP BY 1)
+        |SELECT CAST(length(bin(n_dups)) AS BIGINT) AS bucket,
+        |count(*)::BIGINT AS n_clusters,
+        |CAST(sum(n_dups) AS BIGINT) AS n_docs,
+        |CAST(sum(n_dups - 1) AS BIGINT) AS n_removable
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q304_source_dup_matrix" ->
+      """WITH fs AS (SELECT
+        |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp,
+        |  source, count(*) AS c FROM documents GROUP BY 1, 2)
+        |SELECT a.source AS src1, b.source AS src2,
+        |CAST(sum(CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |              ELSE a.c * b.c END) AS BIGINT) AS dup_pairs,
+        |count(*)::BIGINT AS shared_fps
+        |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source <= b.source
+        |GROUP BY 1, 2
+        |HAVING sum(CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |           ELSE a.c * b.c END) > 0""".stripMargin,
+
+    "q305_embedding_health" ->
+      """WITH v AS (SELECT label, len(embedding)::BIGINT AS dim,
+        |  CAST(round(sqrt(list_aggregate(
+        |    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) * 1e6)
+        |    AS BIGINT) AS nu
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |count(DISTINCT dim)::BIGINT AS n_dims,
+        |CAST(max(dim) AS BIGINT) AS dim,
+        |CAST(sum(CASE WHEN nu < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero,
+        |CAST(sum(nu) // count(*) AS BIGINT) AS mean_norm_u
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "q306_ivf_recall" -> s"""$ivfKnnOracleCtes,
+        |approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |bflat AS (SELECT query_id, neighbor_id, unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+        |          FROM bq, bc WHERE neighbor_id <> query_id),
+        |bsims AS (SELECT query_id, neighbor_id,
+        |          sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS cosine
+        |          FROM bflat GROUP BY 1, 2),
+        |br AS (SELECT query_id, neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |       FROM bsims),
+        |exact AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3)
+        |SELECT e.query_id, count(*)::BIGINT AS k,
+        |CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |  // count(*) AS BIGINT) AS recall_u
+        |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
 
     "q275_containment_hubs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -79,6 +79,14 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** Vocabulary-identity fingerprint: md5 of the sorted DISTINCT token set
+    * — the bag-of-words dedup key. Collapses token-order and repetition
+    * differences, so it catches shuffled/re-templated boilerplate that
+    * defeats [[fingerprint]]'s character normalization (the same docs a
+    * bigram LM flags — see bigramNll — but as an exact, joinable key). */
+  def vocabFingerprint(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+
   /** Per-document most-repeated word n-gram — the core of the repetition
     * quality filters of large-scale corpus curation (flag docs whose top
     * n-gram repeats excessively). Distributed shape: explode n-grams →

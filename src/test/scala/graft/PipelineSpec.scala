@@ -641,6 +641,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(r("de") === ((1L, 2L, 5L, 12L, 2500000L, 2400000L)))
   }
 
+  test("vocabFingerprint: order- and repetition-insensitive, vocab-sensitive") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "b a b a"), (2L, "a b"), (3L, "a c"), (4L, "  a   b ")).toDF("id", "text")
+    val fps = df.select(col("id"), Text.vocabFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L)) // shuffled + repeated tokens collapse
+    assert(fps(1L) !== fps(3L)) // different vocabulary differs
+    // NOTE: tokens() splits on single spaces, so runs of spaces yield empty
+    // tokens — doc 4 keys differently from doc 2 (same convention as every
+    // other tokens() consumer; the oracle's string_split matches it)
+    assert(fps(4L) !== fps(2L))
+  }
+
   test("psiByBucket: micro-nat PSI matches hand computation; identical dists at 0") {
     import graft.functions.Text
     val docs = Seq(
