@@ -2202,6 +2202,16 @@ object SparkEntry {
         .withColumn("recall_u", expr("n_match * 1000000L DIV k"))
     }),
 
+    // ---- streaming: NEAR-DUP dedup of the stream against itself —
+    //      greedy first-wins over LSH band-bucket cells with mark-all
+    //      claims; documents plus perturbed re-arrivals in 3 ordered
+    //      micro-batches, survivors = global first toucher of every cell.
+    //      The oracle replays the banding (q113's construction) and one
+    //      rank-per-cell pass — stream/batch equivalence is the check ----
+    "q307_stream_neardup" -> ((s, dir) => {
+      Streams.ingestNearDupDocs(s, dir)
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -5930,6 +5940,28 @@ object SparkEntry {
         |  // count(*) AS BIGINT) AS recall_u
         |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
         |GROUP BY 1""".stripMargin,
+
+    "q307_stream_neardup" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' dup0' FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM inc),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |r AS (SELECT doc_id, row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+        |      FROM bk),
+        |bad AS (SELECT DISTINCT doc_id FROM r WHERE rn > 1)
+        |SELECT i.doc_id AS keep_id,
+        |CAST(CASE WHEN i.doc_id < 250 THEN 0 WHEN i.doc_id < 10000 THEN 1 ELSE 2 END
+        |  AS BIGINT) AS batch
+        |FROM inc i LEFT JOIN bad b USING (doc_id) WHERE b.doc_id IS NULL""".stripMargin,
 
     "q275_containment_hubs" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -817,6 +817,27 @@ object Dedup {
       .where(size(col("shs")) > 0)
       .localCheckpoint(true)
 
+  /** The (id, band, bk) LSH band-bucket CELLS of `docs` — the claimable
+    * units of greedy streaming near-dup dedup (see
+    * [[graft.streaming.Streams.ingestNearDupDocs]]): two docs sharing any
+    * cell are near-dup candidates, so "first toucher of every cell wins"
+    * is the at-ingest greedy policy. Same md5 band keys as
+    * [[minhashLshPortable]]/[[publishLshIndex]] — one compiled kernel call
+    * per doc. Docs with no shingles (under `shingleN` tokens) have no
+    * cells. */
+  def bandBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    shingleBase(docs, idCol, textCol, shingleN)
+      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+  }
+
   /** PROBE a [[publishLshIndex]] index with an incoming batch: hash the
     * batch (only the batch — the corpus work is amortized in the index),
     * join the stored buckets on (band, bk), verify candidates by exact

@@ -684,6 +684,102 @@ object Streams {
 
   private def dropStagedIngestDir(srcDir: java.nio.file.Path): Unit = rmTree(srcDir)
 
+  /** STREAMING near-dup dedup of the stream AGAINST ITSELF — greedy
+    * first-wins over LSH band-bucket cells ([[graft.operators.Dedup
+    * .bandBuckets]]): a doc survives iff it is the FIRST toucher of every
+    * one of its cells, where "first" spans all prior micro-batches AND
+    * earlier (smaller-id) docs of its own batch, and every incoming doc
+    * CLAIMS its cells whether or not it survives (mark-all — the policy
+    * that keeps per-cell state a single claim and makes the outcome a pure
+    * function of arrival order). Batch equivalence: with arrival order =
+    * id order, the union over micro-batches equals one global
+    * rank-per-cell pass — exactly what the differential oracle replays.
+    *
+    * At 100 TB-ingest scale the claimed-cells state is the bucketed-index
+    * shape ([[graft.operators.Dedup.publishLshIndex]]'s `_buckets` table):
+    * cells-of-batch shuffle against it, never the corpus. Here the seen
+    * set is a batch-partitioned parquet sink with the idempotent-replay
+    * discipline of [[ingestDedupDocs]] (a replayed batch excludes its own
+    * partition from the seen set, then overwrites it).
+    *
+    * Input staging: documents plus near-dup copies (every doc_id % 5 == 0
+    * doc re-arrives as doc_id + 10000 with one appended token) in three
+    * id-ordered batch files. Output: (keep_id, batch) survivors. */
+  def ingestNearDupDocs(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.unionAll(
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" dup0")).as("text")))
+    val srcDir = Files.createTempDirectory("graft_neardup_src")
+    val cellDir = Files.createTempDirectory("graft_neardup_cells")
+    val keepDir = Files.createTempDirectory("graft_neardup_keep")
+    val chkDir = Files.createTempDirectory("graft_neardup_chk")
+    val stream = isolatedStreamSession(spark)
+    try {
+      val ranges: Seq[org.apache.spark.sql.Column] = Seq(
+        col("doc_id") < 250, col("doc_id") >= 250 && col("doc_id") < 10000,
+        col("doc_id") >= 10000)
+      ranges.zipWithIndex.foreach { case (pred, b) =>
+        val tmp = Files.createTempDirectory("graft_neardup_tmp")
+        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val dst = srcDir.resolve(f"b$b%02d.parquet")
+        Files.move(findPartFile(tmp), dst)
+        dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
+        rmTree(tmp)
+      }
+      val cellSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bk", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+      val keepSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+      val src = stream.readStream
+        .schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chkDir.toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val cells = graft.operators.Dedup
+            .bandBuckets(batch, "doc_id", "text").localCheckpoint(true)
+          // pre-batch state only: a replayed batch must not see its own
+          // claims (same silent-loss hazard as ingestDedupDocs)
+          val seen = s.read.schema(cellSchema).parquet(cellDir.toString)
+            .where(col("batch") =!= batchId).select(col("band"), col("bk"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bk")).orderBy(col("id"))
+          val bad = cells
+            .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
+            .select(col("id"))
+            .union(cells.join(seen, Seq("band", "bk")).select(col("id")))
+            .distinct()
+          batch.select(col("doc_id"))
+            .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+            .select(col("doc_id").as("keep_id"))
+            .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
+          cells.select(col("band"), col("bk")).distinct()
+            .write.mode("overwrite").parquet(s"$cellDir/batch=$batchId")
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.read.schema(keepSchema).parquet(keepDir.toString)
+        .select(col("keep_id"), col("batch"))
+        .localCheckpoint(true)
+    } finally {
+      dropStagedIngestDir(srcDir)
+      rmTree(chkDir)
+      rmTree(cellDir)
+      rmTree(keepDir)
+    }
+  }
+
   /** STREAMING near-dup flagging against a PUBLISHED LSH index
     * ([[graft.operators.Dedup.publishLshIndex]]) — the full ingest-time
     * dedup shape: the corpus hash work is amortized in the stored bucketed
