@@ -745,26 +745,7 @@ object Streams {
         .outputMode("append")
         .option("checkpointLocation", chkDir.toString)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val s = batch.sparkSession
-          val cells = graft.operators.Dedup
-            .bandBuckets(batch, "doc_id", "text").localCheckpoint(true)
-          // pre-batch state only: a replayed batch must not see its own
-          // claims (same silent-loss hazard as ingestDedupDocs)
-          val seen = s.read.schema(cellSchema).parquet(cellDir.toString)
-            .where(col("batch") =!= batchId).select(col("band"), col("bk"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bk")).orderBy(col("id"))
-          val bad = cells
-            .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
-            .select(col("id"))
-            .union(cells.join(seen, Seq("band", "bk")).select(col("id")))
-            .distinct()
-          batch.select(col("doc_id"))
-            .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
-            .select(col("doc_id").as("keep_id"))
-            .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
-          cells.select(col("band"), col("bk")).distinct()
-            .write.mode("overwrite").parquet(s"$cellDir/batch=$batchId")
+          nearDupBatch(batch, batchId, cellDir.toString, keepDir.toString)
         }
         .start()
       try q.processAllAvailable()
@@ -778,6 +759,44 @@ object Streams {
       rmTree(cellDir)
       rmTree(keepDir)
     }
+  }
+
+  /** One [[ingestNearDupDocs]] micro-batch against the two sinks —
+    * factored out so the replay discipline is fault-injectable in a spec:
+    * re-applying a batch whose partitions already exist must rewrite them
+    * IDENTICALLY (the seen set excludes `batch = batchId`, so a replayed
+    * batch sees exactly the pre-batch state — including its own claims
+    * would anti-join the replayed survivors to an empty overwrite). */
+  private[graft] def nearDupBatch(
+      batch: DataFrame, batchId: Long, cellDir: String, keepDir: String): Unit = {
+    val s = batch.sparkSession
+    val cellSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bk", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+    val cells = graft.operators.Dedup
+      .bandBuckets(batch, "doc_id", "text").localCheckpoint(true)
+    // pre-batch state only: a replayed batch must not see its own claims
+    // (same silent-loss hazard as ingestDedupDocs)
+    val seen = s.read.schema(cellSchema).parquet(cellDir)
+      .where(col("batch") =!= batchId).select(col("band"), col("bk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk")).orderBy(col("id"))
+    val bad = cells
+      .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
+      .select(col("id"))
+      .union(cells.join(seen, Seq("band", "bk")).select(col("id")))
+      .distinct()
+    // either write order is replay-safe BECAUSE of the batch exclusion
+    // above: a crash between the two writes leaves at most this batch's
+    // own partitions, which the re-run neither reads nor trusts — it
+    // recomputes both from the pre-batch state and overwrites
+    batch.select(col("doc_id"))
+      .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("keep_id"))
+      .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
+    cells.select(col("band"), col("bk")).distinct()
+      .write.mode("overwrite").parquet(s"$cellDir/batch=$batchId")
   }
 
   /** STREAMING near-dup flagging against a PUBLISHED LSH index

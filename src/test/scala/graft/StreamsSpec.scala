@@ -163,4 +163,42 @@ class StreamsSpec extends SparkSpecBase {
       .toMap
     assert(batch === got)
   }
+
+  test("nearDupBatch: replaying a committed batch rewrites both sinks identically") {
+    import java.nio.file.Files
+    val cellDir = Files.createTempDirectory("graft_ndspec_cells").toString
+    val keepDir = Files.createTempDirectory("graft_ndspec_keep").toString
+    def fp(dir: String): Map[String, Seq[String]] = {
+      val f = new java.io.File(dir)
+      f.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> spark.read.parquet(d.getPath)
+          .collect().map(_.toString).toSeq.sorted
+      }.toMap
+    }
+    // b0: two docs sharing every trigram (exact dup text) + one distinct;
+    // b1: a re-arrival of the b0 text (cross-batch near-dup) + a fresh doc
+    val b0 = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "a b c d e f"), (11L, "p q r s t o"))
+      .toDF("doc_id", "text")
+    Streams.nearDupBatch(b0, 0L, cellDir, keepDir)
+    Streams.nearDupBatch(b1, 1L, cellDir, keepDir)
+    val keeps = spark.read.parquet(keepDir)
+      .collect().map(r => r.getLong(0)).toSet
+    // greedy first-wins: 1 beats 2 in-batch, 10 hits 1's claimed cells
+    assert(keeps === Set(1L, 3L, 11L))
+    val (c1, k1) = (fp(cellDir), fp(keepDir))
+    // replay the LAST batch (the only one Structured Streaming can replay:
+    // batch N starts only after N-1 committed, so a crash re-runs at most
+    // the newest batch) — simulated post-crash re-run, byte-identical
+    // sinks both times
+    Streams.nearDupBatch(b1, 1L, cellDir, keepDir)
+    assert(fp(cellDir) === c1)
+    assert(fp(keepDir) === k1)
+    Streams.nearDupBatch(b1, 1L, cellDir, keepDir)
+    assert(fp(cellDir) === c1)
+    assert(fp(keepDir) === k1)
+  }
 }
