@@ -336,4 +336,28 @@ class CompositionFuzzSpec extends SparkSpecBase {
       assert(got === (a ++ b), s"seed=$seed")
     }
   }
+
+  test("vocabFingerprint law: fp equality iff equal distinct-token sets (seeded random docs)") {
+    import spark.implicits._
+    import graft.functions.Text
+    val rnd = new scala.util.Random(1106)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    // random docs over a tiny vocabulary force plenty of set collisions
+    val docs = (0L until 200L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toList.toDF("id", "text")
+    val got = df.select(col("id"), Text.vocabFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val model = docs.map { case (i, s) => i -> s.split(" ").toSet }.toMap
+    var collisions = 0
+    for (i <- 0L until 200L; j <- (i + 1) until 200L) {
+      val same = model(i) == model(j)
+      if (same) collisions += 1
+      assert((got(i) == got(j)) === same,
+        s"docs $i/$j: sets ${model(i)} vs ${model(j)}")
+    }
+    assert(collisions > 100) // the generator must actually exercise equality
+  }
 }
