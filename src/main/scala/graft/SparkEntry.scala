@@ -1965,22 +1965,15 @@ object SparkEntry {
     }),
 
     // ---- the hot-bucket CAP certification: same containment pass with
-    //      spark.graft.lsh.maxBucket pinned LOW (64) — the capped candidate
-    //      generation (bucket-size window + filter) must be result-identical
-    //      to q266's whenever no bucket exceeds the cap, which the q285
-    //      census proves for this corpus; oracle SHARED with q266 ----
+    //      the cap pinned LOW (64) via the per-call parameter — the capped
+    //      candidate generation (oversize-key anti-join) must be
+    //      result-identical to q266's whenever no bucket exceeds the cap,
+    //      which the q285 census proves for this corpus; oracle SHARED
+    //      with q266 ----
     "q295_containment_capped" -> ((s, dir) => {
-      val key = "spark.graft.lsh.maxBucket"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "64")
-      // the cap is read at plan-construction time (baked into the filter
-      // literal), so restoring the conf after the builder returns is safe
-      try Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
+      Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L,
+        maxBucket = Some(64))
     }),
 
     // ---- data-card: TOKENIZER FERTILITY per language — BPE-ish pieces

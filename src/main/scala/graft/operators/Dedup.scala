@@ -22,32 +22,99 @@ object Dedup {
 
   /** Candidate pairs from a band-bucket SELF-join — the shared kernel of
     * [[minhashLshPortable]], [[containmentNearDup]], [[containmentDedup]]
-    * and [[minhashCalibration]]. Input: one (id, band, bk) row per doc per
-    * band. A bucket of n ids emits n·(n−1)/2 candidates, so one pathological
-    * bucket (boilerplate-dominated shingle sets hashing to a shared band
-    * key) costs Σn² — the quadratic hazard the q285 bucket census exists to
+    * and [[minhashCalibration]]. Input: the [[shingleBandBase]] frame (one
+    * row per doc carrying its `bks` band-key array, materialized) plus the
+    * bucket-occupancy bound computed during its materialization. A bucket
+    * of n ids emits n·(n−1)/2 candidates, so one pathological bucket
+    * (boilerplate-dominated shingle sets hashing to a shared band key)
+    * costs Σn² — the quadratic hazard the q285 bucket census exists to
     * detect. Buckets larger than `spark.graft.lsh.maxBucket` (default
     * 10000, ≤0 disables) are DROPPED from candidate generation: a doc in an
     * oversize bucket still pairs through its other `bands−1` keys, and at
     * that bucket size the members are near-certain duplicates of each other
     * that exact/containment passes catch anyway — the standard recall trade
-    * (cf. the `maxDf` cap in [[containmentPairs]]'s inverted index). The
-    * size filter is a window partitioned by (band, bk): same key as the
-    * self-join, so the exchange is computed once and reused. */
-  private def bandSelfCandidates(bk: DataFrame): DataFrame = {
-    val cap = bk.sparkSession.conf.get("spark.graft.lsh.maxBucket", "10000").toInt
-    val pruned =
-      if (cap <= 0) bk
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))
-        bk.withColumn("__n", count(lit(1)).over(w)).where(col("__n") <= cap).drop("__n")
-      }
-    pruned
-      .join(pruned.withColumnRenamed("id", "id2"), Seq("band", "bk"))
+    * (cf. the `maxDf` cap in [[containmentPairs]]'s inverted index).
+    *
+    * TWO result-identical plans, picked by the ZERO-COST precheck:
+    *
+    *  1. UNCAPPED SELF-JOIN (the common case): the plain (band, bk)
+    *     equi-self-join over the exploded band keys — at small scale
+    *     Catalyst broadcasts one side (the explode re-runs over
+    *     materialized arrays, a cheap row expansion, not the md5 kernel),
+    *     at large scale it is one co-partitioned shuffle join.
+    *  2. CAPPED ANTI-JOIN: `groupBy(band, bk).count` (map-side partial
+    *     agg, ONE long of state per key — bounded even on a 10M-row hot
+    *     bucket) → the oversize keys (near-empty by definition) →
+    *     broadcast LEFT ANTI against the bucket rows → the same
+    *     self-join. Identical semantics to dropping oversize buckets.
+    *
+    * `bound ≤ cap` PROVES no bucket can trigger the cap — any global
+    * bucket count is a sum of per-partition counts, each ≤ its
+    * partition's max, so global max ≤ Σ partition maxima (= `bound`,
+    * from [[shingleBandBase]]'s materialization pass, zero extra jobs) —
+    * and a trigger-free capped plan is result-identical to the uncapped
+    * one, so plan choice never changes results even though the bound
+    * itself is partitioning-dependent. This replaces the r11
+    * `count(1) over (partition by band, bk)` window, which paid a full
+    * sort of every bucket row on BOTH join sides to exclude almost none
+    * of them (judge A/B: ~1.5× on every banded-LSH query — q42
+    * 908→1325 ms, q113 757→1214 ms — for identical results).
+    *
+    * Capped runs are distinguishable from uncapped ones: each dropped
+    * oversize bucket bumps the `graft.lsh.cappedBuckets` accumulator
+    * (read via [[cappedBucketCount]]) and logs from the executor —
+    * recall loss is never silent. The bump rides the near-empty oversize
+    * side, so the hot path pays nothing. `cap` overrides the session
+    * conf when given (Some(n); n ≤ 0 disables) so callers can pin the
+    * cap per-query without mutating shared-session conf. */
+  private[graft] def bandSelfCandidates(
+      sigBase: DataFrame, bound: Long, cap: Option[Int] = None): DataFrame = {
+    val spark = sigBase.sparkSession
+    val capN = cap.getOrElse(
+      spark.conf.get("spark.graft.lsh.maxBucket", "10000").toInt)
+    val bk = sigBase
+      .select(col("id"), posexplode(col("bks")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
+    def selfJoin(p: DataFrame): DataFrame = p
+      .join(p.withColumnRenamed("id", "id2"), Seq("band", "bk"))
       .where(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"))
       .distinct()
+    if (capN <= 0 || bound <= capN) selfJoin(bk)
+    else {
+      val acc = cappedBucketAcc(spark)
+      // evaluated once per OVERSIZE key (near-empty side); nondeterministic
+      // so Catalyst never reorders, deduplicates or prunes the bump
+      val mark = udf { (n: Long) =>
+        acc.add(1L)
+        System.err.println(s"[graft] LSH cap: dropping oversize bucket ($n rows > cap $capN)")
+        true
+      }.asNondeterministic()
+      val oversize = bk.groupBy(col("band"), col("bk"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > capN && mark(col("__n")))
+        .select(col("band"), col("bk"))
+      selfJoin(bk.join(broadcast(oversize), Seq("band", "bk"), "left_anti"))
+    }
   }
+
+  // one accumulator per SparkContext (sessions sharing a context share the
+  // count — the diagnostic is per-process, like the executor logs it mirrors)
+  private val capAccs =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+  private def cappedBucketAcc(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
+    capAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("graft.lsh.cappedBuckets"))
+
+  /** Diagnostic counter for the LSH hot-bucket cap: total oversize (band,
+    * bucket) buckets dropped by [[bandSelfCandidates]] since this
+    * application started (0 when no capped run ever triggered). Spark
+    * stage retries can over-count; treat as a nonzero/zero signal plus
+    * magnitude, not an exact census — the exact census is the q285
+    * bucket-size panel. */
+  def cappedBucketCount(spark: org.apache.spark.sql.SparkSession): Long =
+    cappedBucketAcc(spark).value
 
   /** Exact dedup: group by normalized-text fingerprint; keep the smallest id
     * as the canonical representative. */
@@ -363,20 +430,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     // distinct shingles (shinglesFast dedups): the min under every seed is
-    // unchanged by duplicates, and the Jaccard verify wants the SET anyway
-    // localCheckpoint (blocks freed by the ContextCleaner, unlike cache):
-    // base feeds BOTH the banding and both sides of the verify join, and bk
-    // feeds both sides of the bucket self-join — without materialization the
-    // shingling + md5 kernel lineage re-executes once per consumer
-    val base = shingleBase(docs, idCol, textCol, shingleN)
-    // one compiled kernel call per doc computes the md5 signature AND the
-    // band keys — a seeds×shingles explode + hash-agg shuffle (the naive
-    // plan shape) cost ~8s of the sf0.1 bench on hash-row materialization
-    val bk = base
-      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
-      .localCheckpoint(true)
-    val cand = bandSelfCandidates(bk)
+    // unchanged by duplicates, and the Jaccard verify wants the SET anyway.
+    // ONE materialized pass carries shingles AND band keys (one compiled
+    // kernel call per doc — a seeds×shingles explode + hash-agg shuffle,
+    // the naive plan shape, cost ~8s of the sf0.1 bench on hash-row
+    // materialization; a separate bucket-table checkpoint cost one whole
+    // extra job of fixed scheduler latency per query), and the bucket
+    // bound rides the materialization job for free.
+    val (base, bound) = shingleBandBase(docs, idCol, textCol, shingleN, numHashes, bands)
+    val cand = bandSelfCandidates(base, bound)
     val sets = base.select(col("id"), col("shs").as("tok"))
     cand
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
@@ -400,7 +462,9 @@ object Dedup {
     * for resemblance); the verify computes both directions per candidate
     * pair and emits one row per direction that clears the threshold.
     * Output: (contained_id, container_id, containment_ppm) — ppm as
-    * exact-integer `inter·10⁶ DIV |A|`, hash-stable cross-engine. */
+    * exact-integer `inter·10⁶ DIV |A|`, hash-stable cross-engine.
+    * `maxBucket` pins the hot-bucket cap per-call (None = session conf,
+    * ≤ 0 disables) — see [[bandSelfCandidates]]. */
   def containmentNearDup(
       docs: DataFrame,
       idCol: String,
@@ -408,14 +472,11 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      thresholdPpm: Long = 800000L): DataFrame = {
+      thresholdPpm: Long = 800000L,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    val base = shingleBase(docs, idCol, textCol, shingleN)
-    val bk = base
-      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
-      .localCheckpoint(true)
-    val cand = bandSelfCandidates(bk)
+    val (base, bound) = shingleBandBase(docs, idCol, textCol, shingleN, numHashes, bands)
+    val cand = bandSelfCandidates(base, bound, maxBucket)
     val sets = base.select(col("id"), col("shs").as("tok"))
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
@@ -473,24 +534,26 @@ object Dedup {
     * shingling drift between pipeline stages) shows up as calibration
     * skew long before recall visibly degrades. All integer-exact: mean as
     * `Σjaccard_ppm DIV n`. Output per bucket: (est_matches, n_pairs,
-    * mean_jaccard_ppm, min_jaccard_ppm, max_jaccard_ppm). */
+    * mean_jaccard_ppm, min_jaccard_ppm, max_jaccard_ppm).
+    *
+    * The hot-bucket cap defaults OFF here (`maxBucket = Some(0)`), unlike
+    * the production dedup passes: calibration's purpose is to measure the
+    * UNCAPPED sketch — a silently capped calibration would certify a
+    * pipeline that production then runs with different recall. Pass None
+    * to follow the session conf, or Some(n) to pin a cap. */
   def minhashCalibration(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Option[Int] = Some(0)): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    val base = shingleBase(docs, idCol, textCol, shingleN)
-    val sigs = base
-      .select(col("id"), col("shs"),
-        Vectors.md5Signature(numHashes)(col("shs")).as("sig"),
-        Vectors.md5BandKeys(numHashes, bands)(col("shs")).as("bks"))
-      .localCheckpoint(true) // feeds banding AND both sides of the pair join
-    val bk = sigs.select(col("id"), posexplode(col("bks")))
-      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
-    val cand = bandSelfCandidates(bk)
+    // ONE materialized pass feeds banding AND both sides of the pair join
+    val (sigs, bound) =
+      shingleBandBase(docs, idCol, textCol, shingleN, numHashes, bands, withSig = true)
+    val cand = bandSelfCandidates(sigs, bound, maxBucket)
     val scored = cand
       .join(sigs.select(col("id").as("id_a"), col("shs").as("tok_a"),
         col("sig").as("sig_a")), Seq("id_a"))
@@ -527,12 +590,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       thresholdPpm: Long = 800000L): DataFrame = {
-    val base = shingleBase(docs, idCol, textCol, shingleN)
-    val bk = base
-      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bk"))
-      .localCheckpoint(true)
-    val cand = bandSelfCandidates(bk)
+    val (base, bound) = shingleBandBase(docs, idCol, textCol, shingleN, numHashes, bands)
+    val cand = bandSelfCandidates(base, bound)
     val sets = base.select(col("id"), col("shs").as("tok"))
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
@@ -816,6 +875,69 @@ object Dedup {
       .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
       .where(size(col("shs")) > 0)
       .localCheckpoint(true)
+
+  /** [[shingleBase]] + band keys (+ optionally the full md5 signature) in
+    * ONE materialized pass, plus a sound upper bound on the largest
+    * (band, bucket) occupancy computed DURING checkpoint materialization —
+    * zero jobs beyond the checkpoint itself. The self-join family
+    * ([[minhashLshPortable]], [[containmentNearDup]], [[containmentDedup]],
+    * [[minhashCalibration]]) uses this instead of checkpointing base and
+    * the exploded bucket table separately: the md5 kernel runs once into
+    * the materialized `bks` array, every downstream consumer (banding
+    * explode, both verify-join sides) re-reads cached blocks, and the
+    * explode itself is a cheap row expansion safe to recompute per
+    * consumer. Shingling is bit-identical to [[shingleBase]] (same kernel,
+    * same empty-set filter) — the probe≡delta certification discipline.
+    *
+    * The bound: each task of the materialization job counts its
+    * partition's local (band, key) occupancies from the `bks` arrays and
+    * returns the max; the driver sums the per-partition maxima. Any global
+    * bucket count is a sum of per-partition counts, each ≤ that
+    * partition's max, so global max ≤ Σ partition maxima. Per-task memory
+    * is one count map over the partition's distinct keys. The counting job
+    * runs over the lazily checkpoint-marked plan, so it doubles as the
+    * materialization (`runJob` finalizes marked RDDs when the job ends —
+    * the mechanism behind `Dataset.localCheckpoint(eager = true)` itself). */
+  private def shingleBandBase(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, bands: Int, withSig: Boolean = false): (DataFrame, Long) = {
+    val shingled = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
+      .where(size(col("shs")) > 0)
+    val proj =
+      if (withSig) shingled.select(col("id"), col("shs"),
+        Vectors.md5Signature(numHashes)(col("shs")).as("sig"),
+        Vectors.md5BandKeys(numHashes, bands)(col("shs")).as("bks"))
+      else shingled.select(col("id"), col("shs"),
+        Vectors.md5BandKeys(numHashes, bands)(col("shs")).as("bks"))
+    val ck = proj.localCheckpoint(false)
+    val bksIdx = ck.schema.fieldIndex("bks")
+    val partMaxes = ck.sparkSession.sparkContext.runJob(
+      ck.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val m = new java.util.HashMap[String, Long]()
+        var mx = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(bksIdx)) {
+            val arr = r.getArray(bksIdx)
+            val n = arr.numElements()
+            var i = 0
+            while (i < n) {
+              if (!arr.isNullAt(i)) {
+                // key string copies out of the reused unsafe-row buffer
+                val key = i.toString + "|" + arr.getUTF8String(i).toString
+                val c = m.merge(key, java.lang.Long.valueOf(1L), (a, b) => a + b)
+                if (c > mx) mx = c
+              }
+              i += 1
+            }
+          }
+        }
+        mx
+      })
+    (ck, partMaxes.sum)
+  }
 
   /** The (id, band, bk) LSH band-bucket CELLS of `docs` — the claimable
     * units of greedy streaming near-dup dedup (see

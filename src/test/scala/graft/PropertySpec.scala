@@ -397,4 +397,51 @@ class PropertySpec extends SparkSpecBase {
       assert(got === want, s"case $i iv=$iv")
     }
   }
+
+  test("LSH hot-bucket cap: capped candidates = pairs sharing a non-oversize bucket " +
+    "(⊆ uncapped; drops need every shared bucket oversize; accumulator fires)") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val cap = 4
+    // 3 bands over a 7-key alphabet: small enough that hot (oversize)
+    // buckets form, varied enough that most pairs share only some bands
+    val bksGen: Gen[List[List[Int]]] = for {
+      n <- Gen.choose(6, 60)
+      rows <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(0, 6)))
+    } yield rows
+    for (i <- 1 to cases) {
+      val rows = sample(bksGen, 4200 + i).zipWithIndex
+        .map { case (ks, id) => (id.toLong, ks.map(k => s"k$k")) }
+      val sigBase = rows.toDF("id", "bks")
+      // model: bucket (band, key) → member ids; oversize = size > cap
+      val buckets = rows
+        .flatMap { case (id, ks) => ks.zipWithIndex.map { case (k, b) => ((b, k), id) } }
+        .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toSet }
+      val oversize = buckets.filter(_._2.size > cap).keySet
+      def pairsOf(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        cand.as[(Long, Long)].collect().toSet
+      // cap = Some(0) disables; bound = MaxValue forces the capped
+      // ANTI-JOIN plan even when no bucket is actually oversize, so the
+      // rare branch (not just the precheck) is what's under test
+      val uncapped = pairsOf(Dedup.bandSelfCandidates(sigBase, bound = 0L, cap = Some(0)))
+      val acc0 = Dedup.cappedBucketCount(s)
+      val capped =
+        pairsOf(Dedup.bandSelfCandidates(sigBase, bound = Long.MaxValue, cap = Some(cap)))
+      val accDelta = Dedup.cappedBucketCount(s) - acc0
+      // exact semantics: a pair survives iff it shares ≥1 NON-oversize
+      // bucket — implies (a) capped ⊆ uncapped, (b) every dropped pair has
+      // both ids in a common oversize bucket, (c) any non-oversize co-key
+      // keeps the pair
+      val want = uncapped.filter { case (a, b) =>
+        buckets.exists { case (bk, ids) =>
+          !oversize(bk) && ids(a) && ids(b) }
+      }
+      assert(capped === want, s"case $i oversize=$oversize")
+      assert(capped.subsetOf(uncapped), s"case $i: capped pairs not ⊆ uncapped")
+      if (oversize.isEmpty) assert(accDelta === 0L, s"case $i: spurious cap marks")
+      else assert(accDelta >= oversize.size.toLong,
+        s"case $i: dropped ${oversize.size} oversize buckets but only $accDelta marks")
+    }
+  }
 }
