@@ -11,8 +11,12 @@ object Bench {
     * bytes (not an estimated constant), so the line stays under the
     * driver's 2000-char tail window at ANY query count — the omitted tail
     * is the cheap end of the distribution, and every timing lands
-    * full-precision in BENCH_SELF.json regardless. Factored out of main so
-    * the spec can assert the byte bound directly. */
+    * full-precision in BENCH_SELF.json regardless. The wrapper carries
+    * `"p":[p50,p90,p99]` (ms, over all non-failed queries) so the omitted
+    * cheap mass stays characterized even when `qomit` is large (the kept
+    * entries are slowest-first, so "top-N by time" is the dict's head
+    * already). Factored out of main so the spec can assert the byte bound
+    * directly. */
   def tailLine(results: Seq[(String, Double)], qerr: Int, loadStamp: String,
       total: Double, lineBudget: Int = 1900): String = {
     val entries = results.sortBy(-_._2).map { case (k, v) =>
@@ -21,8 +25,13 @@ object Bench {
       "\"" + k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0') + "\":" +
         (if (v < 0) "-1" else math.round(v * 1000).toString)
     }
+    val ok = results.map(_._2).filter(_ >= 0).sorted
+    def pct(q: Double): Long =
+      if (ok.isEmpty) -1L
+      else math.round(ok(math.min(ok.size - 1, (q * ok.size).toInt)) * 1000)
+    val pStamp = s""""p":[${pct(0.5)},${pct(0.9)},${pct(0.99)}]"""
     def assemble(kept: Seq[String], qomit: Int): String =
-      s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qerr":$qerr,"qomit":$qomit,$loadStamp,"queries":${
+      s"""{"metric":"total","value":${n3(total)},"unit":"sec","qunit":"ms","qerr":$qerr,"qomit":$qomit,$pStamp,$loadStamp,"queries":${
         kept.mkString("{", ",", "}")}}"""
     // measure the real wrapper: assemble with zero entries, charge its
     // length (plus the worst-case qomit digits) as the fixed overhead
@@ -161,16 +170,29 @@ object Bench {
       })
     }.keySet
     if (suspects.nonEmpty || reps > 1) {
-      // deep quiesce: drop cached relations, then two GC cycles with a
-      // settle between — the first GC queues 260 queries' worth of
-      // checkpoint-RDD cleanups on the async ContextCleaner, the pause
-      // lets that drain, the second collects what the cleaner freed.
-      // Without the drain the cleaner runs DURING the rerun shots and
-      // re-contaminates them (q150 measured 1.9s in pass 2 vs 1.36s
-      // isolated before this).
+      // deep quiesce, same discipline as ScaleDrill's: drop cached
+      // relations, then GC+drain to a FIXED POINT of the persistent-RDD
+      // census. clearCache alone does NOT touch the suite's hundreds of
+      // localCheckpoint RDDs (they are persistent RDDs, not cached
+      // relations) — each GC enqueues dead checkpoint-block references,
+      // the sleep lets the async ContextCleaner unpersist them (which
+      // shrinks getPersistentRDDs), and the loop exits when a round frees
+      // nothing more. The r11 two-GC fixed drain left the pool full and
+      // the official record inflated ~25% (q292 committed at 8108 ms vs
+      // 950 ms isolated): pass-2 shots re-measured inside storage-pool
+      // eviction churn from 307 queries' dead checkpoints.
       spark.catalog.clearCache()
-      System.gc(); Thread.sleep(1000)
-      System.gc(); Thread.sleep(500)
+      System.gc(); Thread.sleep(400)
+      var prev = -1
+      var cur = spark.sparkContext.getPersistentRDDs.size
+      var i = 0
+      while (cur != prev && i < 12) {
+        System.gc(); Thread.sleep(500)
+        prev = cur
+        cur = spark.sparkContext.getPersistentRDDs.size
+        i += 1
+      }
+      System.gc(); Thread.sleep(300)
     }
     // for multi-shot queries, keep the shot MEDIAN next to the committed
     // min: min is the best estimator of the query's real cost under

@@ -18,6 +18,8 @@ class BenchTailSpec extends AnyFunSuite {
       // well-formed JSON with the wrapper fields intact
       assert(line.startsWith("{\"metric\":\"total\""))
       assert(line.contains("\"qomit\":"))
+      // percentile stamp characterizes the omitted cheap mass
+      assert("\"p\":\\[\\d+,\\d+,\\d+\\]".r.findFirstIn(line).isDefined)
       assert(line.endsWith("}}"))
       val qomit = "\"qomit\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
       val kept = "\"\\d+\":-?\\d+".r.findAllIn(
