@@ -192,6 +192,19 @@ object Similarity {
     * longs, materialize (training reads it rounds+2 times). */
   private def quantizedBase(
       corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Int) = {
+    val (qdf, dims, _) = quantizedBaseCounted(corpus, idCol, vecCol)
+    (qdf, dims)
+  }
+
+  /** [[quantizedBase]] + the corpus ROW COUNT, collected during checkpoint
+    * materialization (zero extra jobs — the counting job doubles as the
+    * materialization of the lazily checkpoint-marked plan, the same trick
+    * as Dedup's shingleBandBase): the ADC plan choice in
+    * [[pqKnnPortable]]/[[ivfPqKnnPortable]] needs the expected
+    * candidates-per-query, and a separate `.count()` would pay one whole
+    * job of scheduler latency per query. */
+  private def quantizedBaseCounted(
+      corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Int, Long) = {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
     // Par.widen: the quantize kernel AND every downstream Lloyd
@@ -201,8 +214,15 @@ object Similarity {
         .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
       .select(col("id"), quant(col("v")).as("q"), col("v"))
-      .localCheckpoint(true)
-    (qdf, dims)
+      .localCheckpoint(false)
+    val partCounts = qdf.sparkSession.sparkContext.runJob(
+      qdf.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      })
+    (qdf, dims, partCounts.sum)
   }
 
   /** Exact-integer argmin-L2 over full-width centroids (tie → lower id). */
@@ -627,10 +647,41 @@ object Similarity {
     books
   }
 
+  /** Per-candidate expected row count above which the per-query ADC table
+    * beats the inline subtract form (both are bit-identical integer sums —
+    * plan choice never changes results). The trade, measured: the table
+    * hoists the m×sub arithmetic out of the candidate row into `m`
+    * `element_at` lookups, but the joined row then carries m×codes longs
+    * (128 at the defaults) instead of the dims-long quantized vector (64)
+    * — ~2× the per-candidate copy. At sf0.1 (2000 candidates/query) the
+    * inline form measured 968 ms vs 1491 ms for the table on q104; at the
+    * 50× drill (~25k candidates/query) the table turned `ivfpq_probe`'s
+    * 38.3× scale ratio into 1.92×. The default threshold sits between the
+    * two measured regimes; override with `spark.graft.adc.minCandidates`. */
+  private def adcMinCandidates(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.adc.minCandidates", "4096").toLong
+
+  /** INLINE exact integer ADC distance Σⱼ Σ_d (qq[j·sub+d] − books[cdⱼ][d])²
+    * — the small-candidate form of the [[adcTableUdf]]+[[adcLookupCol]]
+    * pair: same integer sum term-by-term, so results (and oracle hashes)
+    * are bit-identical whichever the plan picks. */
+  private def adcInlineUdf(bks: Array[Array[Array[Long]]], m: Int, sub: Int) =
+    udf { (qq: Seq[Long], cd: Seq[Long]) =>
+      var s = 0L
+      var j = 0
+      while (j < m) {
+        val cv = bks(j)(cd(j).toInt)
+        var d = 0
+        while (d < sub) { val x = qq(j * sub + d) - cv(d); s += x * x; d += 1 }
+        j += 1
+      }
+      s
+    }
+
   /** Per-QUERY ADC lookup table (Jégou's asymmetric distance computation):
     * tbl[j·codes + c] = Σ_d (q_{j,d} − codebook[j][c][d])², computed ONCE
     * per query row (m×codes cells) so the per-candidate distance collapses
-    * to `m` table lookups ([[adcLookupUdf]]) instead of m×sub subtract/
+    * to `m` table lookups ([[adcLookupCol]]) instead of m×sub subtract/
     * multiply — the candidate side is |queries|×|bucket| rows, the table
     * side only |queries|, so the hoisted work is the probe's hot term. */
   private def adcTableUdf(bks: Array[Array[Array[Long]]], m: Int, codes: Int, sub: Int) =
@@ -675,7 +726,7 @@ object Similarity {
       m: Int = 8,
       codes: Int = 16,
       rounds: Int = 2): DataFrame = {
-    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    val (qdf, dims, nCorpus) = quantizedBaseCounted(corpus, idCol, vecCol)
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
@@ -684,16 +735,28 @@ object Similarity {
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
     val encoded = qdf.select(col("id").as("neighbor_id"), encodeF(col("q")).as("cd"))
-    val adcTable = adcTableUdf(bksF, m, codes, sub)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
-    queries
+    // adaptive ADC (see [[adcMinCandidates]]): the cross-join gives every
+    // query the whole corpus as candidates, so the table pays off exactly
+    // when the corpus clears the threshold — both forms bit-identical
+    val qside = queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("query_id"),
-        adcTable(quant(col(vecCol))).as("__adc"))
-      .crossJoin(encoded)
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
+      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
+    val scored =
+      if (nCorpus >= adcMinCandidates(corpus.sparkSession)) {
+        val adcTable = adcTableUdf(bksF, m, codes, sub)
+        qside.select(col("query_id"), adcTable(col("qq")).as("__adc"))
+          .crossJoin(encoded)
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
+      } else {
+        val adc = adcInlineUdf(bksF, m, sub)
+        qside.crossJoin(encoded)
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dist", adc(col("qq"), col("cd")))
+      }
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
@@ -718,7 +781,7 @@ object Similarity {
       m: Int = 8,
       codes: Int = 16,
       rounds: Int = 2): DataFrame = {
-    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
+    val (qdf, dims, nCorpus) = quantizedBaseCounted(corpus, idCol, vecCol)
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
@@ -729,24 +792,38 @@ object Similarity {
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
-    val adcTable = adcTableUdf(bksF, m, codes, sub)
     // corpus side: ONE pass assigns the coarse bucket and the PQ code row;
     // candidates materialize as an equi-join on bucket id — ids and codes
-    // (m bytes-worth) shuffle, never raw vectors. The query side carries
-    // its per-query ADC table (m×codes longs) instead of the raw vector:
-    // tables fan out only |queries|×nprobe times, candidates pay lookups.
+    // (m bytes-worth) shuffle, never raw vectors. Adaptive ADC (see
+    // [[adcMinCandidates]]): a probe's expected candidates-per-query is
+    // corpus/nlist per probed bucket × nprobe; above the threshold the
+    // query side carries its per-query ADC table (m×codes longs) and
+    // candidates pay `m` lookups, below it the raw quantized vector rides
+    // along and candidates pay the inline subtract — bit-identical sums.
     val encoded = qdf.select(col("id").as("neighbor_id"),
       assignF(col("q")).as("c"), encodeF(col("q")).as("cd"))
-    val probes = queries
+    val qside = queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
-      .select(col("query_id"), adcTable(col("qq")).as("__adc"),
-        explode(probeF(col("qq"))).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
-    probes.join(encoded, Seq("c"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
+    val expectedCand = nCorpus.toDouble * nprobe / math.max(1, nlist)
+    val scored =
+      if (expectedCand >= adcMinCandidates(corpus.sparkSession).toDouble) {
+        val adcTable = adcTableUdf(bksF, m, codes, sub)
+        qside.select(col("query_id"), adcTable(col("qq")).as("__adc"),
+            explode(probeF(col("qq"))).as("c"))
+          .join(encoded, Seq("c"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
+      } else {
+        val adc = adcInlineUdf(bksF, m, sub)
+        qside.select(col("query_id"), col("qq"), explode(probeF(col("qq"))).as("c"))
+          .join(encoded, Seq("c"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dist", adc(col("qq"), col("cd")))
+      }
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))

@@ -609,4 +609,40 @@ class ScaleOpsSpec extends SparkSpecBase {
     operators.Similarity.ensureIvfIndex(vecs, "vec_id", "embedding",
       "graft_ivfspec", trainRows = 32, nlist = 4, buckets = 2, corpusFp = "spec")
   }
+
+  test("adaptive ADC: table and inline plans are bit-identical (pq + ivfpq)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(13)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 80L).map(i =>
+        Row(i, Seq.fill(16)(rnd.nextFloat()))): _*), schema)
+    val queries = vecs.where(col("vec_id") < 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the threshold is read at PLAN-CONSTRUCTION time, so pinning the conf
+    // around each build forces the branch; the integer distance sums must
+    // agree term-by-term, so ranks, ids and dists all match exactly
+    val key = "spark.graft.adc.minCandidates"
+    def withThreshold[T](v: String)(body: => T): T = {
+      spark.conf.set(key, v); try body finally spark.conf.unset(key)
+    }
+    val pqTable = withThreshold("0") { keyed(operators.Similarity.pqKnnPortable(
+      vecs, queries, "vec_id", "embedding", k = 4, m = 4, codes = 8)) }
+    val pqInline = withThreshold(Long.MaxValue.toString) {
+      keyed(operators.Similarity.pqKnnPortable(
+        vecs, queries, "vec_id", "embedding", k = 4, m = 4, codes = 8)) }
+    assert(pqTable === pqInline)
+    assert(pqTable.nonEmpty)
+    val ivfTable = withThreshold("0") { keyed(operators.Similarity.ivfPqKnnPortable(
+      vecs, queries, "vec_id", "embedding", k = 4, nlist = 4, nprobe = 2, m = 4, codes = 8)) }
+    val ivfInline = withThreshold(Long.MaxValue.toString) {
+      keyed(operators.Similarity.ivfPqKnnPortable(
+        vecs, queries, "vec_id", "embedding", k = 4, nlist = 4, nprobe = 2, m = 4, codes = 8)) }
+    assert(ivfTable === ivfInline)
+    assert(ivfTable.nonEmpty)
+  }
 }
