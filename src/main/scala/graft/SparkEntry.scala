@@ -5731,8 +5731,8 @@ object SparkEntry {
         |CAST(sum(nw) AS BIGINT) AS total_words,
         |CAST(sum(np) AS BIGINT) AS total_pieces,
         |CAST(sum(nc) AS BIGINT) AS total_chars,
-        |CAST(sum(np) * 1000000 // sum(nw) AS BIGINT) AS fertility_u,
-        |CAST(sum(nc) * 1000000 // sum(np) AS BIGINT) AS chars_per_piece_u
+        |CAST(sum(np) * 1000000 // NULLIF(sum(nw), 0) AS BIGINT) AS fertility_u,
+        |CAST(sum(nc) * 1000000 // NULLIF(sum(np), 0) AS BIGINT) AS chars_per_piece_u
         |FROM b GROUP BY 1""".stripMargin,
 
     "q297_psi_length" ->

@@ -1104,8 +1104,13 @@ object Text {
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("total_words"),
         sum(col("__np")).as("total_pieces"), sum(col("__nc")).as("total_chars"))
-      .withColumn("fertility_u", expr("total_pieces * 1000000L DIV total_words"))
-      .withColumn("chars_per_piece_u", expr("total_chars * 1000000L DIV total_pieces"))
+      // explicit zero-denominator contract: a group of all-empty docs gets
+      // NULL ratios on BOTH engines (Spark's DIV-by-zero null would meet a
+      // DuckDB //-by-zero ERROR without the guard — the oracle uses NULLIF)
+      .withColumn("fertility_u",
+        expr("CASE WHEN total_words > 0 THEN total_pieces * 1000000L DIV total_words END"))
+      .withColumn("chars_per_piece_u",
+        expr("CASE WHEN total_pieces > 0 THEN total_chars * 1000000L DIV total_pieces END"))
       .select(col("__g").as(groupCol), col("n_docs"), col("total_words"),
         col("total_pieces"), col("total_chars"), col("fertility_u"),
         col("chars_per_piece_u"))
@@ -1134,9 +1139,15 @@ object Text {
       valueCol: String,
       bucketWidth: Long): org.apache.spark.sql.DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // FLOOR division, not Spark's truncate-toward-zero DIV: the oracle
+    // contract is DuckDB's `//` (floor), and the two differ on negative
+    // values (−1 DIV 64 = 0 vs −1 // 64 = −1) — n_chars in the certified
+    // query is non-negative, but the public API accepts any long
     val gb = docs
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
-      .withColumn("__b", expr(s"__v DIV ${bucketWidth}L"))
+      .withColumn("__b", expr(
+        s"CASE WHEN __v >= 0 OR __v % ${bucketWidth}L = 0 THEN __v DIV ${bucketWidth}L " +
+        s"ELSE __v DIV ${bucketWidth}L - 1 END"))
       .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("c_gb"))
       .localCheckpoint(true) // feeds group totals, corpus buckets AND the join
     val ng = gb.groupBy(col("__g")).agg(sum(col("c_gb")).as("n_g"))

@@ -276,9 +276,19 @@ object AsOf {
         case TimestampType if java8 => udf((k: java.lang.Long) => lookupAs[java.time.Instant](bk, bcVals, sm, st, k))
         case TimestampType          => udf((k: java.lang.Long) => lookupAs[java.sql.Timestamp](bk, bcVals, sm, st, k))
         // the lambda's static BigDecimal type registers as Decimal(38,18);
-        // the caller casts back to the source's exact (precision, scale) —
-        // lossless, the collected values already fit it
-        case _: DecimalType => udf((k: java.lang.Long) => lookupAs[java.math.BigDecimal](bk, bcVals, sm, st, k))
+        // the caller casts back to the source's exact (precision, scale).
+        // That round-trip is lossless ONLY inside the (38,18) envelope:
+        // scale > 18 would be silently HALF_UP-rounded and > 20 integral
+        // digits would overflow to null BEFORE the cast back — so decimals
+        // outside the envelope are rejected toward the shuffle form, which
+        // carries the column natively at any (p, s)
+        case d: DecimalType if d.scale <= 18 && d.precision - d.scale <= 20 =>
+          udf((k: java.lang.Long) => lookupAs[java.math.BigDecimal](bk, bcVals, sm, st, k))
+        case d: DecimalType => throw new IllegalArgumentException(
+          s"AsOf.broadcastJoin: decimal(${d.precision},${d.scale}) exceeds the " +
+            "broadcast path's lossless envelope (scale <= 18 and precision - scale <= 20, " +
+            "from the UDF's static Decimal(38,18) registration) — " +
+            "use AsOf.join (the shuffle form carries arbitrary typed columns)")
         case other => throw new IllegalArgumentException(
           s"AsOf.broadcastJoin: unsupported value type $other — " +
             "use AsOf.join (the shuffle form carries arbitrary typed columns)")

@@ -783,6 +783,21 @@ object Dedup {
       require(dIds == dRows,
         s"LSH index '$table' is corrupt: $dIds distinct bucket ids != $dRows doc rows " +
           "— republish via publishLshIndex")
+      // the cardinality relation alone cannot see a bucket table whose id
+      // SET differs from the docs table at equal size (every bucket id
+      // swapped for a phantom still passes the counts): require the two id
+      // sets to be mutual subsets — two distinct + left_anti probes over
+      // the id projection, still maintenance-window cheap
+      val bIdsD = spark.table(s"${table}_buckets").select(col("id")).distinct()
+      val dIdsD = spark.table(s"${table}_docs").select(col("id"))
+      val phantomB = bIdsD.join(dIdsD, Seq("id"), "left_anti").count()
+      require(phantomB == 0L,
+        s"LSH index '$table' is corrupt: $phantomB bucket ids have no docs row " +
+          "— republish via publishLshIndex")
+      val phantomD = dIdsD.join(bIdsD, Seq("id"), "left_anti").count()
+      require(phantomD == 0L,
+        s"LSH index '$table' is corrupt: $phantomD doc ids have no bucket rows " +
+          "— republish via publishLshIndex")
     }
   }
 
@@ -817,11 +832,16 @@ object Dedup {
     * hash-family meta all unchanged, so a probe before and after compaction
     * is row-identical (certified by q276's oracle, shared with q250/q261).
     * Pure maintenance: one distributed read + write per table, staged and
-    * catalog-swapped ([[graft.sources.Bucketing.compactBucketed]]). */
+    * catalog-swapped ([[graft.sources.Bucketing.compactBucketed]]). The
+    * STRICT consistency audit runs after the swap — the table was just
+    * rewritten end-to-end anyway, so the maintenance window is the one
+    * place the per-doc invariant (+ mutual id-subset check) is cheap
+    * relative to the work already done. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val m = readLshMeta(spark, table)
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets", "bk", m.buckets)
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_docs", "id", m.buckets)
+    assertLshIndexConsistent(spark, table, strict = true)
   }
 
   /** [[publishLshIndex]] only if the index tables are not already in the

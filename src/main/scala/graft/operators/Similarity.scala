@@ -556,14 +556,41 @@ object Similarity {
       s"${table}_meta", "dims", 1)
   }
 
+  /** Consistency audit over a published IVF index — the [[graft.operators.Dedup.assertLshIndexConsistent]]
+    * analogue. Cheap form: every inverted-list row routes to a legal
+    * centroid (0 ≤ c < nlist) — one agg over the `c` projection. Strict
+    * adds the per-doc invariant: `neighbor_id` is unique across `_assign`
+    * (a duplicated id would duplicate probe result rows; the append-time
+    * guard enforces this at the seam, the strict audit re-proves it over
+    * the stored table) — one distinct over the id projection. */
+  def assertIvfIndexConsistent(spark: org.apache.spark.sql.SparkSession,
+      table: String, strict: Boolean = false): Unit = {
+    val nlist = spark.table(s"${table}_meta").head().getInt(1)
+    val assign = spark.table(s"${table}_assign")
+    val badC = assign.where(col("c") < 0 || col("c") >= nlist).count()
+    require(badC == 0L,
+      s"IVF index '$table' is corrupt: $badC rows route outside [0, $nlist) " +
+        "— republish via publishIvfIndex")
+    if (strict) {
+      val rows = assign.count()
+      val ids = assign.select(col("neighbor_id")).distinct().count()
+      require(ids == rows,
+        s"IVF index '$table' is corrupt: $rows list rows over $ids distinct ids " +
+          "(duplicated ids would duplicate probe results) — republish via publishIvfIndex")
+    }
+  }
+
   /** COMPACT an append-maintained IVF index: rewrite the `_assign`
     * inverted lists at the STORED bucket spec — rows, centroids, and
     * fingerprint unchanged, so probes before and after are row-identical
     * (q277's oracle, shared with q263/q264). The `_cents`/`_meta` tables
-    * are model-sized and never appended, so only the lists compact. */
+    * are model-sized and never appended, so only the lists compact. The
+    * STRICT audit runs after the swap — the maintenance window is the one
+    * place the full-table invariant is cheap relative to the rewrite. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val buckets = spark.table(s"${table}_meta").head().getInt(4)
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets)
+    assertIvfIndexConsistent(spark, table, strict = true)
   }
 
   /** SQL-PORTABLE product quantization: the fixed-point treatment of

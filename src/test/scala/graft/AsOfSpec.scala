@@ -159,6 +159,30 @@ class AsOfSpec extends SparkSpecBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("broadcastJoinMulti rejects decimals outside the lossless (38,18) envelope") {
+    import spark.implicits._
+    val probes = Seq(2L).toDF("g")
+    // scale > 18: round-tripping through Decimal(38,18) would HALF_UP-round
+    def rightAs(t: String) = Seq((1L, "1.25")).toDF("k", "m0")
+      .select(col("k"), col("m0").cast(t).as("m"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.broadcastJoinMulti(probes, "g", rightAs("decimal(38,20)"), "k",
+        Seq("m"), Lookup.NearestSmaller)
+    }
+    assert(e1.getMessage.contains("AsOf.join") && e1.getMessage.contains("38,20"))
+    // precision − scale > 20: > 20 integral digits overflow to null
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.broadcastJoinMulti(probes, "g", rightAs("decimal(25,2)"), "k",
+        Seq("m"), Lookup.NearestSmaller)
+    }
+    assert(e2.getMessage.contains("AsOf.join") && e2.getMessage.contains("25,2"))
+    // the envelope's inside edge still works: scale 18, 20 integral digits
+    val ok = AsOf.broadcastJoinMulti(probes, "g", rightAs("decimal(38,18)"), "k",
+      Seq("m"), Lookup.NearestSmaller)
+    assert(ok.collect().head.getDecimal(1).toPlainString
+      === "1.250000000000000000")
+  }
+
   test("broadcastJoin rejects a non-numeric maxRows conf") {
     spark.conf.set("spark.graft.broadcastAsOf.maxRows", "lots")
     try {

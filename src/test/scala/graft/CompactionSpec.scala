@@ -183,4 +183,70 @@ class CompactionSpec extends SparkSpecBase {
     assert(Bucketing.dataFileCount(spark, tbl) === buckets)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("compactLshIndex strict audit catches a count-neutral id swap") {
+    import graft.operators.Dedup
+    import graft.sources.Bucketing
+    val tbl = "graft_strictlsh"
+    val docs = (0L until 20L).map(i =>
+      (i, s"tok${i % 5} alpha beta gamma delta tok${i % 3} epsilon zeta")).toDF("doc_id", "text")
+    Dedup.publishLshIndex(docs, "doc_id", "text", tbl, buckets = 2)
+    // healthy index: compaction (which runs the strict audit) succeeds
+    Dedup.compactLshIndex(spark, tbl)
+    // count-NEUTRAL corruption: every band row of one real doc is re-keyed
+    // to a phantom id — total rows, per-id row counts (phantom gets exactly
+    // `bands` rows) and distinct-id cardinality ALL survive; only the
+    // mutual id-subset check can see it
+    val victim = spark.table(s"${tbl}_docs").select(min(col("id"))).head().getLong(0)
+    val corrupted = spark.table(s"${tbl}_buckets")
+      .withColumn("id", when(col("id") === victim, lit(999999L)).otherwise(col("id")))
+      .collect()
+    val schema = spark.table(s"${tbl}_buckets").schema
+    spark.sql(s"DROP TABLE ${tbl}_buckets")
+    spark.createDataFrame(java.util.Arrays.asList(corrupted: _*), schema)
+      .write.bucketBy(2, "bk").sortBy("bk").format("parquet")
+      .saveAsTable(s"${tbl}_buckets")
+    // the count relation still balances — the CHEAP audit passes...
+    Dedup.assertLshIndexConsistent(spark, tbl)
+    // ...but strict (run standalone and via the compaction seam) throws
+    val e = intercept[IllegalArgumentException] {
+      Dedup.assertLshIndexConsistent(spark, tbl, strict = true)
+    }
+    assert(e.getMessage.contains("no docs row") || e.getMessage.contains("no bucket rows"))
+    val e2 = intercept[IllegalArgumentException] { Dedup.compactLshIndex(spark, tbl) }
+    assert(e2.getMessage.contains("republish"))
+    Seq("_buckets", "_docs", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
+  test("compactIvfIndex strict audit catches a duplicated list row") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tbl = "graft_strictivf"
+    val rnd = new scala.util.Random(3)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 40L).map(i =>
+        Row(i, Seq.fill(8)(rnd.nextFloat()))): _*), schema)
+    Similarity.publishIvfIndex(vecs, "vec_id", "embedding", tbl,
+      trainRows = 16, nlist = 2, buckets = 2)
+    Similarity.compactIvfIndex(spark, tbl) // healthy: strict audit passes
+    // duplicate ONE inverted-list row: routing stays legal, counts grow by
+    // one — only the distinct-id invariant can see it
+    val dup = spark.table(s"${tbl}_assign").limit(1)
+    dup.write.mode("append").bucketBy(2, "c").sortBy("c")
+      .format("parquet").saveAsTable(s"${tbl}_assign")
+    Similarity.assertIvfIndexConsistent(spark, tbl) // cheap form: still fine
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assertIvfIndexConsistent(spark, tbl, strict = true)
+    }
+    assert(e.getMessage.contains("duplicated ids"))
+    val e2 = intercept[IllegalArgumentException] { Similarity.compactIvfIndex(spark, tbl) }
+    assert(e2.getMessage.contains("republish"))
+    Seq("_assign", "_cents", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
 }

@@ -639,6 +639,11 @@ class PipelineSpec extends SparkSpecBase {
     assert(r("en") === ((2L, 3L, 3L, 6L, 1000000L, 2000000L)))
     // de "foo-bar baz9": pieces foo,-,bar," baz",9 → 5; words 2; chars 12
     assert(r("de") === ((1L, 2L, 5L, 12L, 2500000L, 2400000L)))
+    // zero-denominator contract: an all-empty group gets NULL ratios (both
+    // engines — the oracle divides by NULLIF), never a throw
+    val empt = Seq(("xx", ""), ("xx", "   ")).toDF("lang", "text")
+    val r0 = Text.tokenizerFertility(empt, "lang", "text").collect().head
+    assert(r0.getLong(2) === 0L && r0.isNullAt(5) && r0.isNullAt(6))
   }
 
   test("vocabFingerprint: order- and repetition-insensitive, vocab-sensitive") {
@@ -671,6 +676,14 @@ class PipelineSpec extends SparkSpecBase {
     val r2 = Text.psiByBucket(same, "s", "v", 10L)
       .collect().map(x => (x.getString(0), x.getLong(2))).toMap
     assert(r2 === Map("A" -> 0L, "B" -> 0L))
+    // FLOOR-division bucketing (DuckDB `//` contract): −5 lands in bucket
+    // −1, not 0 — under truncation both groups would share bucket 0 and
+    // PSI would collapse to 0; under floor they are disjoint
+    val neg = Seq(("A", -5L), ("B", 5L)).toDF("s", "v")
+    val r3 = Text.psiByBucket(neg, "s", "v", 10L)
+      .collect().map(x => (x.getString(0), x.getLong(2))).toMap
+    val tNeg = Math.round(0.5 * Math.log(2.0) * 1e6)
+    assert(r3 === Map("A" -> tNeg, "B" -> tNeg))
   }
 
   test("bigramNll: conditional corpus-LM surprise matches hand computation") {
