@@ -380,6 +380,48 @@ object ScaleDrill {
         org.apache.commons.io.FileUtils.deleteDirectory(evDir.toFile)
       }
     }
+
+    // keyed-state streaming near-dup (q308): per-batch cost must be FLAT
+    // in batch index — the parquet-claim-store form (q307) re-reads ALL
+    // prior claims every micro-batch (cost grows with stream lifetime),
+    // the RocksDB flatMapGroupsWithState form touches only the batch's
+    // own cells. Four equal-size doc batches; extras carry per-batch
+    // wall-clock and state metrics; a late batch costing > 2× the second
+    // (the first pays stream/plan init) flags the run.
+    if (!skipOp("stream_neardup_keyed")) {
+      val ndDir = java.nio.file.Files.createTempDirectory("graft_drill_nd")
+      try {
+        val srcDir = ndDir.resolve("src")
+        java.nio.file.Files.createDirectories(srcDir)
+        val inc = docs.select(col("doc_id"), col("text"))
+        (0 until 4).foreach { b =>
+          val tmp = ndDir.resolve(s"tmp$b")
+          inc.where(pmod(col("doc_id"), lit(4)) === b).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+            .head
+          val dst = srcDir.resolve(f"b$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
+        quiesce()
+        val t0 = System.nanoTime()
+        val (res, metrics) = streaming.Streams.runNearDupKeyed(
+          spark, srcDir.toString, inc.schema,
+          ndDir.resolve("keep").toString, ndDir.resolve("chk").toString,
+          maxFilesPerTrigger = 1)
+        val rows = res.count()
+        val bms = (0 until 4).flatMap(i => metrics.get(s"batch_ms_$i"))
+        val flags =
+          if (bms.size == 4 && bms(3) > 2 * math.max(1000L, bms(1)))
+            Seq(s"per-batch cost grows with batch index: ${bms.mkString(",")} ms")
+          else Nil
+        out += OpResult("stream_neardup_keyed", (System.nanoTime() - t0) / 1e9,
+          rows, flags, metrics)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(ndDir.toFile)
+    }
     out.toSeq
     } finally org.apache.commons.io.FileUtils.deleteDirectory(inDir.toFile)
   }

@@ -2205,6 +2205,16 @@ object SparkEntry {
       Streams.ingestNearDupDocs(s, dir)
     }),
 
+    // ---- the KEYED-STATE form of q307: same greedy first-wins near-dup
+    //      self-dedup, but the claimed-cells state lives in RocksDB
+    //      flatMapGroupsWithState instead of a parquet claim store the
+    //      whole of which every batch re-reads — per-batch cost tracks
+    //      batch size, flat in batch index (drill: stream_neardup_keyed);
+    //      oracle SHARED with q307 (identical semantics by construction) ----
+    "q308_stream_neardup_keyed" -> ((s, dir) => {
+      Streams.ingestNearDupDocsKeyed(s, dir)
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -5935,6 +5945,30 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q307_stream_neardup" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' dup0' FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM inc),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |r AS (SELECT doc_id, row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+        |      FROM bk),
+        |bad AS (SELECT DISTINCT doc_id FROM r WHERE rn > 1)
+        |SELECT i.doc_id AS keep_id,
+        |CAST(CASE WHEN i.doc_id < 250 THEN 0 WHEN i.doc_id < 10000 THEN 1 ELSE 2 END
+        |  AS BIGINT) AS batch
+        |FROM inc i LEFT JOIN bad b USING (doc_id) WHERE b.doc_id IS NULL""".stripMargin,
+
+    // shared with q307: the keyed-state implementation must answer the
+    // same global first-id-wins-per-cell replay exactly
+    "q308_stream_neardup_keyed" ->
       """WITH inc AS (SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000, text || ' dup0' FROM documents WHERE doc_id % 5 = 0),

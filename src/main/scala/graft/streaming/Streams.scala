@@ -707,38 +707,17 @@ object Streams {
     * id-ordered batch files. Output: (keep_id, batch) survivors. */
   def ingestNearDupDocs(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val incoming = docs.unionAll(
-      docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          concat(col("text"), lit(" dup0")).as("text")))
-    val srcDir = Files.createTempDirectory("graft_neardup_src")
+    val (srcDir, incomingSchema) = stageNearDupInput(spark, dir)
     val cellDir = Files.createTempDirectory("graft_neardup_cells")
     val keepDir = Files.createTempDirectory("graft_neardup_keep")
     val chkDir = Files.createTempDirectory("graft_neardup_chk")
     val stream = isolatedStreamSession(spark)
     try {
-      val ranges: Seq[org.apache.spark.sql.Column] = Seq(
-        col("doc_id") < 250, col("doc_id") >= 250 && col("doc_id") < 10000,
-        col("doc_id") >= 10000)
-      ranges.zipWithIndex.foreach { case (pred, b) =>
-        val tmp = Files.createTempDirectory("graft_neardup_tmp")
-        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val dst = srcDir.resolve(f"b$b%02d.parquet")
-        Files.move(findPartFile(tmp), dst)
-        dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
-        rmTree(tmp)
-      }
-      val cellSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("bk", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
       val keepSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
       val src = stream.readStream
-        .schema(incoming.schema)
+        .schema(incomingSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir.toString)
       val q = src.writeStream
@@ -797,6 +776,156 @@ object Streams {
       .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
     cells.select(col("band"), col("bk")).distinct()
       .write.mode("overwrite").parquet(s"$cellDir/batch=$batchId")
+  }
+
+  /** Stage the near-dup ingest fixture: documents plus near-dup copies
+    * (every doc_id % 5 == 0 doc re-arrives as doc_id + 10000 with one
+    * appended token) as three id-ordered batch files with monotone mtimes
+    * (arrival order). Shared by [[ingestNearDupDocs]] and
+    * [[ingestNearDupDocsKeyed]] so the two implementations answer the
+    * same oracle over the same staged input. Caller deletes the dir. */
+  private def stageNearDupInput(spark: SparkSession, dir: String):
+      (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.unionAll(
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" dup0")).as("text")))
+    val srcDir = Files.createTempDirectory("graft_neardup_src")
+    val ranges: Seq[org.apache.spark.sql.Column] = Seq(
+      col("doc_id") < 250, col("doc_id") >= 250 && col("doc_id") < 10000,
+      col("doc_id") >= 10000)
+    ranges.zipWithIndex.foreach { case (pred, b) =>
+      val tmp = Files.createTempDirectory("graft_neardup_tmp")
+      incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = srcDir.resolve(f"b$b%02d.parquet")
+      Files.move(findPartFile(tmp), dst)
+      dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
+      rmTree(tmp)
+    }
+    (srcDir, incoming.schema)
+  }
+
+  /** [[ingestNearDupDocs]] with the claimed-cells state in KEYED STREAMING
+    * STATE (RocksDB `flatMapGroupsWithState` over (band, bucket) cells)
+    * instead of a batch-partitioned parquet store — the 100 TB-stream
+    * form. The parquet-store variant re-reads the ENTIRE claim store every
+    * micro-batch (`batch =!= batchId` over all prior partitions), so its
+    * per-batch cost grows with stream lifetime; here each batch touches
+    * only its OWN cells' state-store groups (RocksDB point lookups), so
+    * per-batch cost tracks batch size, flat in batch index — measured by
+    * the ScaleDrill `stream_neardup_keyed` kernel.
+    *
+    * Semantics are IDENTICAL by construction and certified by the shared
+    * q307/q308 oracle: per cell, the state holds one claimed bit; a batch's
+    * docs survive a cell iff the cell was unclaimed by prior batches AND
+    * theirs is the smallest id touching it this batch (arrival order = id
+    * order, the q307 discipline); every toucher claims (mark-all), so the
+    * outcome is a pure function of arrival order. Docs too short to
+    * shingle have no cells and always survive — they ride a per-doc
+    * sentinel cell (`solo:<id>`, globally unique, collision-free with the
+    * 32-hex md5 keys) so they still flow through the keyed operator.
+    * Replay safety is the state store's own versioned-commit contract
+    * (a replayed batch re-reads the pre-batch store version), plus the
+    * idempotent batch-partitioned keep sink. */
+  def ingestNearDupDocsKeyed(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val (srcDir, schema) = stageNearDupInput(spark, dir)
+    val keepDir = Files.createTempDirectory("graft_neardupk_keep")
+    val chkDir = Files.createTempDirectory("graft_neardupk_chk")
+    try runNearDupKeyed(spark, srcDir.toString, schema,
+      keepDir.toString, chkDir.toString, maxFilesPerTrigger = 1)._1
+    finally {
+      dropStagedIngestDir(srcDir)
+      rmTree(chkDir)
+      rmTree(keepDir)
+    }
+  }
+
+  /** The keyed-state near-dup stream itself — shared by
+    * [[ingestNearDupDocsKeyed]] (oracle query q308) and the ScaleDrill
+    * kernel (which stages its own amplified input and asserts the
+    * per-batch timings this returns are flat in batch index). Returns the
+    * (keep_id, batch) survivors plus metrics: per-batch wall-clock
+    * (`batch_ms_<i>`), state-store commit total and peak rows/memory. */
+  private[graft] def runNearDupKeyed(
+      spark: SparkSession,
+      srcPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keepPath: String,
+      chkPath: String,
+      maxFilesPerTrigger: Int): (DataFrame, Map[String, Long]) = {
+    // keyed per-cell state is the RocksDB case by design: at stream scale
+    // the claim set is every distinct cell ever seen — off-heap or bust
+    val tagged = sessionWithConfs(spark)
+    tagged.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    val stream = isolatedStreamSession(tagged)
+    import stream.implicits._
+    val src = stream.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(srcPath)
+    // same md5 band-key family as Dedup.bandBuckets — inlined as pure
+    // projections (streaming frames cannot checkpoint); `pos|key` strings
+    // key the state groups
+    val bks = graft.functions.Vectors.md5BandKeys(16, 4)(
+      graft.functions.Vectors.shinglesFast(3)(col("text")))
+    val cells = src
+      .select(col("doc_id").as("id"), bks.as("bks"))
+      .select(col("id"), posexplode(
+        when(size(col("bks")) > 0, col("bks"))
+          .otherwise(array(concat(lit("solo:"), col("id").cast("string"))))))
+      .select(col("id"), concat(col("pos").cast("string"), lit("|"), col("col")).as("cell"))
+      .as[(Long, String)]
+    val flags = cells
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val ids = rows.map(_._1).toArray
+          val claimedBefore = state.exists
+          var minId = Long.MaxValue
+          var i = 0
+          while (i < ids.length) { if (ids(i) < minId) minId = ids(i); i += 1 }
+          state.update(true) // mark-all: every toucher claims the cell
+          val mn = minId
+          ids.iterator.map(id => (id, !claimedBefore && id == mn))
+      }
+      .toDF("id", "ok")
+    val q = flags.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chkPath)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // a doc survives iff EVERY one of its cells approved it
+        b.groupBy(col("id"))
+          .agg(bool_and(col("ok")).as("all_ok"))
+          .where(col("all_ok"))
+          .select(col("id").as("keep_id"))
+          .write.mode("overwrite").parquet(s"$keepPath/batch=$batchId")
+        ()
+      }
+      .start()
+    val metrics = try {
+      q.processAllAvailable()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val sos = progress.flatMap(_.stateOperators.toSeq)
+      Map(
+        "batches" -> progress.size.toLong,
+        "state_commit_ms" -> sos.map(_.commitTimeMs).sum,
+        "state_rows_peak" -> (sos.map(_.numRowsTotal) :+ 0L).max,
+        "state_mem_peak_bytes" -> (sos.map(_.memoryUsedBytes) :+ 0L).max) ++
+        progress.zipWithIndex.map { case (p, i) => s"batch_ms_$i" -> p.batchDuration }
+    } finally q.stop()
+    val keepSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+    val out = spark.read.schema(keepSchema).parquet(keepPath)
+      .select(col("keep_id"), col("batch"))
+      .localCheckpoint(true)
+    (out, metrics)
   }
 
   /** STREAMING near-dup flagging against a PUBLISHED LSH index

@@ -20,10 +20,14 @@ class ScaleDrillSpec extends SparkSpecBase {
       "containment_pairs", "containment_prune", "decontamination",
       "lsh_index_publish", "lsh_index_append", "lsh_index_probe",
       "ivf_index_publish", "ivf_index_append", "ivf_index_probe",
-      "stream_state_rocksdb"))
+      "stream_state_rocksdb", "stream_neardup_keyed"))
     val st = results.find(_.name === "stream_state_rocksdb").get
     assert(st.extras.getOrElse("state_rows_peak", 0L) > 0, "no state-store rows recorded")
     assert(st.extras.getOrElse("batches", 0L) >= 2, "drill stream must span micro-batches")
+    val nd = results.find(_.name === "stream_neardup_keyed").get
+    assert(nd.extras.getOrElse("state_rows_peak", 0L) > 0, "no claim-cell state recorded")
+    assert(nd.extras.getOrElse("batches", 0L) === 4L, "near-dup drill must span 4 batches")
+    assert(nd.extras.contains("batch_ms_3"), "per-batch timings missing")
     // publishes report rows=0 by design (setup-cost records, not results)
     val zeroRowOk = Set("lsh_index_publish", "ivf_index_publish")
     results.foreach { r =>

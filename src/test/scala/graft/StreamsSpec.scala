@@ -201,4 +201,40 @@ class StreamsSpec extends SparkSpecBase {
     assert(fp(cellDir) === c1)
     assert(fp(keepDir) === k1)
   }
+
+  test("ingestNearDupDocsKeyed equals the claim-store form; cell-less docs survive") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ndkeyed_spec").toString
+    // spans all three batch ranges; ids 5 and 250 re-arrive as +10000 near
+    // dups; doc 10 is TOO SHORT to shingle (2 tokens → no cells → must
+    // survive via the solo sentinel, not silently vanish from the keyed
+    // operator); its +10000 copy gains a token and DOES shingle
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // in-batch dup of 1
+      (5L, "one two three four five six"),
+      (10L, "tiny doc"),                             // no shingles
+      (250L, "omega psi chi phi upsilon tau"),       // batch 1
+      (251L, "unrelated words entirely different here now"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/_out")
+    val part = new java.io.File(s"$dir/_out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val store = keyed(Streams.ingestNearDupDocs(spark, dir))
+    val state = keyed(Streams.ingestNearDupDocsKeyed(spark, dir))
+    assert(state === store)
+    // the short doc and its later near-identical copy (which shingles
+    // differently — "tiny doc dup0" has one trigram, unclaimed) survive;
+    // the in-batch exact dup 2 and the re-arrival 10250 (band-key
+    // collisions with 250) do not. (10005's appended token happens to
+    // shift every band key of ITS text — both implementations agree it
+    // survives; the assertion set pins only the deterministic cases.)
+    assert(state.map(_._1).contains(10L))
+    assert(state.map(_._1).contains(10010L))
+    assert(!state.map(_._1).contains(2L))
+    assert(!state.map(_._1).contains(10250L))
+  }
 }
