@@ -770,33 +770,23 @@ object Dedup {
         s"$dRows doc rows — likely a torn append; republish via publishLshIndex")
     if (strict) {
       // count-balanced corruption (one doc's band rows duplicated while
-      // another's are missing) passes the total-count relation; the strict
-      // form checks the per-doc invariant — every indexed id has exactly
-      // `bands` bucket rows — at the cost of one groupBy shuffle over ids
-      val offBalance = spark.table(s"${table}_buckets")
+      // another's are missing, or re-keyed to a phantom id) passes the
+      // total-count relation; the strict form proves the FULL per-doc
+      // invariant in ONE pass — a full-outer join between the per-id band
+      // census and the docs ids flags every id that (a) misses docs rows,
+      // (b) misses bucket rows, or (c) has a band-row count != bands. One
+      // groupBy + one join, maintenance-window cheap (vs the r12-draft
+      // 5-job chain of per-check counts).
+      val bCounts = spark.table(s"${table}_buckets")
         .groupBy(col("id")).agg(count(lit(1)).as("__n"))
-        .where(col("__n") =!= m.bands.toLong).count()
-      require(offBalance == 0L,
-        s"LSH index '$table' is count-balanced but corrupt: $offBalance ids do not " +
-          s"have exactly ${m.bands} band rows — republish via publishLshIndex")
-      val dIds = spark.table(s"${table}_buckets").select(col("id")).distinct().count()
-      require(dIds == dRows,
-        s"LSH index '$table' is corrupt: $dIds distinct bucket ids != $dRows doc rows " +
-          "— republish via publishLshIndex")
-      // the cardinality relation alone cannot see a bucket table whose id
-      // SET differs from the docs table at equal size (every bucket id
-      // swapped for a phantom still passes the counts): require the two id
-      // sets to be mutual subsets — two distinct + left_anti probes over
-      // the id projection, still maintenance-window cheap
-      val bIdsD = spark.table(s"${table}_buckets").select(col("id")).distinct()
-      val dIdsD = spark.table(s"${table}_docs").select(col("id"))
-      val phantomB = bIdsD.join(dIdsD, Seq("id"), "left_anti").count()
-      require(phantomB == 0L,
-        s"LSH index '$table' is corrupt: $phantomB bucket ids have no docs row " +
-          "— republish via publishLshIndex")
-      val phantomD = dIdsD.join(bIdsD, Seq("id"), "left_anti").count()
-      require(phantomD == 0L,
-        s"LSH index '$table' is corrupt: $phantomD doc ids have no bucket rows " +
+      val dIds = spark.table(s"${table}_docs")
+        .select(col("id"), lit(true).as("__d"))
+      val bad = bCounts.join(dIds, Seq("id"), "full_outer")
+        .where(col("__n").isNull || col("__d").isNull || col("__n") =!= m.bands.toLong)
+        .count()
+      require(bad == 0L,
+        s"LSH index '$table' is count-balanced but corrupt: $bad ids lack a docs row, " +
+          s"lack bucket rows, or do not have exactly ${m.bands} band rows " +
           "— republish via publishLshIndex")
     }
   }

@@ -567,13 +567,24 @@ object Similarity {
       table: String, strict: Boolean = false): Unit = {
     val nlist = spark.table(s"${table}_meta").head().getInt(1)
     val assign = spark.table(s"${table}_assign")
-    val badC = assign.where(col("c") < 0 || col("c") >= nlist).count()
-    require(badC == 0L,
-      s"IVF index '$table' is corrupt: $badC rows route outside [0, $nlist) " +
-        "— republish via publishIvfIndex")
-    if (strict) {
-      val rows = assign.count()
-      val ids = assign.select(col("neighbor_id")).distinct().count()
+    if (!strict) {
+      val badC = assign.where(col("c") < 0 || col("c") >= nlist).count()
+      require(badC == 0L,
+        s"IVF index '$table' is corrupt: $badC rows route outside [0, $nlist) " +
+          "— republish via publishIvfIndex")
+    } else {
+      // ONE aggregation proves both invariants (routing range + id
+      // uniqueness) — maintenance-window cheap
+      val r = assign.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("neighbor_id")).as("ids"),
+        sum(when(col("c") < 0 || col("c") >= nlist, 1L).otherwise(0L)).as("badc"))
+        .head()
+      val (rows, ids, badC) = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+      require(badC == 0L,
+        s"IVF index '$table' is corrupt: $badC rows route outside [0, $nlist) " +
+          "— republish via publishIvfIndex")
       require(ids == rows,
         s"IVF index '$table' is corrupt: $rows list rows over $ids distinct ids " +
           "(duplicated ids would duplicate probe results) — republish via publishIvfIndex")

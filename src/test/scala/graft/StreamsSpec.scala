@@ -237,4 +237,56 @@ class StreamsSpec extends SparkSpecBase {
     assert(!state.map(_._1).contains(2L))
     assert(!state.map(_._1).contains(10250L))
   }
+
+  test("keyed near-dup stream resumes from checkpoint with claim state intact") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (3L, "unrelated totally different words here now")),
+      // 20 collides with 1's cells (exact text) — dropping it requires the
+      // RESTARTED stream to still hold batch 0's claims
+      Seq((20L, "alpha beta gamma delta epsilon zeta"),
+          (21L, "fresh vocabulary never seen before anywhere")),
+      // 30 collides with 3 (claimed two restarts earlier); 31 is fresh
+      Seq((30L, "unrelated totally different words here now"),
+          (31L, "final batch brand new tokens entirely")))
+    def stage(dst: java.nio.file.Path, upTo: Int): Unit =
+      batches.take(upTo).zipWithIndex.foreach { case (rows, b) =>
+        val f = dst.resolve(f"b$b%02d.parquet")
+        if (!Files.exists(f)) {
+          val tmp = Files.createTempDirectory("graft_ndresume_tmp")
+          rows.toDF("doc_id", "text").coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet")).get
+          Files.move(part.toPath, f)
+          f.toFile.setLastModified(1000000L * (b + 1))
+        }
+      }
+    def run(src: java.nio.file.Path, keep: String, chk: String) =
+      Streams.runNearDupKeyed(spark, src.toString, schema, keep, chk, 1)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fresh single pass over all three batches = the reference outcome
+    val srcB = Files.createTempDirectory("graft_ndresume_b")
+    stage(srcB, 3)
+    val fresh = run(srcB,
+      Files.createTempDirectory("graft_ndresume_keepb").toString,
+      Files.createTempDirectory("graft_ndresume_chkb").toString)
+    // interrupted run: batch 0 only, stream completes and stops; then the
+    // remaining files arrive and a NEW stream starts from the SAME
+    // checkpoint — RocksDB state must come back with batch 0's claims
+    val srcA = Files.createTempDirectory("graft_ndresume_a")
+    val keepA = Files.createTempDirectory("graft_ndresume_keepa").toString
+    val chkA = Files.createTempDirectory("graft_ndresume_chka").toString
+    stage(srcA, 1)
+    val part1 = run(srcA, keepA, chkA)
+    assert(part1 === Set((1L, 0L), (3L, 0L)))
+    stage(srcA, 3)
+    val resumed = run(srcA, keepA, chkA)
+    assert(resumed === fresh)
+    assert(resumed === Set((1L, 0L), (3L, 0L), (21L, 1L), (31L, 2L)))
+  }
 }
