@@ -2215,6 +2215,20 @@ object SparkEntry {
       Streams.ingestNearDupDocsKeyed(s, dir)
     }),
 
+    // ---- the hot-bucket cap ACTUALLY TRIGGERING: containment with the
+    //      cap pinned BELOW the corpus's max bucket size (census: size-3
+    //      buckets at sf0.01, size-4 at sf0.001 — cap 2 drops them), so
+    //      the anti-join branch runs for real and pairs whose every
+    //      shared bucket is oversize vanish; the oracle replays the drop
+    //      rule (candidates require a shared bucket of size ≤ cap), so
+    //      the TRIGGERED semantics are hash-certified — r11's q295 could
+    //      only certify the non-triggering case ----
+    "q309_containment_cap_hit" -> ((s, dir) => {
+      Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L,
+        maxBucket = Some(2))
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -5729,6 +5743,37 @@ object SparkEntry {
     // q295 = q266 under a pinned (non-triggering) bucket cap — identical
     // results certify the capped candidate path end-to-end
     "q295_containment_capped" -> containmentOracleSql,
+    // q309 = q266 with the cap pinned BELOW the corpus max bucket size:
+    // the oracle replays the drop rule itself (a candidate pair needs a
+    // shared bucket of size <= 2), certifying the TRIGGERED capped path
+    "q309_containment_cap_hit" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs
+        |        FROM w WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        |seeds AS (SELECT unnest(range(0, 16)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || ':' || sh)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, s // 4 AS band, md5(string_agg(m, '|' ORDER BY s)) AS bk
+        |       FROM mh GROUP BY 1, 2),
+        |sz AS (SELECT band, bk, count(*) AS n FROM bk GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk
+        |         JOIN sz s ON a.band = s.band AND a.bk = s.bk
+        |         WHERE a.doc_id < b.doc_id AND s.n <= 2),
+        |sets AS (SELECT doc_id, list_distinct(shs) AS tok FROM shl),
+        |sc AS (SELECT c.id_a, c.id_b,
+        |         len(list_intersect(a.tok, b.tok))::BIGINT AS inter,
+        |         len(a.tok)::BIGINT AS na, len(b.tok)::BIGINT AS nb
+        |       FROM cand c JOIN sets a ON c.id_a = a.doc_id
+        |                   JOIN sets b ON c.id_b = b.doc_id),
+        |u AS (SELECT id_a AS contained_id, id_b AS container_id,
+        |        inter * 1000000 // na AS containment_ppm FROM sc
+        |      UNION ALL
+        |      SELECT id_b, id_a, inter * 1000000 // nb FROM sc)
+        |SELECT contained_id, container_id, containment_ppm
+        |FROM u WHERE containment_ppm >= 800000""".stripMargin,
 
     "q296_token_fertility" ->
       """WITH b AS (SELECT lang,

@@ -680,9 +680,21 @@ object Dedup {
     val bk = base
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("pos").as("band"), col("col").as("bk"), col("id"))
-    graft.sources.Bucketing.saveBucketed(bk, s"${table}_buckets", "bk", buckets)
-    graft.sources.Bucketing.saveBucketed(
-      base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets)
+    // the two table writes are independent (both read the materialized
+    // base) — overlap their job-commit latency from Futures; crash model
+    // unchanged (publish was never atomic across tables: a tear is a
+    // republish either way, and `_meta` still lands LAST so probes
+    // fail fast on a torn publish)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bkF = Future(
+        graft.sources.Bucketing.saveBucketed(bk, s"${table}_buckets", "bk", buckets))
+      val docsF = Future(graft.sources.Bucketing.saveBucketed(
+        base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets))
+      Await.result(bkF, scala.concurrent.duration.Duration.Inf)
+      Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+    }
     // the hash-family parameters ARE part of the index: a probe under a
     // different (shingleN, numHashes, bands) computes disjoint band keys
     // and would return a silently near-empty report — store them so
@@ -743,11 +755,22 @@ object Dedup {
     // The consistency assert below fails the append loudly instead; a
     // reader that suspects a torn state can call
     // [[assertLshIndexConsistent]] itself, and the repair is a republish.
-    bk.write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
-      .format("parquet").saveAsTable(s"${table}_buckets")
-    base.select(col("id"), col("shs"))
-      .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(s"${table}_docs")
+    // independent appends to the two tables — overlapped (the tear model
+    // above already covers a failure in either; the consistency assert
+    // below runs after BOTH commits)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bkF = Future(
+        bk.write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
+          .format("parquet").saveAsTable(s"${table}_buckets"))
+      val docsF = Future(
+        base.select(col("id"), col("shs"))
+          .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
+          .format("parquet").saveAsTable(s"${table}_docs"))
+      Await.result(bkF, scala.concurrent.duration.Duration.Inf)
+      Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+    }
     assertLshIndexConsistent(spark, table)
     writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets, newCorpusFp)
   }

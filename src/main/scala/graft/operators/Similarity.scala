@@ -423,15 +423,24 @@ object Similarity {
       .localCheckpoint(true)
     val cents = lloydInt(train, nlist, rounds)
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
-    graft.sources.Bucketing.saveBucketed(
-      qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        assignF(col("q")).as("c")),
-      s"${table}_assign", "c", buckets)
     import spark.implicits._
     val centRows = for { c <- cents.indices; d <- cents(c).indices }
       yield (c, d, cents(c)(d))
-    graft.sources.Bucketing.saveBucketed(
-      centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1)
+    // `_assign` (corpus-sized) and `_cents` (model-sized) writes are
+    // independent — overlap their commit latency; `_meta` still lands
+    // LAST so a torn publish fails probe validation
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val aF = Future(graft.sources.Bucketing.saveBucketed(
+        qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          assignF(col("q")).as("c")),
+        s"${table}_assign", "c", buckets))
+      val cF = Future(graft.sources.Bucketing.saveBucketed(
+        centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
+      Await.result(aF, scala.concurrent.duration.Duration.Inf)
+      Await.result(cF, scala.concurrent.duration.Duration.Inf)
+    }
     graft.sources.Bucketing.saveBucketed(
       Seq((dims, nlist, trainRows, rounds, buckets, corpusFp))
         .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp"),
