@@ -852,8 +852,19 @@ object Dedup {
     * relative to the work already done. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val m = readLshMeta(spark, table)
-    graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets", "bk", m.buckets)
-    graft.sources.Bucketing.compactBucketed(spark, s"${table}_docs", "id", m.buckets)
+    // the two compactions are independent recovery units (each keeps its
+    // own __compact/__old staging discipline and repairCompacted is
+    // per-table) — overlap their rewrite + swap latency
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bF = Future(graft.sources.Bucketing
+        .compactBucketed(spark, s"${table}_buckets", "bk", m.buckets))
+      val dF = Future(graft.sources.Bucketing
+        .compactBucketed(spark, s"${table}_docs", "id", m.buckets))
+      Await.result(bF, scala.concurrent.duration.Duration.Inf)
+      Await.result(dF, scala.concurrent.duration.Duration.Inf)
+    }
     assertLshIndexConsistent(spark, table, strict = true)
   }
 
