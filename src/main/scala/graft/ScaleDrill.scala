@@ -291,6 +291,17 @@ object ScaleDrill {
       operators.Dedup.containmentDedup(docs, "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L)
     }
+    // the TRIGGERED hot-bucket cap at amplified scale (q309's form): the
+    // cap pinned below the corpus max bucket size, so the broadcast
+    // anti-join branch runs for real. The claim under measurement is
+    // pay-per-anomaly: the capped kernel's cost and step ratio must track
+    // containment_pairs' (same verify work minus the dropped pairs), not
+    // exceed it — r11's window implementation charged every row
+    timed("containment_capped") {
+      operators.Dedup.containmentNearDup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, thresholdPpm = 500000L,
+        maxBucket = Some(2))
+    }
 
     // decontamination at amplified scale (the q292 kernel): BOTH the
     // training corpus and the probe set grow ×X. Pinned to the LARGE-probe

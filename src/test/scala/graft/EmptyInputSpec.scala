@@ -24,6 +24,11 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.simhashPortable(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.tokenJaccardPairs(emptyDocs, "doc_id", "text", 0.5).count() === 0)
+    // the bucket-bound materialization pass (runJob over the lazily
+    // checkpoint-marked plan) must tolerate zero rows/partitions
+    assert(Dedup.containmentNearDup(emptyDocs, "doc_id", "text",
+      maxBucket = Some(1)).count() === 0)
+    assert(Dedup.minhashCalibration(emptyDocs, "doc_id", "text").count() === 0)
   }
 
   test("text analysis on an empty corpus") {

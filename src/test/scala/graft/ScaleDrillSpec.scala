@@ -17,7 +17,8 @@ class ScaleDrillSpec extends SparkSpecBase {
       "ordered_rank", "ordered_rank_str", "ivfpq_probe", "ivf_sampled_probe",
       "bm25", "interval_coverage", "distinctive_terms",
       "pagerank", "token_packing", "bigram_nll",
-      "containment_pairs", "containment_prune", "decontamination",
+      "containment_pairs", "containment_prune", "containment_capped",
+      "decontamination",
       "lsh_index_publish", "lsh_index_append", "lsh_index_probe",
       "ivf_index_publish", "ivf_index_append", "ivf_index_probe",
       "stream_state_rocksdb", "stream_neardup_keyed"))
