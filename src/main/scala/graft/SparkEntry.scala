@@ -92,6 +92,10 @@ object SparkEntry {
     s"graft_ivf_idx_${d.map("%02x".format(_)).mkString}"
   }
   private def ivfCorpusFp(dir: String): String = s"embeddings@$dir"
+  private def pqIndexTable(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    s"graft_pq_idx_${d.map("%02x".format(_)).mkString}"
+  }
 
   /** Daily order totals — the ordered "time series" backing series ops. */
   private def daily(s: SparkSession, dir: String): KSeries =
@@ -2229,6 +2233,21 @@ object SparkEntry {
         maxBucket = Some(2))
     }),
 
+    // ---- stored IVF+PQ index (the FAISS-style production artifact):
+    //      publish stores PQ CODES in bucketed inverted lists (raw
+    //      vectors never touch a probe), probe routes the batch and
+    //      ranks by exact integer ADC over the stored codes — training
+    //      is deterministic over the same corpus, so the result is
+    //      row-identical to q111's one-shot composed scan (oracle
+    //      SHARED) ----
+    "q310_pq_index_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ensurePqIndex(e, "vec_id", "embedding", pqIndexTable(dir),
+        nlist = 8, m = 8, codes = 16, rounds = 2, corpusFp = ivfCorpusFp(dir))
+      Similarity.probePqIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        pqIndexTable(dir), k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -3837,6 +3856,83 @@ object SparkEntry {
     * hot-bucket cap pinned low but non-triggering): byte-identical results
     * certify the capped path is pure plan machinery when no bucket
     * exceeds the cap. */
+  /** Shared by q111 (one-shot composed IVF+PQ) and q310 (the stored
+    * publish+probe form): deterministic training over the same corpus makes
+    * the two paths row-identical by construction. */
+  private val ivfPqOracleSql: String =
+    """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |        FROM embeddings ORDER BY vec_id LIMIT 8),
+        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
+        |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
+        |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
+        |asg1 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist1) WHERE rn = 1),
+        |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
+        |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
+        |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
+        |asg2 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist2) WHERE rn = 1),
+        |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
+        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
+        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
+        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
+        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
+        |asg3 AS (SELECT vec_id, c FROM (
+        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |         FROM dist3) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, c FROM (
+        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 2),
+        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |               FROM probes p JOIN asg3 a USING (c)
+        |               WHERE a.vec_id <> p.query_id),
+        |fj AS (SELECT vec_id, d, d // 8 AS j, q FROM f),
+        |pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |         FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cb0 AS (SELECT fj.j, pids.c, fj.d, fj.q AS cv FROM pids JOIN fj USING (vec_id)),
+        |d1 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb0 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d1) WHERE rn = 1),
+        |u1 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a1 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT b0.j, b0.c, b0.d, coalesce(u.cv, b0.cv) AS cv
+        |        FROM cb0 b0 LEFT JOIN u1 u ON b0.j = u.j AND b0.c = u.c AND b0.d = u.d),
+        |d2 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb1 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, j, c FROM (
+        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |       FROM d2) WHERE rn = 1),
+        |u2 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
+        |       FROM a2 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
+        |cb2 AS (SELECT b1.j, b1.c, b1.d, coalesce(u.cv, b1.cv) AS cv
+        |        FROM cb1 b1 LEFT JOIN u2 u ON b1.j = u.j AND b1.c = u.c AND b1.d = u.d),
+        |d3 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
+        |       FROM fj JOIN cb2 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, j, c FROM (
+        |        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |        FROM d3) WHERE rn = 1),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id,
+        |        CAST(sum((q.q - b.cv)*(q.q - b.cv)) AS BIGINT) AS dist
+        |        FROM candidates cd
+        |        JOIN fj q ON q.vec_id = cd.query_id
+        |        JOIN enc e ON e.vec_id = cd.neighbor_id AND e.j = q.j
+        |        JOIN cb2 b ON b.j = q.j AND b.c = e.c AND b.d = q.d
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, dist,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin
+
   private val containmentOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
       |shl AS (SELECT doc_id, list_transform(range(1, len(w)-1),
@@ -5517,79 +5613,11 @@ object SparkEntry {
     // q111: composed IVF+PQ — q124's integer-Lloyd routing (8 lists, 2
     // probes) gates q125's integer-ADC scan (m=8, 16 codes); candidates
     // come from probed buckets only, then exact integer ADC top-3
-    "q111_knn_ivfpq" ->
-      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-        |      CAST(floor(unnest(embedding)::DOUBLE * 1024) AS BIGINT) AS q FROM embeddings),
-        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
-        |        FROM embeddings ORDER BY vec_id LIMIT 8),
-        |cent0 AS (SELECT ids.c, f.d, f.q AS cv FROM ids JOIN f USING (vec_id)),
-        |dist1 AS (SELECT f.vec_id, c0.c, sum((f.q - c0.cv)*(f.q - c0.cv)) AS dist
-        |          FROM f JOIN cent0 c0 ON f.d = c0.d GROUP BY 1, 2),
-        |asg1 AS (SELECT vec_id, c FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |         FROM dist1) WHERE rn = 1),
-        |upd1 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
-        |         FROM asg1 a JOIN f USING (vec_id) GROUP BY 1, 2),
-        |cent1 AS (SELECT c0.c, c0.d, coalesce(u.cv, c0.cv) AS cv
-        |          FROM cent0 c0 LEFT JOIN upd1 u ON c0.c = u.c AND c0.d = u.d),
-        |dist2 AS (SELECT f.vec_id, c1.c, sum((f.q - c1.cv)*(f.q - c1.cv)) AS dist
-        |          FROM f JOIN cent1 c1 ON f.d = c1.d GROUP BY 1, 2),
-        |asg2 AS (SELECT vec_id, c FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |         FROM dist2) WHERE rn = 1),
-        |upd2 AS (SELECT a.c, f.d, CAST(floor(sum(f.q)::DOUBLE / count(*)) AS BIGINT) AS cv
-        |         FROM asg2 a JOIN f USING (vec_id) GROUP BY 1, 2),
-        |cent2 AS (SELECT c1.c, c1.d, coalesce(u.cv, c1.cv) AS cv
-        |          FROM cent1 c1 LEFT JOIN upd2 u ON c1.c = u.c AND c1.d = u.d),
-        |dist3 AS (SELECT f.vec_id, c2.c, sum((f.q - c2.cv)*(f.q - c2.cv)) AS dist
-        |          FROM f JOIN cent2 c2 ON f.d = c2.d GROUP BY 1, 2),
-        |asg3 AS (SELECT vec_id, c FROM (
-        |         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |         FROM dist3) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, c FROM (
-        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |           FROM dist3 WHERE vec_id < 5) WHERE rn <= 2),
-        |candidates AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |               FROM probes p JOIN asg3 a USING (c)
-        |               WHERE a.vec_id <> p.query_id),
-        |fj AS (SELECT vec_id, d, d // 8 AS j, q FROM f),
-        |pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
-        |         FROM embeddings ORDER BY vec_id LIMIT 16),
-        |cb0 AS (SELECT fj.j, pids.c, fj.d, fj.q AS cv FROM pids JOIN fj USING (vec_id)),
-        |d1 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
-        |       FROM fj JOIN cb0 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
-        |a1 AS (SELECT vec_id, j, c FROM (
-        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
-        |       FROM d1) WHERE rn = 1),
-        |u1 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
-        |       FROM a1 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
-        |cb1 AS (SELECT b0.j, b0.c, b0.d, coalesce(u.cv, b0.cv) AS cv
-        |        FROM cb0 b0 LEFT JOIN u1 u ON b0.j = u.j AND b0.c = u.c AND b0.d = u.d),
-        |d2 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
-        |       FROM fj JOIN cb1 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
-        |a2 AS (SELECT vec_id, j, c FROM (
-        |       SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
-        |       FROM d2) WHERE rn = 1),
-        |u2 AS (SELECT a.j, a.c, fj.d, CAST(floor(sum(fj.q)::DOUBLE / count(*)) AS BIGINT) AS cv
-        |       FROM a2 a JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j GROUP BY 1, 2, 3),
-        |cb2 AS (SELECT b1.j, b1.c, b1.d, coalesce(u.cv, b1.cv) AS cv
-        |        FROM cb1 b1 LEFT JOIN u2 u ON b1.j = u.j AND b1.c = u.c AND b1.d = u.d),
-        |d3 AS (SELECT fj.vec_id, fj.j, b.c, sum((fj.q - b.cv)*(fj.q - b.cv)) AS dist
-        |       FROM fj JOIN cb2 b ON fj.d = b.d AND fj.j = b.j GROUP BY 1, 2, 3),
-        |enc AS (SELECT vec_id, j, c FROM (
-        |        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
-        |        FROM d3) WHERE rn = 1),
-        |adc AS (SELECT cd.query_id, cd.neighbor_id,
-        |        CAST(sum((q.q - b.cv)*(q.q - b.cv)) AS BIGINT) AS dist
-        |        FROM candidates cd
-        |        JOIN fj q ON q.vec_id = cd.query_id
-        |        JOIN enc e ON e.vec_id = cd.neighbor_id AND e.j = q.j
-        |        JOIN cb2 b ON b.j = q.j AND b.c = e.c AND b.d = q.d
-        |        GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, dist,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-        |      FROM adc)
-        |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin,
+    "q111_knn_ivfpq" -> ivfPqOracleSql,
+    // q310 = q111 through the STORED index (publish + probe): training is
+    // deterministic over the same full corpus, so the stored-artifact path
+    // must reproduce the one-shot composed scan byte-for-byte
+    "q310_pq_index_probe" -> ivfPqOracleSql,
 
     // q104: q125's fixed-point PQ at the COARSE split — m=4 (16-dim
     // subvectors, j = d // 16), same 16-code books, top-3 by integer ADC

@@ -565,6 +565,169 @@ object Similarity {
       s"${table}_meta", "dims", 1)
   }
 
+  /** PUBLISH a stored IVF+PQ index — the FAISS-style production artifact:
+    * corpus vectors live in the inverted lists as PQ CODES (`m` small
+    * ints each), never raw vectors, so at production dims the lists are a
+    * small fraction of the corpus bytes and every probe pays ADC lookups
+    * instead of vector arithmetic. Training (integer-Lloyd coarse routing
+    * + per-subspace integer PQ codebooks, both deterministic) runs over
+    * the full corpus exactly as [[ivfPqKnnPortable]]'s does, so
+    * publish + [[probePqIndex]] is row-identical to the one-shot composed
+    * scan — certified by the q310 oracle (shared verbatim with q111).
+    * Tables: `_assign` (neighbor_id, c, cd) bucketed by coarse list id
+    * `c` (probes join on it exchange-free); `_cents` / `_books` / `_meta`
+    * are model-sized. The corpus row count is stored in `_meta` so the
+    * probe's adaptive-ADC choice ([[adcMinCandidates]]) costs nothing at
+    * probe time. Independent table writes overlap; `_meta` lands LAST so
+    * a torn publish fails probe validation. */
+  def publishPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      nlist: Int = 8,
+      m: Int = 8,
+      codes: Int = 16,
+      rounds: Int = 2,
+      buckets: Int = 8,
+      corpusFp: String = ""): Unit = {
+    val spark = corpus.sparkSession
+    val (qdf, dims, nRows) = quantizedBaseCounted(corpus, idCol, vecCol)
+    require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val cents = lloydInt(qdf, nlist, rounds)
+    val bksF = pqBooksInt(qdf, m, codes, sub, rounds)
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
+    val encodeF = udf { (q: Seq[Long]) =>
+      Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
+    }
+    import spark.implicits._
+    val centRows = for { c <- cents.indices; d <- cents(c).indices }
+      yield (c, d, cents(c)(d))
+    val bookRows = for { j <- bksF.indices; c <- bksF(j).indices; d <- bksF(j)(c).indices }
+      yield (j, c, d, bksF(j)(c)(d))
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val aF = Future(graft.sources.Bucketing.saveBucketed(
+        qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
+          encodeF(col("q")).as("cd")),
+        s"${table}_assign", "c", buckets))
+      val cF = Future(graft.sources.Bucketing.saveBucketed(
+        centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
+      val bF = Future(graft.sources.Bucketing.saveBucketed(
+        bookRows.toDF("j", "code", "d", "cv"), s"${table}_books", "j", 1))
+      Await.result(aF, scala.concurrent.duration.Duration.Inf)
+      Await.result(cF, scala.concurrent.duration.Duration.Inf)
+      Await.result(bF, scala.concurrent.duration.Duration.Inf)
+    }
+    graft.sources.Bucketing.saveBucketed(
+      Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp))
+        .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows", "corpus_fp"),
+      s"${table}_meta", "dims", 1)
+  }
+
+  /** [[publishPqIndex]] only if the tables are absent — the amortize-once
+    * discipline of [[ensureIvfIndex]]: an existing index must carry THIS
+    * corpus's fingerprint AND the exact published codebook params (a
+    * caller that bumps nlist/m/codes/rounds/buckets must not be silently
+    * served stale codebooks). */
+  def ensurePqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      nlist: Int = 8,
+      m: Int = 8,
+      codes: Int = 16,
+      rounds: Int = 2,
+      buckets: Int = 8,
+      corpusFp: String = ""): Unit = {
+    val cat = corpus.sparkSession.catalog
+    if (!cat.tableExists(s"${table}_assign") || !cat.tableExists(s"${table}_cents") ||
+        !cat.tableExists(s"${table}_books") || !cat.tableExists(s"${table}_meta"))
+      publishPqIndex(corpus, idCol, vecCol, table, nlist, m, codes, rounds, buckets,
+        corpusFp)
+    else {
+      val meta = corpus.sparkSession.table(s"${table}_meta").head()
+      val storedFp = meta.getString(7)
+      require(storedFp == corpusFp,
+        s"ensurePqIndex: index '$table' exists but was published over corpus " +
+          s"'$storedFp', expected '$corpusFp' — drop the tables or rename")
+      val stored = (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4),
+        meta.getInt(5))
+      val asked = (nlist, m, codes, rounds, buckets)
+      require(stored == asked,
+        s"ensurePqIndex: index '$table' exists with (nlist, m, codes, rounds, " +
+          s"buckets) = $stored but the caller requested $asked — drop the tables " +
+          "to retrain, or pass the published params")
+    }
+  }
+
+  /** PROBE a [[publishPqIndex]] index: quantize ONLY the batch (the corpus
+    * hash/encode work is amortized in the stored tables), route each query
+    * to `nprobe` stored coarse lists, rank candidates by exact integer ADC
+    * over the STORED codes — raw corpus vectors never touch the probe.
+    * Adaptive table-vs-inline ADC exactly as [[ivfPqKnnPortable]] (the
+    * stored corpus row count decides; both forms bit-identical). Fails
+    * fast on a corpus-fingerprint mismatch. Output: (query_id, rank,
+    * neighbor_id, dist). */
+  def probePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      k: Int,
+      nprobe: Int = 2,
+      corpusFp: String = ""): DataFrame = {
+    val meta = spark.table(s"${table}_meta").head()
+    val (dims, nlist, m, codes) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val nRows = meta.getLong(6)
+    val storedFp = meta.getString(7)
+    require(storedFp == corpusFp,
+      s"probePqIndex: index '$table' was published over corpus '$storedFp' " +
+        s"but the caller expects '$corpusFp'")
+    val sub = dims / m
+    val cents = Array.fill(nlist)(new Array[Long](dims))
+    spark.table(s"${table}_cents").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val bksF = Array.fill(m, codes)(new Array[Long](sub))
+    spark.table(s"${table}_books").collect().foreach { r =>
+      bksF(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
+    }
+    val quant = graft.functions.Vectors.fixedPointQuant(1024L)
+    val probeF = probeUdf(cents, nprobe)
+    val encoded = spark.table(s"${table}_assign")
+    val qside = queries
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    val expectedCand = nRows.toDouble * nprobe / math.max(1, nlist)
+    val scored =
+      if (expectedCand >= adcMinCandidates(spark).toDouble) {
+        val adcTable = adcTableUdf(bksF, m, codes, sub)
+        qside.select(col("query_id"), adcTable(col("qq")).as("__adc"),
+            explode(probeF(col("qq"))).as("c"))
+          .join(encoded, Seq("c"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dist", adcLookupCol(col("__adc"), col("cd"), m, codes))
+      } else {
+        val adc = adcInlineUdf(bksF, m, sub)
+        qside.select(col("query_id"), col("qq"), explode(probeF(col("qq"))).as("c"))
+          .join(encoded, Seq("c"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dist", adc(col("qq"), col("cd")))
+      }
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
   /** Consistency audit over a published IVF index — the [[graft.operators.Dedup.assertLshIndexConsistent]]
     * analogue. Cheap form: every inverted-list row routes to a legal
     * centroid (0 ≤ c < nlist) — one agg over the `c` projection. Strict

@@ -610,6 +610,45 @@ class ScaleOpsSpec extends SparkSpecBase {
       "graft_ivfspec", trainRows = 32, nlist = 4, buckets = 2, corpusFp = "spec")
   }
 
+  test("stored PQ index probe equals the one-shot composed IVF+PQ scan") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 64L).map(i =>
+        Row(i, Seq.fill(16)(rnd.nextFloat()))): _*), schema)
+    val queries = vecs.where(col("vec_id") < 4)
+    operators.Similarity.publishPqIndex(vecs, "vec_id", "embedding",
+      "graft_pqspec", nlist = 4, m = 4, codes = 8, buckets = 2, corpusFp = "spec")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probed = keyed(operators.Similarity.probePqIndex(
+      spark, queries, "vec_id", "embedding", "graft_pqspec", k = 3, nprobe = 2,
+      corpusFp = "spec"))
+    val oneShot = keyed(operators.Similarity.ivfPqKnnPortable(
+      vecs, queries, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2,
+      m = 4, codes = 8))
+    assert(probed === oneShot)
+    assert(probed.nonEmpty)
+    // fingerprint + codebook-param drift both fail fast
+    val e = intercept[IllegalArgumentException] {
+      operators.Similarity.probePqIndex(spark, queries, "vec_id", "embedding",
+        "graft_pqspec", k = 3, corpusFp = "other")
+    }
+    assert(e.getMessage.contains("published over corpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Similarity.ensurePqIndex(vecs, "vec_id", "embedding",
+        "graft_pqspec", nlist = 4, m = 4, codes = 16, buckets = 2, corpusFp = "spec")
+    }
+    assert(e2.getMessage.contains("requested"))
+    // exact published params -> no-op, no retrain
+    operators.Similarity.ensurePqIndex(vecs, "vec_id", "embedding",
+      "graft_pqspec", nlist = 4, m = 4, codes = 8, buckets = 2, corpusFp = "spec")
+  }
+
   test("adaptive ADC: table and inline plans are bit-identical (pq + ivfpq)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
