@@ -39,4 +39,44 @@ class BenchTailSpec extends AnyFunSuite {
       "\"load\":[0.1,0.1]", 0.5)
     assert(line2.contains("\"1\":-1") && line2.contains("\"2\":500"))
   }
+
+  test("percentile stamp uses standard nearest-rank (ceil(qn)-1)") {
+    // 4 queries at 100/200/300/400 ms: p50 = 2nd value (200), not the upper
+    // middle (300) the old (q*n).toInt index picked; p99 = max here (n small)
+    val rs = Seq(("q01_a", 0.1), ("q02_b", 0.2), ("q03_c", 0.3), ("q04_d", 0.4))
+    val line = Bench.tailLine(rs, 0, "\"load\":[0.0,0.0]", 1.0)
+    assert(line.contains("\"p\":[200,400,400]"), line)
+    // 100 queries at 10..1000 ms: p50 = 50th = 500, p90 = 90th = 900,
+    // p99 = 99th = 990 — NOT the max (the old index pinned p99 to max for
+    // n <= 100)
+    val rs100 = (1 to 100).map(i => (f"q$i%03d_x", i * 0.01))
+    val line100 = Bench.tailLine(rs100, 0, "\"load\":[0.0,0.0]", 1.0)
+    assert(line100.contains("\"p\":[500,900,990]"), line100)
+  }
+
+  test("pass-2 load gate waits bounded and reports the final load") {
+    // hot trace that quiets on the 3rd poll: gate stops early
+    val trace = Iterator(0.5, 0.4, 0.2, 0.05, 0.05)
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (l, polls) = Bench.gateWait(() => trace.next(), threshold = 0.10,
+      maxPolls = 12, sleepMs = 100, sleep = slept += _)
+    assert(l === 0.05 && polls === 3 && slept.size === 3)
+    // never-quiet trace: gate gives up after maxPolls and returns hot
+    val (l2, polls2) = Bench.gateWait(() => 0.9, threshold = 0.10,
+      maxPolls = 4, sleepMs = 100, sleep = _ => ())
+    assert(l2 === 0.9 && polls2 === 4)
+    // already-quiet host: no sleeping at all
+    val (l3, polls3) = Bench.gateWait(() => 0.02, threshold = 0.10,
+      maxPolls = 12, sleepMs = 100, sleep = _ => fail("must not sleep"))
+    assert(l3 === 0.02 && polls3 === 0)
+  }
+
+  test("hotn stamp marks contention-suspect reruns in the tail wrapper") {
+    val rs = Seq(("q01_a", 0.5), ("q02_b", 0.3))
+    val hot = Bench.tailLine(rs, 0, "\"load\":[0.3,0.2]", 0.8, hotn = 2)
+    assert(hot.contains("\"hotn\":2,"))
+    // clean run: no hotn noise in the wrapper
+    val clean = Bench.tailLine(rs, 0, "\"load\":[0.01,0.01]", 0.8)
+    assert(!clean.contains("hotn"))
+  }
 }
