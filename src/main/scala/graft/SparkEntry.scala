@@ -2248,6 +2248,44 @@ object SparkEntry {
         pqIndexTable(dir), k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
 
+    // ---- index MAINTENANCE for the stored IVF+PQ artifact, APPEND leg
+    //      (lifecycle parity with the LSH/IVF siblings q261/q264): the new
+    //      batch is ROUTED under the STORED centroids and ENCODED under
+    //      the STORED PQ codebooks — neither is retrained, codes are only
+    //      comparable under the same books — so publish(A) + append(B) +
+    //      probe ≡ one-shot composed IVF+PQ over A ∪ B trained on A,
+    //      which the oracle replays verbatim (training CTEs restricted
+    //      to the initially-published partial corpus) ----
+    "q311_pq_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = pqIndexTable(dir) + "_app"
+      Similarity.publishPqIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id",
+        "embedding", tbl, nlist = 8, m = 8, codes = 16, rounds = 2,
+        corpusFp = s"embeddings[%5!=0]@$dir")
+      Similarity.appendPqIndex(e.where(col("vec_id") % 5 === 0), "vec_id",
+        "embedding", tbl, newCorpusFp = ivfCorpusFp(dir))
+      Similarity.probePqIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
+    // ---- the COMPACTION leg: append-maintained codes-only inverted lists
+    //      rewritten at the STORED bucket spec (rows, models, fingerprint
+    //      unchanged; strict PQ audit post-swap) — probe-identical to
+    //      q311 (same oracle); file-count reduction + fault injection in
+    //      CompactionSpec ----
+    "q312_pq_index_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = pqIndexTable(dir) + "_cmp"
+      Similarity.publishPqIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id",
+        "embedding", tbl, nlist = 8, m = 8, codes = 16, rounds = 2,
+        corpusFp = s"embeddings[%5!=0]@$dir")
+      Similarity.appendPqIndex(e.where(col("vec_id") % 5 === 0), "vec_id",
+        "embedding", tbl, newCorpusFp = ivfCorpusFp(dir))
+      Similarity.compactPqIndex(s, tbl)
+      Similarity.probePqIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
     // ---- data-card: containment HUB docs — the docs that subsume the
     //      most others (the boilerplate templates themselves), top-10 by
     //      contained count with deterministic id ties; the window ranks
@@ -3932,6 +3970,36 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |      FROM adc)
         |SELECT query_id, rank, neighbor_id, dist FROM r WHERE rank <= 3""".stripMargin
+
+  /** Shared by q311 (PQ index append) and q312 (append + compact): the
+    * one-shot IVF+PQ ladder with every TRAINING input (coarse-centroid
+    * seeds + Lloyd iterations, PQ codebook seeds + iterations) restricted
+    * to the initially-published partial corpus (vec_id % 5 != 0) while the
+    * FINAL assignment, encode, and probe stay corpus-wide — exactly what
+    * append-under-stored-models computes (the q264 discipline, PQ form).
+    * Compaction rewrites files, never rows, so q312 shares it verbatim. */
+  private val ivfPqAppendOracleSql: String = ivfPqOracleSql
+    // training-sample seeds draw only from the published partial corpus
+    .replace("FROM embeddings ORDER BY vec_id LIMIT 8",
+      "FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 8")
+    .replace("FROM embeddings ORDER BY vec_id LIMIT 16",
+      "FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 16")
+    // A-restricted views of the quantized corpus for the training loops
+    .replace("AS q FROM embeddings),",
+      "AS q FROM embeddings),\nfa AS (SELECT * FROM f WHERE vec_id % 5 != 0),")
+    .replace("AS j, q FROM f),",
+      "AS j, q FROM f),\nfja AS (SELECT * FROM fj WHERE vec_id % 5 != 0),")
+    // coarse Lloyd iterations train on A only (dist3 stays corpus-wide)
+    .replace("FROM f JOIN cent0 c0 ON f.d = c0.d",
+      "FROM fa AS f JOIN cent0 c0 ON f.d = c0.d")
+    .replace("FROM f JOIN cent1 c1 ON f.d = c1.d",
+      "FROM fa AS f JOIN cent1 c1 ON f.d = c1.d")
+    .replace("JOIN f USING (vec_id)", "JOIN fa AS f USING (vec_id)")
+    // PQ codebook iterations train on A only (d3/enc stay corpus-wide)
+    .replace("FROM fj JOIN cb0 b", "FROM fja AS fj JOIN cb0 b")
+    .replace("FROM fj JOIN cb1 b", "FROM fja AS fj JOIN cb1 b")
+    .replace("JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j",
+      "JOIN fja AS fj ON a.vec_id = fj.vec_id AND a.j = fj.j")
 
   private val containmentOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -5618,6 +5686,10 @@ object SparkEntry {
     // deterministic over the same full corpus, so the stored-artifact path
     // must reproduce the one-shot composed scan byte-for-byte
     "q310_pq_index_probe" -> ivfPqOracleSql,
+    // q311/q312: training restricted to the published partial corpus,
+    // final assignment/encode/probe corpus-wide (see ivfPqAppendOracleSql)
+    "q311_pq_index_append" -> ivfPqAppendOracleSql,
+    "q312_pq_index_compact" -> ivfPqAppendOracleSql,
 
     // q104: q125's fixed-point PQ at the COARSE split — m=4 (16-dim
     // subvectors, j = d // 16), same 16-code books, top-3 by integer ADC

@@ -28,4 +28,17 @@ object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Await EVERY future's outcome before rethrowing the first failure.
+    * The naive `Await.result(a); Await.result(b)` rethrows `a`'s failure
+    * while `b` may still be writing in the background — the caller's
+    * natural repair (republish, which drops the table and deletes its
+    * warehouse directory) can then race the orphaned detached write and
+    * leave a mangled table. Used by every overlapped index/table write
+    * (LSH/IVF/PQ publish, compaction side writes). */
+  def awaitAllSettled(fs: scala.concurrent.Future[_]*): Unit = {
+    val rs = fs.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    rs.foreach(r => r.failed.foreach(e => throw e))
+  }
 }

@@ -686,14 +686,15 @@ object Dedup {
     // republish either way, and `_meta` still lands LAST so probes
     // fail fast on a torn publish)
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bkF = Future(
         graft.sources.Bucketing.saveBucketed(bk, s"${table}_buckets", "bk", buckets))
       val docsF = Future(graft.sources.Bucketing.saveBucketed(
         base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets))
-      Await.result(bkF, scala.concurrent.duration.Duration.Inf)
-      Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+      // settle BOTH before rethrowing: an early rethrow can race the
+      // sibling's still-running write against the caller's republish repair
+      graft.functions.Par.awaitAllSettled(bkF, docsF)
     }
     // the hash-family parameters ARE part of the index: a probe under a
     // different (shingleN, numHashes, bands) computes disjoint band keys
@@ -759,7 +760,7 @@ object Dedup {
     // above already covers a failure in either; the consistency assert
     // below runs after BOTH commits)
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bkF = Future(
         bk.write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
@@ -768,8 +769,9 @@ object Dedup {
         base.select(col("id"), col("shs"))
           .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
           .format("parquet").saveAsTable(s"${table}_docs"))
-      Await.result(bkF, scala.concurrent.duration.Duration.Inf)
-      Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+      // settle BOTH before rethrowing: an early rethrow can race the
+      // sibling's still-running write against the caller's republish repair
+      graft.functions.Par.awaitAllSettled(bkF, docsF)
     }
     assertLshIndexConsistent(spark, table)
     writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets, newCorpusFp)
@@ -856,14 +858,13 @@ object Dedup {
     // own __compact/__old staging discipline and repairCompacted is
     // per-table) — overlap their rewrite + swap latency
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bF = Future(graft.sources.Bucketing
         .compactBucketed(spark, s"${table}_buckets", "bk", m.buckets))
       val dF = Future(graft.sources.Bucketing
         .compactBucketed(spark, s"${table}_docs", "id", m.buckets))
-      Await.result(bF, scala.concurrent.duration.Duration.Inf)
-      Await.result(dF, scala.concurrent.duration.Duration.Inf)
+      graft.functions.Par.awaitAllSettled(bF, dF)
     }
     assertLshIndexConsistent(spark, table, strict = true)
   }

@@ -430,7 +430,7 @@ object Similarity {
     // independent — overlap their commit latency; `_meta` still lands
     // LAST so a torn publish fails probe validation
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val aF = Future(graft.sources.Bucketing.saveBucketed(
         qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
@@ -438,8 +438,9 @@ object Similarity {
         s"${table}_assign", "c", buckets))
       val cF = Future(graft.sources.Bucketing.saveBucketed(
         centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
-      Await.result(aF, scala.concurrent.duration.Duration.Inf)
-      Await.result(cF, scala.concurrent.duration.Duration.Inf)
+      // settle BOTH before rethrowing: an early rethrow can race the
+      // sibling's still-running write against the caller's republish repair
+      graft.functions.Par.awaitAllSettled(aF, cF)
     }
     graft.sources.Bucketing.saveBucketed(
       Seq((dims, nlist, trainRows, rounds, buckets, corpusFp))
@@ -607,7 +608,7 @@ object Similarity {
     val bookRows = for { j <- bksF.indices; c <- bksF(j).indices; d <- bksF(j)(c).indices }
       yield (j, c, d, bksF(j)(c)(d))
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val aF = Future(graft.sources.Bucketing.saveBucketed(
         qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
@@ -617,9 +618,7 @@ object Similarity {
         centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
       val bF = Future(graft.sources.Bucketing.saveBucketed(
         bookRows.toDF("j", "code", "d", "cv"), s"${table}_books", "j", 1))
-      Await.result(aF, scala.concurrent.duration.Duration.Inf)
-      Await.result(cF, scala.concurrent.duration.Duration.Inf)
-      Await.result(bF, scala.concurrent.duration.Duration.Inf)
+      graft.functions.Par.awaitAllSettled(aF, cF, bF)
     }
     graft.sources.Bucketing.saveBucketed(
       Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp))
@@ -726,6 +725,131 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** APPEND a new batch to a published IVF+PQ index — the maintenance path
+    * of [[publishPqIndex]], completing the lifecycle parity with its LSH
+    * ([[graft.operators.Dedup.appendLshIndex]]) and IVF
+    * ([[appendIvfIndex]]) siblings. The batch is quantized, ROUTED under
+    * the index's STORED centroids and ENCODED under its STORED PQ
+    * codebooks (both read from the model-sized tables; NEITHER is
+    * retrained — appended codes are only comparable under the SAME books,
+    * so codebook drift is handled by explicit republish, never silently).
+    * Because routing and encoding are per-vector deterministic given the
+    * models, append(publish(A), B) probes identically to a one-shot
+    * composed IVF+PQ scan over A ∪ B trained on A — exactly what the q311
+    * oracle replays. Batch ids already present are refused (a duplicate
+    * would duplicate its result rows); `_meta` is rewritten LAST with the
+    * bumped corpus row count (keeping [[probePqIndex]]'s adaptive-ADC
+    * choice honest post-append) and `newCorpusFp`. NOT ATOMIC across the
+    * two writes — same torn-append caveat as [[appendIvfIndex]]. */
+  def appendPqIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      newCorpusFp: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.table(s"${table}_meta").head()
+    val (dims, nlist, m, codes, rounds, buckets, nRows) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
+        meta.getInt(4), meta.getInt(5), meta.getLong(6))
+    val (qdf, bdims, bN) = quantizedBaseCounted(batch, idCol, vecCol)
+    // an EMPTY batch reports dominant dimension 0 (the quiet ingest tick)
+    // — only the fingerprint/count bump happens, never a spurious mismatch
+    require(bdims == dims || bdims == 0,
+      s"appendPqIndex: batch dimension $bdims != index '$table' dimension $dims")
+    val dup = qdf.select(col("id").as("neighbor_id"))
+      .join(spark.table(s"${table}_assign"), Seq("neighbor_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0,
+      s"appendPqIndex: batch contains ids already present in index '$table' — " +
+        "append would duplicate their result rows; dedup the batch first")
+    val sub = dims / m
+    val cents = Array.fill(nlist)(new Array[Long](dims))
+    spark.table(s"${table}_cents").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val bksF = Array.fill(m, codes)(new Array[Long](sub))
+    spark.table(s"${table}_books").collect().foreach { r =>
+      bksF(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
+    }
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
+    val encodeF = udf { (q: Seq[Long]) =>
+      Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
+    }
+    qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
+        encodeF(col("q")).as("cd"))
+      .write.mode("append").bucketBy(buckets, "c").sortBy("c")
+      .format("parquet").saveAsTable(s"${table}_assign")
+    import spark.implicits._
+    graft.sources.Bucketing.saveBucketed(
+      Seq((dims, nlist, m, codes, rounds, buckets, nRows + bN, newCorpusFp))
+        .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows", "corpus_fp"),
+      s"${table}_meta", "dims", 1)
+  }
+
+  /** Consistency audit over a published IVF+PQ index — the PQ analogue of
+    * [[assertIvfIndexConsistent]]. Cheap form: every inverted-list row
+    * routes to a legal coarse list (0 ≤ c < nlist). Strict (the
+    * maintenance-window form, run post-compaction) proves FOUR invariants
+    * in ONE aggregation over `_assign`: routing range, id uniqueness
+    * (a duplicated id would duplicate probe result rows), code-array
+    * arity (every `cd` has exactly `m` codes — a torn write or schema
+    * drift shows up here), and code range (every code in [0, `codes`) —
+    * an out-of-range code would silently read a wrong codebook row at ADC
+    * time). Additionally cross-checks `_meta.n_rows` against the list
+    * count — the adaptive-ADC choice reads it, so a stale count after a
+    * mangled append is a real (if soft) corruption. */
+  def assertPqIndexConsistent(spark: org.apache.spark.sql.SparkSession,
+      table: String, strict: Boolean = false): Unit = {
+    val meta = spark.table(s"${table}_meta").head()
+    val (nlist, m, codes, nRows) =
+      (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getLong(6))
+    val assign = spark.table(s"${table}_assign")
+    if (!strict) {
+      val badC = assign.where(col("c") < 0 || col("c") >= nlist).count()
+      require(badC == 0L,
+        s"PQ index '$table' is corrupt: $badC rows route outside [0, $nlist) " +
+          "— republish via publishPqIndex")
+    } else {
+      val r = assign.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("neighbor_id")).as("ids"),
+        sum(when(col("c") < 0 || col("c") >= nlist, 1L).otherwise(0L)).as("badc"),
+        sum(when(size(col("cd")) =!= m ||
+          exists(col("cd"), x => x < 0L || x >= codes.toLong), 1L)
+          .otherwise(0L)).as("badcd"))
+        .head()
+      val (rows, ids) = (r.getLong(0), r.getLong(1))
+      val badC = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val badCd = if (r.isNullAt(3)) 0L else r.getLong(3)
+      require(badC == 0L,
+        s"PQ index '$table' is corrupt: $badC rows route outside [0, $nlist) " +
+          "— republish via publishPqIndex")
+      require(badCd == 0L,
+        s"PQ index '$table' is corrupt: $badCd rows carry a code array that is " +
+          s"not exactly $m codes in [0, $codes) — republish via publishPqIndex")
+      require(ids == rows,
+        s"PQ index '$table' is corrupt: $rows list rows over $ids distinct ids " +
+          "(duplicated ids would duplicate probe results) — republish via publishPqIndex")
+      require(rows == nRows,
+        s"PQ index '$table' is corrupt: _meta.n_rows=$nRows but the lists hold " +
+          s"$rows rows — the adaptive-ADC plan choice would read a stale count; " +
+          "republish via publishPqIndex")
+    }
+  }
+
+  /** COMPACT an append-maintained IVF+PQ index: rewrite the codes-only
+    * `_assign` inverted lists at the STORED bucket spec — rows, models,
+    * and fingerprint unchanged, so probes before and after are
+    * row-identical (q312's oracle, shared with q311). The STRICT audit
+    * runs after the swap, same discipline as [[compactIvfIndex]] /
+    * [[graft.operators.Dedup.compactLshIndex]]. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val buckets = spark.table(s"${table}_meta").head().getInt(5)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets)
+    assertPqIndexConsistent(spark, table, strict = true)
   }
 
   /** Consistency audit over a published IVF index — the [[graft.operators.Dedup.assertLshIndexConsistent]]

@@ -249,4 +249,68 @@ class CompactionSpec extends SparkSpecBase {
     Seq("_assign", "_cents", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
+
+  test("compactPqIndex strict audit catches code corruption the cheap audit misses") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tbl = "graft_strictpq"
+    val rnd = new scala.util.Random(7)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 40L).map(i =>
+        Row(i, Seq.fill(8)(rnd.nextFloat()))): _*), schema)
+    // full lifecycle: publish over a partial corpus, append the rest
+    Similarity.publishPqIndex(vecs.where(col("vec_id") % 5 =!= 0), "vec_id",
+      "embedding", tbl, nlist = 2, m = 2, codes = 4, rounds = 2, buckets = 2)
+    Similarity.appendPqIndex(vecs.where(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", tbl, newCorpusFp = "")
+    // the append bumped _meta.n_rows to the full corpus count
+    assert(spark.table(s"${tbl}_meta").head().getLong(6) === 40L)
+    // a duplicate batch id is refused at the seam
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(vecs.limit(1), "vec_id", "embedding", tbl)
+    }
+    assert(eDup.getMessage.contains("already present"))
+    // healthy: compaction (which runs the strict audit) succeeds, and the
+    // appended file sets collapse to at most `buckets` files (one per
+    // non-empty writer bucket — both coarse lists may hash to one bucket)
+    def assignFiles(): Int = {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED ${tbl}_assign")
+        .where(col("col_name") === "Location").head().getString(1)
+      new java.io.File(loc.stripPrefix("file:"))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val preFiles = assignFiles()
+    Similarity.compactPqIndex(spark, tbl)
+    val files = assignFiles()
+    assert(files <= 2 && files < preFiles,
+      s"expected <= 2 files after compaction (pre: $preFiles), saw $files")
+    // count-NEUTRAL corruption: one row's code array gets an out-of-range
+    // code — rows, distinct ids, routing range and n_rows ALL survive; an
+    // out-of-range code would silently read a wrong codebook row at ADC
+    // time, and only the strict code-range invariant can see it
+    val victim = spark.table(s"${tbl}_assign")
+      .select(min(col("neighbor_id"))).head().getLong(0)
+    val corrupted = spark.table(s"${tbl}_assign")
+      .withColumn("cd", when(col("neighbor_id") === victim,
+        array(lit(99L), lit(0L))).otherwise(col("cd")))
+      .collect()
+    val aSchema = spark.table(s"${tbl}_assign").schema
+    spark.sql(s"DROP TABLE ${tbl}_assign")
+    spark.createDataFrame(java.util.Arrays.asList(corrupted: _*), aSchema)
+      .write.bucketBy(2, "c").sortBy("c").format("parquet")
+      .saveAsTable(s"${tbl}_assign")
+    Similarity.assertPqIndexConsistent(spark, tbl) // cheap form: still fine
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assertPqIndexConsistent(spark, tbl, strict = true)
+    }
+    assert(e.getMessage.contains("code array"))
+    val e2 = intercept[IllegalArgumentException] { Similarity.compactPqIndex(spark, tbl) }
+    assert(e2.getMessage.contains("republish"))
+    Seq("_assign", "_cents", "_books", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
 }

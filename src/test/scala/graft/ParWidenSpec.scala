@@ -28,4 +28,27 @@ class ParWidenSpec extends SparkSpecBase {
     // widen must not insert any new plan node on the scale path
     assert(out eq wide)
   }
+
+  test("awaitAllSettled settles EVERY future before rethrowing the first failure") {
+    import scala.concurrent.{Future, Promise}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // fast failure + slow success: the naive sequential await rethrows
+    // while the sibling still runs; settled-await must see it finish first
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boom = Future[Unit] { throw new RuntimeException("fast failure") }
+    val slow = Future { Thread.sleep(300); slowDone.set(true) }
+    val e = intercept[RuntimeException] { Par.awaitAllSettled(boom, slow) }
+    assert(e.getMessage === "fast failure")
+    assert(slowDone.get(), "awaitAllSettled returned before the sibling settled")
+    // all-success: returns normally
+    Par.awaitAllSettled(Future(1), Future("x"), Future(()))
+    // failure ORDER is argument order, not completion order: the first
+    // argument's failure wins even when it fails last
+    val p = Promise[Unit]()
+    val late = p.future
+    val early = Future[Unit] { throw new IllegalStateException("second") }
+    Future { Thread.sleep(200); p.failure(new RuntimeException("first")) }
+    val e2 = intercept[RuntimeException] { Par.awaitAllSettled(late, early) }
+    assert(e2.getMessage === "first")
+  }
 }
