@@ -936,13 +936,28 @@ object Dedup {
     *
     * The bound: each task of the materialization job counts its
     * partition's local (band, key) occupancies from the `bks` arrays and
-    * returns the max; the driver sums the per-partition maxima. Any global
-    * bucket count is a sum of per-partition counts, each ≤ that
-    * partition's max, so global max ≤ Σ partition maxima. Per-task memory
-    * is one count map over the partition's distinct keys. The counting job
-    * runs over the lazily checkpoint-marked plan, so it doubles as the
-    * materialization (`runJob` finalizes marked RDDs when the job ends —
-    * the mechanism behind `Dataset.localCheckpoint(eager = true)` itself). */
+    * returns its TOP-K census — the K largest (key, count) entries plus
+    * `restMax`, the largest count among its remaining keys. The driver
+    * merges BY KEY ([[mergeTopKBounds]]): a key's global count is a sum
+    * of per-partition counts, each ≤ its top-K entry where listed and
+    * ≤ that partition's restMax where not, so the merged figure is a
+    * sound global-max bound. Unlike the r12 Σ-of-partition-maxima bound
+    * (which scaled as maxPerPartition × partitions and routinely
+    * inverted `bound ≤ cap` at realistic widths — 32 partitions × local
+    * max 400 ≈ 12,800 > cap while the true max was 400), the merged
+    * bound tracks trueMax + Σ restMax: a concentrated hot key costs
+    * ~trueMax + partitions, so the uncapped plan stays provably safe at
+    * moderate widths. The honest residual: EVERY one-pass bounded-state
+    * bound carries a Σ-over-partitions floor (a key could hide below
+    * restMax in each partition), so at partition counts approaching the
+    * cap the capped plan becomes the de-facto default — by design: it is
+    * pay-per-anomaly (one partial agg + a near-empty broadcast anti-join)
+    * and result-identical when nothing exceeds the cap (PropertySpec).
+    * Per-task memory is one count map over the partition's distinct keys.
+    * The counting job runs over the lazily checkpoint-marked plan, so it
+    * doubles as the materialization (`runJob` finalizes marked RDDs when
+    * the job ends — the mechanism behind
+    * `Dataset.localCheckpoint(eager = true)` itself). */
   private def shingleBandBase(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
       numHashes: Int, bands: Int, withSig: Boolean = false): (DataFrame, Long) = {
@@ -957,11 +972,10 @@ object Dedup {
         Vectors.md5BandKeys(numHashes, bands)(col("shs")).as("bks"))
     val ck = proj.localCheckpoint(false)
     val bksIdx = ck.schema.fieldIndex("bks")
-    val partMaxes = ck.sparkSession.sparkContext.runJob(
+    val censuses = ck.sparkSession.sparkContext.runJob(
       ck.queryExecution.toRdd,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         val m = new java.util.HashMap[String, Long]()
-        var mx = 0L
         while (it.hasNext) {
           val r = it.next()
           if (!r.isNullAt(bksIdx)) {
@@ -972,16 +986,74 @@ object Dedup {
               if (!arr.isNullAt(i)) {
                 // key string copies out of the reused unsafe-row buffer
                 val key = i.toString + "|" + arr.getUTF8String(i).toString
-                val c = m.merge(key, java.lang.Long.valueOf(1L), (a, b) => a + b)
-                if (c > mx) mx = c
+                m.merge(key, java.lang.Long.valueOf(1L), (a, b) => a + b)
               }
               i += 1
             }
           }
         }
-        mx
+        topKCensus(m, boundTopK)
       })
-    (ck, partMaxes.sum)
+    (ck, mergeTopKBounds(censuses.toSeq))
+  }
+
+  /** Entries kept per partition for the bucket-occupancy bound: driver
+    * merge state is partitions × K — model-sized at any width. */
+  private[graft] val boundTopK = 16
+
+  /** The K largest (key, count) entries of a partition's occupancy census
+    * plus `restMax` = the largest count among the keys NOT kept (0 when
+    * every key is kept). Pure; extracted for the bound property test. */
+  private[graft] def topKCensus(
+      m: java.util.HashMap[String, Long], k: Int): (Array[(String, Long)], Long) = {
+    if (m.size <= k) {
+      val top = new Array[(String, Long)](m.size)
+      var i = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); top(i) = (e.getKey, e.getValue); i += 1 }
+      (top, 0L)
+    } else {
+      // selection via a size-K min-heap on counts: O(n log K)
+      val heap = new java.util.PriorityQueue[(String, Long)](
+        k, (a: (String, Long), b: (String, Long)) => java.lang.Long.compare(a._2, b._2))
+      var restMax = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (heap.size < k) heap.add((e.getKey, e.getValue))
+        else if (e.getValue > heap.peek()._2) {
+          val evicted = heap.poll()._2
+          if (evicted > restMax) restMax = evicted
+          heap.add((e.getKey, e.getValue))
+        } else if (e.getValue > restMax) restMax = e.getValue
+      }
+      (heap.toArray(new Array[(String, Long)](heap.size)), restMax)
+    }
+  }
+
+  /** Merge per-partition top-K censuses into a SOUND global-max-occupancy
+    * bound. For any key k: count(k) = Σ_p localCount_p(k), and
+    * localCount_p(k) ≤ topK_p(k) when listed, ≤ restMax_p otherwise — so
+    * max over listed keys of that per-key sum, together with
+    * Σ restMax_p (a key listed nowhere), bounds every key's global count.
+    * Always ≤ the old Σ-of-partition-maxima bound (each term is).
+    * Pure; exercised directly by the PropertySpec bound properties. */
+  private[graft] def mergeTopKBounds(censuses: Seq[(Array[(String, Long)], Long)]): Long = {
+    val restSum = censuses.iterator.map(_._2).sum
+    val perKey = new java.util.HashMap[String, Long]()
+    // Σ_p [topK_p(k) − restMax_p] accumulated per listed key; add restSum
+    // at the end — equivalent to Σ_p (topK_p(k) when listed else restMax_p)
+    censuses.foreach { case (top, restMax) =>
+      top.foreach { case (key, c) =>
+        perKey.merge(key, java.lang.Long.valueOf(c - restMax), (a, b) => a + b)
+      }
+    }
+    var best = 0L
+    val it = perKey.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > best) best = v }
+    // a listed key's surplus can be negative in theory only when c <
+    // restMax, which top-K selection forbids; max(best, 0) guards anyway
+    math.max(best, 0L) + restSum
   }
 
   /** The (id, band, bk) LSH band-bucket CELLS of `docs` — the claimable
