@@ -103,14 +103,50 @@ object OrderedScan {
     * nulls-first order of the single-window form (`Window.orderBy` asc)
     * these scans reproduce (the samplers ignore nulls, so they'd otherwise
     * fall through the `<=` chain into the LAST bucket and diverge). */
+  /** `string_prefix64(keyCol)` as a Column: the key's first 8 UTF-8 bytes
+    * as a signed order-isomorphic long (weakly monotone in UTF8 binary
+    * order — see [[graft.plans.StringPrefix64]]). */
+  private[graft] def prefix64(keyCol: String): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.plans.StringPrefix64(
+        org.apache.spark.sql.GraftShim.expression(col(keyCol))))
+
   def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
     if (df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType) {
-      val cuts = sampledStringCuts(df, keyCol, buckets)
-      val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-        case ((cut, i), elseExpr) => when(col(keyCol) <= lit(cut), i).otherwise(elseExpr)
+      // PREFIX FAST PATH: bucket on the order-isomorphic 8-byte long
+      // prefix of the key instead of the string. Sound because prefix64
+      // is weakly monotone in key order — bucketing by ANY monotone
+      // coarsening keeps buckets as ordered contiguous key ranges with
+      // equal keys together, which is the only invariant the stitches
+      // need. Boundaries come from ONE approxQuantile pass over the
+      // prefix cast to double (cast is weakly monotone too; boundaries
+      // only need BALANCE, never exactness) — replacing the r12
+      // takeSample path, which paid TWO full passes (count + collect)
+      // and then O(buckets) per-row UTF8 comparisons in the bucket
+      // when-chain; this path pays one pass and long/double compares
+      // inside whole-stage codegen.
+      val keyed = df.withColumn("__kpfxd", prefix64(keyCol).cast("double"))
+      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+      val cutsD = keyed.stat.approxQuantile("__kpfxd", probes, 0.01).distinct.sorted
+      // diversity gate: when the sampled prefixes can't separate at least
+      // half the requested cuts (keys sharing ≥8 leading bytes — URLs
+      // under one host, padded codes), fall back to exact sampled STRING
+      // cut points (slower, but balanced regardless of shared prefixes)
+      if (cutsD.length >= math.max(1, (buckets - 1) / 2)) {
+        val bucketExpr = cutsD.zipWithIndex.foldRight(lit(cutsD.length): Column) {
+          case ((cut, i), elseExpr) =>
+            when(col("__kpfxd") <= cut, i).otherwise(elseExpr)
+        }
+        keyed.withColumn("__bucket",
+          when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr)).drop("__kpfxd")
+      } else {
+        val cuts = sampledStringCuts(df, keyCol, buckets)
+        val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+          case ((cut, i), elseExpr) => when(col(keyCol) <= lit(cut), i).otherwise(elseExpr)
+        }
+        df.withColumn("__bucket",
+          when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr))
       }
-      df.withColumn("__bucket",
-        when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr))
     } else {
       val keyed = df.withColumn("__knum", numericKey(df, keyCol))
       val probes = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -610,8 +646,18 @@ object OrderedScan {
       ordCol: String,
       buckets: Int = 64): DataFrame = {
     val b = withRangeBucket(df, keyCol, buckets)
-    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
-    val within = b.withColumn("__rn", row_number().over(wIn).cast("long") - 1)
+    // String keys sort by (prefix64, key) — the same total order, but the
+    // window's sort comparator (whose Tungsten sort-prefix lands on the
+    // USELESS first sort column, the per-partition-constant __bucket)
+    // decides almost every comparison on an 8-byte load instead of a
+    // UTF8String byte walk. Costs 8 bytes/row of shuffle width; the r12
+    // drill's ordered_rank_str kernel was exactly this comparator.
+    val isStr = df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
+    val wIn =
+      if (isStr) Window.partitionBy(col("__bucket")).orderBy(col("__kpfx"), col(keyCol))
+      else Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    val keyedB = if (isStr) b.withColumn("__kpfx", prefix64(keyCol)) else b
+    val within = keyedB.withColumn("__rn", row_number().over(wIn).cast("long") - 1)
     val summary = within.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
     val wCarry = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
     val carry = summary

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static Jaro-Winkler kernel shared by interpreted eval and generated
@@ -92,4 +92,38 @@ case class JaroWinkler(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `string_prefix64(s)` — the string's first 8 UTF-8 bytes as a SIGNED
+  * order-isomorphic long: `UTF8String.getPrefix()` (big-endian, zero-
+  * padded — the exact prefix Spark's own radix/Tungsten string sort keys
+  * on, compared UNSIGNED there) with the sign bit flipped so plain signed
+  * `<` agrees with unsigned byte order. Weakly monotone in UTF8 binary
+  * order: a ≤ b ⟹ prefix64(a) ≤ prefix64(b), with equality only when the
+  * first 8 bytes tie — so any range-bucketing BY the prefix is a sound
+  * coarsening of key order. [[graft.operators.OrderedScan]] uses it to
+  * turn the string range-bucket assignment (O(buckets) UTF8 comparisons
+  * per row) into long comparisons inside whole-stage codegen. */
+case class StringPrefix64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"string_prefix64 expects a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "string_prefix64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    a.asInstanceOf[UTF8String].getPrefix ^ Long.MinValue
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"($a.getPrefix() ^ Long.MIN_VALUE)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringPrefix64 {
+  /** Driver-side twin of the expression (cut-point precomputation). */
+  def of(s: String): Long = UTF8String.fromString(s).getPrefix ^ Long.MinValue
 }

@@ -214,6 +214,43 @@ class OrderedScanSpec extends SparkSpecBase {
     assert(err.getMessage.contains("numeric"))
   }
 
+  test("string buckets: prefix fast path orders high-bit bytes unsigned; " +
+    "shared-prefix keys fall back to exact string cuts") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType, nullable = false)))
+    def ranks(keys: Seq[String], buckets: Int): Seq[(String, Long)] = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(keys.map(org.apache.spark.sql.Row(_)): _*), schema)
+      OrderedScan.rowNumber(df, "k", "__ord", buckets)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    }
+    // UTF8-BINARY order with multi-byte characters: é = C3 A9, ß = C3 9F,
+    // 😀 = F0 9F..., ￮ = EF BF AE — all with high bits set. A SIGNED prefix
+    // comparison would order them before ASCII; the sign-flip must keep
+    // them after. Expected order = Spark's own orderBy (UTF8 binary).
+    val mixed = Seq("zz", "é9", "ß1", "😀", "abc", "￮", "A", "~tilde")
+    val expected = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(mixed.map(org.apache.spark.sql.Row(_)): _*), schema)
+      df.orderBy(col("k")).collect().map(_.getString(0)).toSeq
+    }
+    assert(ranks(mixed, buckets = 3).map(_._1) === expected)
+    // 600 keys sharing a 12-byte prefix: every cut has the SAME 8-byte
+    // prefix, so the fast path must disable itself and the exact string
+    // chain must still rank globally ("url_prefix_10" < "url_prefix_9")
+    val shared = (1 to 600).map(i => s"url_prefix_$i")
+    val got = ranks(shared, buckets = 8)
+    assert(got.map(_._1) === shared.sorted)
+    assert(got.map(_._2) === (0L until 600L))
+    // diverse keys at scale through the fast path: md5-ish hex strings
+    val hexed = (1 to 600).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val gotHex = ranks(hexed, buckets = 8)
+    assert(gotHex.map(_._1) === hexed.sorted)
+    assert(gotHex.map(_._2) === (0L until 600L))
+  }
+
   test("slidingAgg matches the single global window, including spans wider than a bucket") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Boundary
