@@ -205,24 +205,103 @@ object Similarity {
     * job of scheduler latency per query. */
   private def quantizedBaseCounted(
       corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Int, Long) = {
+    val (qdf, dims, n, _) = quantizedBaseCountedInit(corpus, idCol, vecCol, 0)
+    (qdf, dims, n)
+  }
+
+  /** [[quantizedBaseCounted]] + the `initRows` SMALLEST-ID (id, q) rows,
+    * all collected during the one checkpoint-materialization job: the
+    * portable trainers seed centroids/codebooks from the smallest-id
+    * quantized vectors (`orderBy(id).limit(n)` semantics, bit-identical),
+    * and paying a separate TakeOrdered job for 8-32 model rows costs a
+    * whole round of scheduler latency per query at base scale (the q104
+    * residual in the r12 verdict). Each task keeps a bounded max-heap by
+    * id; the driver merges (ids tie-broken arbitrarily, exactly like the
+    * SQL limit under duplicate ids). */
+  private def quantizedBaseCountedInit(
+      corpus: DataFrame, idCol: String, vecCol: String, initRows: Int)
+      : (DataFrame, Int, Long, Array[Array[Long]]) = {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    val dims = graft.functions.Vectors.dominantDim(corpus, vecCol)
     // Par.widen: the quantize kernel AND every downstream Lloyd
-    // treeAggregate inherit this DataFrame's partitioning — a narrow
-    // single-file scan would run the whole training single-core
-    val qdf = graft.functions.Par.widen(corpus
-        .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+    // aggregation inherit this DataFrame's partitioning — a narrow
+    // single-file scan would run the whole training single-core.
+    // The checkpoint holds ALL non-null rows (the dominant dimension is
+    // not known yet — it is a BYPRODUCT of this same materialization job,
+    // which also returns per-dim counts and per-dim smallest-id heaps):
+    // r12 paid a separate groupBy(size) shuffle job for dominantDim
+    // before the checkpoint, one whole round of scheduler latency per
+    // ANN query at base scale. The dominant-dim filter is applied to the
+    // RETURNED frame (a cheap re-read of cached blocks), so downstream
+    // semantics — dominant dimension by (count desc, dim asc), rows
+    // filtered to it, init = its smallest-id rows — are unchanged.
+    val ck = graft.functions.Par.widen(corpus
+        .where(col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
       .select(col("id"), quant(col("v")).as("q"), col("v"))
       .localCheckpoint(false)
-    val partCounts = qdf.sparkSession.sparkContext.runJob(
-      qdf.queryExecution.toRdd,
+    val idIdx = ck.schema.fieldIndex("id")
+    val qIdx = ck.schema.fieldIndex("q")
+    val vIdx = ck.schema.fieldIndex("v")
+    val k = initRows
+    // per-dim (count, smallest-id max-heap): ragged corpora carry a
+    // handful of distinct dims, so the per-task state stays model-sized
+    type Heap = java.util.PriorityQueue[(Long, Array[Long])]
+    def newHeap(): Heap = new java.util.PriorityQueue[(Long, Array[Long])](
+      math.max(1, k),
+      (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+        java.lang.Long.compare(b._1, a._1))
+    val parts = ck.sparkSession.sparkContext.runJob(
+      ck.queryExecution.toRdd,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        n
+        val byDim = new java.util.HashMap[Int, (Array[Long], Heap)]()
+        while (it.hasNext) {
+          val r = it.next()
+          val dim = r.getArray(vIdx).numElements()
+          var slot = byDim.get(dim)
+          if (slot == null) { slot = (Array(0L), newHeap()); byDim.put(dim, slot) }
+          slot._1(0) += 1
+          if (k > 0 && !r.isNullAt(idIdx)) {
+            val heap = slot._2
+            val id = r.getLong(idIdx)
+            if (heap.size < k) heap.add((id, r.getArray(qIdx).toLongArray()))
+            else if (id < heap.peek()._1) {
+              heap.poll()
+              heap.add((id, r.getArray(qIdx).toLongArray()))
+            }
+          }
+        }
+        val out = new Array[(Int, Long, Array[(Long, Array[Long])])](byDim.size)
+        var i = 0
+        val eit = byDim.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          out(i) = (e.getKey, e.getValue._1(0),
+            e.getValue._2.toArray(new Array[(Long, Array[Long])](e.getValue._2.size)))
+          i += 1
+        }
+        out
       })
-    (qdf, dims, partCounts.sum)
+    val counts = new java.util.HashMap[Int, Long]()
+    parts.foreach(_.foreach { case (d, n, _) =>
+      counts.merge(d, java.lang.Long.valueOf(n), (a, b) => a + b) })
+    // dominant dimension: count desc, dim asc — dominantDim's exact order
+    val dims =
+      if (counts.isEmpty) 0
+      else {
+        var best = -1; var bestN = -1L
+        val cit = counts.entrySet().iterator()
+        while (cit.hasNext) {
+          val e = cit.next()
+          if (e.getValue > bestN || (e.getValue == bestN && e.getKey < best)) {
+            best = e.getKey; bestN = e.getValue
+          }
+        }
+        best
+      }
+    val init = parts.iterator.flatMap(_.iterator.filter(_._1 == dims).flatMap(_._3))
+      .toArray.sortBy(_._1).take(initRows).map(_._2)
+    val qdf = ck.where(size(col("v")) === dims)
+    (qdf, dims, counts.getOrDefault(dims, 0L), init)
   }
 
   /** Exact-integer argmin-L2 over full-width centroids (tie → lower id). */
@@ -243,20 +322,28 @@ object Similarity {
 
   /** Integer Lloyd training shared by the portable IVF entries: init = the
     * `nlist` smallest-id quantized vectors; each round is ONE narrow
-    * treeAggregate pass — per-partition (cluster × dim) integer sums merged
-    * on the driver (nlist×dim longs, model-sized), floor-mean updates,
+    * single-stage aggregate pass — per-partition (cluster × dim) integer
+    * sums merged on the driver (nlist×dim longs, model-sized — plain
+    * `aggregate`, not treeAggregate, whose tree combine adds a whole
+    * repartition stage to save the driver a fold it does in microseconds),
+    * floor-mean updates,
     * empty clusters keep their centroid. No explode, no shuffle; exact
     * long sums keep it order-free. */
-  private def lloydInt(qdf: DataFrame, nlist: Int, rounds: Int): Array[Array[Long]] = {
+  private def lloydInt(qdf: DataFrame, nlist: Int, rounds: Int,
+      init: Option[Array[Array[Long]]] = None): Array[Array[Long]] = {
     import qdf.sparkSession.implicits._
-    var cents: Array[Array[Long]] = qdf.select(col("id"), col("q")).orderBy(col("id"))
-      .limit(nlist).as[(Long, Seq[Long])].collect().map(_._2.toArray)
+    // init = the nlist smallest-id quantized vectors, either precollected
+    // during the base's materialization job (zero extra jobs) or via a
+    // TakeOrdered job here — bit-identical seeds
+    var cents: Array[Array[Long]] = init.getOrElse(
+      qdf.select(col("id"), col("q")).orderBy(col("id"))
+        .limit(nlist).as[(Long, Seq[Long])].collect().map(_._2.toArray))
     require(cents.length == nlist, s"corpus smaller than nlist=$nlist")
     val dimLen = cents(0).length
     val qRdd = qdf.select(col("q")).as[Seq[Long]].rdd
     for (_ <- 0 until rounds) {
       val cs = cents
-      val (sums, counts) = qRdd.treeAggregate(
+      val (sums, counts) = qRdd.aggregate(
         (Array.fill(nlist)(new Array[Long](dimLen)), new Array[Long](nlist)))(
         seqOp = { case ((s, n), q) =>
           val c = assignIdxInt(q, cs)
@@ -304,8 +391,9 @@ object Similarity {
       nlist: Int = 8,
       nprobe: Int = 2,
       rounds: Int = 2): DataFrame = {
-    val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
-    ivfScanInt(qdf, dims, queries, idCol, vecCol, k, nprobe, lloydInt(qdf, nlist, rounds))
+    val (qdf, dims, _, init) = quantizedBaseCountedInit(corpus, idCol, vecCol, nlist)
+    ivfScanInt(qdf, dims, queries, idCol, vecCol, k, nprobe,
+      lloydInt(qdf, nlist, rounds, Some(init)))
   }
 
   /** [[ivfKnnPortable]] with the coarse quantizer trained on a BOUNDED
@@ -593,11 +681,14 @@ object Similarity {
       buckets: Int = 8,
       corpusFp: String = ""): Unit = {
     val spark = corpus.sparkSession
-    val (qdf, dims, nRows) = quantizedBaseCounted(corpus, idCol, vecCol)
+    // one materialization job yields the count AND the smallest-id seed
+    // rows for BOTH trainers (nlist for Lloyd, codes for the PQ books)
+    val (qdf, dims, nRows, init) =
+      quantizedBaseCountedInit(corpus, idCol, vecCol, math.max(nlist, codes))
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
-    val cents = lloydInt(qdf, nlist, rounds)
-    val bksF = pqBooksInt(qdf, m, codes, sub, rounds)
+    val cents = lloydInt(qdf, nlist, rounds, Some(init.take(nlist)))
+    val bksF = pqBooksInt(qdf, m, codes, sub, rounds, Some(init.take(codes)))
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
@@ -932,21 +1023,24 @@ object Similarity {
 
   /** Fixed-point PQ codebook training shared by the portable PQ entries:
     * codebook[j][c] initializes to sub-slice j of the c-th smallest-id
-    * quantized vector; each round is one treeAggregate pass (m×codes×sub
-    * longs to the driver), floor-mean updates, empty codes keep their
+    * quantized vector; each round is one single-stage aggregate pass
+    * (m×codes×sub longs to the driver; see [[lloydInt]] on why not
+    * treeAggregate), floor-mean updates, empty codes keep their
     * vector. */
   private def pqBooksInt(
-      qdf: DataFrame, m: Int, codes: Int, sub: Int, rounds: Int): Array[Array[Array[Long]]] = {
+      qdf: DataFrame, m: Int, codes: Int, sub: Int, rounds: Int,
+      initRows: Option[Array[Array[Long]]] = None): Array[Array[Array[Long]]] = {
     import qdf.sparkSession.implicits._
-    val init = qdf.select(col("id"), col("q")).orderBy(col("id")).limit(codes)
-      .as[(Long, Seq[Long])].collect().map(_._2.toArray)
+    val init = initRows.getOrElse(
+      qdf.select(col("id"), col("q")).orderBy(col("id")).limit(codes)
+        .as[(Long, Seq[Long])].collect().map(_._2.toArray))
     require(init.length == codes, s"corpus smaller than codes=$codes")
     var books: Array[Array[Array[Long]]] =
       Array.tabulate(m, codes)((j, c) => init(c).slice(j * sub, (j + 1) * sub))
     val qRdd = qdf.select(col("q")).as[Seq[Long]].rdd
     for (_ <- 0 until rounds) {
       val bks = books
-      val (sums, counts) = qRdd.treeAggregate(
+      val (sums, counts) = qRdd.aggregate(
         (Array.fill(m, codes)(new Array[Long](sub)), Array.fill(m, codes)(0L)))(
         seqOp = { case ((s, n), q) =>
           var j = 0
@@ -1060,11 +1154,12 @@ object Similarity {
       m: Int = 8,
       codes: Int = 16,
       rounds: Int = 2): DataFrame = {
-    val (qdf, dims, nCorpus) = quantizedBaseCounted(corpus, idCol, vecCol)
+    val (qdf, dims, nCorpus, init) =
+      quantizedBaseCountedInit(corpus, idCol, vecCol, codes)
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    val bksF = pqBooksInt(qdf, m, codes, sub, rounds)
+    val bksF = pqBooksInt(qdf, m, codes, sub, rounds, Some(init))
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
@@ -1115,12 +1210,13 @@ object Similarity {
       m: Int = 8,
       codes: Int = 16,
       rounds: Int = 2): DataFrame = {
-    val (qdf, dims, nCorpus) = quantizedBaseCounted(corpus, idCol, vecCol)
+    val (qdf, dims, nCorpus, init) =
+      quantizedBaseCountedInit(corpus, idCol, vecCol, math.max(nlist, codes))
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    val cents = lloydInt(qdf, nlist, rounds)
-    val bksF = pqBooksInt(qdf, m, codes, sub, rounds)
+    val cents = lloydInt(qdf, nlist, rounds, Some(init.take(nlist)))
+    val bksF = pqBooksInt(qdf, m, codes, sub, rounds, Some(init.take(codes)))
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     val probeF = probeUdf(cents, nprobe)
     val encodeF = udf { (q: Seq[Long]) =>
