@@ -368,6 +368,35 @@ object ScaleDrill {
         "vec_id", "embedding", ivfTbl, k = 10, corpusFp = ivfFp)
     }
 
+    // stored IVF+PQ index lifecycle (the q311/q312 shape): publish
+    // codes-only inverted lists over 80% of the corpus (models trained on
+    // exactly that 80%), APPEND the rest routed+encoded under the STORED
+    // models (no retrain), COMPACT at the stored bucket spec (strict PQ
+    // audit runs inside), PROBE via ADC — probes never touch raw vectors
+    val pqTbl = "graft_drill_pq"
+    timedUnit("pq_index_publish") {
+      operators.Similarity.publishPqIndex(ivfCorpus.where(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", pqTbl, corpusFp = s"$ivfFp-partial")
+      0L
+    }
+    locally {
+      val batch = ivfCorpus.where(col("vec_id") % 5 === 0)
+      val n = batch.count()
+      timedUnit("pq_index_append") {
+        operators.Similarity.appendPqIndex(batch, "vec_id", "embedding", pqTbl,
+          newCorpusFp = ivfFp)
+        n
+      }
+    }
+    timedUnit("pq_index_compact") {
+      operators.Similarity.compactPqIndex(spark, pqTbl)
+      0L
+    }
+    timed("pq_index_probe") {
+      operators.Similarity.probePqIndex(spark, queryVecs,
+        "vec_id", "embedding", pqTbl, k = 10, corpusFp = ivfFp)
+    }
+
     // streaming state at amplified scale: the q249 mapGroupsWithState kernel
     // under ROCKSDB, X× events and X× distinct users forced through multiple
     // micro-batches; extras carry the state-store metrics (commit ms, peak

@@ -21,6 +21,7 @@ class ScaleDrillSpec extends SparkSpecBase {
       "decontamination",
       "lsh_index_publish", "lsh_index_append", "lsh_index_probe",
       "ivf_index_publish", "ivf_index_append", "ivf_index_probe",
+      "pq_index_publish", "pq_index_append", "pq_index_compact", "pq_index_probe",
       "stream_state_rocksdb", "stream_neardup_keyed"))
     val st = results.find(_.name === "stream_state_rocksdb").get
     assert(st.extras.getOrElse("state_rows_peak", 0L) > 0, "no state-store rows recorded")
@@ -29,8 +30,10 @@ class ScaleDrillSpec extends SparkSpecBase {
     assert(nd.extras.getOrElse("state_rows_peak", 0L) > 0, "no claim-cell state recorded")
     assert(nd.extras.getOrElse("batches", 0L) === 4L, "near-dup drill must span 4 batches")
     assert(nd.extras.contains("batch_ms_3"), "per-batch timings missing")
-    // publishes report rows=0 by design (setup-cost records, not results)
-    val zeroRowOk = Set("lsh_index_publish", "ivf_index_publish")
+    // publishes/compactions report rows=0 by design (setup-cost records,
+    // not results)
+    val zeroRowOk = Set("lsh_index_publish", "ivf_index_publish",
+      "pq_index_publish", "pq_index_compact")
     results.foreach { r =>
       assert(r.rows > 0 || zeroRowOk(r.name), s"${r.name}: empty result")
       assert(r.flags.isEmpty,
