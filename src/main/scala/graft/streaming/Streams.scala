@@ -867,12 +867,24 @@ object Streams {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(srcPath)
+    // widen BEFORE the md5 kernel — the streaming analogue of Par.widen:
+    // a trigger of few fat single-row-group files scans as 1-2 partitions,
+    // serializing the shingle+md5 band-key kernel on as many cores (the
+    // r12 drill's stream_neardup_keyed batches spent ~95% of their time
+    // exactly here — state-store commits were 1.5 s of an 86 s run at
+    // 50×). One extra exchange of the raw batch text buys a full-width
+    // kernel; triggers that already arrive as many files can turn it off
+    // (spark.graft.streaming.widen=false) to skip the exchange.
+    val widened =
+      if (stream.conf.get("spark.graft.streaming.widen", "true").toBoolean)
+        src.repartition(stream.sparkContext.defaultParallelism)
+      else src
     // same md5 band-key family as Dedup.bandBuckets — inlined as pure
     // projections (streaming frames cannot checkpoint); `pos|key` strings
     // key the state groups
     val bks = graft.functions.Vectors.md5BandKeys(16, 4)(
       graft.functions.Vectors.shinglesFast(3)(col("text")))
-    val cells = src
+    val cells = widened
       .select(col("doc_id").as("id"), bks.as("bks"))
       .select(col("id"), posexplode(
         when(size(col("bks")) > 0, col("bks"))
