@@ -2248,6 +2248,23 @@ object SparkEntry {
         pqIndexTable(dir), k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
 
+    // ---- streaming ANN at ingest, the PQ leg: quantize each arriving
+    //      query micro-batch, ADC-probe the PUBLISHED codes-only IVF+PQ
+    //      index per batch — per-query determinism makes union-over-
+    //      batches == the one-shot probe == q310's oracle (shared with
+    //      q111); completes the LSH(q252)/IVF(q265)/PQ streaming-probe
+    //      matrix ----
+    "q313_stream_pq_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ensurePqIndex(e, "vec_id", "embedding", pqIndexTable(dir),
+        nlist = 8, m = 8, codes = 16, rounds = 2, corpusFp = ivfCorpusFp(dir))
+      Streams.streamPqIndexProbe(s,
+        e.select(col("vec_id"), col("embedding")).where(col("vec_id") < 5),
+        pqIndexTable(dir), k = 3,
+        batchPreds = Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0),
+        corpusFp = ivfCorpusFp(dir))
+    }),
+
     // ---- index MAINTENANCE for the stored IVF+PQ artifact, APPEND leg
     //      (lifecycle parity with the LSH/IVF siblings q261/q264): the new
     //      batch is ROUTED under the STORED centroids and ENCODED under
@@ -5690,6 +5707,8 @@ object SparkEntry {
     // final assignment/encode/probe corpus-wide (see ivfPqAppendOracleSql)
     "q311_pq_index_append" -> ivfPqAppendOracleSql,
     "q312_pq_index_compact" -> ivfPqAppendOracleSql,
+    // q313 = q310's probe per micro-batch; union over batches == one-shot
+    "q313_stream_pq_probe" -> ivfPqOracleSql,
 
     // q104: q125's fixed-point PQ at the COARSE split — m=4 (16-dim
     // subvectors, j = d // 16), same 16-code books, top-3 by integer ADC

@@ -1046,4 +1046,33 @@ object Streams {
     }.select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .localCheckpoint(true)
   }
+
+  /** STREAMING ANN against a PUBLISHED IVF+PQ index
+    * ([[graft.operators.Similarity.publishPqIndex]]) — completes the
+    * streaming-probe matrix (LSH [[streamLshIndexProbe]], IVF
+    * [[streamIvfIndexProbe]], and now the codes-only PQ artifact): each
+    * arriving query micro-batch quantizes ONLY itself and ADC-probes the
+    * stored inverted lists via `foreachBatch`. Per-query determinism makes
+    * union-over-batches ≡ the one-shot [[graft.operators.Similarity.probePqIndex]],
+    * which is exactly what the q313 oracle (shared verbatim with
+    * q111/q310) recomputes. Output: (query_id, rank, neighbor_id, dist)
+    * across all batches; batchId-partitioned idempotent-overwrite sink. */
+  def streamPqIndexProbe(
+      spark: SparkSession, incoming: DataFrame, indexTable: String, k: Int,
+      batchPreds: Seq[org.apache.spark.sql.Column],
+      nprobe: Int = 2,
+      corpusFp: String = ""): DataFrame = {
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+    streamIndexProbe(spark, incoming, batchPreds, sinkSchema, "pqstream") { batch =>
+      graft.operators.Similarity
+        .probePqIndex(batch.sparkSession, batch, "vec_id", "embedding", indexTable,
+          k = k, nprobe = nprobe, corpusFp = corpusFp)
+    }.select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+      .localCheckpoint(true)
+  }
 }
