@@ -52,6 +52,21 @@ object Bench {
     assemble(kept.toSeq, entries.size - kept.size)
   }
 
+  /** >2×-best regression marker with a JITTER FLOOR (r13 judge item #4):
+    * a bare `committed > 2×best` ratio flags 0.1-second queries on ±0.1 s
+    * scheduler noise (3 of the clean r13 record's 4 flags were this
+    * artifact). A committed value flags only when BOTH the ratio exceeds
+    * 2× AND the absolute excess clears `floor` seconds — a q166-sized
+    * real regression (1.15 s → 2.34 s) still flags, a 40 ms → 110 ms
+    * codegen wobble never does. Raw values and best anchors stay in the
+    * record, so the unfloored ratios remain computable by any reader. */
+  def regressionFlags(committed: Map[String, Double], best: Map[String, Double],
+      floor: Double = 0.25): Seq[String] =
+    committed.collect { case (k, v)
+        if v >= 0 && best.get(k).exists(b => b > 0 && v > 2 * b && v - b > floor) =>
+      k
+    }.toSeq.sorted
+
   /** Bounded wait for ambient load to drop below `threshold` before the
     * pass-2 rerun sweep: poll `sample` up to `maxPolls` times, sleeping
     * `sleepMs` between polls, stopping early once a sample is quiet.
@@ -324,9 +339,13 @@ object Bench {
       val qloadQs = qload.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + n3(v) }.mkString("{", ",", "}")
       val hotqArr = hotq.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // floored >2×-best flags (see regressionFlags) — placed BEFORE "best"
+      // so the best-anchor parser (reads from the "best" marker) is unaffected
+      val flagArr = regressionFlags(results, priorBest)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       try java.nio.file.Files.writeString(
         selfPath,
-        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,$loadStamp,"queries":$fullQs,"med":$medQs,"qload":$qloadQs,"hotq":$hotqArr,"best":$bestQs,"sf":"$sfDir"}\n""")
+        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,$loadStamp,"queries":$fullQs,"med":$medQs,"qload":$qloadQs,"hotq":$hotqArr,"flag":$flagArr,"best":$bestQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }
     println(tailLine(results.toSeq, qerr, loadStamp, total, hotn = hotq.size))

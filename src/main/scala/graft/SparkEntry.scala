@@ -3995,28 +3995,37 @@ object SparkEntry {
     * FINAL assignment, encode, and probe stay corpus-wide — exactly what
     * append-under-stored-models computes (the q264 discipline, PQ form).
     * Compaction rewrites files, never rows, so q312 shares it verbatim. */
-  private val ivfPqAppendOracleSql: String = ivfPqOracleSql
+  private val ivfPqAppendOracleSql: String = Seq(
     // training-sample seeds draw only from the published partial corpus
-    .replace("FROM embeddings ORDER BY vec_id LIMIT 8",
-      "FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 8")
-    .replace("FROM embeddings ORDER BY vec_id LIMIT 16",
-      "FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 16")
+    "FROM embeddings ORDER BY vec_id LIMIT 8" ->
+      "FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 8",
+    "FROM embeddings ORDER BY vec_id LIMIT 16" ->
+      "FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 16",
     // A-restricted views of the quantized corpus for the training loops
-    .replace("AS q FROM embeddings),",
-      "AS q FROM embeddings),\nfa AS (SELECT * FROM f WHERE vec_id % 5 != 0),")
-    .replace("AS j, q FROM f),",
-      "AS j, q FROM f),\nfja AS (SELECT * FROM fj WHERE vec_id % 5 != 0),")
+    "AS q FROM embeddings)," ->
+      "AS q FROM embeddings),\nfa AS (SELECT * FROM f WHERE vec_id % 5 != 0),",
+    "AS j, q FROM f)," ->
+      "AS j, q FROM f),\nfja AS (SELECT * FROM fj WHERE vec_id % 5 != 0),",
     // coarse Lloyd iterations train on A only (dist3 stays corpus-wide)
-    .replace("FROM f JOIN cent0 c0 ON f.d = c0.d",
-      "FROM fa AS f JOIN cent0 c0 ON f.d = c0.d")
-    .replace("FROM f JOIN cent1 c1 ON f.d = c1.d",
-      "FROM fa AS f JOIN cent1 c1 ON f.d = c1.d")
-    .replace("JOIN f USING (vec_id)", "JOIN fa AS f USING (vec_id)")
+    "FROM f JOIN cent0 c0 ON f.d = c0.d" ->
+      "FROM fa AS f JOIN cent0 c0 ON f.d = c0.d",
+    "FROM f JOIN cent1 c1 ON f.d = c1.d" ->
+      "FROM fa AS f JOIN cent1 c1 ON f.d = c1.d",
+    "JOIN f USING (vec_id)" -> "JOIN fa AS f USING (vec_id)",
     // PQ codebook iterations train on A only (d3/enc stay corpus-wide)
-    .replace("FROM fj JOIN cb0 b", "FROM fja AS fj JOIN cb0 b")
-    .replace("FROM fj JOIN cb1 b", "FROM fja AS fj JOIN cb1 b")
-    .replace("JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j",
-      "JOIN fja AS fj ON a.vec_id = fj.vec_id AND a.j = fj.j")
+    "FROM fj JOIN cb0 b" -> "FROM fja AS fj JOIN cb0 b",
+    "FROM fj JOIN cb1 b" -> "FROM fja AS fj JOIN cb1 b",
+    "JOIN fj ON a.vec_id = fj.vec_id AND a.j = fj.j" ->
+      "JOIN fja AS fj ON a.vec_id = fj.vec_id AND a.j = fj.j"
+  ).foldLeft(ivfPqOracleSql) { case (sql, (pattern, replacement)) =>
+    // each rewrite must take effect — a silent no-op here would revert
+    // q311/q312's oracle to full-corpus training and surface as a
+    // confusing downstream hash mismatch instead of a loud init failure
+    require(sql.contains(pattern),
+      s"ivfPqAppendOracleSql: base ivfPqOracleSql drifted — rewrite " +
+        s"pattern no longer matches: '$pattern'")
+    sql.replace(pattern, replacement)
+  }
 
   private val containmentOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -234,9 +234,15 @@ object Similarity {
     // RETURNED frame (a cheap re-read of cached blocks), so downstream
     // semantics — dominant dimension by (count desc, dim asc), rows
     // filtered to it, init = its smallest-id rows — are unchanged.
+    // CONTRACT: rows whose id does not cast to a non-null long are dropped
+    // from the base here — they could never be returned as a neighbor_id
+    // and keeping them would make the precollected smallest-id seeds (heap
+    // skips nulls) disagree with lloydInt's orderBy(id).limit fallback
+    // (sorts nulls FIRST). One filter, both init paths bit-identical.
     val ck = graft.functions.Par.widen(corpus
         .where(col(vecCol).isNotNull)
-        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .where(col("id").isNotNull))
       .select(col("id"), quant(col("v")).as("q"), col("v"))
       .localCheckpoint(false)
     val idIdx = ck.schema.fieldIndex("id")
@@ -445,7 +451,26 @@ object Similarity {
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, csF) }
     val bucketed = qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
       assignF(col("q")).as("c"))
-    ivfRank(bucketed, queries, idCol, vecCol, dims, k, probeUdf(csF, nprobe))
+    ivfRank(bucketed, queries, idCol, vecCol, dims, k, probeUdf(csF, nprobe),
+      broadcastQueries = broadcastableQueries(queries, nprobe))
+  }
+
+  /** Broadcast the query side of an IVF/PQ probe join only when its
+    * PRE-explosion plan-stat size, scaled by the ×nprobe explode it is
+    * about to undergo, stays under `spark.graft.ann.queryBroadcastBytes`
+    * (default 64 MiB — well under the executor broadcast hard cap with
+    * headroom for the qv0/qq payload). The portable kNN entries take
+    * UNBOUNDED caller query sets (all-pairs self-kNN passes the corpus
+    * itself); those must keep the shuffled join and degrade gracefully
+    * instead of hitting the 8 GB broadcast cap / driver OOM. Stored-index
+    * probes ([[probeIvfIndex]]/[[probePqIndex]]) keep the FORCED
+    * broadcast: query batches there are small by design and the
+    * codes-only lists would otherwise win the stats race (measured 29 s
+    * vs 0.8 s at the 20× drill). */
+  private def broadcastableQueries(queries: DataFrame, nprobe: Int): Boolean = {
+    val cap = queries.sparkSession.conf
+      .get("spark.graft.ann.queryBroadcastBytes", (64L << 20).toString).toLong
+    queries.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe <= BigInt(cap)
   }
 
   /** Shared IVF probe tail: explode each query's probed list ids, equi-join
@@ -457,7 +482,8 @@ object Similarity {
       vecCol: String,
       dims: Int,
       k: Int,
-      probeF: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+      probeF: org.apache.spark.sql.expressions.UserDefinedFunction,
+      broadcastQueries: Boolean): DataFrame = {
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val probes = queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
@@ -467,8 +493,12 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     // query side broadcast explicitly — never let small table stats flip
-    // the build side onto the corpus lists (see probePqIndex)
-    bucketed.join(broadcast(probes), Seq("c"))
+    // the build side onto the corpus lists (see probePqIndex). Corpus-scale
+    // query sets (broadcastQueries=false) build a shuffled hash join from
+    // the probe side instead — same rows, no broadcast hard cap.
+    val probeSide = if (broadcastQueries) broadcast(probes)
+                    else probes.hint("shuffle_hash")
+    bucketed.join(probeSide, Seq("c"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         expr("dot_f32(qv0, cv) / (sqrt(norm2_f32(qv0)) * sqrt(norm2_f32(cv)))"))
@@ -598,8 +628,10 @@ object Similarity {
     spark.table(s"${table}_cents").collect().foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
     }
+    // stored-index probe: query batches are small by design — FORCE the
+    // broadcast (see broadcastableQueries on why the gate lives elsewhere)
     ivfRank(spark.table(s"${table}_assign"), queries, idCol, vecCol, dims, k,
-      probeUdf(cents, nprobe))
+      probeUdf(cents, nprobe), broadcastQueries = true)
   }
 
   /** APPEND a new batch to a published IVF index — the maintenance path:
@@ -918,7 +950,10 @@ object Similarity {
         count(lit(1)).as("rows"),
         countDistinct(col("neighbor_id")).as("ids"),
         sum(when(col("c") < 0 || col("c") >= nlist, 1L).otherwise(0L)).as("badc"),
-        sum(when(size(col("cd")) =!= m ||
+        // NULL cd short-circuits to corrupt FIRST: size(NULL)/exists(NULL)
+        // evaluate to NULL, which otherwise(0) would silently pass — the
+        // exact torn-write shape the strict audit is advertised to catch
+        sum(when(col("cd").isNull || size(col("cd")) =!= m ||
           exists(col("cd"), x => x < 0L || x >= codes.toLong), 1L)
           .otherwise(0L)).as("badcd"))
         .head()

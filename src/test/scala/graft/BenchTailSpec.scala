@@ -71,6 +71,30 @@ class BenchTailSpec extends AnyFunSuite {
     assert(l3 === 0.02 && polls3 === 0)
   }
 
+  test(">2x-best flag carries a jitter floor: noise never flags, real regressions do") {
+    val best = Map("q37_x" -> 0.04, "q47_y" -> 0.11, "q166_z" -> 1.15, "q99_w" -> 0.5)
+    // 0.1-second queries doubling on scheduler noise: ratio >2x but the
+    // absolute excess is under the floor — 0 flags on a clean host
+    val noisy = Map("q37_x" -> 0.11, "q47_y" -> 0.28, "q99_w" -> 0.55)
+    assert(Bench.regressionFlags(noisy, best) === Seq.empty)
+    // a q166-sized real regression (1.15 -> 2.34 s) still flags
+    val regressed = noisy + ("q166_z" -> 2.34)
+    assert(Bench.regressionFlags(regressed, best) === Seq("q166_z"))
+    // boundary discipline: >2x AND excess > floor must BOTH hold — a slow
+    // query under 2x never flags however large the absolute excess
+    assert(Bench.regressionFlags(Map("q166_z" -> 2.2), best) === Seq.empty) // 1.91x
+  }
+
+  test(">2x-best flag edge cases: failed queries and missing anchors never flag") {
+    val best = Map("q01_a" -> 0.5, "q02_b" -> -1.0)
+    assert(Bench.regressionFlags(Map("q01_a" -> -1.0), best) === Seq.empty) // failed shot
+    assert(Bench.regressionFlags(Map("q02_b" -> 9.0), best) === Seq.empty) // no valid anchor
+    assert(Bench.regressionFlags(Map("q03_c" -> 9.0), best) === Seq.empty) // new query
+    // exactly 2x is NOT a flag (strict >)
+    assert(Bench.regressionFlags(Map("q01_a" -> 1.0), best) === Seq.empty)
+    assert(Bench.regressionFlags(Map("q01_a" -> 1.3), best) === Seq("q01_a"))
+  }
+
   test("hotn stamp marks contention-suspect reruns in the tail wrapper") {
     val rs = Seq(("q01_a", 0.5), ("q02_b", 0.3))
     val hot = Bench.tailLine(rs, 0, "\"load\":[0.3,0.2]", 0.8, hotn = 2)

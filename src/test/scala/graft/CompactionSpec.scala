@@ -313,4 +313,42 @@ class CompactionSpec extends SparkSpecBase {
     Seq("_assign", "_cents", "_books", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
+
+  test("strict PQ audit catches a NULL code array (torn-write shape)") {
+    // r13 advice: size(NULL) and exists(NULL) evaluate to NULL, so the
+    // when() fell to otherwise(0) and a null-code row PASSED the strict
+    // audit that exists to catch exactly this torn-write/schema-drift shape
+    import graft.operators.Similarity
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tbl = "graft_nullcd"
+    val rnd = new scala.util.Random(11)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 20L).map(i =>
+        Row(i, Seq.fill(8)(rnd.nextFloat()))): _*), schema)
+    Similarity.publishPqIndex(vecs, "vec_id", "embedding", tbl,
+      nlist = 2, m = 2, codes = 4, rounds = 2, buckets = 2)
+    val victim = spark.table(s"${tbl}_assign")
+      .select(min(col("neighbor_id"))).head().getLong(0)
+    val aSchema = StructType(spark.table(s"${tbl}_assign").schema
+      .map(f => if (f.name == "cd") f.copy(nullable = true) else f))
+    val torn = spark.table(s"${tbl}_assign")
+      .withColumn("cd", when(col("neighbor_id") === victim,
+        lit(null).cast(ArrayType(LongType))).otherwise(col("cd")))
+      .collect()
+    spark.sql(s"DROP TABLE ${tbl}_assign")
+    spark.createDataFrame(java.util.Arrays.asList(torn: _*), aSchema)
+      .write.bucketBy(2, "c").sortBy("c").format("parquet")
+      .saveAsTable(s"${tbl}_assign")
+    Similarity.assertPqIndexConsistent(spark, tbl) // cheap form: routing fine
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assertPqIndexConsistent(spark, tbl, strict = true)
+    }
+    assert(e.getMessage.contains("code array"))
+    Seq("_assign", "_cents", "_books", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
 }

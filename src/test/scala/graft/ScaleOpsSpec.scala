@@ -610,6 +610,61 @@ class ScaleOpsSpec extends SparkSpecBase {
       "graft_ivfspec", trainRows = 32, nlist = 4, buckets = 2, corpusFp = "spec")
   }
 
+  test("ivfKnn query broadcast is GATED: corpus-scale query sets keep the shuffle join") {
+    // r13 advice (medium): ivfKnnPortable takes an UNBOUNDED caller query
+    // set (all-pairs self-kNN passes the corpus itself) — an unconditional
+    // broadcast(queries) hits the 8 GB broadcast cap / driver OOM at
+    // corpus scale instead of degrading to a shuffled join. The gate reads
+    // plan-stat bytes x nprobe against spark.graft.ann.queryBroadcastBytes.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(23)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 60L).map(i =>
+        Row(i, Seq.fill(8)(rnd.nextFloat()))): _*), schema)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // finalize the adaptive plan before reading it
+      df.queryExecution.executedPlan.toString
+    }
+    // default cap (64 MiB): a 60-row query set broadcasts — the 100TB-shape
+    // plan where codes-only corpus lists must NEVER be the build side
+    val bcast = operators.Similarity.ivfKnnPortable(
+      vecs, vecs, "vec_id", "embedding", k = 3)
+    val bcastRows = keyed(bcast)
+    assert(planOf(bcast).contains("BroadcastHashJoin"))
+    // cap forced to 1 byte = every query set is "corpus-scale": the probe
+    // side must plan as a shuffled hash join, rows identical
+    spark.conf.set("spark.graft.ann.queryBroadcastBytes", "1")
+    try {
+      val gated = operators.Similarity.ivfKnnPortable(
+        vecs, vecs, "vec_id", "embedding", k = 3)
+      val plan = planOf(gated)
+      assert(plan.contains("ShuffledHashJoin"), s"expected shuffled join, got:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"), s"gate leaked a broadcast:\n$plan")
+      assert(keyed(gated) === bcastRows)
+    } finally spark.conf.unset("spark.graft.ann.queryBroadcastBytes")
+    // the stored-index probe path keeps the FORCED broadcast even under a
+    // tiny cap (query batches are small by design; the gate must not apply)
+    spark.conf.set("spark.graft.ann.queryBroadcastBytes", "1")
+    try {
+      operators.Similarity.publishIvfIndex(vecs, "vec_id", "embedding",
+        "graft_bgate", trainRows = 32, nlist = 4, buckets = 2, corpusFp = "bg")
+      val probed = operators.Similarity.probeIvfIndex(
+        spark, vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+        "graft_bgate", k = 3, corpusFp = "bg")
+      assert(planOf(probed).contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset("spark.graft.ann.queryBroadcastBytes")
+      Seq("_assign", "_cents", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bgate$s"))
+    }
+  }
+
   test("stored PQ index probe equals the one-shot composed IVF+PQ scan") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
