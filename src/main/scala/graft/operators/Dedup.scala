@@ -689,9 +689,11 @@ object Dedup {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bkF = Future(
-        graft.sources.Bucketing.saveBucketed(bk, s"${table}_buckets", "bk", buckets))
+        graft.sources.Bucketing.saveBucketed(bk.withColumn("ep", lit(0L)),
+          s"${table}_buckets", "bk", buckets))
       val docsF = Future(graft.sources.Bucketing.saveBucketed(
-        base.select(col("id"), col("shs")), s"${table}_docs", "id", buckets))
+        base.select(col("id"), col("shs"), lit(0L).as("ep")),
+        s"${table}_docs", "id", buckets))
       // settle BOTH before rethrowing: an early rethrow can race the
       // sibling's still-running write against the caller's republish repair
       graft.functions.Par.awaitAllSettled(bkF, docsF)
@@ -704,18 +706,30 @@ object Dedup {
     // two pipelines publishing the SAME table name over DIFFERENT corpus
     // subsets share every hash-family default, so only the fingerprint can
     // catch a probe against the wrong corpus.
-    writeLshMeta(corpus.sparkSession, table, shingleN, numHashes, bands, buckets, corpusFp)
+    writeLshMeta(corpus.sparkSession, table, shingleN, numHashes, bands, buckets,
+      corpusFp, eps = Seq(0L), nextEp = 1L)
   }
 
   private def writeLshMeta(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String): Unit = {
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String,
+      eps: Seq[Long], nextEp: Long): Unit = {
     import spark.implicits._
     graft.sources.Bucketing.saveBucketed(
-      Seq((shingleN, numHashes, bands, buckets, corpusFp))
-        .toDF("shingle_n", "num_hashes", "bands", "buckets", "corpus_fp"),
+      Seq((shingleN, numHashes, bands, buckets, corpusFp, eps, nextEp))
+        .toDF("shingle_n", "num_hashes", "bands", "buckets", "corpus_fp",
+          "eps", "next_ep"),
       s"${table}_meta", "shingle_n", 1)
   }
+
+  /** Committed-epoch view of an LSH index data table — rows staged by a
+    * torn (crashed-before-commit) append carry an epoch absent from
+    * `_meta.eps` and are invisible to every probe/audit/dup-check (the
+    * [[graft.operators.Similarity]] staged-commit discipline; see
+    * [[appendLshIndex]]). */
+  private def committedLsh(spark: org.apache.spark.sql.SparkSession,
+      table: String, eps: Seq[Long]): DataFrame =
+    spark.table(table).where(col("ep").isin(eps: _*))
 
   /** APPEND a new batch to a published LSH index — the maintenance path of
     * the publish-once/probe-forever layout: the batch is shingled and
@@ -739,8 +753,11 @@ object Dedup {
     val spark = batch.sparkSession
     val m = readLshMeta(spark, table)
     val base = shingleBase(batch, idCol, textCol, m.shingleN)
+    // duplicate check against COMMITTED rows only — orphans of a torn
+    // earlier attempt must not block its retry (the retry re-stages the
+    // batch under a fresh epoch; the orphans stay invisible forever)
     val dup = base.select(col("id"))
-      .join(spark.table(s"${table}_docs"), Seq("id"), "left_semi")
+      .join(committedLsh(spark, s"${table}_docs", m.eps), Seq("id"), "left_semi")
       .limit(1).count()
     require(dup == 0,
       s"appendLshIndex: batch contains ids already present in index '$table' — " +
@@ -748,33 +765,50 @@ object Dedup {
     val bk = base
       .select(col("id"), posexplode(Vectors.md5BandKeys(m.numHashes, m.bands)(col("shs"))))
       .select(col("pos").as("band"), col("col").as("bk"), col("id"))
-    // NOT ATOMIC across tables: each write commits atomically (job-commit
-    // protocol), but a failure BETWEEN them leaves band rows whose ids are
-    // absent from _docs — candidates that silently vanish at the verify
-    // join — while _meta still carries the PRE-append fingerprint, so a
-    // probe against the old fp would pass validation over a torn index.
-    // The consistency assert below fails the append loudly instead; a
-    // reader that suspects a torn state can call
-    // [[assertLshIndexConsistent]] itself, and the repair is a republish.
-    // independent appends to the two tables — overlapped (the tear model
-    // above already covers a failure in either; the consistency assert
-    // below runs after BOTH commits)
+    // STAGED COMMIT (r13 verdict item #2) — the tear between the two data
+    // writes is now IMPOSSIBLE to observe, not just loud:
+    //   ALLOCATE  `_meta` bumps next_ep only (crash after = one wasted
+    //             epoch number);
+    //   STAGE     both data writes land carrying the fresh epoch — probes,
+    //             audits and dup-checks filter to `_meta.eps`, so a crash
+    //             during/between/after them leaves probes returning
+    //             EXACTLY the pre-append results;
+    //   COMMIT    `_meta` lands LAST, adding the epoch to `eps` with the
+    //             new fingerprint — the single atomic visibility flip,
+    //             taken only after the staged batch passes the bands×docs
+    //             completeness check below.
+    // Orphan epochs are garbage-collected by [[compactLshIndex]].
+    val ep = m.nextEp
+    writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets,
+      m.corpusFp, m.eps, ep + 1L)
+    graft.sources.Faults.point("lsh.append.allocated")
     locally {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bkF = Future(
-        bk.write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
+        bk.withColumn("ep", lit(ep))
+          .write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
           .format("parquet").saveAsTable(s"${table}_buckets"))
       val docsF = Future(
-        base.select(col("id"), col("shs"))
+        base.select(col("id"), col("shs"), lit(ep).as("ep"))
           .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
           .format("parquet").saveAsTable(s"${table}_docs"))
       // settle BOTH before rethrowing: an early rethrow can race the
       // sibling's still-running write against the caller's republish repair
       graft.functions.Par.awaitAllSettled(bkF, docsF)
     }
-    assertLshIndexConsistent(spark, table)
-    writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets, newCorpusFp)
+    graft.sources.Faults.point("lsh.append.staged")
+    // commit only a COMPLETE staged batch: the per-epoch count relation
+    // (bands × docs rows) is the same invariant the index-wide audit
+    // proves, checked here on exactly the rows about to become visible
+    val sbRows = spark.table(s"${table}_buckets").where(col("ep") === ep).count()
+    val sdRows = spark.table(s"${table}_docs").where(col("ep") === ep).count()
+    require(sbRows == m.bands.toLong * sdRows,
+      s"appendLshIndex: staged batch is incomplete ($sbRows band rows != " +
+        s"${m.bands} bands x $sdRows doc rows) — NOT committed; probes are " +
+        "unaffected, retry the append")
+    writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets,
+      newCorpusFp, m.eps :+ ep, ep + 1L)
   }
 
   /** Cheap invariant over a published LSH index: by construction every
@@ -788,8 +822,10 @@ object Dedup {
   def assertLshIndexConsistent(spark: org.apache.spark.sql.SparkSession,
       table: String, strict: Boolean = false): Unit = {
     val m = readLshMeta(spark, table)
-    val bRows = spark.table(s"${table}_buckets").count()
-    val dRows = spark.table(s"${table}_docs").count()
+    // audit what probes SEE: epochs staged by a torn append are invisible
+    // by design and must not trip the invariants
+    val bRows = committedLsh(spark, s"${table}_buckets", m.eps).count()
+    val dRows = committedLsh(spark, s"${table}_docs", m.eps).count()
     require(bRows == m.bands.toLong * dRows,
       s"LSH index '$table' is inconsistent: $bRows band rows != ${m.bands} bands x " +
         s"$dRows doc rows — likely a torn append; republish via publishLshIndex")
@@ -802,9 +838,9 @@ object Dedup {
       // (b) misses bucket rows, or (c) has a band-row count != bands. One
       // groupBy + one join, maintenance-window cheap (vs the r12-draft
       // 5-job chain of per-check counts).
-      val bCounts = spark.table(s"${table}_buckets")
+      val bCounts = committedLsh(spark, s"${table}_buckets", m.eps)
         .groupBy(col("id")).agg(count(lit(1)).as("__n"))
-      val dIds = spark.table(s"${table}_docs")
+      val dIds = committedLsh(spark, s"${table}_docs", m.eps)
         .select(col("id"), lit(true).as("__d"))
       val bad = bCounts.join(dIds, Seq("id"), "full_outer")
         .where(col("__n").isNull || col("__d").isNull || col("__n") =!= m.bands.toLong)
@@ -854,6 +890,12 @@ object Dedup {
     * relative to the work already done. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val m = readLshMeta(spark, table)
+    // GC orphaned (uncommitted) epochs and normalize every committed row
+    // to epoch 0 during the rewrite — crash-order safe: epoch 0 is always
+    // in the stored eps list, so probes between the data swaps and the
+    // meta normalization below still see every committed row
+    val gc: DataFrame => DataFrame =
+      df => df.where(col("ep").isin(m.eps: _*)).withColumn("ep", lit(0L))
     // the two compactions are independent recovery units (each keeps its
     // own __compact/__old staging discipline and repairCompacted is
     // per-table) — overlap their rewrite + swap latency
@@ -861,11 +903,13 @@ object Dedup {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bF = Future(graft.sources.Bucketing
-        .compactBucketed(spark, s"${table}_buckets", "bk", m.buckets))
+        .compactBucketed(spark, s"${table}_buckets", "bk", m.buckets, gc))
       val dF = Future(graft.sources.Bucketing
-        .compactBucketed(spark, s"${table}_docs", "id", m.buckets))
+        .compactBucketed(spark, s"${table}_docs", "id", m.buckets, gc))
       graft.functions.Par.awaitAllSettled(bF, dF)
     }
+    writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets,
+      m.corpusFp, eps = Seq(0L), nextEp = 1L)
     assertLshIndexConsistent(spark, table, strict = true)
   }
 
@@ -899,13 +943,16 @@ object Dedup {
   }
 
   final case class LshMeta(
-      shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String)
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String,
+      eps: Seq[Long], nextEp: Long)
 
-  /** Stored parameters + corpus fingerprint of a published index. */
+  /** Stored parameters + corpus fingerprint + committed-epoch state of a
+    * published index. */
   private def readLshMeta(
       spark: org.apache.spark.sql.SparkSession, table: String): LshMeta = {
     val m = spark.table(s"${table}_meta").head()
-    LshMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getString(4))
+    LshMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getString(4),
+      m.getSeq[Long](5), m.getLong(6))
   }
 
   /** Shared shingle-set prep of the PORTABLE md5 LSH family — ONE
@@ -1113,13 +1160,14 @@ object Dedup {
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
       .select(col("id").as("incoming_id"), col("pos").as("band"), col("col").as("bk"))
     val cand = iBk
-      .join(spark.table(s"${table}_buckets").withColumnRenamed("id", "corpus_id"),
+      .join(committedLsh(spark, s"${table}_buckets", m.eps)
+        .withColumnRenamed("id", "corpus_id"),
         Seq("band", "bk"))
       .select(col("incoming_id"), col("corpus_id"))
       .distinct()
     cand
       .join(iBase.select(col("id").as("incoming_id"), col("shs").as("tok_i")), Seq("incoming_id"))
-      .join(spark.table(s"${table}_docs")
+      .join(committedLsh(spark, s"${table}_docs", m.eps)
         .select(col("id").as("corpus_id"), col("shs").as("tok_c")), Seq("corpus_id"))
       .withColumn("inter", size(array_intersect(col("tok_i"), col("tok_c"))).cast("double"))
       .withColumn("jaccard",

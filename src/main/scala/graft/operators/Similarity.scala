@@ -548,13 +548,15 @@ object Similarity {
       yield (c, d, cents(c)(d))
     // `_assign` (corpus-sized) and `_cents` (model-sized) writes are
     // independent — overlap their commit latency; `_meta` still lands
-    // LAST so a torn publish fails probe validation
+    // LAST so a torn publish fails probe validation. The published rows
+    // carry epoch 0; appends stage later epochs and `_meta.eps` is the
+    // committed-visibility list (see [[appendIvfIndex]]).
     locally {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val aF = Future(graft.sources.Bucketing.saveBucketed(
         qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
-          assignF(col("q")).as("c")),
+          assignF(col("q")).as("c"), lit(0L).as("ep")),
         s"${table}_assign", "c", buckets))
       val cF = Future(graft.sources.Bucketing.saveBucketed(
         centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
@@ -562,11 +564,34 @@ object Similarity {
       // sibling's still-running write against the caller's republish repair
       graft.functions.Par.awaitAllSettled(aF, cF)
     }
+    writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets, corpusFp,
+      eps = Seq(0L), nextEp = 1L)
+  }
+
+  /** IVF `_meta` writer — ONE definition so the allocate/commit writes of
+    * the staged-commit append can never drift from publish's schema.
+    * `eps` is the list of COMMITTED epochs (probes/audits/dup-checks see
+    * only rows whose `ep` is in it); `next_ep` is the allocator. */
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession, table: String,
+      dims: Int, nlist: Int, trainRows: Int, rounds: Int, buckets: Int,
+      corpusFp: String, eps: Seq[Long], nextEp: Long): Unit = {
+    import spark.implicits._
     graft.sources.Bucketing.saveBucketed(
-      Seq((dims, nlist, trainRows, rounds, buckets, corpusFp))
-        .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp"),
+      Seq((dims, nlist, trainRows, rounds, buckets, corpusFp, eps, nextEp))
+        .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp",
+          "eps", "next_ep"),
       s"${table}_meta", "dims", 1)
   }
+
+  /** Committed-epoch view of an index data table: rows staged by a torn
+    * (crashed-before-commit) append carry an epoch absent from `_meta.eps`
+    * and are INVISIBLE here — the staged-commit guarantee every probe,
+    * audit, duplicate-check and compaction reads through. The IN-list is
+    * maintenance-op-sized; each append's files hold a single `ep` value,
+    * so parquet row-group stats skip orphan files wholesale. */
+  private def committedRows(spark: org.apache.spark.sql.SparkSession,
+      table: String, eps: Seq[Long]): DataFrame =
+    spark.table(table).where(col("ep").isin(eps: _*))
 
   /** [[publishIvfIndex]] only if the tables are absent; an existing index
     * must carry THIS corpus's fingerprint (same silent-wrong-corpus guard
@@ -630,7 +655,8 @@ object Similarity {
     }
     // stored-index probe: query batches are small by design — FORCE the
     // broadcast (see broadcastableQueries on why the gate lives elsewhere)
-    ivfRank(spark.table(s"${table}_assign"), queries, idCol, vecCol, dims, k,
+    ivfRank(committedRows(spark, s"${table}_assign", meta.getSeq[Long](6)),
+      queries, idCol, vecCol, dims, k,
       probeUdf(cents, nprobe), broadcastQueries = true)
   }
 
@@ -655,13 +681,17 @@ object Similarity {
     val meta = spark.table(s"${table}_meta").head()
     val (dims, nlist, trainRows, rounds, buckets) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
+    val (eps, ep) = (meta.getSeq[Long](6), meta.getLong(7))
     val (qdf, bdims) = quantizedBase(batch, idCol, vecCol)
     // an EMPTY batch reports dominant dimension 0 (the quiet ingest tick)
     // — only the fingerprint bump happens, never a spurious dim mismatch
     require(bdims == dims || bdims == 0,
       s"appendIvfIndex: batch dimension $bdims != index '$table' dimension $dims")
+    // duplicate check against COMMITTED rows only: orphans of a torn
+    // earlier attempt must not block its retry (the retry re-stages under
+    // a fresh epoch; the orphans stay invisible forever)
     val dup = qdf.select(col("id").as("neighbor_id"))
-      .join(spark.table(s"${table}_assign"), Seq("neighbor_id"), "left_semi")
+      .join(committedRows(spark, s"${table}_assign", eps), Seq("neighbor_id"), "left_semi")
       .limit(1).count()
     require(dup == 0,
       s"appendIvfIndex: batch contains ids already present in index '$table' — " +
@@ -671,21 +701,27 @@ object Similarity {
       cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
     }
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
-    // NOT ATOMIC across the two writes: a failure between the `_assign`
-    // append (atomic per job-commit) and the `_meta` rewrite leaves the
-    // appended rows IN the lists while `_meta` still carries the
-    // PRE-append fingerprint — a probe against the old fp passes
-    // validation but sees the appended corpus. Unlike LSH there is no
-    // second data table to cross-check; on a suspected tear compare
-    // `count(_assign)` to the fingerprinted corpus, or republish.
-    qdf.select(col("id").as("neighbor_id"), col("v").as("cv"), assignF(col("q")).as("c"))
+    // STAGED COMMIT — the tear is impossible, not just loud (r13 verdict
+    // item #2). Three ordered writes:
+    //   ALLOCATE  `_meta` bumps next_ep only (visibility unchanged; a
+    //             crash after this wastes one epoch number, nothing else);
+    //   STAGE     batch rows land in `_assign` carrying the fresh epoch —
+    //             probes filter to `_meta.eps`, so a crash here (or during
+    //             the write) leaves probes returning EXACTLY the
+    //             pre-append results, and a retry stages under a new epoch;
+    //   COMMIT    `_meta` lands LAST with the epoch added to `eps` and the
+    //             new fingerprint — the single atomic visibility flip.
+    // Orphan epochs are garbage-collected by [[compactIvfIndex]].
+    writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets,
+      meta.getString(5), eps, ep + 1L)
+    graft.sources.Faults.point("ivf.append.allocated")
+    qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        assignF(col("q")).as("c"), lit(ep).as("ep"))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
-    import spark.implicits._
-    graft.sources.Bucketing.saveBucketed(
-      Seq((dims, nlist, trainRows, rounds, buckets, newCorpusFp))
-        .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp"),
-      s"${table}_meta", "dims", 1)
+    graft.sources.Faults.point("ivf.append.staged")
+    writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets,
+      newCorpusFp, eps :+ ep, ep + 1L)
   }
 
   /** PUBLISH a stored IVF+PQ index — the FAISS-style production artifact:
@@ -737,7 +773,7 @@ object Similarity {
       import scala.concurrent.ExecutionContext.Implicits.global
       val aF = Future(graft.sources.Bucketing.saveBucketed(
         qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
-          encodeF(col("q")).as("cd")),
+          encodeF(col("q")).as("cd"), lit(0L).as("ep")),
         s"${table}_assign", "c", buckets))
       val cF = Future(graft.sources.Bucketing.saveBucketed(
         centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
@@ -745,9 +781,21 @@ object Similarity {
         bookRows.toDF("j", "code", "d", "cv"), s"${table}_books", "j", 1))
       graft.functions.Par.awaitAllSettled(aF, cF, bF)
     }
+    writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows,
+      corpusFp, eps = Seq(0L), nextEp = 1L)
+  }
+
+  /** PQ `_meta` writer — ONE definition shared by publish and the
+    * allocate/commit writes of the staged-commit append (see
+    * [[writeIvfMeta]] for the eps/next_ep contract). */
+  private def writePqMeta(spark: org.apache.spark.sql.SparkSession, table: String,
+      dims: Int, nlist: Int, m: Int, codes: Int, rounds: Int, buckets: Int,
+      nRows: Long, corpusFp: String, eps: Seq[Long], nextEp: Long): Unit = {
+    import spark.implicits._
     graft.sources.Bucketing.saveBucketed(
-      Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp))
-        .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows", "corpus_fp"),
+      Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp, eps, nextEp))
+        .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows",
+          "corpus_fp", "eps", "next_ep"),
       s"${table}_meta", "dims", 1)
   }
 
@@ -824,7 +872,7 @@ object Similarity {
     }
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val probeF = probeUdf(cents, nprobe)
-    val encoded = spark.table(s"${table}_assign")
+    val encoded = committedRows(spark, s"${table}_assign", meta.getSeq[Long](8))
     val qside = queries
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("query_id"), quant(col(vecCol)).as("qq"))
@@ -874,8 +922,10 @@ object Similarity {
     * oracle replays. Batch ids already present are refused (a duplicate
     * would duplicate its result rows); `_meta` is rewritten LAST with the
     * bumped corpus row count (keeping [[probePqIndex]]'s adaptive-ADC
-    * choice honest post-append) and `newCorpusFp`. NOT ATOMIC across the
-    * two writes — same torn-append caveat as [[appendIvfIndex]]. */
+    * choice honest post-append) and `newCorpusFp`. STAGED COMMIT — same
+    * allocate/stage/commit epoch protocol as [[appendIvfIndex]]: a crash
+    * anywhere before the final `_meta` write leaves probes returning
+    * exactly the pre-append results. */
   def appendPqIndex(
       batch: DataFrame,
       idCol: String,
@@ -887,13 +937,15 @@ object Similarity {
     val (dims, nlist, m, codes, rounds, buckets, nRows) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
         meta.getInt(4), meta.getInt(5), meta.getLong(6))
+    val (eps, ep) = (meta.getSeq[Long](8), meta.getLong(9))
     val (qdf, bdims, bN) = quantizedBaseCounted(batch, idCol, vecCol)
     // an EMPTY batch reports dominant dimension 0 (the quiet ingest tick)
     // — only the fingerprint/count bump happens, never a spurious mismatch
     require(bdims == dims || bdims == 0,
       s"appendPqIndex: batch dimension $bdims != index '$table' dimension $dims")
+    // committed rows only: orphans of a torn attempt must not block the retry
     val dup = qdf.select(col("id").as("neighbor_id"))
-      .join(spark.table(s"${table}_assign"), Seq("neighbor_id"), "left_semi")
+      .join(committedRows(spark, s"${table}_assign", eps), Seq("neighbor_id"), "left_semi")
       .limit(1).count()
     require(dup == 0,
       s"appendPqIndex: batch contains ids already present in index '$table' — " +
@@ -911,15 +963,17 @@ object Similarity {
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
+    // ALLOCATE / STAGE / COMMIT — see appendIvfIndex for the full contract
+    writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows,
+      meta.getString(7), eps, ep + 1L)
+    graft.sources.Faults.point("pq.append.allocated")
     qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
-        encodeF(col("q")).as("cd"))
+        encodeF(col("q")).as("cd"), lit(ep).as("ep"))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
-    import spark.implicits._
-    graft.sources.Bucketing.saveBucketed(
-      Seq((dims, nlist, m, codes, rounds, buckets, nRows + bN, newCorpusFp))
-        .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows", "corpus_fp"),
-      s"${table}_meta", "dims", 1)
+    graft.sources.Faults.point("pq.append.staged")
+    writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows + bN,
+      newCorpusFp, eps :+ ep, ep + 1L)
   }
 
   /** Consistency audit over a published IVF+PQ index — the PQ analogue of
@@ -939,7 +993,8 @@ object Similarity {
     val meta = spark.table(s"${table}_meta").head()
     val (nlist, m, codes, nRows) =
       (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getLong(6))
-    val assign = spark.table(s"${table}_assign")
+    // audit what probes SEE: uncommitted epochs are invisible by design
+    val assign = committedRows(spark, s"${table}_assign", meta.getSeq[Long](8))
     if (!strict) {
       val badC = assign.where(col("c") < 0 || col("c") >= nlist).count()
       require(badC == 0L,
@@ -983,8 +1038,18 @@ object Similarity {
     * runs after the swap, same discipline as [[compactIvfIndex]] /
     * [[graft.operators.Dedup.compactLshIndex]]. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val buckets = spark.table(s"${table}_meta").head().getInt(5)
-    graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets)
+    val meta = spark.table(s"${table}_meta").head()
+    val (dims, nlist, m, codes, rounds, buckets, nRows, fp) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
+        meta.getInt(4), meta.getInt(5), meta.getLong(6), meta.getString(7))
+    val eps = meta.getSeq[Long](8)
+    // GC orphaned epochs + normalize committed rows to epoch 0 during the
+    // rewrite (crash-order safe: epoch 0 is always in the stored eps list)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets,
+      transform = df => df.where(col("ep").isin(eps: _*))
+        .withColumn("ep", lit(0L)))
+    writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows, fp,
+      eps = Seq(0L), nextEp = 1L)
     assertPqIndexConsistent(spark, table, strict = true)
   }
 
@@ -997,8 +1062,11 @@ object Similarity {
     * the stored table) — one distinct over the id projection. */
   def assertIvfIndexConsistent(spark: org.apache.spark.sql.SparkSession,
       table: String, strict: Boolean = false): Unit = {
-    val nlist = spark.table(s"${table}_meta").head().getInt(1)
-    val assign = spark.table(s"${table}_assign")
+    val meta = spark.table(s"${table}_meta").head()
+    val nlist = meta.getInt(1)
+    // audit what probes SEE: orphaned (uncommitted) epochs are by design
+    // invisible and must not trip the invariants
+    val assign = committedRows(spark, s"${table}_assign", meta.getSeq[Long](6))
     if (!strict) {
       val badC = assign.where(col("c") < 0 || col("c") >= nlist).count()
       require(badC == 0L,
@@ -1031,8 +1099,20 @@ object Similarity {
     * STRICT audit runs after the swap — the maintenance window is the one
     * place the full-table invariant is cheap relative to the rewrite. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val buckets = spark.table(s"${table}_meta").head().getInt(4)
-    graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets)
+    val meta = spark.table(s"${table}_meta").head()
+    val (dims, nlist, trainRows, rounds, buckets, fp) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
+        meta.getInt(4), meta.getString(5))
+    val eps = meta.getSeq[Long](6)
+    // the rewrite GCs orphaned epochs (rows staged by torn appends) and
+    // normalizes every committed row to epoch 0 — safe in any crash order:
+    // epoch 0 is always in the stored eps list, so probes between the data
+    // swap and the meta normalization below still see every row
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets,
+      transform = df => df.where(col("ep").isin(eps: _*))
+        .withColumn("ep", lit(0L)))
+    writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets, fp,
+      eps = Seq(0L), nextEp = 1L)
     assertIvfIndexConsistent(spark, table, strict = true)
   }
 

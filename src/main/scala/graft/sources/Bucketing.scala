@@ -10,6 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference has no storage layer at all (in-memory arrays); this is
   * part of the additive Spark-native surface, SURVEY §2.1.
   */
+/** Driver-side crash points for the staged-commit index seams: a spec sets
+  * `failAt` to a named point and the next maintenance call dies EXACTLY
+  * there, so the crash-ordering contract (uncommitted epochs are invisible
+  * to probes) is provable without killing the JVM. Never set in
+  * production; the points cost one volatile read each. */
+object Faults {
+  @volatile var failAt: String = null
+  def point(name: String): Unit =
+    if (failAt == name)
+      throw new RuntimeException(s"injected fault at crash point '$name'")
+}
+
 object Bucketing {
 
   /** Save `df` as a bucketed managed table (overwriting), bucketed+sorted by
@@ -66,7 +78,7 @@ object Bucketing {
     * cross-SESSION repair is a republish — see DEPLOYMENT.md. Against a
     * persistent metastore [[repairCompacted]] recovers automatically.) */
   def compactBucketed(spark: SparkSession, table: String, keyCol: String,
-      buckets: Int): Unit = {
+      buckets: Int, transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = s"${table}__compact"
     val old = s"${table}__old"
@@ -79,8 +91,12 @@ object Bucketing {
     // `buckets` files. Repartitioning by the raw key does NOT guarantee
     // this (task id and bucket id are different functions of the key);
     // repartitioning BY the bucket-id expression does.
+    // `transform` lets the index compactions GC orphaned (uncommitted)
+    // epochs and normalize the committed ones during the rewrite they
+    // already pay for — identity for plain tables.
     saveBucketed(
-      spark.table(table).repartition(buckets, pmod(hash(col(keyCol)), lit(buckets))),
+      transform(spark.table(table))
+        .repartition(buckets, pmod(hash(col(keyCol)), lit(buckets))),
       tmp, keyCol, buckets)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Faults
+
+/** STAGED-COMMIT index appends (r13 verdict item #2): a crash at ANY point
+  * before the final `_meta` commit write must leave probes returning
+  * EXACTLY the pre-append results — the tear is impossible to observe,
+  * not merely caught loudly. Each family (LSH, IVF, IVF+PQ) is killed at
+  * its named crash points via [[graft.sources.Faults]], probed, retried,
+  * and compacted; compaction garbage-collects the orphaned epochs. */
+class StagedAppendSpec extends SparkSpecBase {
+
+  override def afterAll(): Unit = { Faults.failAt = null; super.afterAll() }
+
+  private def dropAll(prefix: String): Unit =
+    Seq("_assign", "_cents", "_books", "_meta", "_buckets", "_docs").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $prefix$s"))
+
+  private def rowsOf(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  // -------- vector fixtures (IVF / PQ) --------
+  private def vecs(n: Int, dims: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList((0L until n.toLong).map(i =>
+        Row(i, Seq.fill(dims)(rnd.nextFloat()))): _*), schema)
+  }
+
+  test("IVF append: crash at every point leaves probes at pre-append state; retry + compact heal") {
+    val all = vecs(60, 8, seed = 31)
+    val a = all.where(col("vec_id") % 5 =!= 0)
+    val b = all.where(col("vec_id") % 5 === 0)
+    val q = all.where(col("vec_id") < 3)
+    def probe(tbl: String, fp: String) = rowsOf(Similarity.probeIvfIndex(
+      spark, q, "vec_id", "embedding", tbl, k = 3, corpusFp = fp))
+    dropAll("graft_sc_ivf"); dropAll("graft_sc_ivfc")
+    Similarity.publishIvfIndex(a, "vec_id", "embedding", "graft_sc_ivf",
+      trainRows = 24, nlist = 4, buckets = 2, corpusFp = "A")
+    val pre = probe("graft_sc_ivf", "A")
+    // crash point 1: after epoch allocation, before any data write
+    Faults.failAt = "ivf.append.allocated"
+    intercept[RuntimeException] {
+      Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_sc_ivf", "AB")
+    }
+    Faults.failAt = null
+    assert(probe("graft_sc_ivf", "A") === pre, "allocated-crash changed probe results")
+    Similarity.assertIvfIndexConsistent(spark, "graft_sc_ivf", strict = true)
+    // crash point 2: after the data write, before the meta commit — the
+    // staged rows are IN `_assign` but must stay invisible
+    Faults.failAt = "ivf.append.staged"
+    intercept[RuntimeException] {
+      Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_sc_ivf", "AB")
+    }
+    Faults.failAt = null
+    val rawAfterTear = spark.table("graft_sc_ivf_assign").count()
+    assert(probe("graft_sc_ivf", "A") === pre, "staged-crash changed probe results")
+    Similarity.assertIvfIndexConsistent(spark, "graft_sc_ivf", strict = true)
+    // retry succeeds (orphans never block it) and matches an untorn control
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_sc_ivf", "AB")
+    Similarity.publishIvfIndex(a, "vec_id", "embedding", "graft_sc_ivfc",
+      trainRows = 24, nlist = 4, buckets = 2, corpusFp = "A")
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_sc_ivfc", "AB")
+    val healed = probe("graft_sc_ivf", "AB")
+    assert(healed === probe("graft_sc_ivfc", "AB"), "retried index != untorn control")
+    assert(healed !== pre)
+    // compaction GCs the orphaned epoch rows and preserves the probe
+    assert(spark.table("graft_sc_ivf_assign").count() === rawAfterTear + b.count())
+    Similarity.compactIvfIndex(spark, "graft_sc_ivf")
+    assert(spark.table("graft_sc_ivf_assign").count() === all.count(),
+      "compaction did not GC the orphaned epoch")
+    assert(rowsOf(spark.table("graft_sc_ivf_assign").select(col("ep")).distinct())
+      === Set(Seq(0L)))
+    assert(probe("graft_sc_ivf", "AB") === healed)
+    dropAll("graft_sc_ivf"); dropAll("graft_sc_ivfc")
+  }
+
+  test("PQ append: staged crash invisible, retry matches control, n_rows stays honest") {
+    val all = vecs(64, 16, seed = 37)
+    val a = all.where(col("vec_id") % 4 =!= 0)
+    val b = all.where(col("vec_id") % 4 === 0)
+    val q = all.where(col("vec_id") < 4)
+    def probe(tbl: String, fp: String) = rowsOf(Similarity.probePqIndex(
+      spark, q, "vec_id", "embedding", tbl, k = 3, nprobe = 2, corpusFp = fp))
+    dropAll("graft_sc_pq"); dropAll("graft_sc_pqc")
+    Similarity.publishPqIndex(a, "vec_id", "embedding", "graft_sc_pq",
+      nlist = 4, m = 4, codes = 8, buckets = 2, corpusFp = "A")
+    val pre = probe("graft_sc_pq", "A")
+    Faults.failAt = "pq.append.staged"
+    intercept[RuntimeException] {
+      Similarity.appendPqIndex(b, "vec_id", "embedding", "graft_sc_pq", "AB")
+    }
+    Faults.failAt = null
+    assert(probe("graft_sc_pq", "A") === pre, "staged-crash changed probe results")
+    // the strict audit (incl. the n_rows cross-check) passes over the torn
+    // state: orphans are invisible and _meta.n_rows still counts A only
+    Similarity.assertPqIndexConsistent(spark, "graft_sc_pq", strict = true)
+    Similarity.appendPqIndex(b, "vec_id", "embedding", "graft_sc_pq", "AB")
+    assert(spark.table("graft_sc_pq_meta").head().getLong(6) === all.count())
+    Similarity.publishPqIndex(a, "vec_id", "embedding", "graft_sc_pqc",
+      nlist = 4, m = 4, codes = 8, buckets = 2, corpusFp = "A")
+    Similarity.appendPqIndex(b, "vec_id", "embedding", "graft_sc_pqc", "AB")
+    val healed = probe("graft_sc_pq", "AB")
+    assert(healed === probe("graft_sc_pqc", "AB"), "retried index != untorn control")
+    Similarity.compactPqIndex(spark, "graft_sc_pq")
+    assert(spark.table("graft_sc_pq_assign").count() === all.count(),
+      "compaction did not GC the orphaned epoch")
+    assert(probe("graft_sc_pq", "AB") === healed)
+    dropAll("graft_sc_pq"); dropAll("graft_sc_pqc")
+  }
+
+  test("LSH append: crash between/after data writes invisible; retry + compact heal") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "the quick brown fox jumps over the lazy cat tonight",
+      "pack my box with five dozen liquor jugs right now",
+      "sphinx of black quartz judge my vow completely today",
+      "how vexingly quick daft zebras jump over fences")
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 20L).map(i =>
+        Row(i, texts((i % texts.size).toInt) + s" tail${i % 7}")): _*),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+    val a = docs.where(col("doc_id") % 4 =!= 0)
+    val b = docs.where(col("doc_id") % 4 === 0)
+    val incoming = docs.where(col("doc_id") < 4)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    def probe(tbl: String, fp: String) = rowsOf(Dedup.probeLshIndex(
+      spark, incoming, "doc_id", "text", tbl, threshold = 0.3, corpusFp = fp))
+    dropAll("graft_sc_lsh"); dropAll("graft_sc_lshc")
+    Dedup.publishLshIndex(a, "doc_id", "text", "graft_sc_lsh",
+      buckets = 2, corpusFp = "A")
+    val pre = probe("graft_sc_lsh", "A")
+    Faults.failAt = "lsh.append.staged"
+    intercept[RuntimeException] {
+      Dedup.appendLshIndex(b, "doc_id", "text", "graft_sc_lsh", "AB")
+    }
+    Faults.failAt = null
+    assert(probe("graft_sc_lsh", "A") === pre, "staged-crash changed probe results")
+    // both audit forms pass over the torn state — the orphaned epoch is
+    // invisible, so the bands×docs relation holds on committed rows
+    Dedup.assertLshIndexConsistent(spark, "graft_sc_lsh", strict = true)
+    Dedup.appendLshIndex(b, "doc_id", "text", "graft_sc_lsh", "AB")
+    Dedup.publishLshIndex(docs, "doc_id", "text", "graft_sc_lshc",
+      buckets = 2, corpusFp = "AB")
+    val healed = probe("graft_sc_lsh", "AB")
+    // append(publish(A), B) is row-equal to publish(A ∪ B) for LSH (the
+    // pipeline is per-doc deterministic) — the control is a fresh publish
+    assert(healed === probe("graft_sc_lshc", "AB"), "retried index != fresh publish")
+    assert(healed !== pre)
+    val rawDocs = spark.table("graft_sc_lsh_docs").count()
+    Dedup.compactLshIndex(spark, "graft_sc_lsh")
+    assert(spark.table("graft_sc_lsh_docs").count() < rawDocs,
+      "compaction did not GC the orphaned epoch")
+    assert(probe("graft_sc_lsh", "AB") === healed)
+    dropAll("graft_sc_lsh"); dropAll("graft_sc_lshc")
+  }
+}
