@@ -752,6 +752,16 @@ object Dedup {
       newCorpusFp: String = ""): Unit = {
     val spark = batch.sparkSession
     val m = readLshMeta(spark, table)
+    val ep = m.nextEp
+    // ALLOCATE overlapped with the shingle materialization + duplicate
+    // check (all independent; the allocate only has to land before the
+    // stage writes — see the staged-commit contract below)
+    val allocF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands,
+        m.buckets, m.corpusFp, m.eps, ep + 1L))
+    }
     val base = shingleBase(batch, idCol, textCol, m.shingleN)
     // duplicate check against COMMITTED rows only — orphans of a torn
     // earlier attempt must not block its retry (the retry re-stages the
@@ -759,6 +769,7 @@ object Dedup {
     val dup = base.select(col("id"))
       .join(committedLsh(spark, s"${table}_docs", m.eps), Seq("id"), "left_semi")
       .limit(1).count()
+    graft.functions.Par.awaitAllSettled(allocF)
     require(dup == 0,
       s"appendLshIndex: batch contains ids already present in index '$table' — " +
         "append would duplicate their probe rows; dedup the batch first")
@@ -768,7 +779,8 @@ object Dedup {
     // STAGED COMMIT (r13 verdict item #2) — the tear between the two data
     // writes is now IMPOSSIBLE to observe, not just loud:
     //   ALLOCATE  `_meta` bumps next_ep only (crash after = one wasted
-    //             epoch number);
+    //             epoch number) — already landed above, overlapped with
+    //             the dup check;
     //   STAGE     both data writes land carrying the fresh epoch — probes,
     //             audits and dup-checks filter to `_meta.eps`, so a crash
     //             during/between/after them leaves probes returning
@@ -778,9 +790,6 @@ object Dedup {
     //             taken only after the staged batch passes the bands×docs
     //             completeness check below.
     // Orphan epochs are garbage-collected by [[compactLshIndex]].
-    val ep = m.nextEp
-    writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets,
-      m.corpusFp, m.eps, ep + 1L)
     graft.sources.Faults.point("lsh.append.allocated")
     locally {
       import scala.concurrent.Future

@@ -687,20 +687,6 @@ object Similarity {
     // — only the fingerprint bump happens, never a spurious dim mismatch
     require(bdims == dims || bdims == 0,
       s"appendIvfIndex: batch dimension $bdims != index '$table' dimension $dims")
-    // duplicate check against COMMITTED rows only: orphans of a torn
-    // earlier attempt must not block its retry (the retry re-stages under
-    // a fresh epoch; the orphans stay invisible forever)
-    val dup = qdf.select(col("id").as("neighbor_id"))
-      .join(committedRows(spark, s"${table}_assign", eps), Seq("neighbor_id"), "left_semi")
-      .limit(1).count()
-    require(dup == 0,
-      s"appendIvfIndex: batch contains ids already present in index '$table' — " +
-        "append would duplicate their result rows; dedup the batch first")
-    val cents = Array.fill(nlist)(new Array[Long](dims))
-    spark.table(s"${table}_cents").collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-    }
-    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     // STAGED COMMIT — the tear is impossible, not just loud (r13 verdict
     // item #2). Three ordered writes:
     //   ALLOCATE  `_meta` bumps next_ep only (visibility unchanged; a
@@ -711,9 +697,31 @@ object Similarity {
     //             pre-append results, and a retry stages under a new epoch;
     //   COMMIT    `_meta` lands LAST with the epoch added to `eps` and the
     //             new fingerprint — the single atomic visibility flip.
-    // Orphan epochs are garbage-collected by [[compactIvfIndex]].
-    writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets,
-      meta.getString(5), eps, ep + 1L)
+    // Orphan epochs are garbage-collected by [[compactIvfIndex]]. The
+    // allocate write only has to land BEFORE the stage write, so it runs
+    // overlapped with the (independent) duplicate-check job and its
+    // latency hides behind work the append pays anyway.
+    val allocF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets,
+        meta.getString(5), eps, ep + 1L))
+    }
+    // duplicate check against COMMITTED rows only: orphans of a torn
+    // earlier attempt must not block its retry (the retry re-stages under
+    // a fresh epoch; the orphans stay invisible forever)
+    val dup = qdf.select(col("id").as("neighbor_id"))
+      .join(committedRows(spark, s"${table}_assign", eps), Seq("neighbor_id"), "left_semi")
+      .limit(1).count()
+    graft.functions.Par.awaitAllSettled(allocF)
+    require(dup == 0,
+      s"appendIvfIndex: batch contains ids already present in index '$table' — " +
+        "append would duplicate their result rows; dedup the batch first")
+    val cents = Array.fill(nlist)(new Array[Long](dims))
+    spark.table(s"${table}_cents").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     graft.sources.Faults.point("ivf.append.allocated")
     qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
         assignF(col("q")).as("c"), lit(ep).as("ep"))
@@ -757,8 +765,8 @@ object Similarity {
       quantizedBaseCountedInit(corpus, idCol, vecCol, math.max(nlist, codes))
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
-    val cents = lloydInt(qdf, nlist, rounds, Some(init.take(nlist)))
-    val bksF = pqBooksInt(qdf, m, codes, sub, rounds, Some(init.take(codes)))
+    // overlapped trainers — see [[trainCoarseAndBooks]]
+    val (cents, bksF) = trainCoarseAndBooks(qdf, nlist, m, codes, sub, rounds, init)
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
@@ -862,14 +870,7 @@ object Similarity {
       s"probePqIndex: index '$table' was published over corpus '$storedFp' " +
         s"but the caller expects '$corpusFp'")
     val sub = dims / m
-    val cents = Array.fill(nlist)(new Array[Long](dims))
-    spark.table(s"${table}_cents").collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-    }
-    val bksF = Array.fill(m, codes)(new Array[Long](sub))
-    spark.table(s"${table}_books").collect().foreach { r =>
-      bksF(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
-    }
+    val (cents, bksF) = readPqModels(spark, table, dims, nlist, m, codes, sub)
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
     val probeF = probeUdf(cents, nprobe)
     val encoded = committedRows(spark, s"${table}_assign", meta.getSeq[Long](8))
@@ -943,29 +944,30 @@ object Similarity {
     // — only the fingerprint/count bump happens, never a spurious mismatch
     require(bdims == dims || bdims == 0,
       s"appendPqIndex: batch dimension $bdims != index '$table' dimension $dims")
+    // ALLOCATE overlapped with the duplicate check (both independent; the
+    // allocate only has to land before the stage write — see appendIvfIndex)
+    val allocF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets,
+        nRows, meta.getString(7), eps, ep + 1L))
+    }
     // committed rows only: orphans of a torn attempt must not block the retry
     val dup = qdf.select(col("id").as("neighbor_id"))
       .join(committedRows(spark, s"${table}_assign", eps), Seq("neighbor_id"), "left_semi")
       .limit(1).count()
+    graft.functions.Par.awaitAllSettled(allocF)
     require(dup == 0,
       s"appendPqIndex: batch contains ids already present in index '$table' — " +
         "append would duplicate their result rows; dedup the batch first")
     val sub = dims / m
-    val cents = Array.fill(nlist)(new Array[Long](dims))
-    spark.table(s"${table}_cents").collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-    }
-    val bksF = Array.fill(m, codes)(new Array[Long](sub))
-    spark.table(s"${table}_books").collect().foreach { r =>
-      bksF(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
-    }
+    val (cents, bksF) = readPqModels(spark, table, dims, nlist, m, codes, sub)
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     val encodeF = udf { (q: Seq[Long]) =>
       Array.tabulate(m)(j => codeOfInt(q, j, sub, bksF).toLong)
     }
-    // ALLOCATE / STAGE / COMMIT — see appendIvfIndex for the full contract
-    writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows,
-      meta.getString(7), eps, ep + 1L)
+    // STAGE / COMMIT — see appendIvfIndex for the full contract (the
+    // allocate write already landed, overlapped with the dup check above)
     graft.sources.Faults.point("pq.append.allocated")
     qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
         encodeF(col("q")).as("cd"), lit(ep).as("ep"))
@@ -974,6 +976,36 @@ object Similarity {
     graft.sources.Faults.point("pq.append.staged")
     writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows + bN,
       newCorpusFp, eps :+ ep, ep + 1L)
+  }
+
+  /** Collect the model-sized `_cents` + `_books` tables of a stored PQ
+    * index into driver arrays, the two collects OVERLAPPED from futures:
+    * each is a tiny single-bucket scan whose cost is pure job latency, and
+    * every probe/append pays both — sequentially that is two scheduler
+    * round-trips per call (the r13 verdict's "redundant model read" watch
+    * item), overlapped it is one. */
+  private def readPqModels(spark: org.apache.spark.sql.SparkSession,
+      table: String, dims: Int, nlist: Int, m: Int, codes: Int, sub: Int)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cF = Future {
+      val cents = Array.fill(nlist)(new Array[Long](dims))
+      spark.table(s"${table}_cents").collect().foreach { r =>
+        cents(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      }
+      cents
+    }
+    val bF = Future {
+      val bks = Array.fill(m, codes)(new Array[Long](sub))
+      spark.table(s"${table}_books").collect().foreach { r =>
+        bks(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3)
+      }
+      bks
+    }
+    graft.functions.Par.awaitAllSettled(cF, bF)
+    (Await.result(cF, Duration.Zero), Await.result(bF, Duration.Zero))
   }
 
   /** Consistency audit over a published IVF+PQ index — the PQ analogue of
@@ -1152,6 +1184,26 @@ object Similarity {
     * (m×codes×sub longs to the driver; see [[lloydInt]] on why not
     * treeAggregate), floor-mean updates, empty codes keep their
     * vector. */
+  /** Train the coarse quantizer ([[lloydInt]]) and the PQ codebooks
+    * ([[pqBooksInt]]) CONCURRENTLY over the same materialized base: the two
+    * trainers are independent given `qdf` (each is `rounds` sequential
+    * narrow aggregate jobs over cached checkpoint blocks), so overlapping
+    * them from futures halves the training-phase job latency every
+    * IVF+PQ entry pays (one-shot q111 and publishPqIndex/q310-q312 both).
+    * Results are the exact arrays the sequential form produced — each
+    * trainer is deterministic and they share no mutable state. */
+  private def trainCoarseAndBooks(qdf: DataFrame, nlist: Int, m: Int,
+      codes: Int, sub: Int, rounds: Int, init: Array[Array[Long]])
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cF = Future(lloydInt(qdf, nlist, rounds, Some(init.take(nlist))))
+    val bF = Future(pqBooksInt(qdf, m, codes, sub, rounds, Some(init.take(codes))))
+    graft.functions.Par.awaitAllSettled(cF, bF)
+    (Await.result(cF, Duration.Zero), Await.result(bF, Duration.Zero))
+  }
+
   private def pqBooksInt(
       qdf: DataFrame, m: Int, codes: Int, sub: Int, rounds: Int,
       initRows: Option[Array[Array[Long]]] = None): Array[Array[Array[Long]]] = {
@@ -1340,8 +1392,10 @@ object Similarity {
     require(dims > 0 && dims % m == 0, s"dim $dims not divisible into $m subspaces")
     val sub = dims / m
     val quant = graft.functions.Vectors.fixedPointQuant(1024L)
-    val cents = lloydInt(qdf, nlist, rounds, Some(init.take(nlist)))
-    val bksF = pqBooksInt(qdf, m, codes, sub, rounds, Some(init.take(codes)))
+    // the coarse quantizer and the PQ codebooks train INDEPENDENTLY over
+    // the same materialized base — overlap their per-round aggregate jobs
+    // (sequential they cost 2×rounds job latencies; overlapped, rounds)
+    val (cents, bksF) = trainCoarseAndBooks(qdf, nlist, m, codes, sub, rounds, init)
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     val probeF = probeUdf(cents, nprobe)
     val encodeF = udf { (q: Seq[Long]) =>
