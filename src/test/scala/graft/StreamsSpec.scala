@@ -238,6 +238,70 @@ class StreamsSpec extends SparkSpecBase {
     assert(!state.map(_._1).contains(10250L))
   }
 
+  test("keyed near-dup reconciles out-of-order + duplicated deliveries to first-arrival outcome") {
+    // r13 verdict item #6: the at-least-once contract. Batches arrive OUT
+    // of id order and two docs are REDELIVERED in later batches — the
+    // union over batches must equal a replay of the claim rule over the
+    // same arrival schedule (first arrival wins; a redelivered copy finds
+    // all its cells already claimed by itself and is never kept twice).
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches = Seq(
+      // high ids first: arrival order deliberately disagrees with id order
+      Seq((50L, "alpha beta gamma delta epsilon zeta"),
+          (7L, "unrelated totally different words here now")),
+      // 3 shares 50's exact text (every cell claimed in b0 → dropped even
+      // though its id is smaller — FIRST ARRIVAL wins, not min id);
+      // 50 itself is redelivered (at-least-once) → all cells self-claimed
+      Seq((3L, "alpha beta gamma delta epsilon zeta"),
+          (50L, "alpha beta gamma delta epsilon zeta")),
+      // 7 redelivered two batches late + one genuinely fresh doc
+      Seq((7L, "unrelated totally different words here now"),
+          (99L, "final batch brand new tokens entirely")))
+    val srcDir = Files.createTempDirectory("graft_ndooo_src")
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory("graft_ndooo_tmp")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(f"b$b%02d.parquet"))
+      srcDir.resolve(f"b$b%02d.parquet").toFile.setLastModified(1000000L * (b + 1))
+    }
+    val got = Streams.runNearDupKeyed(spark, srcDir.toString, schema,
+      Files.createTempDirectory("graft_ndooo_keep").toString,
+      Files.createTempDirectory("graft_ndooo_chk").toString, 1)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side replay of the claim rule over the SAME schedule, cells
+    // derived by the SAME band-key expressions the stream uses
+    val claimed = scala.collection.mutable.Set.empty[String]
+    val expected = batches.zipWithIndex.flatMap { case (rows, b) =>
+      val cells = rows.toDF("doc_id", "text")
+        .select(col("doc_id").as("id"),
+          graft.functions.Vectors.md5BandKeys(16, 4)(
+            graft.functions.Vectors.shinglesFast(3)(col("text"))).as("bks"))
+        .select(col("id"), posexplode(
+          when(size(col("bks")) > 0, col("bks"))
+            .otherwise(array(concat(lit("solo:"), col("id").cast("string"))))))
+        .select(col("id"),
+          concat(col("pos").cast("string"), lit("|"), col("col")).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val minPerCell = cells.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).min }
+      val ok = cells.groupBy(_._1).collect {
+        case (id, cs) if cs.forall { case (_, c) =>
+          !claimed(c) && minPerCell(c) == id } => id
+      }
+      cells.foreach { case (_, c) => claimed += c }
+      ok.map(id => (id, b.toLong))
+    }.toSet
+    assert(got === expected)
+    // pins: first arrivals kept; the smaller-id late twin and both
+    // redelivered copies dropped; the fresh doc kept in its own batch
+    assert(got === Set((50L, 0L), (7L, 0L), (99L, 2L)))
+  }
+
   test("keyed near-dup stream resumes from checkpoint with claim state intact") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
