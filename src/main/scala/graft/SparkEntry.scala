@@ -2285,6 +2285,31 @@ object SparkEntry {
         tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
     }),
 
+    // ---- staged-commit crash semantics, PQ form (q314's discipline): the
+    //      append dies between the staged codes write and the meta commit,
+    //      retries under a fresh epoch — orphaned code rows stay invisible
+    //      and _meta.n_rows never counts them, so the healed index answers
+    //      q311's oracle VERBATIM ----
+    "q315_pq_torn_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = pqIndexTable(dir) + "_ptorn"
+      val batch = e.where(col("vec_id") % 5 === 0)
+      Similarity.publishPqIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id",
+        "embedding", tbl, nlist = 8, m = 8, codes = 16, rounds = 2,
+        corpusFp = s"embeddings[%5!=0]@$dir")
+      graft.sources.Faults.failAt = "pq.append.staged"
+      val torn =
+        try { Similarity.appendPqIndex(batch, "vec_id", "embedding", tbl,
+          newCorpusFp = ivfCorpusFp(dir)); false }
+        catch { case ex: RuntimeException if ex.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q315: the staged-crash injection did not fire")
+      Similarity.appendPqIndex(batch, "vec_id", "embedding", tbl,
+        newCorpusFp = ivfCorpusFp(dir))
+      Similarity.probePqIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
     // ---- the COMPACTION leg: append-maintained codes-only inverted lists
     //      rewritten at the STORED bucket spec (rows, models, fingerprint
     //      unchanged; strict PQ audit post-swap) — probe-identical to
@@ -3695,6 +3720,56 @@ object SparkEntry {
         "doc_id", "text", tbl, newCorpusFp = lshCorpusFp(dir))
       Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
         corpusFp = lshCorpusFp(dir))
+    }),
+
+    // ---- staged-commit CRASH SEMANTICS through the oracle gate: the
+    //      append is killed between the staged data writes and the meta
+    //      commit, then retried under a fresh epoch — the orphaned rows
+    //      stay invisible forever, so the healed index is probe-identical
+    //      to q261's untorn one (oracle shared VERBATIM) ----
+    "q314_lsh_torn_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = lshIndexTable(dir) + "_torn"
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      val batch = corpus.where(col("doc_id") % 5 === 0)
+      Dedup.publishLshIndex(corpus.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tbl, corpusFp = s"documents[%7!=0,%5!=0]@$dir")
+      graft.sources.Faults.failAt = "lsh.append.staged"
+      val torn =
+        try { Dedup.appendLshIndex(batch, "doc_id", "text", tbl,
+          newCorpusFp = lshCorpusFp(dir)); false }
+        catch { case e: RuntimeException if e.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q314: the staged-crash injection did not fire")
+      Dedup.appendLshIndex(batch, "doc_id", "text", tbl,
+        newCorpusFp = lshCorpusFp(dir))
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
+    }),
+
+    // ---- the GC leg: the torn epoch is NOT retried — compaction
+    //      garbage-collects the orphaned rows and the probe sees exactly
+    //      the published partial corpus (oracle = the probe oracle with
+    //      the corpus side restricted to the published subset) ----
+    "q316_lsh_torn_gc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = lshIndexTable(dir) + "_gc"
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      val publishedFp = s"documents[%7!=0,%5!=0]@$dir"
+      Dedup.publishLshIndex(corpus.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tbl, corpusFp = publishedFp)
+      graft.sources.Faults.failAt = "lsh.append.staged"
+      val torn =
+        try { Dedup.appendLshIndex(corpus.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", tbl, newCorpusFp = lshCorpusFp(dir)); false }
+        catch { case e: RuntimeException if e.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q316: the staged-crash injection did not fire")
+      // compaction drops the orphaned epoch during the rewrite it pays
+      // anyway; the strict post-swap audit proves the committed view
+      Dedup.compactLshIndex(s, tbl)
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
+        corpusFp = publishedFp)
     }),
 
     // ---- corpus analysis: DISTINCTIVE TERMS per source — Monroe et al.
@@ -5716,6 +5791,8 @@ object SparkEntry {
     // final assignment/encode/probe corpus-wide (see ivfPqAppendOracleSql)
     "q311_pq_index_append" -> ivfPqAppendOracleSql,
     "q312_pq_index_compact" -> ivfPqAppendOracleSql,
+    // q315: torn PQ append + retry — probe-identical to q311 (see q314)
+    "q315_pq_torn_append" -> ivfPqAppendOracleSql,
     // q313 = q310's probe per micro-batch; union over batches == one-shot
     "q313_stream_pq_probe" -> ivfPqOracleSql,
 
@@ -7941,6 +8018,19 @@ object SparkEntry {
     "q261_lsh_index_append" -> lshProbeOracleSql,
     // q276: compaction rewrites files, never rows — probe-identical to q261
     "q276_lsh_index_compact" -> lshProbeOracleSql,
+    // q314: a torn (staged-crash) append retried under a fresh epoch is
+    // probe-identical to q261's untorn append — same oracle verbatim
+    "q314_lsh_torn_append" -> lshProbeOracleSql,
+    // q316: a torn append that is never retried leaves the index exactly
+    // at its published state (compaction GCs the orphans) — the probe
+    // oracle with the corpus side restricted to the published subset
+    "q316_lsh_torn_gc" -> {
+      val pattern = "AND b.doc_id % 7 != 0"
+      require(lshProbeOracleSql.contains(pattern),
+        "q316 oracle: lshProbeOracleSql drifted — corpus predicate not found")
+      lshProbeOracleSql.replace(pattern,
+        "AND b.doc_id % 7 != 0 AND b.doc_id % 5 != 0")
+    },
 
     "q256_cluster_sizes" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -332,6 +332,42 @@ final case class KFrame(df: DataFrame, keyCols: Seq[String], ordered: Boolean = 
     val stackArgs = nums.map(c => s"'$c', `$c`").mkString(", ")
     wide.selectExpr(s"stack(${nums.size}, $stackArgs) as (column, value)")
   }
+
+  // ---- LLM-pipeline surface (additive; no reference counterpart) ----
+  // Thin forwarders routing the keyed frame's id column into the pipeline
+  // operators, so the unified API story covers the training-data surface
+  // too — pure sugar, zero new plans (each body IS the operator call).
+
+  /** Exact dedup over `textCol`: one row per distinct fingerprint with the
+    * smallest surviving id — [[graft.operators.Dedup.exact]] keyed by this
+    * frame's (single) row key. */
+  def dedupExact(textCol: String): DataFrame = {
+    require(keyCols.size == 1, s"dedupExact needs a single row key, got $keyCols")
+    graft.operators.Dedup.exact(df, keyCols.head, textCol)
+  }
+
+  /** MinHash-LSH near-duplicate pairs over `textCol` —
+    * [[graft.operators.Dedup.minhashLshPortable]] keyed by the row key. */
+  def nearDup(textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(keyCols.size == 1, s"nearDup needs a single row key, got $keyCols")
+    graft.operators.Dedup.minhashLshPortable(df, keyCols.head, textCol,
+      shingleN, numHashes, bands, threshold)
+  }
+
+  /** Whitespace token counts per row: (key, n_tok) —
+    * [[graft.functions.Text.tokenCount]] over `textCol`. */
+  def tokenCounts(textCol: String): DataFrame =
+    df.select((keyCols.map(col) :+
+      graft.functions.Text.tokenCount(col(textCol)).as("n_tok")): _*)
+
+  /** Brute-force cosine top-k over an embedding column —
+    * [[graft.operators.Similarity.bruteForceKnn]] with this frame as both
+    * corpus and query side (self-kNN), keyed by the row key. */
+  def knnCosine(vecCol: String, k: Int): DataFrame = {
+    require(keyCols.size == 1, s"knnCosine needs a single row key, got $keyCols")
+    graft.operators.Similarity.bruteForceKnn(df, df, keyCols.head, vecCol, k)
+  }
 }
 
 object KFrame {

@@ -109,4 +109,19 @@ class QuickstartSpec extends SparkSpecBase {
       assert(asof.df.count() > 0, "as-of join produced no rows")
     }
   }
+
+  test("the pipeline surface routes through the KFrame wrapper (sugar, same plans)") {
+    // r13 verdict #8: the unified-API story covers the LLM-pipeline ops
+    // too — kf.dedupExact/nearDup/tokenCounts are thin forwarders, so each
+    // must be row-identical to the operator it forwards to
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kf = graft.core.KFrame(docs, Seq("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(kf.dedupExact("text")) ===
+      rows(graft.operators.Dedup.exact(docs, "doc_id", "text")))
+    assert(rows(kf.nearDup("text")) ===
+      rows(graft.operators.Dedup.minhashLshPortable(docs, "doc_id", "text")))
+    val toks = kf.tokenCounts("text")
+    assert(toks.columns.toSeq === Seq("doc_id", "n_tok") && toks.count() === docs.count())
+  }
 }
