@@ -145,6 +145,13 @@ object ScaleDrill {
     val ev = served(amplifyEvents(spark, dir, x), "ev")
     val li = served(amplifyLineitemSeries(spark, dir, x), "li")
 
+    // Task-metric census per kernel: spill + shuffle-write volume + peak
+    // single-task execution memory land in each op's extras, so the record
+    // answers "did this spill at X×?" from measurement (PLANS.md cites it)
+    val sc = spark.sparkContext
+    val mx = new org.apache.spark.GraftTaskMetrics
+    mx.attach(sc)
+
     val out = scala.collection.mutable.ArrayBuffer.empty[OpResult]
     try {
     // Drain the ContextCleaner backlog from the PREVIOUS kernel before
@@ -190,11 +197,12 @@ object ScaleDrill {
     def timed(name: String)(build: => DataFrame): DataFrame = {
       if (skipOp(name)) return spark.emptyDataFrame
       quiesce()
+      mx.reset(sc)
       val t0 = System.nanoTime()
       val df = build
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      out += OpResult(name, sec, rows, globalWindowFlags(df))
+      out += OpResult(name, sec, rows, globalWindowFlags(df), mx.snapshot(sc))
       df
     }
 
@@ -275,9 +283,11 @@ object ScaleDrill {
     def timedUnit(name: String)(work: => Long): Unit = {
       if (skipOp(name)) return
       quiesce()
+      mx.reset(sc)
       val t0 = System.nanoTime()
       val rows = work
-      out += OpResult(name, (System.nanoTime() - t0) / 1e9, rows, Nil)
+      out += OpResult(name, (System.nanoTime() - t0) / 1e9, rows, Nil,
+        mx.snapshot(sc))
     }
 
     // containment family: Broder asymmetric containment over the same md5
@@ -410,12 +420,13 @@ object ScaleDrill {
         // every amplification: per-batch state commits are the measurement
         ev.repartition(16).write.mode("overwrite").parquet(target)
         quiesce()
+        mx.reset(sc)
         val t0 = System.nanoTime()
         val (res, metrics) =
           streaming.Streams.drillStatefulRocksDb(spark, target, maxFilesPerTrigger = 4)
         val rows = res.count()
         out += OpResult("stream_state_rocksdb", (System.nanoTime() - t0) / 1e9,
-          rows, Nil, metrics)
+          rows, Nil, mx.snapshot(sc) ++ metrics)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(evDir.toFile)
       }
@@ -447,6 +458,7 @@ object ScaleDrill {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
         quiesce()
+        mx.reset(sc)
         val t0 = System.nanoTime()
         val (res, metrics) = streaming.Streams.runNearDupKeyed(
           spark, srcDir.toString, inc.schema,
@@ -459,11 +471,14 @@ object ScaleDrill {
             Seq(s"per-batch cost grows with batch index: ${bms.mkString(",")} ms")
           else Nil
         out += OpResult("stream_neardup_keyed", (System.nanoTime() - t0) / 1e9,
-          rows, flags, metrics)
+          rows, flags, mx.snapshot(sc) ++ metrics)
       } finally org.apache.commons.io.FileUtils.deleteDirectory(ndDir.toFile)
     }
     out.toSeq
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(inDir.toFile)
+    } finally {
+      sc.removeSparkListener(mx)
+      org.apache.commons.io.FileUtils.deleteDirectory(inDir.toFile)
+    }
   }
 
   def main(args: Array[String]): Unit = {

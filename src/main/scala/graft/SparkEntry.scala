@@ -3772,6 +3772,30 @@ object SparkEntry {
         corpusFp = publishedFp)
     }),
 
+    // ---- staged-commit crash semantics, IVF form — completes the torn-
+    //      append oracle matrix (LSH q314, PQ q315, IVF here): the append
+    //      dies between the staged vector write and the meta commit,
+    //      retries under a fresh epoch, and the healed index answers
+    //      q264's oracle VERBATIM ----
+    "q317_ivf_torn_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = ivfIndexTable(dir) + "_vtorn"
+      val batch = e.where(col("vec_id") % 5 === 0)
+      Similarity.publishIvfIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        tbl, trainRows = 128, corpusFp = s"embeddings[%5!=0]@$dir")
+      graft.sources.Faults.failAt = "ivf.append.staged"
+      val torn =
+        try { Similarity.appendIvfIndex(batch, "vec_id", "embedding", tbl,
+          newCorpusFp = ivfCorpusFp(dir)); false }
+        catch { case ex: RuntimeException if ex.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q317: the staged-crash injection did not fire")
+      Similarity.appendIvfIndex(batch, "vec_id", "embedding", tbl,
+        newCorpusFp = ivfCorpusFp(dir))
+      Similarity.probeIvfIndex(s, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        tbl, k = 3, nprobe = 2, corpusFp = ivfCorpusFp(dir))
+    }),
+
     // ---- corpus analysis: DISTINCTIVE TERMS per source — Monroe et al.
     //      "Fightin' Words" log-odds with informative Dirichlet prior
     //      (corpus-proportional α); the characteristically-source-X
@@ -6475,6 +6499,11 @@ object SparkEntry {
       "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
     // q277: compaction rewrites files, never rows — probe-identical to q264
     "q277_ivf_index_compact" -> ivfSampledOracleSql.replace(
+      "smp AS (SELECT vec_id FROM embeddings ORDER BY",
+      "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
+    // q317: torn IVF append + retry — the orphaned epoch stays invisible,
+    // so the healed index is probe-identical to q264's untorn append
+    "q317_ivf_torn_append" -> ivfSampledOracleSql.replace(
       "smp AS (SELECT vec_id FROM embeddings ORDER BY",
       "smp AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0 ORDER BY"),
 
