@@ -200,7 +200,13 @@ object ScaleDrill {
       mx.reset(sc)
       val t0 = System.nanoTime()
       val df = build
-      val rows = df.count()
+      // force through df's OWN physical plan — the exact plan
+      // globalWindowFlags audits. A count() round-trip re-optimizes and
+      // PRUNES operators the count doesn't reference (a rowNumber kernel
+      // collapsed to scan-and-count: 8 tasks, 712 shuffle bytes for a
+      // 6M-row window), so the timing and the spill census measured the
+      // eager quantile prep, not the kernel.
+      val rows = df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       out += OpResult(name, sec, rows, globalWindowFlags(df), mx.snapshot(sc))
       df
