@@ -64,7 +64,15 @@ object Text {
   def langId(text: Column): Column = {
     val ws = tokens(text)
     val scores = stopwordLexicon.map { case (lang, words) =>
-      val score = words.map(w => size(filter(ws, t => t === w))).reduce(_ + _)
+      // ONE traversal per language with an integer accumulator — a
+      // lexicon word's occurrence count summed via IN-set membership
+      // (lexicon words are distinct within a language, so Σ per-word
+      // counts ≡ count of tokens in the set). The per-word
+      // size(filter(...)) form paid |lexicon| array traversals AND a
+      // filtered-array allocation each — 25 passes/doc (round-14 bench,
+      // once forcing stopped pruning the projection: 2.4 s → this form)
+      val score = aggregate(ws, lit(0),
+        (acc, t) => acc + when(t.isin(words: _*), 1).otherwise(0))
       (lang, score)
     }
     // argmax with first-wins tie-break, as a fold over (bestLang, bestScore)

@@ -1741,14 +1741,21 @@ object Dedup {
       eps: Double = 1e-4,
       confidence: Double = 0.99): DataFrame = {
     require(n >= 2, s"span window $n must be >= 2")
-    val spans = docs
+    // materialize the span table ONCE: three consumers read it (the CMS
+    // sketch pass, the per-doc totals, the candidate filter) and each
+    // re-derived the md5-of-20-token-slice projection — the dominant
+    // per-row cost — from text. (doc_id, h) is ~48 B/row, roughly half
+    // the corpus text size: the standard reuse-vs-recompute trade this
+    // codebase makes (memory+disk checkpoint blocks, cleaner-released).
+    val spans = Par.widen(docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("w")) - (n - 1))).as("pos"),
         col("w"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(n)))).as("h"))
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(n)))).as("h")))
+      .localCheckpoint(true)
     // pass 1: sketch total span occurrences (narrow; sketch to the driver)
     val cms = spans.stat.countMinSketch("h", eps, confidence, seed = 42)
     val bc = docs.sparkSession.sparkContext.broadcast(cms)
