@@ -54,4 +54,11 @@ final class GraftTaskMetrics extends SparkListener {
       "shuf_mb" -> shuffleWritten.get / mib,
       "peak_task_mem_mb" -> peakTaskMem.get / mib)
   }
+
+  /** Byte-granular shuffle-write total for test assertions at spec scale
+    * (MiB rounding floors small-but-real shuffles to 0). */
+  def shuffleBytes(sc: SparkContext): Long = {
+    sc.listenerBus.waitUntilEmpty()
+    shuffleWritten.get
+  }
 }
