@@ -179,7 +179,16 @@ object Bench {
     // a FAILED query is a -1.0 sentinel, never a plausible timing: the
     // old swallow-and-timestamp form recorded an instant throw as a fast
     // query, silently flattering the total (round-8 audit item)
+    // per-query SPILL census (same listener the drill uses): BENCH_SELF's
+    // "spillq" dict records, for every query that spilled in ANY shot, the
+    // max memory+disk spill MB observed — "which queries spill at this SF"
+    // as a measured record dimension (at sf0.1 it should be ~empty; a new
+    // entry flags an operator whose working set outgrew the pool)
+    val mxCensus = new org.apache.spark.GraftTaskMetrics
+    mxCensus.attach(spark.sparkContext)
+    val qspill = scala.collection.mutable.Map.empty[String, Long]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      mxCensus.reset(spark.sparkContext)
       val t0 = System.nanoTime()
       // force through the query's OWN physical plan (toRdd), never through
       // a count() round-trip: Catalyst prunes unreferenced operators out of
@@ -187,7 +196,14 @@ object Bench {
       // optimized to a bare scan-and-count and recorded only its eager
       // driver-side prep, not the kernel (caught round 14: rowNumber's
       // count plan was Scan→HashAggregate, 8 tasks for a 6M-row window)
-      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val s = mxCensus.snapshot(spark.sparkContext)
+        val mb = s("spill_mem_mb") + s("spill_disk_mb")
+        if (mb > 0) qspill(name) = math.max(qspill.getOrElse(name, 0L), mb)
+        sec
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         -1.0
@@ -349,9 +365,13 @@ object Bench {
       // so the best-anchor parser (reads from the "best" marker) is unaffected
       val flagArr = regressionFlags(results, priorBest)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // queries that spilled (max mem+disk MB over shots) — BEFORE "best"
+      // so the best-anchor parser (reads from the "best" marker) is unaffected
+      val spillQs = qspill.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         selfPath,
-        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,$loadStamp,"queries":$fullQs,"med":$medQs,"qload":$qloadQs,"hotq":$hotqArr,"flag":$flagArr,"best":$bestQs,"sf":"$sfDir"}\n""")
+        s"""{"metric":"total","value":${n3(total)},"unit":"sec","qerr":$qerr,$loadStamp,"queries":$fullQs,"med":$medQs,"qload":$qloadQs,"hotq":$hotqArr,"flag":$flagArr,"spillq":$spillQs,"best":$bestQs,"sf":"$sfDir"}\n""")
       catch { case _: Throwable => () } // bench result must not die on a doc write
     }
     println(tailLine(results.toSeq, qerr, loadStamp, total, hotn = hotq.size))
