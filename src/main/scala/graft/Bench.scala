@@ -196,18 +196,27 @@ object Bench {
       // optimized to a bare scan-and-count and recorded only its eager
       // driver-side prep, not the kernel (caught round 14: rowNumber's
       // count plan was Scan→HashAggregate, 8 tasks for a 6M-row window)
-      try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val s = mxCensus.snapshot(spark.sparkContext)
-        val mb = s("spill_mem_mb") + s("spill_disk_mb")
-        if (mb > 0) qspill(name) = math.max(qspill.getOrElse(name, 0L), mb)
-        sec
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        -1.0
-      }
+      val sec =
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+        }
+      // census OUTSIDE the query try (its own guard): a listener-bus
+      // failure after the query completed must not reclassify a successful
+      // query as FAILED and poison qerr/flags. Bytes summed BEFORE the MiB
+      // floor so sub-MiB mem+disk spills still register.
+      if (sec >= 0)
+        try {
+          val mb = mxCensus.spillBytes(spark.sparkContext) / (1024L * 1024L)
+          if (mb > 0) qspill(name) = math.max(qspill.getOrElse(name, 0L), mb)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name spill census failed (ignored): ${e.getMessage}")
+        }
+      sec
     }
     // PASS 1: one shot per query, in registration order.
     // (an inter-query System.gc() drain was tried r8 and measured WORSE —

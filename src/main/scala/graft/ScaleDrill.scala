@@ -194,6 +194,15 @@ object ScaleDrill {
     val onlyOps = sys.env.get("SPARK_GRAFT_DRILL_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def skipOp(name: String): Boolean = onlyOps.exists(!_.contains(name))
+    // streaming extras merge AFTER the census and must never shadow a
+    // census key (spill_mem_mb etc.) — a silent shadow would corrupt the
+    // drill's spill record for the stream ops with no warning
+    def censusPlus(census: Map[String, Long], metrics: Map[String, Long]): Map[String, Long] = {
+      val overlap = census.keySet.intersect(metrics.keySet)
+      require(overlap.isEmpty,
+        s"stream metrics would shadow spill-census keys: ${overlap.mkString(",")}")
+      census ++ metrics
+    }
     def timed(name: String)(build: => DataFrame): DataFrame = {
       if (skipOp(name)) return spark.emptyDataFrame
       quiesce()
@@ -432,7 +441,7 @@ object ScaleDrill {
           streaming.Streams.drillStatefulRocksDb(spark, target, maxFilesPerTrigger = 4)
         val rows = res.count()
         out += OpResult("stream_state_rocksdb", (System.nanoTime() - t0) / 1e9,
-          rows, Nil, mx.snapshot(sc) ++ metrics)
+          rows, Nil, censusPlus(mx.snapshot(sc), metrics))
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(evDir.toFile)
       }
@@ -477,7 +486,7 @@ object ScaleDrill {
             Seq(s"per-batch cost grows with batch index: ${bms.mkString(",")} ms")
           else Nil
         out += OpResult("stream_neardup_keyed", (System.nanoTime() - t0) / 1e9,
-          rows, flags, mx.snapshot(sc) ++ metrics)
+          rows, flags, censusPlus(mx.snapshot(sc), metrics))
       } finally org.apache.commons.io.FileUtils.deleteDirectory(ndDir.toFile)
     }
     out.toSeq

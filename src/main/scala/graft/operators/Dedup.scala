@@ -710,16 +710,25 @@ object Dedup {
       corpusFp, eps = Seq(0L), nextEp = 1L)
   }
 
+  /** LSH `_meta` writer — ONE definition for publish/allocate/commit/
+    * compact, routed through [[graft.sources.Bucketing.saveBucketedAtomic]]:
+    * the COMMIT write is the staged-commit protocol's single visibility
+    * flip, so it must itself be crash-atomic (a plain overwrite has a
+    * DROP-then-recreate destroy window — the r14 verdict's #1 finding). A
+    * kill anywhere inside the swap leaves either the old or the new meta
+    * fully readable after [[graft.sources.Bucketing.healIfTorn]] (which
+    * [[readLshMeta]] runs per-open). `faultTag` arms the in-swap crash
+    * points for the StagedAppendSpec proofs. */
   private def writeLshMeta(
       spark: org.apache.spark.sql.SparkSession, table: String,
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int, corpusFp: String,
-      eps: Seq[Long], nextEp: Long): Unit = {
+      eps: Seq[Long], nextEp: Long, faultTag: String = null): Unit = {
     import spark.implicits._
-    graft.sources.Bucketing.saveBucketed(
+    graft.sources.Bucketing.saveBucketedAtomic(
       Seq((shingleN, numHashes, bands, buckets, corpusFp, eps, nextEp))
         .toDF("shingle_n", "num_hashes", "bands", "buckets", "corpus_fp",
           "eps", "next_ep"),
-      s"${table}_meta", "shingle_n", 1)
+      s"${table}_meta", "shingle_n", 1, faultTag = faultTag)
   }
 
   /** Committed-epoch view of an LSH index data table — rows staged by a
@@ -728,8 +737,12 @@ object Dedup {
     * [[graft.operators.Similarity]] staged-commit discipline; see
     * [[appendLshIndex]]). */
   private def committedLsh(spark: org.apache.spark.sql.SparkSession,
-      table: String, eps: Seq[Long]): DataFrame =
+      table: String, eps: Seq[Long]): DataFrame = {
+    // catalog-lookups-only on the clean path; restores the live name after
+    // a compactor crashed mid-swap so probes self-heal instead of failing
+    graft.sources.Bucketing.healIfTorn(spark, table)
     spark.table(table).where(col("ep").isin(eps: _*))
+  }
 
   /** APPEND a new batch to a published LSH index — the maintenance path of
     * the publish-once/probe-forever layout: the batch is shingled and
@@ -743,7 +756,16 @@ object Dedup {
     * are refused loudly (a duplicate id would duplicate every one of its
     * probe result rows); the ids-only semi-join is batch-sized on the
     * shuffle side. `newCorpusFp` replaces the stored corpus fingerprint —
-    * pass the describing string for corpus ∪ batch. */
+    * pass the describing string for corpus ∪ batch.
+    *
+    * SINGLE-WRITER CONTRACT: index maintenance (append/compact) assumes ONE
+    * writer at a time — the epoch allocator is a read-bump-write with no
+    * lock. Two appends racing the same `next_ep` would stage under one
+    * epoch; the allocator-collision guards below (re-read after ALLOCATE,
+    * re-read before COMMIT) detect the common interleavings and abort the
+    * LOSER loudly with the index left exactly as the winner committed it,
+    * but they are detection, not mutual exclusion — schedule maintenance
+    * from a single owner (probes are unrestricted readers throughout). */
   def appendLshIndex(
       batch: DataFrame,
       idCol: String,
@@ -786,11 +808,24 @@ object Dedup {
     //             during/between/after them leaves probes returning
     //             EXACTLY the pre-append results;
     //   COMMIT    `_meta` lands LAST, adding the epoch to `eps` with the
-    //             new fingerprint — the single atomic visibility flip,
-    //             taken only after the staged batch passes the bands×docs
+    //             new fingerprint — the single atomic visibility flip
+    //             (itself a crash-atomic rename swap since r15: a kill
+    //             inside the commit leaves old-or-new meta fully readable,
+    //             never a destroyed table — see [[writeLshMeta]]), taken
+    //             only after the staged batch passes the bands×docs
     //             completeness check below.
     // Orphan epochs are garbage-collected by [[compactLshIndex]].
     graft.sources.Faults.point("lsh.append.allocated")
+    // ALLOCATOR-COLLISION GUARD (single-writer contract, see scaladoc): a
+    // racing append that allocated after our read leaves next_ep != ep+1 —
+    // abort BEFORE staging rather than stage a doomed (or shared) epoch
+    locally {
+      val ne = readLshMeta(spark, table).nextEp
+      require(ne == ep + 1L,
+        s"appendLshIndex: allocator collision on '$table' (next_ep=$ne, " +
+          s"expected ${ep + 1}) — another writer is appending concurrently; " +
+          "index maintenance is single-writer (see scaladoc), retry after it completes")
+    }
     locally {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -816,8 +851,20 @@ object Dedup {
       s"appendLshIndex: staged batch is incomplete ($sbRows band rows != " +
         s"${m.bands} bands x $sdRows doc rows) — NOT committed; probes are " +
         "unaffected, retry the append")
+    // PRE-COMMIT GUARD: the loser of an allocator race must not publish —
+    // a racer that committed first left our epoch in eps (it published the
+    // shared epoch) or bumped next_ep past ours; either way abort loudly
+    // and leave the winner's commit as the index state
+    locally {
+      val mc = readLshMeta(spark, table)
+      require(mc.nextEp == ep + 1L && !mc.eps.contains(ep),
+        s"appendLshIndex: lost an append race on '$table' (next_ep=${mc.nextEp}, " +
+          s"eps=${mc.eps.mkString(",")}, ours=$ep) — NOT committed; index " +
+          "maintenance is single-writer (see scaladoc)")
+    }
+    // COMMIT — crash-atomic rename swap (faultTag arms the in-swap points)
     writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets,
-      newCorpusFp, m.eps :+ ep, ep + 1L)
+      newCorpusFp, m.eps :+ ep, ep + 1L, faultTag = "lsh.append.commit")
   }
 
   /** Cheap invariant over a published LSH index: by construction every
@@ -912,13 +959,15 @@ object Dedup {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bF = Future(graft.sources.Bucketing
-        .compactBucketed(spark, s"${table}_buckets", "bk", m.buckets, gc))
+        .compactBucketed(spark, s"${table}_buckets", "bk", m.buckets, gc,
+          faultTag = "lsh.compact.buckets"))
       val dF = Future(graft.sources.Bucketing
-        .compactBucketed(spark, s"${table}_docs", "id", m.buckets, gc))
+        .compactBucketed(spark, s"${table}_docs", "id", m.buckets, gc,
+          faultTag = "lsh.compact.docs"))
       graft.functions.Par.awaitAllSettled(bF, dF)
     }
     writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands, m.buckets,
-      m.corpusFp, eps = Seq(0L), nextEp = 1L)
+      m.corpusFp, eps = Seq(0L), nextEp = 1L, faultTag = "lsh.compact.commit")
     assertLshIndexConsistent(spark, table, strict = true)
   }
 
@@ -938,6 +987,10 @@ object Dedup {
       buckets: Int = 8,
       corpusFp: String = ""): Unit = {
     val cat = corpus.sparkSession.catalog
+    // a swap torn by a crashed compactor must read as "exists" after heal,
+    // not trigger a silent republish over the healable tables
+    Seq(s"${table}_buckets", s"${table}_docs", s"${table}_meta")
+      .foreach(graft.sources.Bucketing.healIfTorn(corpus.sparkSession, _))
     if (!cat.tableExists(s"${table}_buckets") || !cat.tableExists(s"${table}_docs") ||
         !cat.tableExists(s"${table}_meta"))
       publishLshIndex(corpus, idCol, textCol, table, shingleN, numHashes, bands, buckets,
@@ -959,6 +1012,10 @@ object Dedup {
     * published index. */
   private def readLshMeta(
       spark: org.apache.spark.sql.SparkSession, table: String): LshMeta = {
+    // self-heal a meta swap torn by a crashed writer (catalog lookups only
+    // on the clean path) — probes after a mid-commit kill read whichever
+    // complete copy survived instead of failing TABLE_NOT_FOUND
+    graft.sources.Bucketing.healIfTorn(spark, s"${table}_meta")
     val m = spark.table(s"${table}_meta").head()
     LshMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getString(4),
       m.getSeq[Long](5), m.getLong(6))

@@ -574,13 +574,28 @@ object Similarity {
     * only rows whose `ep` is in it); `next_ep` is the allocator. */
   private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession, table: String,
       dims: Int, nlist: Int, trainRows: Int, rounds: Int, buckets: Int,
-      corpusFp: String, eps: Seq[Long], nextEp: Long): Unit = {
+      corpusFp: String, eps: Seq[Long], nextEp: Long,
+      faultTag: String = null): Unit = {
     import spark.implicits._
-    graft.sources.Bucketing.saveBucketed(
+    // crash-ATOMIC rename swap, never a plain overwrite: the COMMIT meta
+    // write is the staged-commit visibility flip, and saveBucketed's
+    // DROP-then-recreate would destroy `_meta` if the writer died inside
+    // (r14 verdict #1); a kill in any swap window leaves old-or-new meta
+    // fully readable after healIfTorn (run per-open by [[readMetaRow]])
+    graft.sources.Bucketing.saveBucketedAtomic(
       Seq((dims, nlist, trainRows, rounds, buckets, corpusFp, eps, nextEp))
         .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp",
           "eps", "next_ep"),
-      s"${table}_meta", "dims", 1)
+      s"${table}_meta", "dims", 1, faultTag = faultTag)
+  }
+
+  /** Open an index's `_meta` row, self-healing a swap torn by a crashed
+    * writer first (catalog lookups only on the clean path) — every probe/
+    * append/audit/compact meta read routes here. */
+  private def readMetaRow(spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.Row = {
+    graft.sources.Bucketing.healIfTorn(spark, s"${table}_meta")
+    spark.table(s"${table}_meta").head()
   }
 
   /** Committed-epoch view of an index data table: rows staged by a torn
@@ -590,8 +605,11 @@ object Similarity {
     * maintenance-op-sized; each append's files hold a single `ep` value,
     * so parquet row-group stats skip orphan files wholesale. */
   private def committedRows(spark: org.apache.spark.sql.SparkSession,
-      table: String, eps: Seq[Long]): DataFrame =
+      table: String, eps: Seq[Long]): DataFrame = {
+    // self-heal a compactor crash mid-swap (catalog lookups only when clean)
+    graft.sources.Bucketing.healIfTorn(spark, table)
     spark.table(table).where(col("ep").isin(eps: _*))
+  }
 
   /** [[publishIvfIndex]] only if the tables are absent; an existing index
     * must carry THIS corpus's fingerprint (same silent-wrong-corpus guard
@@ -607,12 +625,16 @@ object Similarity {
       buckets: Int = 8,
       corpusFp: String = ""): Unit = {
     val cat = corpus.sparkSession.catalog
+    // a swap torn by a crashed writer must read as "exists" after heal,
+    // not trigger a silent republish over healable tables
+    Seq(s"${table}_assign", s"${table}_meta")
+      .foreach(graft.sources.Bucketing.healIfTorn(corpus.sparkSession, _))
     if (!cat.tableExists(s"${table}_assign") || !cat.tableExists(s"${table}_cents") ||
         !cat.tableExists(s"${table}_meta"))
       publishIvfIndex(corpus, idCol, vecCol, table, trainRows, nlist, rounds, buckets,
         corpusFp)
     else {
-      val meta = corpus.sparkSession.table(s"${table}_meta").head()
+      val meta = readMetaRow(corpus.sparkSession, table)
       val storedFp = meta.getString(5)
       require(storedFp == corpusFp,
         s"ensureIvfIndex: index '$table' exists but was published over corpus " +
@@ -644,7 +666,7 @@ object Similarity {
       k: Int,
       nprobe: Int = 2,
       corpusFp: String = ""): DataFrame = {
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (dims, nlist, storedFp) = (meta.getInt(0), meta.getInt(1), meta.getString(5))
     require(storedFp == corpusFp,
       s"probeIvfIndex: index '$table' was published over corpus '$storedFp' " +
@@ -670,7 +692,9 @@ object Similarity {
     * append(publish(A), B) probes identically to publish(A ∪ B) WITH A's
     * training sample — exactly what the q264 oracle replays. Batch ids
     * already present are refused (a duplicate would duplicate its result
-    * rows); `newCorpusFp` replaces the stored fingerprint. */
+    * rows); `newCorpusFp` replaces the stored fingerprint. SINGLE-WRITER
+    * maintenance — same contract and collision guards as
+    * [[graft.operators.Dedup.appendLshIndex]]. */
   def appendIvfIndex(
       batch: DataFrame,
       idCol: String,
@@ -678,7 +702,7 @@ object Similarity {
       table: String,
       newCorpusFp: String = ""): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (dims, nlist, trainRows, rounds, buckets) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getInt(4))
     val (eps, ep) = (meta.getSeq[Long](6), meta.getLong(7))
@@ -723,13 +747,29 @@ object Similarity {
     }
     val assignF = udf { (q: Seq[Long]) => assignIdxInt(q, cents) }
     graft.sources.Faults.point("ivf.append.allocated")
+    // ALLOCATOR-COLLISION GUARD (single-writer contract, see
+    // [[graft.operators.Dedup.appendLshIndex]]): a racing append that
+    // allocated after our read leaves next_ep != ep+1 — abort before staging
+    require(readMetaRow(spark, table).getLong(7) == ep + 1L,
+      s"appendIvfIndex: allocator collision on '$table' — another writer is " +
+        "appending concurrently; index maintenance is single-writer, retry " +
+        "after it completes")
     qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
         assignF(col("q")).as("c"), lit(ep).as("ep"))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
     graft.sources.Faults.point("ivf.append.staged")
+    // PRE-COMMIT GUARD: the loser of an append race aborts loudly, leaving
+    // the winner's commit as the index state (our staged epoch stays
+    // orphaned-invisible and is GC'd by the next compaction)
+    locally {
+      val mc = readMetaRow(spark, table)
+      require(mc.getLong(7) == ep + 1L && !mc.getSeq[Long](6).contains(ep),
+        s"appendIvfIndex: lost an append race on '$table' — NOT committed; " +
+          "index maintenance is single-writer")
+    }
     writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets,
-      newCorpusFp, eps :+ ep, ep + 1L)
+      newCorpusFp, eps :+ ep, ep + 1L, faultTag = "ivf.append.commit")
   }
 
   /** PUBLISH a stored IVF+PQ index — the FAISS-style production artifact:
@@ -798,13 +838,16 @@ object Similarity {
     * [[writeIvfMeta]] for the eps/next_ep contract). */
   private def writePqMeta(spark: org.apache.spark.sql.SparkSession, table: String,
       dims: Int, nlist: Int, m: Int, codes: Int, rounds: Int, buckets: Int,
-      nRows: Long, corpusFp: String, eps: Seq[Long], nextEp: Long): Unit = {
+      nRows: Long, corpusFp: String, eps: Seq[Long], nextEp: Long,
+      faultTag: String = null): Unit = {
     import spark.implicits._
-    graft.sources.Bucketing.saveBucketed(
+    // crash-atomic swap — see [[writeIvfMeta]] on why a plain overwrite
+    // would put a destroy window inside the commit flip
+    graft.sources.Bucketing.saveBucketedAtomic(
       Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp, eps, nextEp))
         .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows",
           "corpus_fp", "eps", "next_ep"),
-      s"${table}_meta", "dims", 1)
+      s"${table}_meta", "dims", 1, faultTag = faultTag)
   }
 
   /** [[publishPqIndex]] only if the tables are absent — the amortize-once
@@ -824,12 +867,15 @@ object Similarity {
       buckets: Int = 8,
       corpusFp: String = ""): Unit = {
     val cat = corpus.sparkSession.catalog
+    // heal torn swaps before deciding "absent" (see ensureIvfIndex)
+    Seq(s"${table}_assign", s"${table}_meta")
+      .foreach(graft.sources.Bucketing.healIfTorn(corpus.sparkSession, _))
     if (!cat.tableExists(s"${table}_assign") || !cat.tableExists(s"${table}_cents") ||
         !cat.tableExists(s"${table}_books") || !cat.tableExists(s"${table}_meta"))
       publishPqIndex(corpus, idCol, vecCol, table, nlist, m, codes, rounds, buckets,
         corpusFp)
     else {
-      val meta = corpus.sparkSession.table(s"${table}_meta").head()
+      val meta = readMetaRow(corpus.sparkSession, table)
       val storedFp = meta.getString(7)
       require(storedFp == corpusFp,
         s"ensurePqIndex: index '$table' exists but was published over corpus " +
@@ -861,7 +907,7 @@ object Similarity {
       k: Int,
       nprobe: Int = 2,
       corpusFp: String = ""): DataFrame = {
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (dims, nlist, m, codes) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
     val nRows = meta.getLong(6)
@@ -926,7 +972,9 @@ object Similarity {
     * choice honest post-append) and `newCorpusFp`. STAGED COMMIT — same
     * allocate/stage/commit epoch protocol as [[appendIvfIndex]]: a crash
     * anywhere before the final `_meta` write leaves probes returning
-    * exactly the pre-append results. */
+    * exactly the pre-append results. SINGLE-WRITER maintenance — same
+    * contract and collision guards as
+    * [[graft.operators.Dedup.appendLshIndex]]. */
   def appendPqIndex(
       batch: DataFrame,
       idCol: String,
@@ -934,7 +982,7 @@ object Similarity {
       table: String,
       newCorpusFp: String = ""): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (dims, nlist, m, codes, rounds, buckets, nRows) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
         meta.getInt(4), meta.getInt(5), meta.getLong(6))
@@ -969,13 +1017,25 @@ object Similarity {
     // STAGE / COMMIT — see appendIvfIndex for the full contract (the
     // allocate write already landed, overlapped with the dup check above)
     graft.sources.Faults.point("pq.append.allocated")
+    // allocator-collision + pre-commit guards — single-writer contract, see
+    // [[graft.operators.Dedup.appendLshIndex]] / [[appendIvfIndex]]
+    require(readMetaRow(spark, table).getLong(9) == ep + 1L,
+      s"appendPqIndex: allocator collision on '$table' — another writer is " +
+        "appending concurrently; index maintenance is single-writer, retry " +
+        "after it completes")
     qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
         encodeF(col("q")).as("cd"), lit(ep).as("ep"))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
     graft.sources.Faults.point("pq.append.staged")
+    locally {
+      val mc = readMetaRow(spark, table)
+      require(mc.getLong(9) == ep + 1L && !mc.getSeq[Long](8).contains(ep),
+        s"appendPqIndex: lost an append race on '$table' — NOT committed; " +
+          "index maintenance is single-writer")
+    }
     writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows + bN,
-      newCorpusFp, eps :+ ep, ep + 1L)
+      newCorpusFp, eps :+ ep, ep + 1L, faultTag = "pq.append.commit")
   }
 
   /** Collect the model-sized `_cents` + `_books` tables of a stored PQ
@@ -1022,7 +1082,7 @@ object Similarity {
     * mangled append is a real (if soft) corruption. */
   def assertPqIndexConsistent(spark: org.apache.spark.sql.SparkSession,
       table: String, strict: Boolean = false): Unit = {
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (nlist, m, codes, nRows) =
       (meta.getInt(1), meta.getInt(2), meta.getInt(3), meta.getLong(6))
     // audit what probes SEE: uncommitted epochs are invisible by design
@@ -1070,7 +1130,7 @@ object Similarity {
     * runs after the swap, same discipline as [[compactIvfIndex]] /
     * [[graft.operators.Dedup.compactLshIndex]]. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (dims, nlist, m, codes, rounds, buckets, nRows, fp) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
         meta.getInt(4), meta.getInt(5), meta.getLong(6), meta.getString(7))
@@ -1079,9 +1139,10 @@ object Similarity {
     // rewrite (crash-order safe: epoch 0 is always in the stored eps list)
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets,
       transform = df => df.where(col("ep").isin(eps: _*))
-        .withColumn("ep", lit(0L)))
+        .withColumn("ep", lit(0L)),
+      faultTag = "pq.compact.assign")
     writePqMeta(spark, table, dims, nlist, m, codes, rounds, buckets, nRows, fp,
-      eps = Seq(0L), nextEp = 1L)
+      eps = Seq(0L), nextEp = 1L, faultTag = "pq.compact.commit")
     assertPqIndexConsistent(spark, table, strict = true)
   }
 
@@ -1094,7 +1155,7 @@ object Similarity {
     * the stored table) — one distinct over the id projection. */
   def assertIvfIndexConsistent(spark: org.apache.spark.sql.SparkSession,
       table: String, strict: Boolean = false): Unit = {
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val nlist = meta.getInt(1)
     // audit what probes SEE: orphaned (uncommitted) epochs are by design
     // invisible and must not trip the invariants
@@ -1131,7 +1192,7 @@ object Similarity {
     * STRICT audit runs after the swap — the maintenance window is the one
     * place the full-table invariant is cheap relative to the rewrite. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val meta = spark.table(s"${table}_meta").head()
+    val meta = readMetaRow(spark, table)
     val (dims, nlist, trainRows, rounds, buckets, fp) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
         meta.getInt(4), meta.getString(5))
@@ -1142,9 +1203,10 @@ object Similarity {
     // swap and the meta normalization below still see every row
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_assign", "c", buckets,
       transform = df => df.where(col("ep").isin(eps: _*))
-        .withColumn("ep", lit(0L)))
+        .withColumn("ep", lit(0L)),
+      faultTag = "ivf.compact.assign")
     writeIvfMeta(spark, table, dims, nlist, trainRows, rounds, buckets, fp,
-      eps = Seq(0L), nextEp = 1L)
+      eps = Seq(0L), nextEp = 1L, faultTag = "ivf.compact.commit")
     assertIvfIndexConsistent(spark, table, strict = true)
   }
 

@@ -17,9 +17,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * production; the points cost one volatile read each. */
 object Faults {
   @volatile var failAt: String = null
-  def point(name: String): Unit =
+  /** Run `action` ONCE when execution reaches crash point `actAt` — the
+    * deterministic-interleaving hook: a spec simulates a CONCURRENT writer
+    * by scheduling its maintenance call at a named point inside the victim
+    * writer's own sequence (e.g. a racing allocator firing between the
+    * victim's ALLOCATE and its stage writes). Cleared before running so the
+    * simulated writer's own crash points never recurse. */
+  @volatile var actAt: String = null
+  @volatile var action: Runnable = null
+  def point(name: String): Unit = {
+    if (actAt == name) {
+      actAt = null
+      val a = action
+      action = null
+      if (a != null) a.run()
+    }
     if (failAt == name)
       throw new RuntimeException(s"injected fault at crash point '$name'")
+  }
 }
 
 object Bucketing {
@@ -41,6 +56,59 @@ object Bucketing {
       .format("parquet") // managed: lives under spark.sql.warehouse.dir
       .saveAsTable(table)
   }
+
+  /** OVERWRITE a bucketed table ATOMICALLY with respect to crashes: stage
+    * the new contents as `<table>__compact`, then catalog-swap them in via
+    * the same rename-aside sequence as [[compactBucketed]]. [[saveBucketed]]
+    * alone has a destroy window — it DROPs the live table and deletes its
+    * directory BEFORE re-creating, so a crash inside leaves NO copy. Here at
+    * every point at least one COMPLETE catalog-registered copy exists
+    * (either the old contents or the new), and [[repairCompacted]] /
+    * [[healIfTorn]] restores the live name from whichever copy survived —
+    * the write either fully happened or fully didn't. This is the required
+    * path for every table whose loss is not a cheap rebuild — in particular
+    * the index `_meta` tables, whose COMMIT write is the staged-commit
+    * protocol's "single atomic visibility flip" (see
+    * [[graft.operators.Dedup.appendLshIndex]]).
+    *
+    * `faultTag`, when non-null, arms three named crash points inside the
+    * swap (`<tag>.staged` after the stage write, `<tag>.aside` after the
+    * live table is renamed away, `<tag>.renamed` after the staged table is
+    * renamed in) so specs/oracle queries can kill the writer INSIDE each
+    * window and prove the old-or-new guarantee. */
+  def saveBucketedAtomic(df: DataFrame, table: String, keyCol: String,
+      buckets: Int, faultTag: String = null): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"${table}__compact"
+    val old = s"${table}__old"
+    // heal any half-finished previous swap first — also clears stale
+    // `__old`/`__compact` leftovers that would collide with the renames
+    repairCompacted(spark, table)
+    saveBucketed(df, tmp, keyCol, buckets)
+    if (faultTag != null) Faults.point(s"$faultTag.staged")
+    if (spark.catalog.tableExists(table)) {
+      spark.sql(s"ALTER TABLE $table RENAME TO $old")
+      if (faultTag != null) Faults.point(s"$faultTag.aside")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      if (faultTag != null) Faults.point(s"$faultTag.renamed")
+      spark.sql(s"DROP TABLE $old")
+    } else {
+      // first write (publish): nothing to put aside — the rename IS the
+      // atomic visibility flip
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+  }
+
+  /** Heal a torn [[saveBucketedAtomic]]/[[compactBucketed]] swap, if (and
+    * only if) the catalog shows one — on the clean path this is three
+    * in-memory catalog lookups, so READERS of swap-maintained tables (index
+    * probes opening `_meta`) call it per-open and a crash inside a swap is
+    * self-healing at the next read, not just at the next maintenance call. */
+  def healIfTorn(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table) ||
+        spark.catalog.tableExists(s"${table}__old") ||
+        spark.catalog.tableExists(s"${table}__compact"))
+      repairCompacted(spark, table)
 
   /** [[saveBucketed]] only if `table` is not already in the session catalog
     * — lets a benchmark (or any repeated pipeline) pay the bucketing write
@@ -78,7 +146,8 @@ object Bucketing {
     * cross-SESSION repair is a republish — see DEPLOYMENT.md. Against a
     * persistent metastore [[repairCompacted]] recovers automatically.) */
   def compactBucketed(spark: SparkSession, table: String, keyCol: String,
-      buckets: Int, transform: DataFrame => DataFrame = identity): Unit = {
+      buckets: Int, transform: DataFrame => DataFrame = identity,
+      faultTag: String = null): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = s"${table}__compact"
     val old = s"${table}__old"
@@ -98,8 +167,14 @@ object Bucketing {
       transform(spark.table(table))
         .repartition(buckets, pmod(hash(col(keyCol)), lit(buckets))),
       tmp, keyCol, buckets)
+    // `faultTag` arms the same three named in-swap crash points as
+    // [[saveBucketedAtomic]] — specs kill the compactor inside each window
+    // and prove [[repairCompacted]] restores a complete copy
+    if (faultTag != null) Faults.point(s"$faultTag.staged")
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    if (faultTag != null) Faults.point(s"$faultTag.aside")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (faultTag != null) Faults.point(s"$faultTag.renamed")
     spark.sql(s"DROP TABLE $old")
   }
 

@@ -61,4 +61,13 @@ final class GraftTaskMetrics extends SparkListener {
     sc.listenerBus.waitUntilEmpty()
     shuffleWritten.get
   }
+
+  /** Byte-granular TOTAL spill (memory + disk) — summed in bytes BEFORE any
+    * rounding, so a query spilling 0.9 MiB in each category still reads as
+    * nonzero ("did it spill at all" must not lose sub-MiB spills to two
+    * independent floors; callers convert to MiB once). */
+  def spillBytes(sc: SparkContext): Long = {
+    sc.listenerBus.waitUntilEmpty()
+    memSpilled.get + diskSpilled.get
+  }
 }

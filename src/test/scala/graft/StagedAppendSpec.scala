@@ -14,7 +14,10 @@ import graft.sources.Faults
   * and compacted; compaction garbage-collects the orphaned epochs. */
 class StagedAppendSpec extends SparkSpecBase {
 
-  override def afterAll(): Unit = { Faults.failAt = null; super.afterAll() }
+  override def afterAll(): Unit = {
+    Faults.failAt = null; Faults.actAt = null; Faults.action = null
+    super.afterAll()
+  }
 
   private def dropAll(prefix: String): Unit =
     Seq("_assign", "_cents", "_books", "_meta", "_buckets", "_docs").foreach(s =>
@@ -162,5 +165,208 @@ class StagedAppendSpec extends SparkSpecBase {
       "compaction did not GC the orphaned epoch")
     assert(probe("graft_sc_lsh", "AB") === healed)
     dropAll("graft_sc_lsh"); dropAll("graft_sc_lshc")
+  }
+
+  // -------- shared LSH fixture for the r15 commit/race/compact proofs --------
+  private def lshDocs: DataFrame = {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "the quick brown fox jumps over the lazy cat tonight",
+      "pack my box with five dozen liquor jugs right now",
+      "sphinx of black quartz judge my vow completely today",
+      "how vexingly quick daft zebras jump over fences")
+    spark.createDataFrame(
+      java.util.Arrays.asList((0L until 20L).map(i =>
+        Row(i, texts((i % texts.size).toInt) + s" tail${i % 7}")): _*),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+  }
+
+  test("LSH append: a kill INSIDE the meta COMMIT swap leaves old-or-new meta fully readable (r14 verdict #1)") {
+    val docs = lshDocs
+    val a = docs.where(col("doc_id") % 4 =!= 0)
+    val b = docs.where(col("doc_id") % 4 === 0)
+    val incoming = docs.where(col("doc_id") < 4)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    def probe(tbl: String, fp: String) = rowsOf(Dedup.probeLshIndex(
+      spark, incoming, "doc_id", "text", tbl, threshold = 0.3, corpusFp = fp))
+    // untorn control: append(publish(A), B) == publish(A ∪ B) for LSH
+    dropAll("graft_cm_ctl")
+    Dedup.publishLshIndex(docs, "doc_id", "text", "graft_cm_ctl",
+      buckets = 2, corpusFp = "AB")
+    val post = probe("graft_cm_ctl", "AB")
+    // window semantics: a kill BEFORE the staged meta is renamed in rolls
+    // the commit back (probe == pre-append, retry succeeds); a kill AFTER
+    // means the commit happened (probe == post-append, retry refuses dups)
+    for ((point, committed) <- Seq(
+        ("lsh.append.commit.staged", false),
+        ("lsh.append.commit.aside", false),
+        ("lsh.append.commit.renamed", true))) {
+      dropAll("graft_cm_lsh")
+      Dedup.publishLshIndex(a, "doc_id", "text", "graft_cm_lsh",
+        buckets = 2, corpusFp = "A")
+      val pre = probe("graft_cm_lsh", "A")
+      Faults.failAt = point
+      intercept[RuntimeException] {
+        Dedup.appendLshIndex(b, "doc_id", "text", "graft_cm_lsh", "AB")
+      }
+      Faults.failAt = null
+      if (!committed) {
+        // old meta readable (self-healed on open): pre-append visibility
+        assert(probe("graft_cm_lsh", "A") === pre, s"$point: rolled-back commit not at pre state")
+        Dedup.assertLshIndexConsistent(spark, "graft_cm_lsh", strict = true)
+        // and the append is retryable to the untorn result
+        Dedup.appendLshIndex(b, "doc_id", "text", "graft_cm_lsh", "AB")
+        assert(probe("graft_cm_lsh", "AB") === post, s"$point: retry != untorn control")
+      } else {
+        // new meta readable: the commit fully happened — probe sees the
+        // batch, a blind retry refuses the duplicate ids
+        assert(probe("graft_cm_lsh", "AB") === post, s"$point: committed state != untorn control")
+        Dedup.assertLshIndexConsistent(spark, "graft_cm_lsh", strict = true)
+        intercept[IllegalArgumentException] {
+          Dedup.appendLshIndex(b, "doc_id", "text", "graft_cm_lsh", "AB")
+        }
+      }
+    }
+    dropAll("graft_cm_lsh"); dropAll("graft_cm_ctl")
+  }
+
+  test("IVF/PQ append: kill inside the meta COMMIT swap (worst window: live renamed aside) heals to pre-append; retry matches control") {
+    val all = vecs(60, 8, seed = 41)
+    val a = all.where(col("vec_id") % 5 =!= 0)
+    val b = all.where(col("vec_id") % 5 === 0)
+    val q = all.where(col("vec_id") < 3)
+    // IVF
+    def iprobe(tbl: String, fp: String) = rowsOf(Similarity.probeIvfIndex(
+      spark, q, "vec_id", "embedding", tbl, k = 3, corpusFp = fp))
+    dropAll("graft_cm_ivf"); dropAll("graft_cm_ivfc")
+    Similarity.publishIvfIndex(a, "vec_id", "embedding", "graft_cm_ivf",
+      trainRows = 24, nlist = 4, buckets = 2, corpusFp = "A")
+    val ipre = iprobe("graft_cm_ivf", "A")
+    Faults.failAt = "ivf.append.commit.aside"
+    intercept[RuntimeException] {
+      Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_cm_ivf", "AB")
+    }
+    Faults.failAt = null
+    assert(iprobe("graft_cm_ivf", "A") === ipre, "IVF aside-kill not healed to pre state")
+    Similarity.assertIvfIndexConsistent(spark, "graft_cm_ivf", strict = true)
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_cm_ivf", "AB")
+    Similarity.publishIvfIndex(a, "vec_id", "embedding", "graft_cm_ivfc",
+      trainRows = 24, nlist = 4, buckets = 2, corpusFp = "A")
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", "graft_cm_ivfc", "AB")
+    assert(iprobe("graft_cm_ivf", "AB") === iprobe("graft_cm_ivfc", "AB"),
+      "IVF retry after commit kill != untorn control")
+    dropAll("graft_cm_ivf"); dropAll("graft_cm_ivfc")
+    // PQ
+    val allp = vecs(64, 16, seed = 43)
+    val ap = allp.where(col("vec_id") % 4 =!= 0)
+    val bp = allp.where(col("vec_id") % 4 === 0)
+    val qp = allp.where(col("vec_id") < 4)
+    def pprobe(tbl: String, fp: String) = rowsOf(Similarity.probePqIndex(
+      spark, qp, "vec_id", "embedding", tbl, k = 3, nprobe = 2, corpusFp = fp))
+    dropAll("graft_cm_pq"); dropAll("graft_cm_pqc")
+    Similarity.publishPqIndex(ap, "vec_id", "embedding", "graft_cm_pq",
+      nlist = 4, m = 4, codes = 8, buckets = 2, corpusFp = "A")
+    val ppre = pprobe("graft_cm_pq", "A")
+    Faults.failAt = "pq.append.commit.aside"
+    intercept[RuntimeException] {
+      Similarity.appendPqIndex(bp, "vec_id", "embedding", "graft_cm_pq", "AB")
+    }
+    Faults.failAt = null
+    assert(pprobe("graft_cm_pq", "A") === ppre, "PQ aside-kill not healed to pre state")
+    Similarity.assertPqIndexConsistent(spark, "graft_cm_pq", strict = true)
+    Similarity.appendPqIndex(bp, "vec_id", "embedding", "graft_cm_pq", "AB")
+    Similarity.publishPqIndex(ap, "vec_id", "embedding", "graft_cm_pqc",
+      nlist = 4, m = 4, codes = 8, buckets = 2, corpusFp = "A")
+    Similarity.appendPqIndex(bp, "vec_id", "embedding", "graft_cm_pqc", "AB")
+    assert(pprobe("graft_cm_pq", "AB") === pprobe("graft_cm_pqc", "AB"),
+      "PQ retry after commit kill != untorn control")
+    dropAll("graft_cm_pq"); dropAll("graft_cm_pqc")
+  }
+
+  test("LSH append: interleaved appends — the loser aborts loudly, the winner's commit is the index state (r14 verdict #2)") {
+    val docs = lshDocs
+    val a = docs.where(col("doc_id") % 4 === 1)
+    val b = docs.where(col("doc_id") % 4 === 2)  // victim's batch
+    val b2 = docs.where(col("doc_id") % 4 === 3) // racing writer's batch
+    val incoming = docs.where(col("doc_id") < 8)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    def probe(tbl: String, fp: String) = rowsOf(Dedup.probeLshIndex(
+      spark, incoming, "doc_id", "text", tbl, threshold = 0.3, corpusFp = fp))
+    // controls: A+B2 (winner only) and A+B2+B (victim retried after losing)
+    dropAll("graft_rc_c1"); dropAll("graft_rc_c2")
+    Dedup.publishLshIndex(a.unionByName(b2), "doc_id", "text", "graft_rc_c1",
+      buckets = 2, corpusFp = "AB2")
+    Dedup.publishLshIndex(a.unionByName(b2).unionByName(b), "doc_id", "text",
+      "graft_rc_c2", buckets = 2, corpusFp = "AB2B")
+    val winnerOnly = probe("graft_rc_c1", "AB2")
+    val both = probe("graft_rc_c2", "AB2B")
+
+    // CASE 1: racer allocates between the victim's ALLOCATE and its stage
+    // writes — the victim's post-allocate guard aborts BEFORE staging
+    dropAll("graft_rc_lsh")
+    Dedup.publishLshIndex(a, "doc_id", "text", "graft_rc_lsh", buckets = 2, corpusFp = "A")
+    Faults.actAt = "lsh.append.allocated"
+    Faults.action = () =>
+      Dedup.appendLshIndex(b2, "doc_id", "text", "graft_rc_lsh", "AB2")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.appendLshIndex(b, "doc_id", "text", "graft_rc_lsh", "AB")
+    }
+    assert(e1.getMessage.contains("allocator collision"), s"wrong abort: ${e1.getMessage}")
+    assert(probe("graft_rc_lsh", "AB2") === winnerOnly,
+      "loser's abort disturbed the winner's committed state")
+    Dedup.assertLshIndexConsistent(spark, "graft_rc_lsh", strict = true)
+
+    // CASE 2: racer runs fully while the victim has STAGED but not yet
+    // committed — the victim's pre-commit guard aborts; a blind victim
+    // commit would have silently dropped the racer's epoch from eps
+    dropAll("graft_rc_lsh")
+    Dedup.publishLshIndex(a, "doc_id", "text", "graft_rc_lsh", buckets = 2, corpusFp = "A")
+    Faults.actAt = "lsh.append.staged"
+    Faults.action = () =>
+      Dedup.appendLshIndex(b2, "doc_id", "text", "graft_rc_lsh", "AB2")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendLshIndex(b, "doc_id", "text", "graft_rc_lsh", "AB")
+    }
+    assert(e2.getMessage.contains("lost an append race"), s"wrong abort: ${e2.getMessage}")
+    assert(probe("graft_rc_lsh", "AB2") === winnerOnly,
+      "loser's staged rows leaked into visibility")
+    Dedup.assertLshIndexConsistent(spark, "graft_rc_lsh", strict = true)
+    // liveness: the loser retries cleanly once the winner is done
+    Dedup.appendLshIndex(b, "doc_id", "text", "graft_rc_lsh", "AB2B")
+    assert(probe("graft_rc_lsh", "AB2B") === both, "loser's retry != sequential control")
+    dropAll("graft_rc_lsh"); dropAll("graft_rc_c1"); dropAll("graft_rc_c2")
+  }
+
+  test("LSH compact: kill inside the data-table rename swap and inside the compact meta commit — probes self-heal, retry completes") {
+    val docs = lshDocs
+    val a = docs.where(col("doc_id") % 4 =!= 0)
+    val b = docs.where(col("doc_id") % 4 === 0)
+    val incoming = docs.where(col("doc_id") < 4)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    def probe(fp: String) = rowsOf(Dedup.probeLshIndex(
+      spark, incoming, "doc_id", "text", "graft_tc_lsh", threshold = 0.3, corpusFp = fp))
+    dropAll("graft_tc_lsh")
+    Dedup.publishLshIndex(a, "doc_id", "text", "graft_tc_lsh", buckets = 2, corpusFp = "A")
+    Dedup.appendLshIndex(b, "doc_id", "text", "graft_tc_lsh", "AB")
+    val pre = probe("AB")
+    for (point <- Seq(
+        "lsh.compact.buckets.staged",
+        "lsh.compact.buckets.aside",   // worst window: live table renamed away
+        "lsh.compact.buckets.renamed",
+        "lsh.compact.commit.aside")) { // meta commit swap's worst window
+      Faults.failAt = point
+      intercept[RuntimeException] { Dedup.compactLshIndex(spark, "graft_tc_lsh") }
+      Faults.failAt = null
+      // probes SELF-HEAL (committedLsh/readLshMeta restore the live name
+      // from whichever complete copy survived) and see identical rows
+      assert(probe("AB") === pre, s"$point: probe after torn compact != pre")
+      // retrying the compaction heals first, then completes
+      Dedup.compactLshIndex(spark, "graft_tc_lsh")
+      assert(probe("AB") === pre, s"$point: probe after healed compact != pre")
+      Dedup.assertLshIndexConsistent(spark, "graft_tc_lsh", strict = true)
+    }
+    dropAll("graft_tc_lsh")
   }
 }
