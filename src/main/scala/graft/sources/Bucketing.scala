@@ -41,15 +41,23 @@ object Bucketing {
 
   /** Save `df` as a bucketed managed table (overwriting), bucketed+sorted by
     * `keyCol` into `buckets` files per partition. */
+  /** Delete `table`'s managed warehouse directory if it exists on disk —
+    * the in-memory catalog is per-session but the managed location isn't,
+    * so a prior session's directory survives as an orphan that collides
+    * with both `saveAsTable` and `ALTER TABLE ... RENAME` into the name. */
+  private def deleteManagedDir(spark: SparkSession, table: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def saveBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     // the in-memory catalog is per-session but the managed location isn't:
     // drop both the entry and any orphaned directory from a prior session
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    deleteManagedDir(spark, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
@@ -93,8 +101,13 @@ object Bucketing {
       if (faultTag != null) Faults.point(s"$faultTag.renamed")
       spark.sql(s"DROP TABLE $old")
     } else {
-      // first write (publish): nothing to put aside — the rename IS the
-      // atomic visibility flip
+      // first write in THIS session: nothing to put aside — but a PRIOR
+      // session's orphaned directory may sit at the target location (the
+      // in-memory catalog died with that JVM, the warehouse didn't), and
+      // RENAME refuses to adopt an existing location. The orphan carries no
+      // catalog entry, so deleting it loses nothing this session can read —
+      // the same contract saveBucketed has always applied on overwrite.
+      deleteManagedDir(spark, table)
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
   }
@@ -199,10 +212,7 @@ object Bucketing {
     if (spark.catalog.tableExists(table)) {
       Seq(old, tmp).foreach { t =>
         if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        deleteManagedDir(spark, t)
       }
     }
   }
