@@ -3784,6 +3784,36 @@ object SparkEntry {
         corpusFp = publishedFp)
     }),
 
+    // ---- torn COMPACT through the oracle gate (q314-q317 cover torn
+    //      APPENDs): the compaction's rename-aside swap is killed at its
+    //      worst window — the live bucketed table renamed AWAY, the staged
+    //      copy not yet renamed in — then the compaction is simply retried:
+    //      repairCompacted restores the live name from the complete copy
+    //      that survived, the rewrite re-runs, and the probe answers q261's
+    //      oracle VERBATIM (compaction rewrites files, never rows, even
+    //      across a mid-swap crash) ----
+    "q318_lsh_torn_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = lshIndexTable(dir) + "_tc"
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      Dedup.publishLshIndex(corpus.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tbl, corpusFp = s"documents[%7!=0,%5!=0]@$dir")
+      Dedup.appendLshIndex(corpus.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", tbl, newCorpusFp = lshCorpusFp(dir))
+      graft.sources.Faults.failAt = "lsh.compact.buckets.aside"
+      val torn =
+        try { Dedup.compactLshIndex(s, tbl); false }
+        catch { case e: RuntimeException if e.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q318: the mid-swap crash injection did not fire")
+      // retry heals first (restore live from the surviving complete copy,
+      // drop the stale staged copy), then compacts both tables + meta and
+      // runs the strict post-swap audit
+      Dedup.compactLshIndex(s, tbl)
+      Dedup.probeLshIndex(s, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", tbl,
+        corpusFp = lshCorpusFp(dir))
+    }),
+
     // ---- staged-commit crash semantics, IVF form — completes the torn-
     //      append oracle matrix (LSH q314, PQ q315, IVF here): the append
     //      dies between the staged vector write and the meta commit,
@@ -8062,6 +8092,10 @@ object SparkEntry {
     // q314: a torn (staged-crash) append retried under a fresh epoch is
     // probe-identical to q261's untorn append — same oracle verbatim
     "q314_lsh_torn_append" -> lshProbeOracleSql,
+    // q318: a compaction killed mid-swap (live table renamed aside, staged
+    // copy not yet in) then retried is probe-identical too — the heal
+    // restores a complete copy and the rewrite never changes rows
+    "q318_lsh_torn_compact" -> lshProbeOracleSql,
     // q316: a torn append that is never retried leaves the index exactly
     // at its published state (compaction GCs the orphans) — the probe
     // oracle with the corpus side restricted to the published subset
