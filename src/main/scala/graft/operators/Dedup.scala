@@ -908,6 +908,19 @@ object Dedup {
     }
   }
 
+  /** Self-serve MAINTENANCE REPORT for a published LSH index: per data
+    * table, committed vs orphan rows/epochs (orphans = torn-append leftovers
+    * awaiting compaction GC) and the small-file count per bucket table —
+    * see [[graft.sources.Bucketing.epochReport]]. Run it before scheduling
+    * [[compactLshIndex]]; a `files` count far above the bucket spec or a
+    * nonzero `rows_orphan` is the signal. */
+  def describeLshIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val m = readLshMeta(spark, table)
+    graft.sources.Bucketing.epochReport(
+      spark, Seq(s"${table}_buckets", s"${table}_docs"), m.eps)
+  }
+
   /** LSH BUCKET CENSUS — the banding-health diagnostic: per band, the
     * histogram of bucket sizes. The candidate join's cost is
     * Σ size², so one hot bucket (boilerplate-dominated corpora collapse

@@ -1146,6 +1146,25 @@ object Similarity {
     assertPqIndexConsistent(spark, table, strict = true)
   }
 
+  /** Self-serve maintenance report for a stored IVF index (committed vs
+    * orphan rows/epochs in the inverted lists + data-file count) — see
+    * [[graft.sources.Bucketing.epochReport]] /
+    * [[graft.operators.Dedup.describeLshIndex]]. */
+  def describeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val meta = readMetaRow(spark, table)
+    graft.sources.Bucketing.epochReport(
+      spark, Seq(s"${table}_assign"), meta.getSeq[Long](6))
+  }
+
+  /** [[describeIvfIndex]] for a stored IVF+PQ index. */
+  def describePqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val meta = readMetaRow(spark, table)
+    graft.sources.Bucketing.epochReport(
+      spark, Seq(s"${table}_assign"), meta.getSeq[Long](8))
+  }
+
   /** Consistency audit over a published IVF index — the [[graft.operators.Dedup.assertLshIndexConsistent]]
     * analogue. Cheap form: every inverted-list row routes to a legal
     * centroid (0 ≤ c < nlist) — one agg over the `c` projection. Strict

@@ -217,6 +217,38 @@ object Bucketing {
     }
   }
 
+  /** MAINTENANCE REPORT over epoch-gated bucketed tables (the staged-commit
+    * index layout: every data row carries an `ep`, `eps` is the committed
+    * list from the index's `_meta`): one row per table with committed vs
+    * ORPHAN row counts (epochs staged by a crashed append — invisible to
+    * probes, GC'd by compaction), the orphan epoch count, and the data-file
+    * count (every append adds a file-set per bucket; a file count far above
+    * `buckets` says "compact me"). Self-serve operations: answers "does
+    * this index need maintenance, and how much dead weight is it carrying"
+    * without reading protocol internals. Stale `__old`/`__compact` swap
+    * leftovers are healed on open (the report never shows them — by the
+    * time it reads, [[healIfTorn]] has resolved the swap). Driver-side
+    * file-count lookups are per-table metadata calls; the row counts are
+    * one aggregation per table over the `ep` column. */
+  def epochReport(spark: SparkSession, tables: Seq[String], eps: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, sum, when}
+    tables.map { t =>
+      healIfTorn(spark, t)
+      val committed = col("ep").isin(eps: _*)
+      spark.table(t).agg(
+          sum(when(committed, 1L).otherwise(0L)).as("__rc"),
+          sum(when(!committed, 1L).otherwise(0L)).as("__ro"),
+          countDistinct(when(!committed, col("ep"))).as("__oe"))
+        .select(
+          lit(t).as("table"),
+          coalesce(col("__rc"), lit(0L)).as("rows_committed"),
+          coalesce(col("__ro"), lit(0L)).as("rows_orphan"),
+          col("__oe").as("orphan_epochs"),
+          lit(eps.size.toLong).as("committed_epochs"),
+          lit(dataFileCount(spark, t).toLong).as("files"))
+    }.reduce(_ unionByName _).orderBy(col("table"))
+  }
+
   /** Files currently backing a managed table's directory (specs assert
     * compaction actually shrank the count). */
   def dataFileCount(spark: SparkSession, table: String): Int = {

@@ -369,4 +369,56 @@ class StagedAppendSpec extends SparkSpecBase {
     }
     dropAll("graft_tc_lsh")
   }
+
+  test("describeIndex: orphan/small-file census reads right before and after compaction GC") {
+    // (table, rows_committed, rows_orphan, orphan_epochs, committed_epochs, files)
+    def byTable(df: DataFrame): Map[String, Row] =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    // LSH: publish, tear an append mid-stage → the report shows the orphan
+    val docs = lshDocs
+    val a = docs.where(col("doc_id") % 4 =!= 0)
+    val b = docs.where(col("doc_id") % 4 === 0)
+    dropAll("graft_dx_lsh")
+    Dedup.publishLshIndex(a, "doc_id", "text", "graft_dx_lsh", buckets = 2, corpusFp = "A")
+    Faults.failAt = "lsh.append.staged"
+    intercept[RuntimeException] {
+      Dedup.appendLshIndex(b, "doc_id", "text", "graft_dx_lsh", "AB")
+    }
+    Faults.failAt = null
+    val rep = byTable(Dedup.describeLshIndex(spark, "graft_dx_lsh"))
+    for (t <- Seq("graft_dx_lsh_buckets", "graft_dx_lsh_docs")) {
+      assert(rep(t).getLong(1) > 0, s"$t: committed rows missing")
+      assert(rep(t).getLong(2) > 0, s"$t: torn-append orphan rows not reported")
+      assert(rep(t).getLong(3) === 1L, s"$t: exactly one orphan epoch expected")
+      assert(rep(t).getLong(4) === 1L, s"$t: committed epochs should be [0]")
+    }
+    val filesBefore = rep("graft_dx_lsh_buckets").getLong(5)
+    Dedup.compactLshIndex(spark, "graft_dx_lsh")
+    val rep2 = byTable(Dedup.describeLshIndex(spark, "graft_dx_lsh"))
+    assert(rep2.values.forall(_.getLong(2) === 0L), "compaction left orphan rows")
+    assert(rep2("graft_dx_lsh_buckets").getLong(5) === 2L,
+      s"compaction should leave one file per bucket (was $filesBefore)")
+    dropAll("graft_dx_lsh")
+    // IVF: same story over the inverted lists
+    val all = vecs(60, 8, seed = 47)
+    val va = all.where(col("vec_id") % 5 =!= 0)
+    val vb = all.where(col("vec_id") % 5 === 0)
+    dropAll("graft_dx_ivf")
+    Similarity.publishIvfIndex(va, "vec_id", "embedding", "graft_dx_ivf",
+      trainRows = 24, nlist = 4, buckets = 2, corpusFp = "A")
+    Faults.failAt = "ivf.append.staged"
+    intercept[RuntimeException] {
+      Similarity.appendIvfIndex(vb, "vec_id", "embedding", "graft_dx_ivf", "AB")
+    }
+    Faults.failAt = null
+    val irep = byTable(Similarity.describeIvfIndex(spark, "graft_dx_ivf"))
+    assert(irep("graft_dx_ivf_assign").getLong(2) === vb.count(),
+      "IVF orphan rows must equal the torn batch size")
+    Similarity.compactIvfIndex(spark, "graft_dx_ivf")
+    val irep2 = byTable(Similarity.describeIvfIndex(spark, "graft_dx_ivf"))
+    assert(irep2("graft_dx_ivf_assign").getLong(2) === 0L, "compaction left IVF orphans")
+    assert(irep2("graft_dx_ivf_assign").getLong(1) === va.count(),
+      "committed rows must be exactly the published corpus")
+    dropAll("graft_dx_ivf")
+  }
 }
