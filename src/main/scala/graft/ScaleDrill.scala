@@ -334,7 +334,11 @@ object ScaleDrill {
     // shape a real eval-suite sweep over a full corpus pays — because the
     // auto-router would take the broadcast path at the x=1 baseline and
     // the equi-join path amplified, making the ratio compare two
-    // different physical plans
+    // different physical plans. r15: the large path joins shuffled-hash
+    // instead of sort-merge (this kernel's occurrence-join SORT was the
+    // suite's largest spill at 100×: 1.7 GB mem-spill; the bloom
+    // alternative measured WORSE here — 75% of train shingles hit a
+    // corpus-shaped probe, so membership pruning buys ~nothing)
     timed("decontamination") {
       operators.Dedup.ngramContaminationLarge(
         docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 7 === 0),

@@ -1895,7 +1895,11 @@ object SparkEntry {
     //      is itself a corpus (half the documents), so the pairs come from
     //      a shingle equi-join (one shuffle), not a broadcast nested-loop;
     //      ngramContamination auto-routes here above the broadcast
-    //      threshold ----
+    //      threshold. r15: the occurrence join runs as a SHUFFLED HASH
+    //      join (the SMJ sort was the 100× drill's largest spill; an
+    //      always-on bloom pre-pass was tried and rejected by measurement
+    //      — 75% of train shingles hit a corpus-shaped probe, see the
+    //      operator scaladoc) ----
     "q132_decontaminate_large" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.ngramContaminationLarge(

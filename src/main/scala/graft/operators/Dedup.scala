@@ -1706,7 +1706,29 @@ object Dedup {
     * match count IS |T ∩ P| (shingles are distinct per doc), and |P| joins
     * back from a probe-sized size table. Same output as the broadcast
     * form; common stop-shingles dominate the join fan-out, so prefer the
-    * broadcast path whenever the probe fits. */
+    * broadcast path whenever the probe fits.
+    *
+    * The occurrence join runs as a SHUFFLED HASH join (probe side builds),
+    * not a sort-merge join: the r14 100× drill measured this kernel's SMJ
+    * sort as the suite's single largest spill (939 MB shuffle, 1.7 GB
+    * mem-spill) — the sort buys nothing here because the join output feeds
+    * a hash aggregation, so sorting both exploded sides is pure overhead.
+    * The build side is the PROBE's exploded shingles, hash-partitioned 32+
+    * ways — per-partition build state stays executor-sized even when the
+    * probe is corpus-scale (and the probe is by construction the smaller
+    * side: it failed the broadcast gate, but the train side is the full
+    * training corpus).
+    *
+    * An always-on Bloom pre-pass (route everything through
+    * [[ngramContaminationBloom]]) was tried for r15 and REJECTED by
+    * measurement: on corpus-vs-corpus decontamination 75% of train
+    * shingle occurrences hit the probe set (sf0.1: 167,795 of 223,118 —
+    * the probe is a 1/7 split of the same corpus, so most shingles are
+    * shared), and the filter's build cost made the 100× drill SLOWER
+    * (26.8 → 44.0 s) while cutting shuffle by ~1%. Membership pruning
+    * pays only when the probe's shingle domain is small relative to the
+    * train corpus — the production eval-benchmark shape — which is
+    * exactly what the explicit [[ngramContaminationBloom]] form is for. */
   def ngramContaminationLarge(
       train: DataFrame,
       probe: DataFrame,
@@ -1722,7 +1744,7 @@ object Dedup {
       .where(size(col("sh_p")) > 0)
     val pSizes = pArr.select(col("probe_id"), size(col("sh_p")).as("__np"))
     val pSh = pArr.select(col("probe_id"), explode(col("sh_p")).as("sh"))
-    tSh.join(pSh, "sh")
+    tSh.join(pSh.hint("shuffle_hash"), "sh")
       .groupBy(col("train_id"), col("probe_id"))
       .agg(count(lit(1)).as("__ni"))
       .join(pSizes, "probe_id")
@@ -1845,8 +1867,10 @@ object Dedup {
       .withColumn("dup_ppm", expr("n_dup * 1000000L DIV n_windows"))
   }
 
-  /** [[ngramContaminationLarge]] with a Bloom-filter pre-pass — the
-    * membership-pruning decontamination shape for a probe too big to
+  /** The large-probe decontamination equi-join with its Bloom-filter
+    * pre-pass (the shared implementation behind [[ngramContaminationLarge]];
+    * call this form to choose `fpp`) — the membership-pruning
+    * decontamination shape for a probe too big to
     * broadcast as data but whose DISTINCT shingle set fits a bit array: a
     * Bloom filter over the probe shingles (one pass, model-sized sketch)
     * filters the exploded train shingles BEFORE the shuffle, so the
@@ -1880,7 +1904,9 @@ object Dedup {
     val tSh = train.select(col(idCol).as("train_id"),
       explode(Vectors.shinglesFast(n)(col(textCol))).as("sh"))
       .where(mightContain(col("sh")))
-    tSh.join(pSh, "sh")
+    // same shuffled-hash discipline as [[ngramContaminationLarge]]: the
+    // join feeds a hash agg, an SMJ sort of the exploded sides is waste
+    tSh.join(pSh.hint("shuffle_hash"), "sh")
       .groupBy(col("train_id"), col("probe_id"))
       .agg(count(lit(1)).as("__ni"))
       .join(pSizes, "probe_id")
