@@ -508,6 +508,9 @@ object ScaleDrill {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // OrderedScan sizes bucket exchanges up to 1024 partitions; keep them on
+      // the bypass-merge shuffle writer (no map-side sort, no map-side spill)
+      .config("spark.shuffle.sort.bypassMergeThreshold", 2048)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

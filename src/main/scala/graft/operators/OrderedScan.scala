@@ -111,7 +111,68 @@ object OrderedScan {
       graft.plans.StringPrefix64(
         org.apache.spark.sql.GraftShim.expression(col(keyCol))))
 
+  /** Bucket count actually used: the requested count is a FLOOR; when the
+    * input's plan statistics say the per-bucket payload would exceed ~4 MiB
+    * of PLAN-STAT bytes (stats underestimate string payloads ~3x, so the
+    * real per-task sort lands ~10-15 MiB — inside the 32-way-concurrency
+    * guaranteed pool slice)
+    * the count rises (capped at 4096) so each within-bucket window SORT
+    * stays small enough to never spill. Semantics are bucket-count-free
+    * (the stitches are exact for any count), so auto-raising is always
+    * sound; the cross-bucket carry stays model-sized (≤4096 rows). The r14
+    * 100× drill measured why this matters: 64 buckets hashed into 32
+    * shuffle partitions gave ~2M-row per-task sorts, and ordered_fill /
+    * ordered_rank_str spilled 1.5-3 GB exactly there.
+    *
+    * The 1024 cap keeps the exchange inside the BYPASS-merge shuffle
+    * writer's comfort zone (per-map-task open-file buffers are
+    * partitions × spark.shuffle.file.buffer): above
+    * spark.shuffle.sort.bypassMergeThreshold Spark switches to the
+    * sort-based shuffle writer, whose map-side sort simply MOVES the spill
+    * from the reduce-side window sort to the map side (measured: identical
+    * spill volume at 4× over-partitioning). The graft session builders
+    * raise the threshold to cover the cap; on a real cluster size
+    * shuffle.partitions and the threshold together, same as any wide job. */
+  private def sizedBuckets(df: DataFrame, requested: Int): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perBucket = 1L << 20
+    val needed =
+      if (bytes.isValidLong) math.min(1024L, bytes.toLong / perBucket + 1).toInt
+      else requested
+    math.max(requested, needed)
+  }
+
   def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    val nb = sizedBuckets(df, buckets)
+    // hand every bucket its OWN task up front: Window.partitionBy(__bucket)
+    // alone exchanges into spark.sql.shuffle.partitions tasks (32), so at
+    // amplified scale each task sorted MULTIPLE buckets' rows and the sort
+    // spilled; an explicit hash repartition on the bucket id (preserved by
+    // the planner — it already satisfies the window's ClusteredDistribution,
+    // and AQE never coalesces an explicit-count repartition) keeps the
+    // per-task sort at one-ish buckets for any input size. Downstream
+    // windows/groupBys on __bucket reuse this exchange — same shuffle
+    // count as before, smaller and spill-free sorts.
+    withRangeBucketRaw(df, keyCol, nb).repartition(nb, col("__bucket"))
+  }
+
+  /** Binary-search bucket assignment over sorted double cuts: one
+    * [[graft.plans.BucketSearch]] expression, O(log buckets) per row in
+    * whole-stage codegen — a when-chain is O(buckets) per row, which the
+    * statistics-sized counts turned into the dominant scan cost. */
+  private def searchBucket(proxy: Column, cuts: Array[Double]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.plans.BucketSearch(
+        org.apache.spark.sql.GraftShim.expression(proxy), cuts))
+
+  /** Quantile precision matched to the cut count: at 64 buckets the old
+    * fixed 0.01 error separates the probes; at hundreds of buckets it
+    * cannot (probe spacing < error → cuts collapse and the diversity gate
+    * would spuriously fall back). */
+  private def quantErr(buckets: Int): Double =
+    math.min(0.01, 0.25 / buckets)
+
+  private def withRangeBucketRaw(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
     if (df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType) {
       // PREFIX FAST PATH: bucket on the order-isomorphic 8-byte long
       // prefix of the key instead of the string. Sound because prefix64
@@ -121,26 +182,28 @@ object OrderedScan {
       // need. Boundaries come from ONE approxQuantile pass over the
       // prefix cast to double (cast is weakly monotone too; boundaries
       // only need BALANCE, never exactness) — replacing the r12
-      // takeSample path, which paid TWO full passes (count + collect)
-      // and then O(buckets) per-row UTF8 comparisons in the bucket
-      // when-chain; this path pays one pass and long/double compares
-      // inside whole-stage codegen.
+      // takeSample path, which paid TWO full passes (count + collect);
+      // assignment is a per-row binary search inside whole-stage codegen.
       val keyed = df.withColumn("__kpfxd", prefix64(keyCol).cast("double"))
       val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-      val cutsD = keyed.stat.approxQuantile("__kpfxd", probes, 0.01).distinct.sorted
+      val cutsD = keyed.stat.approxQuantile("__kpfxd", probes, quantErr(buckets))
+        .distinct.sorted
       // diversity gate: when the sampled prefixes can't separate at least
       // half the requested cuts (keys sharing ≥8 leading bytes — URLs
       // under one host, padded codes), fall back to exact sampled STRING
       // cut points (slower, but balanced regardless of shared prefixes)
       if (cutsD.length >= math.max(1, (buckets - 1) / 2)) {
-        val bucketExpr = cutsD.zipWithIndex.foldRight(lit(cutsD.length): Column) {
-          case ((cut, i), elseExpr) =>
-            when(col("__kpfxd") <= cut, i).otherwise(elseExpr)
-        }
         keyed.withColumn("__bucket",
-          when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr)).drop("__kpfxd")
+          when(col(keyCol).isNull, lit(-1))
+            .otherwise(searchBucket(col("__kpfxd"), cutsD))).drop("__kpfxd")
       } else {
-        val cuts = sampledStringCuts(df, keyCol, buckets)
+        // degenerate-prefix fallback: a per-row UTF8-comparison when-chain,
+        // capped at 64 cuts regardless of the sized count — at hundreds of
+        // string cuts the chain itself becomes the scan bottleneck (259 s
+        // vs 75 s measured on the 100× rank drill when a fallback fired at
+        // a sized count), and 64 balanced-but-bigger buckets beat that
+        val fbBuckets = math.min(buckets, 64)
+        val cuts = sampledStringCuts(df, keyCol, fbBuckets)
         val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
           case ((cut, i), elseExpr) => when(col(keyCol) <= lit(cut), i).otherwise(elseExpr)
         }
@@ -150,12 +213,11 @@ object OrderedScan {
     } else {
       val keyed = df.withColumn("__knum", numericKey(df, keyCol))
       val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-      val cuts = keyed.stat.approxQuantile("__knum", probes, 0.01).distinct.sorted
-      val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-        case ((cut, i), elseExpr) => when(col("__knum") <= cut, i).otherwise(elseExpr)
-      }
+      val cuts = keyed.stat.approxQuantile("__knum", probes, quantErr(buckets))
+        .distinct.sorted
       keyed.withColumn("__bucket",
-        when(col("__knum").isNull, lit(-1)).otherwise(bucketExpr)).drop("__knum")
+        when(col("__knum").isNull, lit(-1))
+          .otherwise(searchBucket(col("__knum"), cuts))).drop("__knum")
     }
   }
 

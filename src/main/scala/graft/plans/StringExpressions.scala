@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static Jaro-Winkler kernel shared by interpreted eval and generated
@@ -126,4 +126,44 @@ case class StringPrefix64(child: Expression) extends UnaryExpression {
 object StringPrefix64 {
   /** Driver-side twin of the expression (cut-point precomputation). */
   def of(s: String): Long = UTF8String.fromString(s).getPrefix ^ Long.MinValue
+}
+
+/** `bucket_search(v)` — the range-bucket id of `v` against a sorted,
+  * distinct cut array: the index of the first cut ≥ v (cuts.length when v
+  * exceeds every cut), exactly the `when(v <= cut0, 0).when(...)` chain's
+  * semantics but as ONE binary search over a referenced constant array —
+  * O(log buckets) per row inside whole-stage codegen instead of O(buckets)
+  * branch evaluations. The chain was fine at 64 buckets; with
+  * statistics-sized bucket counts (hundreds at drill scale) it became the
+  * dominant per-row cost of [[graft.operators.OrderedScan.withRangeBucket]].
+  * NaN inputs land in the last bucket on both forms (`NaN <= cut` is false
+  * everywhere; `Arrays.binarySearch` orders NaN above every real cut). */
+case class BucketSearch(child: Expression, cuts: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bucket_search expects a double argument, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bucket_search"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val i = java.util.Arrays.binarySearch(cuts, a.asInstanceOf[Double])
+    if (i >= 0) i else -(i + 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("bucketCuts", cuts, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $idx = java.util.Arrays.binarySearch($arr, $a);
+         |${ev.value} = $idx >= 0 ? $idx : -($idx + 1);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
