@@ -111,39 +111,64 @@ object OrderedScan {
       graft.plans.StringPrefix64(
         org.apache.spark.sql.GraftShim.expression(col(keyCol))))
 
-  /** Bucket count actually used: the requested count is a FLOOR; when the
-    * input's plan statistics say the per-bucket payload would exceed ~4 MiB
-    * of PLAN-STAT bytes (stats underestimate string payloads ~3x, so the
-    * real per-task sort lands ~10-15 MiB — inside the 32-way-concurrency
-    * guaranteed pool slice)
-    * the count rises (capped at 4096) so each within-bucket window SORT
-    * stays small enough to never spill. Semantics are bucket-count-free
-    * (the stitches are exact for any count), so auto-raising is always
-    * sound; the cross-bucket carry stays model-sized (≤4096 rows). The r14
-    * 100× drill measured why this matters: 64 buckets hashed into 32
-    * shuffle partitions gave ~2M-row per-task sorts, and ordered_fill /
-    * ordered_rank_str spilled 1.5-3 GB exactly there.
+  /** MEASURED bucket sizing (r15): the requested count is a FLOOR; the
+    * count rises with the input's REAL row count (~128k rows per bucket,
+    * cap 1024) so each within-bucket window SORT stays inside the
+    * execution-memory slice at any amplification. The r14 100× drill
+    * measured why this matters: 64 buckets hashed into 32 shuffle
+    * partitions gave ~2M-row per-task sorts, and ordered_fill /
+    * ordered_rank_str spilled 1.5-3 GB exactly there. Semantics are
+    * bucket-count-free (the stitches are exact for any count), so
+    * auto-raising is always sound; the cross-bucket carry stays
+    * model-sized (≤1024 rows).
+    *
+    * The row count comes from the SAME single aggregation pass that
+    * computes the quantile cut grid — NOT from plan statistics: Spark's
+    * size-only estimation is a product for inner joins and a
+    * localCheckpoint preserves the pre-checkpoint estimate, so a ~30k-row
+    * post-join frame can "weigh" 13 GB (measured on q109 — stats-based
+    * sizing inflated its packing stitch to 1024 partitions and tripled the
+    * query). One fixed 1023-point grid is sketched per call and thinned to
+    * the sized cut count, so the pass count is unchanged from the old
+    * approxQuantile form.
     *
     * The 1024 cap keeps the exchange inside the BYPASS-merge shuffle
     * writer's comfort zone (per-map-task open-file buffers are
-    * partitions × spark.shuffle.file.buffer): above
-    * spark.shuffle.sort.bypassMergeThreshold Spark switches to the
-    * sort-based shuffle writer, whose map-side sort simply MOVES the spill
-    * from the reduce-side window sort to the map side (measured: identical
-    * spill volume at 4× over-partitioning). The graft session builders
-    * raise the threshold to cover the cap; on a real cluster size
-    * shuffle.partitions and the threshold together, same as any wide job. */
-  private def sizedBuckets(df: DataFrame, requested: Int): Int = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val perBucket = 1L << 20
-    val needed =
-      if (bytes.isValidLong) math.min(1024L, bytes.toLong / perBucket + 1).toInt
-      else requested
-    math.max(requested, needed)
+    * partitions × spark.shuffle.file.buffer); the graft session builders
+    * raise spark.shuffle.sort.bypassMergeThreshold to cover it — above the
+    * threshold the sort-based writer's map-side sort simply MOVES the
+    * spill to the map side (measured at 4× over-partitioning). */
+  private val rowsPerBucket = 128L << 10
+  private val maxBuckets = 256
+  private val gridPoints = 255
+
+  /** One pass over `proxyCol`: (row count incl. null keys, fine quantile
+    * grid of the non-null proxy). Returns an empty grid for an empty or
+    * all-null input (single bucket 0 downstream). */
+  private def countAndGrid(df: DataFrame, proxyCol: String): (Long, Array[Double]) = {
+    val probes = (1 to gridPoints).map(_.toDouble / (gridPoints + 1))
+    val r = df.agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col(proxyCol),
+        typedLit(probes), lit(1024)).as("__g")).head()
+    val n = r.getLong(0)
+    val grid =
+      if (r.isNullAt(1)) Array.empty[Double]
+      else r.getSeq[Double](1).toArray
+    (n, grid)
   }
 
+  private def sizedCount(rows: Long, requested: Int): Int =
+    math.max(requested, math.min(maxBuckets.toLong, rows / rowsPerBucket + 1).toInt)
+
+  /** Thin the fine grid to `nb - 1` distinct sorted cut points. */
+  private def thinGrid(grid: Array[Double], nb: Int): Array[Double] =
+    if (grid.isEmpty) grid
+    else (1 until nb)
+      .map(j => grid(math.min(grid.length - 1, j * (grid.length + 1) / nb - 1).max(0)))
+      .distinct.sorted.toArray
+
   def withRangeBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
-    val nb = sizedBuckets(df, buckets)
     // hand every bucket its OWN task up front: Window.partitionBy(__bucket)
     // alone exchanges into spark.sql.shuffle.partitions tasks (32), so at
     // amplified scale each task sorted MULTIPLE buckets' rows and the sort
@@ -153,7 +178,16 @@ object OrderedScan {
     // per-task sort at one-ish buckets for any input size. Downstream
     // windows/groupBys on __bucket reuse this exchange — same shuffle
     // count as before, smaller and spill-free sorts.
-    withRangeBucketRaw(df, keyCol, nb).repartition(nb, col("__bucket"))
+    val (b, nb, rows) = withRangeBucketSized(df, keyCol, buckets)
+    // partition count follows MEASURED need, not the bucket floor: on a
+    // small input the old behavior (window exchange into
+    // spark.sql.shuffle.partitions) is exactly right and extra tasks are
+    // pure scheduler overhead (measured +0.2 s on sub-second queries); on
+    // a large input every bucket gets its own task
+    val needed = sizedCount(rows, 1)
+    val parts = math.min(nb,
+      math.max(df.sparkSession.sessionState.conf.numShufflePartitions, needed))
+    b.repartition(parts, col("__bucket"))
   }
 
   /** Binary-search bucket assignment over sorted double cuts: one
@@ -165,59 +199,55 @@ object OrderedScan {
       graft.plans.BucketSearch(
         org.apache.spark.sql.GraftShim.expression(proxy), cuts))
 
-  /** Quantile precision matched to the cut count: at 64 buckets the old
-    * fixed 0.01 error separates the probes; at hundreds of buckets it
-    * cannot (probe spacing < error → cuts collapse and the diversity gate
-    * would spuriously fall back). */
-  private def quantErr(buckets: Int): Double =
-    math.min(0.01, 0.25 / buckets)
-
-  private def withRangeBucketRaw(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+  private def withRangeBucketSized(
+      df: DataFrame, keyCol: String, buckets: Int): (DataFrame, Int, Long) = {
     if (df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType) {
       // PREFIX FAST PATH: bucket on the order-isomorphic 8-byte long
       // prefix of the key instead of the string. Sound because prefix64
       // is weakly monotone in key order — bucketing by ANY monotone
       // coarsening keeps buckets as ordered contiguous key ranges with
       // equal keys together, which is the only invariant the stitches
-      // need. Boundaries come from ONE approxQuantile pass over the
-      // prefix cast to double (cast is weakly monotone too; boundaries
-      // only need BALANCE, never exactness) — replacing the r12
-      // takeSample path, which paid TWO full passes (count + collect);
-      // assignment is a per-row binary search inside whole-stage codegen.
+      // need. Boundaries come from ONE (count + fine-quantile-grid) pass
+      // over the prefix cast to double (cast is weakly monotone too;
+      // boundaries only need BALANCE, never exactness); assignment is a
+      // per-row binary search inside whole-stage codegen.
       val keyed = df.withColumn("__kpfxd", prefix64(keyCol).cast("double"))
-      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-      val cutsD = keyed.stat.approxQuantile("__kpfxd", probes, quantErr(buckets))
-        .distinct.sorted
+      val (rows, grid) = countAndGrid(keyed, "__kpfxd")
+      val nb = sizedCount(rows, buckets)
+      val cutsD = thinGrid(grid, nb)
       // diversity gate: when the sampled prefixes can't separate at least
       // half the requested cuts (keys sharing ≥8 leading bytes — URLs
       // under one host, padded codes), fall back to exact sampled STRING
       // cut points (slower, but balanced regardless of shared prefixes)
-      if (cutsD.length >= math.max(1, (buckets - 1) / 2)) {
-        keyed.withColumn("__bucket",
+      if (cutsD.length >= math.max(1, (nb - 1) / 2)) {
+        (keyed.withColumn("__bucket",
           when(col(keyCol).isNull, lit(-1))
-            .otherwise(searchBucket(col("__kpfxd"), cutsD))).drop("__kpfxd")
+            .otherwise(searchBucket(col("__kpfxd"), cutsD))).drop("__kpfxd"),
+          nb, rows)
       } else {
         // degenerate-prefix fallback: a per-row UTF8-comparison when-chain,
         // capped at 64 cuts regardless of the sized count — at hundreds of
         // string cuts the chain itself becomes the scan bottleneck (259 s
         // vs 75 s measured on the 100× rank drill when a fallback fired at
         // a sized count), and 64 balanced-but-bigger buckets beat that
-        val fbBuckets = math.min(buckets, 64)
+        val fbBuckets = math.min(nb, 64)
         val cuts = sampledStringCuts(df, keyCol, fbBuckets)
         val bucketExpr = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
           case ((cut, i), elseExpr) => when(col(keyCol) <= lit(cut), i).otherwise(elseExpr)
         }
-        df.withColumn("__bucket",
-          when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr))
+        (df.withColumn("__bucket",
+          when(col(keyCol).isNull, lit(-1)).otherwise(bucketExpr)),
+          fbBuckets, rows)
       }
     } else {
       val keyed = df.withColumn("__knum", numericKey(df, keyCol))
-      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-      val cuts = keyed.stat.approxQuantile("__knum", probes, quantErr(buckets))
-        .distinct.sorted
-      keyed.withColumn("__bucket",
+      val (rows, grid) = countAndGrid(keyed, "__knum")
+      val nb = sizedCount(rows, buckets)
+      val cuts = thinGrid(grid, nb)
+      (keyed.withColumn("__bucket",
         when(col("__knum").isNull, lit(-1))
-          .otherwise(searchBucket(col("__knum"), cuts))).drop("__knum")
+          .otherwise(searchBucket(col("__knum"), cuts))).drop("__knum"),
+        nb, rows)
     }
   }
 
@@ -399,7 +429,11 @@ object OrderedScan {
     // localCheckpoint (not cache): both passes read it, and the blocks are
     // released by the ContextCleaner when the result is GC'd — cache()
     // would pin an entry per ewma() call for the session lifetime
-    val sorted = b.repartition(buckets, col("__bucket"))
+    // b is already hash-partitioned one-ish buckets per task by
+    // withRangeBucket (measured sizing) — only the in-partition sort is
+    // needed here; a second repartition at the requested count would
+    // collapse the sizing
+    val sorted = b
       .sortWithinPartitions(col("__bucket"), col(keyCol))
       .select(col("__bucket").cast("int"), col(keyCol), col(valueCol).cast("double"))
       .localCheckpoint(true)
