@@ -150,7 +150,7 @@ object OrderedScan {
     val r = df.agg(
       count(lit(1)).as("__n"),
       percentile_approx(col(proxyCol),
-        typedLit(probes), lit(1024)).as("__g")).head()
+        typedLit(probes), lit(512)).as("__g")).head()
     val n = r.getLong(0)
     val grid =
       if (r.isNullAt(1)) Array.empty[Double]
