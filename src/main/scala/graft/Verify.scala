@@ -12,7 +12,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // OrderedScan sizes bucket exchanges up to 1024 partitions; keep them on
+      // OrderedScan sizes bucket exchanges up to 256 partitions; keep them on
       // the bypass-merge shuffle writer (no map-side sort, no map-side spill)
       .config("spark.shuffle.sort.bypassMergeThreshold", 2048)
       .config("spark.sql.session.timeZone", "UTC")

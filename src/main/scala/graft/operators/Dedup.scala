@@ -725,10 +725,59 @@ object Dedup {
       eps: Seq[Long], nextEp: Long, faultTag: String = null): Unit = {
     import spark.implicits._
     graft.sources.Bucketing.saveBucketedAtomic(
-      Seq((shingleN, numHashes, bands, buckets, corpusFp, eps, nextEp))
+      Seq((shingleN, numHashes, bands, buckets, corpusFp, eps, nextEp,
+          lshLayout(buckets)))
         .toDF("shingle_n", "num_hashes", "bands", "buckets", "corpus_fp",
-          "eps", "next_ep"),
+          "eps", "next_ep", "layout"),
       s"${table}_meta", "shingle_n", 1, faultTag = faultTag)
+  }
+
+  /** The index's own bucket spec, stored in `_meta` so a surviving
+    * warehouse directory is SELF-DESCRIBING for cross-session recovery:
+    * `<suffix>:<keyCol>:<numBuckets>` per data table
+    * ([[graft.sources.Bucketing.recoverFromLayout]]). [[recoverLshIndex]]
+    * re-registers from this, and a suffix/key mismatch against the family
+    * constant aborts recovery (wrong family / table name). */
+  private def lshLayout(buckets: Int) = s"buckets:bk:$buckets,docs:id:$buckets"
+
+  /** CROSS-SESSION RECOVERY of a published LSH index — the repair for the
+    * one failure [[appendLshIndex]]'s staged commits and
+    * [[graft.sources.Bucketing.saveBucketedAtomic]]'s rename swaps cannot
+    * heal in place: a JVM restart under the default in-memory catalog
+    * loses the CATALOG ENTRIES for `_buckets`/`_docs`/`_meta` while their
+    * warehouse directories (bucketed parquet + committed `_meta` row)
+    * survive intact. Re-adopts each directory as the same MANAGED bucketed
+    * table via [[graft.sources.Bucketing.recoverBucketedTable]] — driver-
+    * side metadata ops only, nothing rewritten, so recovery is O(1) at
+    * 100 TB (vs the pre-r16 full republish).
+    *
+    * Order matters: `_meta` first (its bucket spec is the family constant
+    * `("shingle_n", 1)`), because it carries the DATA tables' spec — the
+    * stored `layout` + `buckets` drive their re-registration, and a layout
+    * mismatch against [[LshLayout]] aborts loudly (the directory belongs
+    * to some other family). `expectedCorpusFp`, when non-null, must match
+    * the stored fingerprint — recovering the wrong corpus's index is the
+    * same silent-wrong-results hazard probe validation exists for. Ends
+    * with the STRICT audit (per-doc band-count invariant over committed
+    * rows), so a recovered index is certified before the first probe.
+    * Probes after recovery answer the pre-restart oracle verbatim (q319;
+    * RecoverySpec proves it across a REAL SparkContext restart). Recovery
+    * is maintenance — single-writer, idempotent, crash-retryable. */
+  def recoverLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      expectedCorpusFp: String = null): Unit = {
+    require(
+      graft.sources.Bucketing.recoverBucketedTable(
+        spark, s"${table}_meta", "shingle_n", 1),
+      s"recoverLshIndex: no surviving _meta directory for index '$table' — " +
+        "nothing to recover; republish via publishLshIndex")
+    val m = readLshMeta(spark, table)
+    if (expectedCorpusFp != null)
+      require(m.corpusFp == expectedCorpusFp,
+        s"recoverLshIndex: index '$table' was published over corpus " +
+          s"'${m.corpusFp}' but the caller expects '$expectedCorpusFp'")
+    graft.sources.Bucketing.recoverFromLayout(spark, table,
+      expected = lshLayout(m.buckets), what = "recoverLshIndex")
+    assertLshIndexConsistent(spark, table, strict = true)
   }
 
   /** Committed-epoch view of an LSH index data table — rows staged by a

@@ -112,32 +112,38 @@ object OrderedScan {
         org.apache.spark.sql.GraftShim.expression(col(keyCol))))
 
   /** MEASURED bucket sizing (r15): the requested count is a FLOOR; the
-    * count rises with the input's REAL row count (~128k rows per bucket,
-    * cap 1024) so each within-bucket window SORT stays inside the
+    * count rises with the input's REAL row count (~128Ki rows per bucket,
+    * cap 256) so each within-bucket window SORT stays inside the
     * execution-memory slice at any amplification. The r14 100× drill
     * measured why this matters: 64 buckets hashed into 32 shuffle
     * partitions gave ~2M-row per-task sorts, and ordered_fill /
     * ordered_rank_str spilled 1.5-3 GB exactly there. Semantics are
     * bucket-count-free (the stitches are exact for any count), so
     * auto-raising is always sound; the cross-bucket carry stays
-    * model-sized (≤1024 rows).
+    * model-sized (≤256 rows).
     *
     * The row count comes from the SAME single aggregation pass that
     * computes the quantile cut grid — NOT from plan statistics: Spark's
     * size-only estimation is a product for inner joins and a
     * localCheckpoint preserves the pre-checkpoint estimate, so a ~30k-row
-    * post-join frame can "weigh" 13 GB (measured on q109 — stats-based
-    * sizing inflated its packing stitch to 1024 partitions and tripled the
-    * query). One fixed 1023-point grid is sketched per call and thinned to
-    * the sized cut count, so the pass count is unchanged from the old
-    * approxQuantile form.
+    * post-join frame can "weigh" 13 GB (measured on q109 — the rejected
+    * stats-based draft sized its packing stitch to 1024 partitions off
+    * that phantom weight and tripled the query; measured rows replaced
+    * stat-bytes for exactly this reason). One fixed 255-point grid is
+    * sketched per call and thinned to the sized cut count, so the pass
+    * count is unchanged from the old approxQuantile form.
     *
-    * The 1024 cap keeps the exchange inside the BYPASS-merge shuffle
+    * The 256 cap keeps the exchange inside the BYPASS-merge shuffle
     * writer's comfort zone (per-map-task open-file buffers are
     * partitions × spark.shuffle.file.buffer); the graft session builders
-    * raise spark.shuffle.sort.bypassMergeThreshold to cover it — above the
-    * threshold the sort-based writer's map-side sort simply MOVES the
-    * spill to the map side (measured at 4× over-partitioning). */
+    * raise spark.shuffle.sort.bypassMergeThreshold to 2048 to cover it —
+    * above the threshold the sort-based writer's map-side sort simply
+    * MOVES the spill to the map side (measured at 4× over-partitioning).
+    * 256 buckets × 128Ki rows ≈ 33M rows before buckets grow past 128Ki
+    * rows each; the grid has [[gridPoints]] = 255 cut candidates, so
+    * [[sizedCount]] clamps to gridPoints + 1 — a request above it would
+    * overstate the real bucket count and (on the string path) spuriously
+    * trip the diversity gate into the 64-cut fallback. */
   private val rowsPerBucket = 128L << 10
   private val maxBuckets = 256
   private val gridPoints = 255
@@ -159,7 +165,8 @@ object OrderedScan {
   }
 
   private def sizedCount(rows: Long, requested: Int): Int =
-    math.max(requested, math.min(maxBuckets.toLong, rows / rowsPerBucket + 1).toInt)
+    math.min(gridPoints + 1,
+      math.max(requested, math.min(maxBuckets.toLong, rows / rowsPerBucket + 1).toInt))
 
   /** Thin the fine grid to `nb - 1` distinct sorted cut points. */
   private def thinGrid(grid: Array[Double], nb: Int): Array[Double] =

@@ -355,7 +355,14 @@ object Sampling {
     // would never fire.
     val gateDf = df.select(col(idCol).cast("string").as("__mk"))
     val ranked = (if (graft.operators.OrderedScan.autoRoutes(gateDf, "__mk"))
-      graft.operators.OrderedScan.rowNumber(reps, "__mk", "__r")
+      // rowNumber's MEASURED bucket sizing takes one aggregation pass over
+      // its input before the ranking pass; `reps`' lineage (components
+      // over the candidate pairs, a join, a distinct) is the most
+      // expensive plan any ordered-scan caller feeds, so materialize it
+      // once — ids-only, corpus-bounded — instead of re-executing the
+      // whole LSH→components pipeline for the sizing pass (the r15
+      // bench's one flag, q255: ~+0.4 s from exactly this re-execution)
+      graft.operators.OrderedScan.rowNumber(reps.localCheckpoint(true), "__mk", "__r")
     else {
       import org.apache.spark.sql.expressions.Window
       reps.withColumn("__r",

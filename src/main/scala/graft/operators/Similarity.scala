@@ -583,10 +583,40 @@ object Similarity {
     // (r14 verdict #1); a kill in any swap window leaves old-or-new meta
     // fully readable after healIfTorn (run per-open by [[readMetaRow]])
     graft.sources.Bucketing.saveBucketedAtomic(
-      Seq((dims, nlist, trainRows, rounds, buckets, corpusFp, eps, nextEp))
+      Seq((dims, nlist, trainRows, rounds, buckets, corpusFp, eps, nextEp,
+          ivfLayout(buckets)))
         .toDF("dims", "nlist", "train_rows", "rounds", "buckets", "corpus_fp",
-          "eps", "next_ep"),
+          "eps", "next_ep", "layout"),
       s"${table}_meta", "dims", 1, faultTag = faultTag)
+  }
+
+  /** Self-describing bucket spec stored in `_meta` for cross-session
+    * recovery — see [[graft.operators.Dedup.recoverLshIndex]]'s layout
+    * contract ([[graft.sources.Bucketing.recoverFromLayout]]). */
+  private def ivfLayout(buckets: Int) = s"assign:c:$buckets,cents:c:1"
+
+  /** CROSS-SESSION RECOVERY of a published IVF index — re-adopts the
+    * surviving warehouse directories (`_assign`/`_cents`/`_meta`) as the
+    * same managed bucketed tables after a JVM restart lost the in-memory
+    * catalog entries. Metadata ops only (nothing rewritten); `_meta` first
+    * (family-constant spec `("dims", 1)`), then the data tables from its
+    * stored layout; fingerprint-checked when `expectedCorpusFp` is given;
+    * ends with the strict audit. See
+    * [[graft.operators.Dedup.recoverLshIndex]] for the full contract. */
+  def recoverIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      expectedCorpusFp: String = null): Unit = {
+    require(
+      graft.sources.Bucketing.recoverBucketedTable(spark, s"${table}_meta", "dims", 1),
+      s"recoverIvfIndex: no surviving _meta directory for index '$table' — " +
+        "nothing to recover; republish via publishIvfIndex")
+    val m = readMetaRow(spark, table)
+    if (expectedCorpusFp != null)
+      require(m.getString(5) == expectedCorpusFp,
+        s"recoverIvfIndex: index '$table' was published over corpus " +
+          s"'${m.getString(5)}' but the caller expects '$expectedCorpusFp'")
+    graft.sources.Bucketing.recoverFromLayout(spark, table,
+      expected = ivfLayout(m.getInt(4)), what = "recoverIvfIndex")
+    assertIvfIndexConsistent(spark, table, strict = true)
   }
 
   /** Open an index's `_meta` row, self-healing a swap torn by a crashed
@@ -844,10 +874,35 @@ object Similarity {
     // crash-atomic swap — see [[writeIvfMeta]] on why a plain overwrite
     // would put a destroy window inside the commit flip
     graft.sources.Bucketing.saveBucketedAtomic(
-      Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp, eps, nextEp))
+      Seq((dims, nlist, m, codes, rounds, buckets, nRows, corpusFp, eps, nextEp,
+          pqLayout(buckets)))
         .toDF("dims", "nlist", "m", "codes", "rounds", "buckets", "n_rows",
-          "corpus_fp", "eps", "next_ep"),
+          "corpus_fp", "eps", "next_ep", "layout"),
       s"${table}_meta", "dims", 1, faultTag = faultTag)
+  }
+
+  /** Self-describing bucket spec stored in `_meta` for cross-session
+    * recovery — see [[ivfLayout]]. */
+  private def pqLayout(buckets: Int) = s"assign:c:$buckets,cents:c:1,books:j:1"
+
+  /** CROSS-SESSION RECOVERY of a published IVF+PQ index — see
+    * [[recoverIvfIndex]] / [[graft.operators.Dedup.recoverLshIndex]] for
+    * the contract; the PQ strict audit additionally re-proves code arity/
+    * range and the `_meta.n_rows` cross-check over the recovered lists. */
+  def recoverPqIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      expectedCorpusFp: String = null): Unit = {
+    require(
+      graft.sources.Bucketing.recoverBucketedTable(spark, s"${table}_meta", "dims", 1),
+      s"recoverPqIndex: no surviving _meta directory for index '$table' — " +
+        "nothing to recover; republish via publishPqIndex")
+    val m = readMetaRow(spark, table)
+    if (expectedCorpusFp != null)
+      require(m.getString(7) == expectedCorpusFp,
+        s"recoverPqIndex: index '$table' was published over corpus " +
+          s"'${m.getString(7)}' but the caller expects '$expectedCorpusFp'")
+    graft.sources.Bucketing.recoverFromLayout(spark, table,
+      expected = pqLayout(m.getInt(5)), what = "recoverPqIndex")
+    assertPqIndexConsistent(spark, table, strict = true)
   }
 
   /** [[publishPqIndex]] only if the tables are absent — the amortize-once

@@ -45,10 +45,17 @@ object Bucketing {
     * the in-memory catalog is per-session but the managed location isn't,
     * so a prior session's directory survives as an orphan that collides
     * with both `saveAsTable` and `ALTER TABLE ... RENAME` into the name. */
-  private def deleteManagedDir(spark: SparkSession, table: String): Unit = {
-    val loc = new org.apache.hadoop.fs.Path(
+  private def managedDir(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hadoopFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deleteManagedDir(spark: SparkSession, table: String): Unit = {
+    val loc = managedDir(spark, table)
+    val fs = hadoopFs(spark)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
@@ -113,14 +120,29 @@ object Bucketing {
   }
 
   /** Heal a torn [[saveBucketedAtomic]]/[[compactBucketed]] swap, if (and
-    * only if) the catalog shows one — on the clean path this is three
-    * in-memory catalog lookups, so READERS of swap-maintained tables (index
-    * probes opening `_meta`) call it per-open and a crash inside a swap is
-    * self-healing at the next read, not just at the next maintenance call. */
+    * only if) the LIVE table is actually missing — on the clean path this
+    * is one in-memory catalog lookup, so READERS of swap-maintained tables
+    * (index probes opening `_meta`) call it per-open and a crash inside a
+    * swap is self-healing at the next read, not just at the next
+    * maintenance call.
+    *
+    * NON-DESTRUCTIVE by design (r15 advice): `__old`/`__compact` entries
+    * legitimately exist WHILE a concurrent writer is mid-swap (probes are
+    * unrestricted readers throughout maintenance), so a read-path heal
+    * must never touch them when the live table is present — it would drop
+    * the in-flight writer's staged copy or collide with its renames. When
+    * the live table exists, leftovers are either an in-flight swap (leave
+    * them alone) or stale crash debris, which the next maintenance entry
+    * point clears ([[saveBucketedAtomic]]/[[compactBucketed]] both run
+    * [[repairCompacted]] first, under the single-writer contract). The one
+    * residual read/write race is the writer's instant between rename-aside
+    * and rename-in: a reader healing inside it restores `__old` to the
+    * live name and the writer's rename-in then fails LOUDLY with
+    * TABLE_ALREADY_EXISTS — an abort that leaves the table at its old
+    * committed contents (the staged copy is cleaned up and re-staged on
+    * retry), never corruption or silent loss. */
   def healIfTorn(spark: SparkSession, table: String): Unit =
-    if (!spark.catalog.tableExists(table) ||
-        spark.catalog.tableExists(s"${table}__old") ||
-        spark.catalog.tableExists(s"${table}__compact"))
+    if (!spark.catalog.tableExists(table))
       repairCompacted(spark, table)
 
   /** [[saveBucketed]] only if `table` is not already in the session catalog
@@ -155,9 +177,10 @@ object Bucketing {
     * TABLE_OR_VIEW_NOT_FOUND (never reads half-state) — schedule
     * compaction in the maintenance window that owns the index. (With the
     * default in-memory catalog a JVM crash also loses the catalog entries
-    * themselves; the directories survive but carry no metadata, so the
-    * cross-SESSION repair is a republish — see DEPLOYMENT.md. Against a
-    * persistent metastore [[repairCompacted]] recovers automatically.) */
+    * themselves; the directories survive, and [[recoverBucketedTable]]
+    * re-adopts them in a fresh session — including a copy stranded mid-swap
+    * at `__old`/`__compact`. Against a persistent metastore
+    * [[repairCompacted]] recovers automatically.) */
   def compactBucketed(spark: SparkSession, table: String, keyCol: String,
       buckets: Int, transform: DataFrame => DataFrame = identity,
       faultTag: String = null): Unit = {
@@ -215,6 +238,128 @@ object Bucketing {
         deleteManagedDir(spark, t)
       }
     }
+  }
+
+  /** CROSS-SESSION RECOVERY — re-adopt a bucketed managed table whose
+    * catalog entry died with a prior JVM. With the default in-memory
+    * catalog the ENTRY is per-process but the warehouse DIRECTORY is not:
+    * after a restart the parquet files (including the bucket-id suffix in
+    * each file name, which is where Spark's bucketed reader gets bucket
+    * membership from) survive intact under `<warehouse>/<table>`, carrying
+    * everything needed to re-register the table except the bucket spec,
+    * which callers pass back in (the index families store theirs in
+    * `_meta` so the whole index is self-describing — see
+    * [[graft.operators.Dedup.recoverLshIndex]]).
+    *
+    * Two phases, both driver-side filesystem METADATA ops (nothing is
+    * rewritten — recovering a 100 TB index costs two renames + a CREATE):
+    *
+    *  1. DIRECTORY-LEVEL HEAL: the prior JVM may have died mid-swap, so
+    *     the surviving complete copy may sit at `__old` (preferred — the
+    *     original, same precedence as [[repairCompacted]]), at `__compact`
+    *     (complete before any rename began), or at `__adopt` (a recovery
+    *     retry's own aside). "Has data" = contains part- files; the empty
+    *     directory a torn recovery's CREATE left behind never shadows the
+    *     aside copy.
+    *  2. ADOPT: Spark refuses to CREATE a managed table over a non-empty
+    *     location (LOCATION_ALREADY_EXISTS), so the surviving directory is
+    *     renamed aside to `<table>__adopt`, the managed table is created
+    *     EMPTY with the original `CLUSTERED BY (keyCol) SORTED BY (keyCol)
+    *     INTO buckets BUCKETS` spec (schema read from the parquet footers),
+    *     and the data directory is swapped back underneath it.
+    *
+    * The result is a genuinely MANAGED bucketed table — `Bucketed: true`
+    * scans, exchange-free co-located joins, and every later append/compact/
+    * atomic-swap behaves exactly as before the restart (managed RENAME
+    * moves the directory, which the swap protocol relies on). Idempotent
+    * and crash-retryable: every kill window leaves the complete copy at
+    * either the live path or `__adopt`, and a retry picks it up. Recovery
+    * is MAINTENANCE — single-writer, like append/compact. Returns false
+    * when no data directory survives (nothing to recover; republish). */
+  def recoverBucketedTable(spark: SparkSession, table: String, keyCol: String,
+      buckets: Int): Boolean = {
+    val fs = hadoopFs(spark)
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.startsWith("part-"))
+    val live = managedDir(spark, table)
+    val adopt = managedDir(spark, s"${table}__adopt")
+    if (spark.catalog.tableExists(table)) {
+      // already registered THIS session — unless a torn same-session
+      // recovery left an empty shell entry with the data still aside
+      if (!hasData(adopt)) { healIfTorn(spark, table); return true }
+      spark.sql(s"DROP TABLE $table") // empty shell; its dir is deleted too
+    }
+    // stale catalog entries over the aside names would collide with the
+    // renames below (fresh sessions have none; same-session retries might)
+    Seq(s"${table}__old", s"${table}__compact").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+    val survivors = Seq(live, managedDir(spark, s"${table}__old"),
+      managedDir(spark, s"${table}__compact"), adopt)
+    survivors.find(hasData) match {
+      case None => false
+      case Some(src) =>
+        if (src != adopt) {
+          if (fs.exists(adopt)) fs.delete(adopt, true)
+          require(fs.rename(src, adopt),
+            s"recoverBucketedTable: rename $src -> $adopt failed")
+        }
+        // clear the losing copies/debris so the CREATE location is free
+        survivors.filterNot(_ == adopt)
+          .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+        val schema = spark.read.parquet(adopt.toString).schema
+        require(schema.fieldNames.contains(keyCol),
+          s"recoverBucketedTable: surviving data for '$table' has no column " +
+            s"'$keyCol' (schema ${schema.simpleString}) — wrong bucket spec?")
+        spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS")
+        fs.delete(live, true) // the empty dir CREATE just made
+        require(fs.rename(adopt, live),
+          s"recoverBucketedTable: rename $adopt -> $live failed")
+        true
+    }
+  }
+
+  /** Shared tail of the index families' recover* entry points (LSH/IVF/PQ):
+    * after `_meta` itself is re-adopted, read its stored `layout` — the
+    * self-describing bucket spec, a `<suffix>:<keyCol>:<numBuckets>` list —
+    * assert it matches the family's expected spec (a mismatch means the
+    * surviving directory belongs to a DIFFERENT index family or the caller
+    * named the wrong table — recovering it under the wrong spec would
+    * produce silently wrong bucketed joins), and re-adopt every data table
+    * it declares via [[recoverBucketedTable]]. */
+  def recoverFromLayout(spark: SparkSession, table: String,
+      expected: String, what: String): Unit = {
+    val mRow = spark.table(s"${table}_meta").head()
+    val layout = mRow.getString(mRow.fieldIndex("layout"))
+    require(layout == expected,
+      s"$what: '$table' _meta declares layout '$layout' but this family " +
+        s"expects '$expected' — wrong index family or table name")
+    layout.split(',').foreach { entry =>
+      val Array(sfx, key, nb) = entry.split(':')
+      require(recoverBucketedTable(spark, s"${table}_$sfx", key, nb.toInt),
+        s"$what: no surviving directory for '${table}_$sfx' — index data " +
+          "lost; republish")
+    }
+  }
+
+  /** TEST/ORACLE ONLY — erase a table's in-memory catalog entry while
+    * keeping its warehouse directory byte-identical, reproducing exactly
+    * the state a JVM restart leaves behind (directories survive; the
+    * in-memory catalog does not). The recovery oracle queries certify the
+    * recover→probe path inside the single Verify session with this; the
+    * GENUINE restart (stop the SparkContext, build a fresh session over
+    * the same warehouse) is proven by RecoverySpec. The dance: move the
+    * directory aside so DROP TABLE (which deletes a managed table's
+    * location) has nothing to delete, drop the entry, move the data back. */
+  def simulateCatalogLoss(spark: SparkSession, table: String): Unit = {
+    val fs = hadoopFs(spark)
+    val live = managedDir(spark, table)
+    val aside = managedDir(spark, s"${table}__lost")
+    require(fs.rename(live, aside), s"simulateCatalogLoss: rename-aside of $live failed")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    require(fs.rename(aside, live), s"simulateCatalogLoss: rename-back to $live failed")
   }
 
   /** MAINTENANCE REPORT over epoch-gated bucketed tables (the staged-commit

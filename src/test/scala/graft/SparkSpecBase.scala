@@ -27,17 +27,26 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpecBase {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  /** Rebuilds after a stop: RecoverySpec proves cross-session index
+    * recovery by genuinely stopping the SparkContext and building a FRESH
+    * session over the same warehouse dir (fresh in-memory catalog — the
+    * restart state). Suites run sequentially in the forked test JVM
+    * (`Test / fork := true`, forked-parallel off), so later suites simply
+    * get the rebuilt session from here. */
+  def session: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      cached = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", 4)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      cached.sparkContext.setLogLevel("WARN")
+    }
+    cached
   }
+  @volatile private var cached: SparkSession = null
 }
