@@ -676,6 +676,10 @@ object Dedup {
       buckets: Int = 8,
       corpusFp: String = ""): Unit = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    // publish asserts ownership of the index name (it drops + recreates
+    // the tables), so it also clears a hard-killed writer's stale lease —
+    // a republish never stalls behind a dead JVM's unexpired lease
+    graft.sources.MaintenanceLease.clear(corpus.sparkSession, table)
     val base = shingleBase(corpus, idCol, textCol, shingleN)
     val bk = base
       .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
@@ -809,18 +813,36 @@ object Dedup {
     *
     * SINGLE-WRITER CONTRACT: index maintenance (append/compact) assumes ONE
     * writer at a time — the epoch allocator is a read-bump-write with no
-    * lock. Two appends racing the same `next_ep` would stage under one
-    * epoch; the allocator-collision guards below (re-read after ALLOCATE,
-    * re-read before COMMIT) detect the common interleavings and abort the
-    * LOSER loudly with the index left exactly as the winner committed it,
-    * but they are detection, not mutual exclusion — schedule maintenance
-    * from a single owner (probes are unrestricted readers throughout). */
+    * lock. As of r16 every maintenance entry point runs under the advisory
+    * [[graft.sources.MaintenanceLease]] (a second writer WAITS for the
+    * window, bounded, and a crashed holder's lease expires), so racing
+    * writers normally serialize instead of aborting. The allocator-
+    * collision guards below (re-read after ALLOCATE, re-read before
+    * COMMIT) stay armed as the CORRECTNESS BACKSTOP — the lease is
+    * best-effort (create-exclusive is not atomic on every object store)
+    * and detection-not-exclusion still holds behind it: a loser that
+    * slips past the lease aborts loudly with the index left exactly as
+    * the winner committed it (probes are unrestricted readers
+    * throughout). */
   def appendLshIndex(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       table: String,
-      newCorpusFp: String = ""): Unit = {
+      newCorpusFp: String = ""): Unit =
+    // the advisory lease lets a second writer WAIT for the maintenance
+    // window instead of aborting into the guards (which stay armed below
+    // as the correctness backstop — see MaintenanceLease)
+    graft.sources.MaintenanceLease.withLease(batch.sparkSession, table) {
+      appendLshIndexBody(batch, idCol, textCol, table, newCorpusFp)
+    }
+
+  private def appendLshIndexBody(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      newCorpusFp: String): Unit = {
     val spark = batch.sparkSession
     val m = readLshMeta(spark, table)
     val ep = m.nextEp
@@ -1006,7 +1028,13 @@ object Dedup {
     * rewritten end-to-end anyway, so the maintenance window is the one
     * place the per-doc invariant (+ mutual id-subset check) is cheap
     * relative to the work already done. */
-  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.MaintenanceLease.withLease(spark, table) {
+      compactLshIndexBody(spark, table)
+    }
+
+  private def compactLshIndexBody(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val m = readLshMeta(spark, table)
     // GC orphaned (uncommitted) epochs and normalize every committed row
     // to epoch 0 during the rewrite — crash-order safe: epoch 0 is always

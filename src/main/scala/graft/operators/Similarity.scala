@@ -534,6 +534,8 @@ object Similarity {
       corpusFp: String = ""): Unit = {
     require(trainRows >= nlist, s"trainRows $trainRows must be >= nlist $nlist")
     val spark = corpus.sparkSession
+    // publish owns the index name — clear a dead writer's stale lease
+    graft.sources.MaintenanceLease.clear(spark, table)
     val (qdf, dims) = quantizedBase(corpus, idCol, vecCol)
     val train = qdf
       .withColumn("__mk", md5(col("id").cast("string")))
@@ -730,7 +732,19 @@ object Similarity {
       idCol: String,
       vecCol: String,
       table: String,
-      newCorpusFp: String = ""): Unit = {
+      newCorpusFp: String = ""): Unit =
+    // advisory single-writer lease; the staged-commit guards below remain
+    // the correctness backstop (see graft.sources.MaintenanceLease)
+    graft.sources.MaintenanceLease.withLease(batch.sparkSession, table) {
+      appendIvfIndexBody(batch, idCol, vecCol, table, newCorpusFp)
+    }
+
+  private def appendIvfIndexBody(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      newCorpusFp: String): Unit = {
     val spark = batch.sparkSession
     val meta = readMetaRow(spark, table)
     val (dims, nlist, trainRows, rounds, buckets) =
@@ -829,6 +843,8 @@ object Similarity {
       buckets: Int = 8,
       corpusFp: String = ""): Unit = {
     val spark = corpus.sparkSession
+    // publish owns the index name — clear a dead writer's stale lease
+    graft.sources.MaintenanceLease.clear(spark, table)
     // one materialization job yields the count AND the smallest-id seed
     // rows for BOTH trainers (nlist for Lloyd, codes for the PQ books)
     val (qdf, dims, nRows, init) =
@@ -1035,7 +1051,18 @@ object Similarity {
       idCol: String,
       vecCol: String,
       table: String,
-      newCorpusFp: String = ""): Unit = {
+      newCorpusFp: String = ""): Unit =
+    // advisory single-writer lease; staged-commit guards stay the backstop
+    graft.sources.MaintenanceLease.withLease(batch.sparkSession, table) {
+      appendPqIndexBody(batch, idCol, vecCol, table, newCorpusFp)
+    }
+
+  private def appendPqIndexBody(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      newCorpusFp: String): Unit = {
     val spark = batch.sparkSession
     val meta = readMetaRow(spark, table)
     val (dims, nlist, m, codes, rounds, buckets, nRows) =
@@ -1184,7 +1211,13 @@ object Similarity {
     * row-identical (q312's oracle, shared with q311). The STRICT audit
     * runs after the swap, same discipline as [[compactIvfIndex]] /
     * [[graft.operators.Dedup.compactLshIndex]]. */
-  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.MaintenanceLease.withLease(spark, table) {
+      compactPqIndexBody(spark, table)
+    }
+
+  private def compactPqIndexBody(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val meta = readMetaRow(spark, table)
     val (dims, nlist, m, codes, rounds, buckets, nRows, fp) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
@@ -1265,7 +1298,13 @@ object Similarity {
     * are model-sized and never appended, so only the lists compact. The
     * STRICT audit runs after the swap — the maintenance window is the one
     * place the full-table invariant is cheap relative to the rewrite. */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.MaintenanceLease.withLease(spark, table) {
+      compactIvfIndexBody(spark, table)
+    }
+
+  private def compactIvfIndexBody(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val meta = readMetaRow(spark, table)
     val (dims, nlist, trainRows, rounds, buckets, fp) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),

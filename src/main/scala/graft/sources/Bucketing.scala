@@ -37,6 +37,92 @@ object Faults {
   }
 }
 
+/** Advisory maintenance LEASE for append/compact on published indexes
+  * (r15 verdict #5): the staged-commit guards (allocator collision,
+  * pre-commit re-read) are correct but force the LOSER of a race to abort
+  * and retry manually; a lease lets a second writer WAIT for the window
+  * instead. One tiny file per index under the warehouse dir
+  * (`<table>__lease`, contents `owner|expiryMs`), acquired with
+  * create-exclusive (atomic on HDFS; best-effort on object stores — which
+  * is why this is ADVISORY and the in-protocol guards remain the
+  * correctness backstop; a lease failure can delay maintenance, never
+  * corrupt it). A crashed holder's lease expires after
+  * `spark.graft.lease.ttlMs` (default 10 min) and the next writer takes
+  * over by deleting the stale file. Bounded wait
+  * (`spark.graft.lease.waitMs`, default 60 s) then a LOUD failure naming
+  * the holder. `spark.graft.lease.enabled=false` bypasses the lease
+  * entirely — a TEST hook so the race specs can still drive two writers
+  * into the guards; leave it on in production. */
+object MaintenanceLease {
+  private def leasePath(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase + "__lease")
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val Array(owner, exp) = s.split('|')
+      Some((owner, exp.toLong))
+    } catch { case _: Exception => None } // vanished or torn mid-write: retry
+
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, owner: String, ttlMs: Long): Boolean =
+    try {
+      val out = fs.create(p, false) // create-exclusive: the acquire point
+      try out.write(s"$owner|${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** Drop any lease on `table` unconditionally — for PUBLISH paths only:
+    * publishing drops and recreates the index's tables, which already
+    * asserts ownership of the index name, and clearing a dead writer's
+    * stale (still-unexpired) lease there keeps a republish from stalling
+    * behind a JVM that was hard-killed mid-maintenance. Never call this
+    * from append/compact — they must respect a live holder. */
+  def clear(spark: SparkSession, table: String): Unit = {
+    val p = leasePath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Run `body` holding `table`'s maintenance lease (blocking, bounded). */
+  def withLease[T](spark: SparkSession, table: String)(body: => T): T = {
+    if (!spark.conf.get("spark.graft.lease.enabled", "true").toBoolean)
+      return body
+    val ttlMs = spark.conf.get("spark.graft.lease.ttlMs", "600000").toLong
+    val waitMs = spark.conf.get("spark.graft.lease.waitMs", "60000").toLong
+    val owner = java.util.UUID.randomUUID().toString
+    val p = leasePath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = tryCreate(fs, p, owner, ttlMs)
+    while (!acquired) {
+      readLease(fs, p) match {
+        case Some((_, exp)) if exp < System.currentTimeMillis() =>
+          // expired: takeover (losers of the delete race just fail the
+          // next create-exclusive and loop)
+          fs.delete(p, false)
+        case Some((holder, exp)) if System.currentTimeMillis() > deadline =>
+          throw new IllegalStateException(
+            s"maintenance lease on '$table' is held by $holder until $exp — " +
+              "index maintenance is single-writer; waited " +
+              s"${waitMs}ms (spark.graft.lease.waitMs), retry after the " +
+              "holder commits or its lease expires")
+        case _ => Thread.sleep(200)
+      }
+      acquired = tryCreate(fs, p, owner, ttlMs)
+    }
+    try body
+    finally {
+      // release only our own lease: a TTL takeover may have replaced it
+      if (readLease(fs, p).exists(_._1 == owner)) fs.delete(p, false)
+    }
+  }
+}
+
 object Bucketing {
 
   /** Save `df` as a bucketed managed table (overwriting), bucketed+sorted by

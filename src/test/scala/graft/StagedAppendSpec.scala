@@ -16,6 +16,7 @@ class StagedAppendSpec extends SparkSpecBase {
 
   override def afterAll(): Unit = {
     Faults.failAt = null; Faults.actAt = null; Faults.action = null
+    spark.conf.set("spark.graft.lease.enabled", "true")
     super.afterAll()
   }
 
@@ -286,6 +287,11 @@ class StagedAppendSpec extends SparkSpecBase {
   }
 
   test("LSH append: interleaved appends — the loser aborts loudly, the winner's commit is the index state (r14 verdict #2)") {
+    // the advisory lease would make the racer WAIT for the victim instead
+    // of reaching the allocator; this spec proves the in-protocol GUARDS
+    // (the correctness backstop behind the lease), so bypass the lease —
+    // LeaseSpec covers the lease's own wait/takeover/timeout contract
+    spark.conf.set("spark.graft.lease.enabled", "false")
     val docs = lshDocs
     val a = docs.where(col("doc_id") % 4 === 1)
     val b = docs.where(col("doc_id") % 4 === 2)  // victim's batch
@@ -337,6 +343,7 @@ class StagedAppendSpec extends SparkSpecBase {
     Dedup.appendLshIndex(b, "doc_id", "text", "graft_rc_lsh", "AB2B")
     assert(probe("graft_rc_lsh", "AB2B") === both, "loser's retry != sequential control")
     dropAll("graft_rc_lsh"); dropAll("graft_rc_c1"); dropAll("graft_rc_c2")
+    spark.conf.set("spark.graft.lease.enabled", "true")
   }
 
   test("LSH compact: kill inside the data-table rename swap and inside the compact meta commit — probes self-heal, retry completes") {
