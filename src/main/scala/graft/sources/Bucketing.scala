@@ -98,7 +98,10 @@ object MaintenanceLease {
     val p = leasePath(spark, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deadline = System.currentTimeMillis() + waitMs
+    val t0 = System.currentTimeMillis()
     var acquired = tryCreate(fs, p, owner, ttlMs)
+    if (!acquired)
+      System.err.println(s"[lease-wait] '$table' contended at acquire")
     while (!acquired) {
       readLease(fs, p) match {
         case Some((_, exp)) if exp < System.currentTimeMillis() =>
@@ -114,6 +117,11 @@ object MaintenanceLease {
         case _ => Thread.sleep(200)
       }
       acquired = tryCreate(fs, p, owner, ttlMs)
+    }
+    locally {
+      val waited = System.currentTimeMillis() - t0
+      if (waited > 500)
+        System.err.println(s"[lease-wait] '$table' acquired after ${waited}ms")
     }
     try body
     finally {
