@@ -3823,8 +3823,9 @@ object SparkEntry {
     //      the in-memory catalog entries while keeping the warehouse
     //      directories (simulateCatalogLoss — byte-identical to what a JVM
     //      restart leaves), recoverLshIndex re-adopts the directories as
-    //      the same managed bucketed tables (metadata ops only, nothing
-    //      rewritten — O(1) at 100 TB), and the probe answers q261's
+    //      the same managed bucketed tables (adoption = metadata ops
+    //      only, nothing rewritten; the strict audit is the one linear
+    //      certification pass), and the probe answers q261's
     //      oracle VERBATIM. RecoverySpec proves the same path across a
     //      REAL SparkContext restart ----
     "q319_lsh_index_recover" -> ((s, dir) => {

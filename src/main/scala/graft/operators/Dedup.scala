@@ -751,9 +751,11 @@ object Dedup {
     * loses the CATALOG ENTRIES for `_buckets`/`_docs`/`_meta` while their
     * warehouse directories (bucketed parquet + committed `_meta` row)
     * survive intact. Re-adopts each directory as the same MANAGED bucketed
-    * table via [[graft.sources.Bucketing.recoverBucketedTable]] — driver-
-    * side metadata ops only, nothing rewritten, so recovery is O(1) at
-    * 100 TB (vs the pre-r16 full republish).
+    * table via [[graft.sources.Bucketing.recoverBucketedTable]] — the
+    * adoption is driver-side metadata ops only (nothing rewritten, O(1)
+    * at 100 TB); the closing STRICT audit is the one linear pass, the
+    * same certification every compaction already pays (vs the pre-r16
+    * repair, a full republish: re-shingle + re-hash + rewrite).
     *
     * Order matters: `_meta` first (its bucket spec is the family constant
     * `("shingle_n", 1)`), because it carries the DATA tables' spec — the
