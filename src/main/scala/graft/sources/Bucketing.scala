@@ -52,7 +52,20 @@ object Faults {
   * (`spark.graft.lease.waitMs`, default 60 s) then a LOUD failure naming
   * the holder. `spark.graft.lease.enabled=false` bypasses the lease
   * entirely — a TEST hook so the race specs can still drive two writers
-  * into the guards; leave it on in production. */
+  * into the guards; leave it on in production.
+  *
+  * TTL-OVERRUN HAZARD (document, don't mask): the lease is NOT renewed
+  * while `body` runs, so a maintenance job longer than `ttlMs` silently
+  * loses exclusivity mid-run — a TTL takeover hands the window to the
+  * next writer and the overrunning job degrades to guard-only mode (the
+  * staged-commit guards abort any actual overlap loudly; nothing
+  * corrupts, but the job may lose the race it thought it owned). Size
+  * `spark.graft.lease.ttlMs` to comfortably exceed the longest
+  * append/compact on the index (default 10 min). On release the holder
+  * deletes the file only when it is provably still its OWN and UNEXPIRED
+  * — a stale holder returning after a takeover must not delete the
+  * successor's fresh lease; an expired own-lease is simply left for the
+  * next writer's TTL takeover. */
 object MaintenanceLease {
   private def leasePath(spark: SparkSession, table: String) =
     new org.apache.hadoop.fs.Path(
@@ -103,17 +116,25 @@ object MaintenanceLease {
     if (!acquired)
       System.err.println(s"[lease-wait] '$table' contended at acquire")
     while (!acquired) {
+      // the deadline fires UNCONDITIONALLY (r16 advice): under churn the
+      // lease file can vanish/expire on every read (readLease None, or a
+      // chain of expired holders) and a branch-gated check would loop past
+      // waitMs forever without the promised loud failure
+      if (System.currentTimeMillis() > deadline) {
+        val holder = readLease(fs, p)
+          .map { case (h, exp) => s"held by $h until $exp" }
+          .getOrElse("contended (holder unreadable — churning or torn)")
+        throw new IllegalStateException(
+          s"maintenance lease on '$table' is $holder — " +
+            "index maintenance is single-writer; waited " +
+            s"${waitMs}ms (spark.graft.lease.waitMs), retry after the " +
+            "holder commits or its lease expires")
+      }
       readLease(fs, p) match {
         case Some((_, exp)) if exp < System.currentTimeMillis() =>
           // expired: takeover (losers of the delete race just fail the
           // next create-exclusive and loop)
           fs.delete(p, false)
-        case Some((holder, exp)) if System.currentTimeMillis() > deadline =>
-          throw new IllegalStateException(
-            s"maintenance lease on '$table' is held by $holder until $exp — " +
-              "index maintenance is single-writer; waited " +
-              s"${waitMs}ms (spark.graft.lease.waitMs), retry after the " +
-              "holder commits or its lease expires")
         case _ => Thread.sleep(200)
       }
       acquired = tryCreate(fs, p, owner, ttlMs)
@@ -125,8 +146,17 @@ object MaintenanceLease {
     }
     try body
     finally {
-      // release only our own lease: a TTL takeover may have replaced it
-      if (readLease(fs, p).exists(_._1 == owner)) fs.delete(p, false)
+      // release only a lease that is provably still OURS and UNEXPIRED: a
+      // body that outran the TTL may have been taken over, and deleting on
+      // a bare owner-match races the successor's create (read our file,
+      // successor swaps in, we delete THEIRS). An unexpired own-lease
+      // cannot be legally taken over between the read and the delete; an
+      // expired one is left for the next writer's TTL takeover.
+      readLease(fs, p) match {
+        case Some((o, exp)) if o == owner && exp > System.currentTimeMillis() =>
+          fs.delete(p, false)
+        case _ => // replaced by a successor, or ours-but-expired: leave it
+      }
     }
   }
 }
@@ -371,23 +401,36 @@ object Bucketing {
     * is MAINTENANCE — single-writer, like append/compact. Returns false
     * when no data directory survives (nothing to recover; republish). */
   def recoverBucketedTable(spark: SparkSession, table: String, keyCol: String,
-      buckets: Int): Boolean = {
+      buckets: Int, faultTag: String = null): Boolean = {
     val fs = hadoopFs(spark)
     def hasData(p: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(p) && fs.listStatus(p).exists(s =>
         s.isFile && s.getPath.getName.startsWith("part-"))
     val live = managedDir(spark, table)
     val adopt = managedDir(spark, s"${table}__adopt")
+    // heal a swap torn in THIS session by RENAME before anything else
+    // (r16 advice, medium): after such a tear the only complete copies can
+    // sit REGISTERED at `__old`/`__compact`, and DROP TABLE on a managed
+    // entry deletes its directory — dropping those entries here would
+    // destroy both copies and then find no survivor. repairCompacted (via
+    // healIfTorn) restores the live name non-destructively and only clears
+    // asides once the live table exists.
+    healIfTorn(spark, table)
     if (spark.catalog.tableExists(table)) {
       // already registered THIS session — unless a torn same-session
       // recovery left an empty shell entry with the data still aside
-      if (!hasData(adopt)) { healIfTorn(spark, table); return true }
+      if (!hasData(adopt)) return true
       spark.sql(s"DROP TABLE $table") // empty shell; its dir is deleted too
     }
-    // stale catalog entries over the aside names would collide with the
-    // renames below (fresh sessions have none; same-session retries might)
+    // residual stale catalog entries over the aside names would collide
+    // with the renames below. Erase the ENTRY the way a restart would —
+    // directory kept — whenever the directory still holds data (it may be
+    // the only surviving copy); only a dataless entry is dropped outright.
     Seq(s"${table}__old", s"${table}__compact").foreach { t =>
-      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+      if (spark.catalog.tableExists(t)) {
+        if (hasData(managedDir(spark, t))) eraseEntryKeepDir(spark, t)
+        else spark.sql(s"DROP TABLE $t")
+      }
     }
     val survivors = Seq(live, managedDir(spark, s"${table}__old"),
       managedDir(spark, s"${table}__compact"), adopt)
@@ -399,16 +442,20 @@ object Bucketing {
           require(fs.rename(src, adopt),
             s"recoverBucketedTable: rename $src -> $adopt failed")
         }
+        if (faultTag != null) Faults.point(s"$faultTag.aside")
         // clear the losing copies/debris so the CREATE location is free
         survivors.filterNot(_ == adopt)
           .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+        if (faultTag != null) Faults.point(s"$faultTag.cleared")
         val schema = spark.read.parquet(adopt.toString).schema
         require(schema.fieldNames.contains(keyCol),
           s"recoverBucketedTable: surviving data for '$table' has no column " +
             s"'$keyCol' (schema ${schema.simpleString}) — wrong bucket spec?")
         spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet " +
           s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS")
+        if (faultTag != null) Faults.point(s"$faultTag.created")
         fs.delete(live, true) // the empty dir CREATE just made
+        if (faultTag != null) Faults.point(s"$faultTag.freed")
         require(fs.rename(adopt, live),
           s"recoverBucketedTable: rename $adopt -> $live failed")
         true
@@ -438,23 +485,29 @@ object Bucketing {
     }
   }
 
-  /** TEST/ORACLE ONLY — erase a table's in-memory catalog entry while
-    * keeping its warehouse directory byte-identical, reproducing exactly
-    * the state a JVM restart leaves behind (directories survive; the
-    * in-memory catalog does not). The recovery oracle queries certify the
-    * recover→probe path inside the single Verify session with this; the
-    * GENUINE restart (stop the SparkContext, build a fresh session over
-    * the same warehouse) is proven by RecoverySpec. The dance: move the
-    * directory aside so DROP TABLE (which deletes a managed table's
-    * location) has nothing to delete, drop the entry, move the data back. */
-  def simulateCatalogLoss(spark: SparkSession, table: String): Unit = {
+  /** Erase a table's in-memory catalog entry while keeping its warehouse
+    * directory byte-identical — the state a JVM restart leaves behind
+    * (directories survive; the in-memory catalog does not). The dance:
+    * move the directory aside so DROP TABLE (which deletes a managed
+    * table's location) has nothing to delete, drop the entry, move the
+    * data back. Production use: [[recoverBucketedTable]] clearing a stale
+    * aside ENTRY whose directory may hold the only surviving copy. */
+  private def eraseEntryKeepDir(spark: SparkSession, table: String): Unit = {
     val fs = hadoopFs(spark)
     val live = managedDir(spark, table)
     val aside = managedDir(spark, s"${table}__lost")
-    require(fs.rename(live, aside), s"simulateCatalogLoss: rename-aside of $live failed")
+    require(fs.rename(live, aside), s"eraseEntryKeepDir: rename-aside of $live failed")
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    require(fs.rename(aside, live), s"simulateCatalogLoss: rename-back to $live failed")
+    require(fs.rename(aside, live), s"eraseEntryKeepDir: rename-back to $live failed")
   }
+
+  /** TEST/ORACLE ONLY — [[eraseEntryKeepDir]] under its testing name:
+    * reproduces the restart state per-table so the recovery oracle queries
+    * certify the recover→probe path inside the single Verify session; the
+    * GENUINE restart (stop the SparkContext, build a fresh session over
+    * the same warehouse) is proven by RecoverySpec. */
+  def simulateCatalogLoss(spark: SparkSession, table: String): Unit =
+    eraseEntryKeepDir(spark, table)
 
   /** MAINTENANCE REPORT over epoch-gated bucketed tables (the staged-commit
     * index layout: every data row carries an `ep`, `eps` is the committed

@@ -43,6 +43,7 @@ class LeaseSpec extends SparkSpecBase {
 
   override def afterAll(): Unit = {
     spark.conf.unset("spark.graft.lease.waitMs")
+    spark.conf.unset("spark.graft.lease.ttlMs")
     super.afterAll()
   }
 
@@ -86,6 +87,65 @@ class LeaseSpec extends SparkSpecBase {
     releaser.join()
     assert(ran, "waiter did not proceed after the holder released")
     spark.conf.unset("spark.graft.lease.waitMs")
+  }
+
+  test("TTL overrun: a holder whose body outlives the TTL never deletes the successor's lease (r16 verdict #3 done-criterion)") {
+    leaseFile("graft_ls_t4").delete()
+    spark.conf.set("spark.graft.lease.ttlMs", "1")
+    try {
+      MaintenanceLease.withLease(spark, "graft_ls_t4") {
+        // our 1 ms lease expires immediately; a successor legally takes
+        // over mid-body (the documented body>TTL guard-only degradation)
+        Thread.sleep(10)
+        writeLease("graft_ls_t4", "successor-writer",
+          System.currentTimeMillis() + 3600000L)
+      }
+    } finally spark.conf.unset("spark.graft.lease.ttlMs")
+    // the stale holder's release must leave the successor's unexpired,
+    // foreign lease intact — a bare owner-read-then-delete would race it
+    val f = leaseFile("graft_ls_t4")
+    assert(f.exists(), "stale holder deleted the successor's lease on release")
+    val content = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(content.startsWith("successor-writer|"),
+      s"successor's lease was replaced: $content")
+    f.delete()
+  }
+
+  test("TTL overrun without a successor: the expired own-lease is left for takeover and never blocks the next writer") {
+    leaseFile("graft_ls_t5").delete()
+    spark.conf.set("spark.graft.lease.ttlMs", "1")
+    try MaintenanceLease.withLease(spark, "graft_ls_t5") { Thread.sleep(10) }
+    finally spark.conf.unset("spark.graft.lease.ttlMs")
+    // ours-but-expired is NOT deleted (a successor's takeover may be
+    // in flight between our read and our delete) — left for TTL takeover
+    assert(leaseFile("graft_ls_t5").exists(),
+      "expired own-lease should be left for the next writer's takeover")
+    var ran = false
+    MaintenanceLease.withLease(spark, "graft_ls_t5") { ran = true }
+    assert(ran, "expired leftover blocked the next writer")
+    assert(!leaseFile("graft_ls_t5").exists())
+  }
+
+  test("bounded wait fires even when the lease file is unreadable on every poll (r16 advice: unconditional deadline)") {
+    // a DIRECTORY at the lease path makes create-exclusive fail AND
+    // readLease return None forever — the exact branch the old
+    // branch-gated deadline never reached (it would spin past waitMs)
+    val f = leaseFile("graft_ls_t6")
+    f.delete(); assert(f.mkdir(), "fixture dir not created")
+    spark.conf.set("spark.graft.lease.waitMs", "400")
+    try {
+      val t0 = System.currentTimeMillis()
+      val e = intercept[IllegalStateException] {
+        MaintenanceLease.withLease(spark, "graft_ls_t6") { fail("body must not run") }
+      }
+      assert(System.currentTimeMillis() - t0 >= 400,
+        "deadline fired before waitMs elapsed")
+      assert(e.getMessage.contains("waited"), s"wrong failure: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.lease.waitMs")
+      f.delete()
+    }
   }
 
   test("expired-lease TAKEOVER: two sequential appends succeed across a dead writer's stale lease (r15 verdict #5 done-criterion)") {

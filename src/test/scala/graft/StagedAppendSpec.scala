@@ -290,8 +290,11 @@ class StagedAppendSpec extends SparkSpecBase {
     // the advisory lease would make the racer WAIT for the victim instead
     // of reaching the allocator; this spec proves the in-protocol GUARDS
     // (the correctness backstop behind the lease), so bypass the lease —
-    // LeaseSpec covers the lease's own wait/takeover/timeout contract
+    // LeaseSpec covers the lease's own wait/takeover/timeout contract.
+    // try/finally: a mid-test failure must not leave the suite's later
+    // tests (and their lease coverage) running with the lease disabled
     spark.conf.set("spark.graft.lease.enabled", "false")
+    try {
     val docs = lshDocs
     val a = docs.where(col("doc_id") % 4 === 1)
     val b = docs.where(col("doc_id") % 4 === 2)  // victim's batch
@@ -343,7 +346,7 @@ class StagedAppendSpec extends SparkSpecBase {
     Dedup.appendLshIndex(b, "doc_id", "text", "graft_rc_lsh", "AB2B")
     assert(probe("graft_rc_lsh", "AB2B") === both, "loser's retry != sequential control")
     dropAll("graft_rc_lsh"); dropAll("graft_rc_c1"); dropAll("graft_rc_c2")
-    spark.conf.set("spark.graft.lease.enabled", "true")
+    } finally spark.conf.set("spark.graft.lease.enabled", "true")
   }
 
   test("LSH compact: kill inside the data-table rename swap and inside the compact meta commit — probes self-heal, retry completes") {
