@@ -3872,6 +3872,30 @@ object SparkEntry {
           col("orphan_epochs"), col("committed_epochs"))
     }),
 
+    // ---- the census matrix completed for the ANN side (r16 verdict #6):
+    //      describeIvfIndex after a torn vector append — the inverted
+    //      lists hold exactly one committed assignment row per published
+    //      vector and one orphan row per torn-batch vector, replayed in
+    //      SQL as plain counts over the embeddings table ----
+    "q321_ivf_epoch_census" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = ivfIndexTable(dir) + "_cen"
+      Similarity.publishIvfIndex(e.where(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", tbl, trainRows = 128,
+        corpusFp = s"embeddings[%5!=0]@$dir")
+      graft.sources.Faults.failAt = "ivf.append.staged"
+      val torn =
+        try { Similarity.appendIvfIndex(e.where(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", tbl, newCorpusFp = ivfCorpusFp(dir)); false }
+        catch { case ex: RuntimeException if ex.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q321: the staged-crash injection did not fire")
+      Similarity.describeIvfIndex(s, tbl)
+        .withColumn("tbl", element_at(split(col("table"), "_"), -1))
+        .select(col("tbl"), col("rows_committed"), col("rows_orphan"),
+          col("orphan_epochs"), col("committed_epochs"))
+    }),
+
     // ---- staged-commit crash semantics, IVF form — completes the torn-
     //      append oracle matrix (LSH q314, PQ q315, IVF here): the append
     //      dies between the staged vector write and the meta commit,
@@ -8176,6 +8200,15 @@ object SparkEntry {
         |SELECT 'docs', CAST(pub.n AS BIGINT), CAST(orp.n AS BIGINT),
         |  CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         |FROM pub, orp""".stripMargin,
+    // q321: the IVF census twin — the inverted lists carry exactly one
+    // assignment row per vector, so committed = the published subset's
+    // count and orphan = the torn batch's count, as plain counts
+    "q321_ivf_epoch_census" ->
+      """SELECT 'assign' AS tbl,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0) AS BIGINT) AS rows_committed,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS rows_orphan,
+        |  CAST(1 AS BIGINT) AS orphan_epochs,
+        |  CAST(1 AS BIGINT) AS committed_epochs""".stripMargin,
     // q316: a torn append that is never retried leaves the index exactly
     // at its published state (compaction GCs the orphans) — the probe
     // oracle with the corpus side restricted to the published subset
