@@ -292,6 +292,47 @@ object ScaleDrill {
       functions.Text.bigramNll(docs, "doc_id", "text")
     }
 
+    // ---- round-17 additions: the reference-specialty operators (r16
+    //      verdict #2) — oracle-covered at three SFs but previously
+    //      without a measured amplification record ----
+    // as-of join in its distributed union+last-over-window form (the shape
+    // the reference certifies in tests/FSharp.DataFrame.Tests/Frame.fs:
+    // 189-302, re-expressed per SURVEY §2.4): align each user's probe
+    // events to the latest preceding data event PER USER — X× events and
+    // X× distinct users, so the window's partition axis scales with X and
+    // the sorted union is the only shuffle
+    timed("asof_join") {
+      val probe = ev.where(col("event_id") % 3 =!= 0)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val data = ev.where(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts").as("dts"), col("value"))
+      operators.AsOf.join(probe, "ts", data, "dts", Seq("value"),
+        partitionBy = Seq("user_id"))
+    }
+    // resampleUniform (grid + forward gap-fill, the reference's golden
+    // tests tests/.../Series.fs:120-235): bucket the 600k×X-row ordered
+    // series into a generated [lo, hi] grid — the data-side cost is ONE
+    // map-side-partial groupBy; the grid/gap-fill side is model-sized
+    // (≈ max-key/4096 buckets), never row-scale
+    timed("resample_uniform") {
+      operators.Resample.resampleUniform(
+        graft.core.KSeries(li, "k", "v"),
+        k => (k / 4096L).cast("long"),
+        (lo, hi) => sequence(lo, hi))(sum)
+    }
+    // chunkWhile sessionization (reference src/SeriesModule.fs:448-463):
+    // the inherently-sequential first-key recurrence runs per user after
+    // ONE repartition (mapPartitions scan), then the session aggregate —
+    // X× users is the parallel axis, ~67 events/user stays constant
+    timed("chunk_while") {
+      val sess = operators.ChunkWhile.assign(
+        ev.select(col("user_id"), col("ts").cast("long").as("tsl"), col("value")),
+        "tsl", (first, cur) => cur - first < 21600L,
+        partitionBy = Seq("user_id"))
+      sess.groupBy(col("user_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    }
+
     // ---- round-10 additions: the round-9 production surface ----
     // Unit-returning work (index writes): timed, rows = batch size, no
     // executed-plan handle to audit — write plans are covered by PLANS.md
