@@ -17,6 +17,7 @@ class ScaleDrillSpec extends SparkSpecBase {
       "ordered_rank", "ordered_rank_str", "ivfpq_probe", "ivf_sampled_probe",
       "bm25", "interval_coverage", "distinctive_terms",
       "pagerank", "token_packing", "bigram_nll",
+      "asof_join", "resample_uniform", "chunk_while",
       "containment_pairs", "containment_prune", "containment_capped",
       "decontamination",
       "lsh_index_publish", "lsh_index_append", "lsh_index_probe",
