@@ -3896,6 +3896,29 @@ object SparkEntry {
           col("orphan_epochs"), col("committed_epochs"))
     }),
 
+    // ---- census matrix, PQ leg: describePqIndex reports the same
+    //      one-assignment-row-per-vector invariant over the codes-only
+    //      inverted lists — all three index families' censuses now go
+    //      through the oracle gate (LSH q320, IVF q321, PQ here) ----
+    "q322_pq_epoch_census" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = pqIndexTable(dir) + "_cen"
+      Similarity.publishPqIndex(e.where(col("vec_id") % 5 =!= 0), "vec_id",
+        "embedding", tbl, nlist = 8, m = 8, codes = 16, rounds = 2,
+        corpusFp = s"embeddings[%5!=0]@$dir")
+      graft.sources.Faults.failAt = "pq.append.staged"
+      val torn =
+        try { Similarity.appendPqIndex(e.where(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", tbl, newCorpusFp = ivfCorpusFp(dir)); false }
+        catch { case ex: RuntimeException if ex.getMessage.contains("injected") => true }
+        finally { graft.sources.Faults.failAt = null }
+      require(torn, "q322: the staged-crash injection did not fire")
+      Similarity.describePqIndex(s, tbl)
+        .withColumn("tbl", element_at(split(col("table"), "_"), -1))
+        .select(col("tbl"), col("rows_committed"), col("rows_orphan"),
+          col("orphan_epochs"), col("committed_epochs"))
+    }),
+
     // ---- staged-commit crash semantics, IVF form — completes the torn-
     //      append oracle matrix (LSH q314, PQ q315, IVF here): the append
     //      dies between the staged vector write and the meta commit,
@@ -4417,6 +4440,17 @@ object SparkEntry {
       |            strpos('0123456789abcdef', substr(hb, p.p + 1, 1)) - 1))) AS BIGINT) AS hamming
       |        FROM pr, (SELECT unnest(range(0, 16)) AS p) p GROUP BY 1, 2)
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8""".stripMargin
+
+  /** Shared replay for the IVF (q321) and PQ (q322) epoch censuses: both
+    * families keep one assignment row per vector in `_assign`, so the
+    * committed/orphan census is a pair of plain counts over the raw
+    * embeddings table — family-independent by construction. */
+  private val annCensusOracleSql: String =
+    """SELECT 'assign' AS tbl,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0) AS BIGINT) AS rows_committed,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS rows_orphan,
+      |  CAST(1 AS BIGINT) AS orphan_epochs,
+      |  CAST(1 AS BIGINT) AS committed_epochs""".stripMargin
 
   private val lshProbeOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -8200,15 +8234,12 @@ object SparkEntry {
         |SELECT 'docs', CAST(pub.n AS BIGINT), CAST(orp.n AS BIGINT),
         |  CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         |FROM pub, orp""".stripMargin,
-    // q321: the IVF census twin — the inverted lists carry exactly one
-    // assignment row per vector, so committed = the published subset's
-    // count and orphan = the torn batch's count, as plain counts
-    "q321_ivf_epoch_census" ->
-      """SELECT 'assign' AS tbl,
-        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0) AS BIGINT) AS rows_committed,
-        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS rows_orphan,
-        |  CAST(1 AS BIGINT) AS orphan_epochs,
-        |  CAST(1 AS BIGINT) AS committed_epochs""".stripMargin,
+    // q321/q322: the ANN census twins — IVF and PQ inverted lists both
+    // carry exactly one assignment row per vector, so committed = the
+    // published subset's count and orphan = the torn batch's count, as
+    // plain counts (same replay for both families)
+    "q321_ivf_epoch_census" -> annCensusOracleSql,
+    "q322_pq_epoch_census" -> annCensusOracleSql,
     // q316: a torn append that is never retried leaves the index exactly
     // at its published state (compaction GCs the orphans) — the probe
     // oracle with the corpus side restricted to the published subset
