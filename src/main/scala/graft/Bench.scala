@@ -157,6 +157,16 @@ object Bench {
       if (bestIdx >= 0) parseDict(txt.drop(bestIdx))
       else parseDict(txt) // pre-r9 record: single queries dict seeds the best
     } catch { case _: Throwable => Map.empty[String, Double] }
+    // a full run without priors produces a VACUOUS flag list (every
+    // committed value becomes its own best, so regressionFlags cannot
+    // fire) and silently discards the rolling minima when committed —
+    // the r16 end-of-round record had exactly this shape. Say so loudly;
+    // the record is still written, but a reader of the log knows its
+    // flag/best fields carry no regression information.
+    if (priorBest.isEmpty)
+      System.err.println("[bench] WARNING: no prior best anchors found at " +
+        selfPath.toAbsolutePath + " — this run's flag list is vacuous and " +
+        "its best dict restarts from this run's values")
     val prior: Map[String, Double] = priorBest
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY="q66,q89" times just those
     // qNN ids (comma-separated), N times each if SPARK_GRAFT_BENCH_REPS is
