@@ -680,23 +680,25 @@ object Dedup {
     // the tables), so it also clears a hard-killed writer's stale lease —
     // a republish never stalls behind a dead JVM's unexpired lease
     graft.sources.MaintenanceLease.clear(corpus.sparkSession, table)
-    val base = shingleBase(corpus, idCol, textCol, shingleN)
+    val base = shingleBaseBanded(corpus, idCol, textCol, shingleN, numHashes, bands)
     val bk = base
-      .select(col("id"), posexplode(Vectors.md5BandKeys(numHashes, bands)(col("shs"))))
+      .select(col("id"), posexplode(col("bks")))
       .select(col("pos").as("band"), col("col").as("bk"), col("id"))
     // the two table writes are independent (both read the materialized
     // base) — overlap their job-commit latency from Futures; crash model
     // unchanged (publish was never atomic across tables: a tear is a
     // republish either way, and `_meta` still lands LAST so probes
-    // fail fast on a torn publish)
+    // fail fast on a torn publish). narrowForWrite: task count (= file
+    // count / buckets) derived from data size, identity at scale
     locally {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bkF = Future(
-        graft.sources.Bucketing.saveBucketed(bk.withColumn("ep", lit(0L)),
+        graft.sources.Bucketing.saveBucketed(
+          Par.narrowForWrite(bk.withColumn("ep", lit(0L))),
           s"${table}_buckets", "bk", buckets))
       val docsF = Future(graft.sources.Bucketing.saveBucketed(
-        base.select(col("id"), col("shs"), lit(0L).as("ep")),
+        Par.narrowForWrite(base.select(col("id"), col("shs"), lit(0L).as("ep"))),
         s"${table}_docs", "id", buckets))
       // settle BOTH before rethrowing: an early rethrow can race the
       // sibling's still-running write against the caller's republish repair
@@ -857,7 +859,8 @@ object Dedup {
       Future(writeLshMeta(spark, table, m.shingleN, m.numHashes, m.bands,
         m.buckets, m.corpusFp, m.eps, ep + 1L))
     }
-    val base = shingleBase(batch, idCol, textCol, m.shingleN)
+    val base = shingleBaseBanded(batch, idCol, textCol, m.shingleN,
+      m.numHashes, m.bands)
     // duplicate check against COMMITTED rows only — orphans of a torn
     // earlier attempt must not block its retry (the retry re-stages the
     // batch under a fresh epoch; the orphans stay invisible forever)
@@ -869,7 +872,7 @@ object Dedup {
       s"appendLshIndex: batch contains ids already present in index '$table' — " +
         "append would duplicate their probe rows; dedup the batch first")
     val bk = base
-      .select(col("id"), posexplode(Vectors.md5BandKeys(m.numHashes, m.bands)(col("shs"))))
+      .select(col("id"), posexplode(col("bks")))
       .select(col("pos").as("band"), col("col").as("bk"), col("id"))
     // STAGED COMMIT (r13 verdict item #2) — the tear between the two data
     // writes is now IMPOSSIBLE to observe, not just loud:
@@ -903,11 +906,11 @@ object Dedup {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val bkF = Future(
-        bk.withColumn("ep", lit(ep))
+        Par.narrowForWrite(bk.withColumn("ep", lit(ep)))
           .write.mode("append").bucketBy(m.buckets, "bk").sortBy("bk")
           .format("parquet").saveAsTable(s"${table}_buckets"))
       val docsF = Future(
-        base.select(col("id"), col("shs"), lit(ep).as("ep"))
+        Par.narrowForWrite(base.select(col("id"), col("shs"), lit(ep).as("ep")))
           .write.mode("append").bucketBy(m.buckets, "id").sortBy("id")
           .format("parquet").saveAsTable(s"${table}_docs"))
       // settle BOTH before rethrowing: an early rethrow can race the
@@ -917,9 +920,17 @@ object Dedup {
     graft.sources.Faults.point("lsh.append.staged")
     // commit only a COMPLETE staged batch: the per-epoch count relation
     // (bands × docs rows) is the same invariant the index-wide audit
-    // proves, checked here on exactly the rows about to become visible
-    val sbRows = spark.table(s"${table}_buckets").where(col("ep") === ep).count()
-    val sdRows = spark.table(s"${table}_docs").where(col("ep") === ep).count()
+    // proves, checked here on exactly the rows about to become visible.
+    // The two counts read independent tables — overlap their job latency
+    val (sbRows, sdRows) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val sbF = Future(spark.table(s"${table}_buckets").where(col("ep") === ep).count())
+      val sdF = Future(spark.table(s"${table}_docs").where(col("ep") === ep).count())
+      graft.functions.Par.awaitAllSettled(sbF, sdF)
+      (Await.result(sbF, Duration.Inf), Await.result(sdF, Duration.Inf))
+    }
     require(sbRows == m.bands.toLong * sdRows,
       s"appendLshIndex: staged batch is incomplete ($sbRows band rows != " +
         s"${m.bands} bands x $sdRows doc rows) — NOT committed; probes are " +
@@ -952,12 +963,27 @@ object Dedup {
       table: String, strict: Boolean = false): Unit = {
     val m = readLshMeta(spark, table)
     // audit what probes SEE: epochs staged by a torn append are invisible
-    // by design and must not trip the invariants
-    val bRows = committedLsh(spark, s"${table}_buckets", m.eps).count()
-    val dRows = committedLsh(spark, s"${table}_docs", m.eps).count()
-    require(bRows == m.bands.toLong * dRows,
-      s"LSH index '$table' is inconsistent: $bRows band rows != ${m.bands} bands x " +
-        s"$dRows doc rows — likely a torn append; republish via publishLshIndex")
+    // by design and must not trip the invariants.
+    // The strict pass SUBSUMES the count relation (every id carrying
+    // exactly `bands` band rows and one docs row, with no unmatched ids
+    // on either side, forces count(_buckets) == bands x count(_docs)), so
+    // it skips the two whole-table counts outright — one linear pass, not
+    // three (r17, guide §1.2: don't compute what a later step re-proves).
+    // The cheap form keeps them, overlapped (independent tables).
+    if (!strict) {
+      val (bRows, dRows) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val bF = Future(committedLsh(spark, s"${table}_buckets", m.eps).count())
+        val dF = Future(committedLsh(spark, s"${table}_docs", m.eps).count())
+        graft.functions.Par.awaitAllSettled(bF, dF)
+        (Await.result(bF, Duration.Inf), Await.result(dF, Duration.Inf))
+      }
+      require(bRows == m.bands.toLong * dRows,
+        s"LSH index '$table' is inconsistent: $bRows band rows != ${m.bands} bands x " +
+          s"$dRows doc rows — likely a torn append; republish via publishLshIndex")
+    }
     if (strict) {
       // count-balanced corruption (one doc's band rows duplicated while
       // another's are missing, or re-keyed to a phantom id) passes the
@@ -975,7 +1001,8 @@ object Dedup {
         .where(col("__n").isNull || col("__d").isNull || col("__n") =!= m.bands.toLong)
         .count()
       require(bad == 0L,
-        s"LSH index '$table' is count-balanced but corrupt: $bad ids lack a docs row, " +
+        s"LSH index '$table' is corrupt (strict per-doc invariant — catches " +
+          s"even count-balanced tears): $bad ids lack a docs row, " +
           s"lack bucket rows, or do not have exactly ${m.bands} band rows " +
           "— republish via publishLshIndex")
     }
@@ -1124,6 +1151,27 @@ object Dedup {
     Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
       .where(size(col("shs")) > 0)
+      .localCheckpoint(true)
+
+  /** [[shingleBase]] with the md5 band keys MATERIALIZED alongside the
+    * shingle sets — the index WRITE paths (publish/append) use this so the
+    * CPU-heavy md5 kernel runs at full kernel width during checkpoint
+    * materialization, leaving the bucket-table write input a cheap explode
+    * that [[Par.narrowForWrite]] can safely narrow to a size-derived task
+    * count (r17 measurement: the unmaterialized write re-ran the md5
+    * kernel inside the write tasks, so narrowing it serialized the kernel
+    * — 2.0 s single-task vs 0.3 s materialized at sf0.1). Shingling and
+    * band keys are bit-identical to [[shingleBase]] + [[Vectors.md5BandKeys]]
+    * (same kernels, same empty-set filter) — the probe ≡ publish
+    * certification discipline is unchanged. */
+  private def shingleBaseBanded(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, bands: Int): DataFrame =
+    Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), Vectors.shinglesFast(shingleN)(col("__t")).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("id"), col("shs"),
+        Vectors.md5BandKeys(numHashes, bands)(col("shs")).as("bks"))
       .localCheckpoint(true)
 
   /** [[shingleBase]] + band keys (+ optionally the full md5 signature) in

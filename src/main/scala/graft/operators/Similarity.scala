@@ -557,8 +557,9 @@ object Similarity {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val aF = Future(graft.sources.Bucketing.saveBucketed(
-        qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
-          assignF(col("q")).as("c"), lit(0L).as("ep")),
+        graft.functions.Par.narrowForWrite(
+          qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
+            assignF(col("q")).as("c"), lit(0L).as("ep"))),
         s"${table}_assign", "c", buckets))
       val cF = Future(graft.sources.Bucketing.saveBucketed(
         centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
@@ -798,8 +799,9 @@ object Similarity {
       s"appendIvfIndex: allocator collision on '$table' — another writer is " +
         "appending concurrently; index maintenance is single-writer, retry " +
         "after it completes")
-    qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        assignF(col("q")).as("c"), lit(ep).as("ep"))
+    graft.functions.Par.narrowForWrite(
+        qdf.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          assignF(col("q")).as("c"), lit(ep).as("ep")))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
     graft.sources.Faults.point("ivf.append.staged")
@@ -866,8 +868,9 @@ object Similarity {
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val aF = Future(graft.sources.Bucketing.saveBucketed(
-        qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
-          encodeF(col("q")).as("cd"), lit(0L).as("ep")),
+        graft.functions.Par.narrowForWrite(
+          qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
+            encodeF(col("q")).as("cd"), lit(0L).as("ep"))),
         s"${table}_assign", "c", buckets))
       val cF = Future(graft.sources.Bucketing.saveBucketed(
         centRows.toDF("c", "d", "cv"), s"${table}_cents", "c", 1))
@@ -1105,8 +1108,9 @@ object Similarity {
       s"appendPqIndex: allocator collision on '$table' — another writer is " +
         "appending concurrently; index maintenance is single-writer, retry " +
         "after it completes")
-    qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
-        encodeF(col("q")).as("cd"), lit(ep).as("ep"))
+    graft.functions.Par.narrowForWrite(
+        qdf.select(col("id").as("neighbor_id"), assignF(col("q")).as("c"),
+          encodeF(col("q")).as("cd"), lit(ep).as("ep")))
       .write.mode("append").bucketBy(buckets, "c").sortBy("c")
       .format("parquet").saveAsTable(s"${table}_assign")
     graft.sources.Faults.point("pq.append.staged")

@@ -178,6 +178,35 @@ object Streams {
     }
   }
 
+  /** Stage `incoming` as one single-file batch per predicate under
+    * `srcDir`, named `bNN.parquet` with MONOTONE mtimes (= arrival order
+    * for the file-stream source, which orders by (mtime, path) — both
+    * monotone in the batch index here, so ordering is deterministic
+    * regardless of write completion order). The per-range writes are
+    * independent single-file jobs into private tmp dirs — overlapped so
+    * the staging pays ~one job latency instead of |preds| (r17: staging
+    * runs INSIDE the timed ingest/probe queries; profiled ~0.1-0.15 s of
+    * sequential job latency per extra batch file at sf0.1). */
+  private def stageBatchFiles(
+      incoming: DataFrame,
+      preds: Seq[org.apache.spark.sql.Column],
+      srcDir: java.nio.file.Path,
+      tag: String): Unit = {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = preds.zipWithIndex.map { case (pred, b) =>
+      Future {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_tmp")
+        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val dst = srcDir.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(findPartFile(tmp), dst)
+        dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
+        rmTree(tmp)
+      }
+    }
+    graft.functions.Par.awaitAllSettled(fs: _*)
+  }
+
   /** Locate the single part file of a coalesce(1) write — the
     * `Files.list` stream MUST be closed (it holds a directory fd; the
     * previous inline form leaked one per staged batch). */
@@ -633,15 +662,7 @@ object Streams {
       val ranges: Seq[org.apache.spark.sql.Column] = Seq(
         col("doc_id") < 250, col("doc_id") >= 250 && col("doc_id") < 10000,
         col("doc_id") >= 10000)
-      ranges.zipWithIndex.foreach { case (pred, b) =>
-        val tmp = Files.createTempDirectory("graft_ingest_tmp")
-        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = findPartFile(tmp)
-        val dst = srcDir.resolve(f"b$b%02d.parquet")
-        Files.move(part, dst)
-        dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
-        rmTree(tmp)
-      }
+      stageBatchFiles(incoming, ranges, srcDir, "ingest")
       val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType),
@@ -769,13 +790,20 @@ object Streams {
     // either write order is replay-safe BECAUSE of the batch exclusion
     // above: a crash between the two writes leaves at most this batch's
     // own partitions, which the re-run neither reads nor trusts — it
-    // recomputes both from the pre-batch state and overwrites
-    batch.select(col("doc_id"))
-      .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id").as("keep_id"))
-      .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
-    cells.select(col("band"), col("bk")).distinct()
-      .write.mode("overwrite").parquet(s"$cellDir/batch=$batchId")
+    // recomputes both from the pre-batch state and overwrites. Order-free
+    // ⇒ overlap the two independent sink writes (r17: ~0.1 s of job
+    // latency per micro-batch at sf0.1, paid once per batch otherwise)
+    locally {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val keepF = Future(batch.select(col("doc_id"))
+        .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("keep_id"))
+        .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId"))
+      val cellF = Future(cells.select(col("band"), col("bk")).distinct()
+        .write.mode("overwrite").parquet(s"$cellDir/batch=$batchId"))
+      graft.functions.Par.awaitAllSettled(keepF, cellF)
+    }
   }
 
   /** Stage the near-dup ingest fixture: documents plus near-dup copies
@@ -797,14 +825,7 @@ object Streams {
     val ranges: Seq[org.apache.spark.sql.Column] = Seq(
       col("doc_id") < 250, col("doc_id") >= 250 && col("doc_id") < 10000,
       col("doc_id") >= 10000)
-    ranges.zipWithIndex.foreach { case (pred, b) =>
-      val tmp = Files.createTempDirectory("graft_neardup_tmp")
-      incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val dst = srcDir.resolve(f"b$b%02d.parquet")
-      Files.move(findPartFile(tmp), dst)
-      dst.toFile.setLastModified(1000000L * (b + 1)) // arrival order
-      rmTree(tmp)
-    }
+    stageBatchFiles(incoming, ranges, srcDir, "neardup")
     (srcDir, incoming.schema)
   }
 
@@ -990,15 +1011,7 @@ object Streams {
     val chkDir = Files.createTempDirectory(s"graft_${tag}_chk")
     val stream = isolatedStreamSession(spark)
     try {
-      batchPreds.zipWithIndex.foreach { case (pred, b) =>
-        val tmp = Files.createTempDirectory(s"graft_${tag}_tmp")
-        incoming.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = findPartFile(tmp)
-        val dst = srcDir.resolve(f"b$b%02d.parquet")
-        Files.move(part, dst)
-        dst.toFile.setLastModified(1000000L * (b + 1))
-        rmTree(tmp)
-      }
+      stageBatchFiles(incoming, batchPreds, srcDir, tag)
       val src = stream.readStream
         .schema(incoming.schema)
         .option("maxFilesPerTrigger", "1")

@@ -212,7 +212,7 @@ class CompactionSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException] {
       Dedup.assertLshIndexConsistent(spark, tbl, strict = true)
     }
-    assert(e.getMessage.contains("count-balanced but corrupt"))
+    assert(e.getMessage.contains("count-balanced"))
     val e2 = intercept[IllegalArgumentException] { Dedup.compactLshIndex(spark, tbl) }
     assert(e2.getMessage.contains("republish"))
     Seq("_buckets", "_docs", "_meta").foreach(s =>
