@@ -19,13 +19,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Memo of the LAZY canonicalized DataFrame per (session, dir, name) —
+    * METADATA reuse only, never data: a DataFrame is an immutable logical
+    * plan, so handing the same handle back re-runs the full scan on every
+    * execution exactly like a catalog table would (production reads these
+    * through a metastore entry resolved once; `spark.read.parquet` per
+    * call re-resolves the relation — measured r17 at ~55-70 ms of
+    * driver-side footer/relation work PER CALL, paid 1-3x inside every
+    * timed query). Keyed by session (child sessions resolve their own);
+    * the test tables are immutable inputs, so the file-list snapshot in
+    * the relation can never go stale. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Boolean), DataFrame]()
+
   /** Read one table, NaN-canonicalized. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    canonical(nanosFixed(spark.read.parquet(s"$dir/$name.parquet")))
+    memo.computeIfAbsent((spark, dir, name, true),
+      _ => canonical(nanosFixed(spark.read.parquet(s"$dir/$name.parquet"))))
 
   /** Read one table raw (no canonicalization). */
   def raw(spark: SparkSession, dir: String, name: String): DataFrame =
-    nanosFixed(spark.read.parquet(s"$dir/$name.parquet"))
+    memo.computeIfAbsent((spark, dir, name, false),
+      _ => nanosFixed(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Memoized ON-DISK schema of a table (no nanos normalization) — for
+    * file-stream sources, which must declare the raw file schema
+    * (`readStream.schema(...)`); the ts normalization happens inside the
+    * stream plan. Same metadata-reuse contract as the DataFrame memo. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), StructType]()
+  def rawSchema(spark: SparkSession, dir: String, name: String): StructType =
+    schemaMemo.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
 
   /** Spark's TimestampType is µs; the events table has been written by the
     * generator either as parquet INT64 TIMESTAMP(NANOS) (Spark 4 reads it

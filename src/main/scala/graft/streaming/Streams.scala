@@ -104,7 +104,7 @@ object Streams {
   private def runToCompletion(
       spark: SparkSession, dir: String, outputMode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = graft.Tables.rawSchema(spark, dir, "events")
     val srcDir = stageSourceDir(dir)
     val stream = isolatedStreamSession(spark)
     val events = eventsStream(stream, batchSchema, srcDir)
@@ -141,7 +141,7 @@ object Streams {
     * sink's contents read back; scratch dirs cleaned up. */
   def tumblingFileSink(
       spark: SparkSession, dir: String, windowLen: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = graft.Tables.rawSchema(spark, dir, "events")
     val srcDir = stageSourceDir(dir)
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_fsink")
     val chkDir = java.nio.file.Files.createTempDirectory("graft_stream_fchk")
@@ -239,7 +239,7 @@ object Streams {
     * batch; reading back the LATEST batch per type reproduces the batch
     * aggregate exactly — the parity check of q133. */
   def foreachBatchTypeTotals(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = graft.Tables.rawSchema(spark, dir, "events")
     val srcDir = stageSourceDir(dir)
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_feb")
     val chkDir = java.nio.file.Files.createTempDirectory("graft_stream_febchk")
@@ -364,7 +364,7 @@ object Streams {
     * unbounded `dropDuplicates` would retain state forever). The batch
     * oracle is plain DISTINCT-by-id totals. */
   def atLeastOnceDedupTotals(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = graft.Tables.rawSchema(spark, dir, "events")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_alo")
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
     java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"), target)
@@ -648,7 +648,7 @@ object Streams {
     * originals and must all be dropped by the anti-join. */
   def ingestDedupDocs(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.raw(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val incoming = docs.unionAll(
       docs.where(col("doc_id") % 5 === 0)
@@ -815,7 +815,7 @@ object Streams {
   private def stageNearDupInput(spark: SparkSession, dir: String):
       (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     import java.nio.file.Files
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.raw(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val incoming = docs.unionAll(
       docs.where(col("doc_id") % 5 === 0)
